@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries (driver contract: one JSON line).
+
+Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], executing the full plan through a noop sink (no
+driver collect — measures the distributed plan, not result transfer).
+Prints: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from candyspark.plans import collect_registry  # noqa: E402
+from candyspark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "daily_summary",
+    "pricing_summary",
+    "order_totals",
+    "region_revenue",
+    "window_running_sum",
+    "prefix_allocation",
+    "greedy_allocation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="candyspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = collect_registry()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n in registry
+    ]
+
+    # Warm up the JVM/codegen path once so per-query times measure the plans.
+    registry[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Candy-pipeline-shaped queries over the testdata (SURVEY.md §2.9, M3).
+
+The inventory-allocation operator family, mapped onto the TPC-H-ish tables
+(products → part, line items → lineitem; FIXTURES.md §B operator→fixture
+map). Stock is a deterministic synthetic per-part capacity so both engines
+compute it identically: ``(p_partkey % 10 + 1) * 100``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from candyspark.operators.allocation import allocate_greedy
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+# Synthetic stock: deterministic in both engines, exhausts for low-capacity
+# parts (sf0.01 demand is ~750 qty/part) so cancellation paths are exercised.
+_STOCK = "(p_partkey % 10 + 1) * 100"
+
+
+def _lineitems_with_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.expr(_STOCK).cast("double").alias("stock")
+    )
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+
+
+def prefix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-based *prefix* allocation (the oracle-checkable variant of
+    §2.9): in (l_shipdate, l_orderkey, l_linenumber) total order per part,
+    a request is fulfilled iff the running demand INCLUDING it fits in stock
+    — first-fit-stop semantics. One shuffle (the window partition), no
+    driver state, no per-day loop (reference anti-pattern §4.2:
+    src/data_processor.py:353-436,401-406)."""
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = _lineitems_with_stock(spark, sf_dir)
+    running = F.sum("l_quantity").over(w)
+    fulfilled = F.when(running <= F.col("stock"), F.col("l_quantity")).otherwise(F.lit(0.0))
+    return df.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("requested_qty"),
+        fulfilled.alias("fulfilled_qty"),
+        # identical double arithmetic in both engines, then snapped through
+        # decimal so the 2-dp round is engine-independent (see relational.py
+        # module docstring on money rounding).
+        F.round(
+            (fulfilled * F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                "decimal(28,8)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("line_total"),
+    )
+
+
+PREFIX_ALLOCATION_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber,
+       l_quantity AS requested_qty,
+       CASE WHEN running_qty <= stock THEN l_quantity ELSE 0 END AS fulfilled_qty,
+       CAST(ROUND(CAST(CASE WHEN running_qty <= stock THEN l_quantity ELSE 0 END
+                       * l_extendedprice / l_quantity AS DECIMAL(28,8)), 2) AS DOUBLE) AS line_total
+FROM (
+    SELECT l.*, (p_partkey % 10 + 1) * 100 AS stock,
+           SUM(l_quantity) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+    FROM lineitem l JOIN part ON l_partkey = p_partkey
+)
+"""
+
+
+def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual semantics (§2.9, src/data_processor.py:33-62):
+    greedy-with-skip — a too-big request is cancelled but SMALLER later
+    requests still fill. Inherently sequential per part → applyInPandas
+    kernel (candyspark.operators.allocation), not SQL-expressible → rows-only
+    driver check; invariants are pinned by tests/test_allocation.py."""
+    df = _lineitems_with_stock(spark, sf_dir)
+    return allocate_greedy(
+        df,
+        group_col="l_partkey",
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        qty_col="l_quantity",
+        stock_col="stock",
+        price_col="l_extendedprice",
+        out_keys=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+
+
+def inventory_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-allocation stock decrement (J2 — src/data_processor.py:444-464),
+    computed from the greedy allocator's *actual* fulfilled totals in one
+    agg + one broadcast-dim join (vs. 10 chained outer joins, §4.2).
+    Greedy per-product totals equal prefix-allocation totals only when no
+    skip occurs, so this derives from the SQL-expressible prefix variant to
+    stay oracle-checkable."""
+    alloc = prefix_allocation(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.expr(_STOCK).cast("double").alias("stock")
+    )
+    sold = alloc.groupBy("l_partkey").agg(F.sum("fulfilled_qty").alias("sold_qty"))
+    return (
+        F.broadcast(p)
+        .join(sold, p.p_partkey == sold.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("stock") - F.coalesce("sold_qty", F.lit(0.0)), 2).alias(
+                "current_stock"
+            ),
+        )
+    )
+
+
+INVENTORY_UPDATE_SQL = """
+WITH alloc AS (
+    SELECT l_partkey,
+           CASE WHEN running_qty <= stock THEN l_quantity ELSE 0 END AS fulfilled_qty
+    FROM (
+        SELECT l.l_partkey, l.l_quantity, (p_partkey % 10 + 1) * 100 AS stock,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem l JOIN part ON l_partkey = p_partkey
+    )
+)
+SELECT p_partkey, p_name,
+       ROUND((p_partkey % 10 + 1) * 100 - COALESCE(sold_qty, 0), 2) AS current_stock
+FROM part
+LEFT JOIN (SELECT l_partkey, SUM(fulfilled_qty) AS sold_qty FROM alloc GROUP BY l_partkey) s
+  ON p_partkey = s.l_partkey
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "prefix_allocation": QuerySpec(prefix_allocation, PREFIX_ALLOCATION_SQL),
+    "greedy_allocation": QuerySpec(greedy_allocation, None),  # sequential; rows-only
+    "inventory_update": QuerySpec(inventory_update, INVENTORY_UPDATE_SQL),
+}

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference builds its session inline with connector jars
+(/root/reference/src/main.py:11-23); here the session is a single injectable
+factory with scale-ready defaults:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy) so
+  plans re-optimize at 100-TB scale without hand-tuning.
+- Arrow enabled for every pandas-interop boundary (applyInPandas / mapInPandas
+  / pandas UDFs) — the only Python-side hot paths in this engine.
+- UTC session timezone so date bucketing (``to_date``) is deterministic and
+  matches the DuckDB oracle regardless of host timezone.
+
+Connector-specific configuration (JDBC drivers, MongoDB packages — reference
+src/main.py:17-21) is passed via ``extra_conf`` / ``packages`` by the caller;
+it is not baked in because it is deployment, not engine, concern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas-interop: applyInPandas (allocator, forecaster),
+    # mapInPandas (multimodal), pandas UDFs (similarity).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic date semantics across engines (oracle parity).
+    "spark.sql.session.timeZone": "UTC",
+    # Don't let tiny local runs default to 200 shuffle partitions; on a real
+    # cluster this is overridden (or left to AQE coalescing from a high cap).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+}
+
+
+def get_spark(
+    app_name: str = "candyspark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+    packages: list[str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to the environment: ``local[$SPARK_GRAFT_CPUS]`` when
+    no cluster master is configured, so the same code runs unchanged on a
+    cluster (spark-submit sets the master) and in local tests.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    if packages:
+        builder = builder.config("spark.jars.packages", ",".join(packages))
+    return builder.getOrCreate()

@@ -1,0 +1,105 @@
+"""Source operators (SURVEY.md §2.1, S1-S4/S8-S9).
+
+Every reader takes an explicit schema — no ``inferSchema`` (the reference
+infers everywhere, /root/reference/src/data_processor.py:105-114; at scale
+that is an extra full pass over the input). Schema-on-read + column pruning +
+predicate pushdown then come for free from the parquet/CSV/JSON data sources.
+
+JDBC (S3/S5) and MongoDB (S4/S6) connector paths are implemented behind the
+same API but gated: the connector jars are deployment config (see
+``session.get_spark(packages=...)``), and at scale a JDBC read must be
+partitioned (``partitionColumn``/``numPartitions``) — the reference's
+single-partition connector reads (/root/reference/src/data_processor.py:198-206)
+would funnel the whole table through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from candyspark.schemas import TESTDATA_SCHEMAS
+
+
+def load_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV scan (S1 — reference src/data_processor.py:104-107, minus inference)."""
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def load_json_array_files(
+    spark: SparkSession, path_glob: str, schema: T.StructType
+) -> DataFrame:
+    """Multi-file JSON scan, each file a top-level JSON array (S2 —
+    reference src/data_processor.py:109-114). ``multiLine=True`` is required
+    for array-per-file layout; with an explicit schema Spark still skips the
+    inference pass. For genuinely large JSON, land it to parquet first
+    (multiLine JSON is not splittable — one task per file)."""
+    return spark.read.json(path_glob, schema=schema, multiLine=True)
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — the engine's preferred interchange format (columnar,
+    splittable, predicate-pushdown + partition-pruning capable)."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (FIXTURES.md §B) from ``sf_dir``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all driver testdata tables keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_SCHEMAS}
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan (S3 — reference src/data_processor.py:181-224).
+
+    Unlike the reference, supports partitioned reads: without
+    ``partitionColumn`` a JDBC source is a single task regardless of cluster
+    size. Requires the driver jar on the classpath (session ``packages``).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    return reader.load()
+
+
+def load_mongodb(
+    spark: SparkSession, uri: str, database: str, collection: str
+) -> DataFrame:
+    """MongoDB scan (S4 — reference src/data_processor.py:226-255). Requires
+    the spark-mongodb connector package on the session."""
+    return (
+        spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .load()
+    )

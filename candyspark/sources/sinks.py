@@ -1,0 +1,82 @@
+"""Sink operators (SURVEY.md §2.1, S5-S7).
+
+Parquet (optionally ``partitionBy`` date) is the engine's default sink —
+partition-pruned downstream scans are the single biggest win at 100-TB scale
+(SURVEY.md §4.3). The single-file CSV sink reproduces the reference's
+golden-file output contract (src/data_processor.py:584-610) and is only for
+small finals: ``coalesce(1)`` serializes the write through one task.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def save_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def save_single_csv(df: DataFrame, out_dir: str, filename: str) -> str:
+    """Single-file CSV sink (S7 — reference src/data_processor.py:584-610):
+    coalesce(1) → temp dir → move the part file to ``out_dir/filename``.
+
+    Row order is part of the golden-file contract (positional CI compare,
+    SURVEY.md §5.1), so callers sort immediately before this sink; coalesce(1)
+    of an already-sorted plan preserves order.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="candyspark_csv_", dir=out_dir)
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.csv"))
+        final = os.path.join(out_dir, filename)
+        shutil.move(part, final)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def save_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    mode: str = "overwrite",
+) -> None:
+    """JDBC sink (S5 — reference src/data_processor.py:116-153)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .mode(mode)
+        .save()
+    )
+
+
+def save_mongodb(
+    df: DataFrame, uri: str, database: str, collection: str, mode: str = "overwrite"
+) -> None:
+    """MongoDB sink (S6 — reference src/data_processor.py:155-179)."""
+    (
+        df.write.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .mode(mode)
+        .save()
+    )

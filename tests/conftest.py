@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from candyspark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="candyspark-tests")
+    yield spark
+    spark.stop()
