@@ -40,17 +40,17 @@ def allocate_greedy(
     order_cols: list[str],
     qty_col: str,
     stock_col: str,
-    price_col: str,
+    unit_price_col: str,
     out_keys: list[str],
 ) -> DataFrame:
     """All-or-nothing greedy allocation per ``group_col``.
 
     ``df`` must carry, per row: the requested ``qty_col``, the group's
     ``stock_col`` (constant within a group, typically from a broadcast dim
-    join), and ``price_col`` = total line price for the full requested qty
-    (unit price is derived as price/qty). Returns one row per input row:
-    ``out_keys + [requested_qty, fulfilled_qty, line_total]`` where
-    cancelled lines have fulfilled_qty = 0 and line_total = 0.0.
+    join), and the per-unit ``unit_price_col``. Returns one row per input
+    row: ``out_keys + [requested_qty, fulfilled_qty, line_total]`` where
+    cancelled lines have fulfilled_qty = 0 and line_total = 0.0
+    (line_total = round(fulfilled × unit_price, 2), reference :57).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     out_schema = T.StructType(
@@ -61,7 +61,7 @@ def allocate_greedy(
             T.StructField("line_total", T.DoubleType()),
         ]
     )
-    cols = list(dict.fromkeys(out_keys + order_cols + [qty_col, stock_col, price_col]))
+    cols = list(dict.fromkeys(out_keys + order_cols + [qty_col, stock_col, unit_price_col]))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
@@ -76,8 +76,7 @@ def allocate_greedy(
                 fulfilled[i] = 0.0
         out = pdf[out_keys].copy()
         out["requested_qty"] = qty
-        # unit price = line price / requested qty; cancelled lines total 0.
-        unit = pdf[price_col].to_numpy(dtype=float) / qty
+        unit = pdf[unit_price_col].to_numpy(dtype=float)
         out["fulfilled_qty"] = fulfilled
         out["line_total"] = (fulfilled * unit).round(2)
         return out

@@ -87,14 +87,16 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     requests still fill. Inherently sequential per part → applyInPandas
     kernel (candyspark.operators.allocation), not SQL-expressible → rows-only
     driver check; invariants are pinned by tests/test_allocation.py."""
-    df = _lineitems_with_stock(spark, sf_dir)
+    df = _lineitems_with_stock(spark, sf_dir).withColumn(
+        "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
+    )
     return allocate_greedy(
         df,
         group_col="l_partkey",
         order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
         qty_col="l_quantity",
         stock_col="stock",
-        price_col="l_extendedprice",
+        unit_price_col="unit_price",
         out_keys=["l_orderkey", "l_partkey", "l_linenumber"],
     )
 

@@ -1,0 +1,55 @@
+"""Forecasting operator tests: deterministic linear fallback values, schema,
+and the distributed many-series variant."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from candyspark.forecast import (
+    _linear_forecast,
+    forecast_many,
+    forecast_sales_and_profits,
+)
+
+
+def test_linear_forecast_exact_trend():
+    # y = 2x + 1 → next points continue the line exactly.
+    vals = np.array([1.0, 3.0, 5.0, 7.0])
+    np.testing.assert_allclose(_linear_forecast(vals, 2), [9.0, 11.0], atol=1e-9)
+
+
+def test_linear_forecast_degenerate():
+    assert list(_linear_forecast(np.array([5.0]), 3)) == [5.0, 5.0, 5.0]
+    assert list(_linear_forecast(np.array([]), 2)) == [0.0, 0.0]
+
+
+def test_forecast_sales_and_profits(spark):
+    rows = [
+        (dt.date(2024, 2, d), 100.0 + 10 * d, 50.0 + 5 * d) for d in range(1, 11)
+    ]
+    daily = spark.createDataFrame(rows, "date date, total_sales double, total_profit double")
+    out = forecast_sales_and_profits(daily, horizon=1, method="linear").toPandas()
+    assert len(out) == 1
+    assert out.date.iloc[0] == dt.date(2024, 2, 11)
+    assert abs(out.forecasted_sales.iloc[0] - 210.0) < 1e-6
+    assert abs(out.forecasted_profit.iloc[0] - 105.0) < 1e-6
+
+
+def test_forecast_many(spark):
+    rows = [
+        (pid, dt.date(2024, 2, d), float(pid * 10 + d)) for pid in (1, 2) for d in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "pid int, date date, value double")
+    out = (
+        forecast_many(df, ["pid"], "date", "value", horizon=2, method="linear")
+        .toPandas()
+        .sort_values(["pid", "date"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    # per-group linear trend is slope 1 → next values continue.
+    assert abs(out[out.pid == 1].forecast.iloc[0] - 16.0) < 1e-6
+    assert abs(out[out.pid == 2].forecast.iloc[1] - 27.0) < 1e-6
+    assert out.date.min() == dt.date(2024, 2, 6)
