@@ -27,6 +27,10 @@ HEADLINE = [
     "window_running_sum",
     "prefix_allocation",
     "greedy_allocation",
+    "text_stats",
+    "dedup_minhash",
+    "similarity_bruteforce",
+    "events_sliding",
 ]
 
 

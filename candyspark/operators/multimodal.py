@@ -1,0 +1,85 @@
+"""Multimodal column plumbing (SURVEY.md §2.13): image/audio/video as opaque
+``binary`` columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The Spark-side architecture is the real deliverable — schema, partitioning,
+UDF signature, batch shape:
+
+- media travels as ``binary`` + a metadata struct, never decoded in the JVM;
+- per-batch Python work happens in ``mapInPandas`` (one Arrow batch in, one
+  out — constant memory per task, no per-row pickling);
+- decode/resize/frame-sample kernels are STUBS here (this container has no
+  image/audio libraries): ``decode_image`` raises ``NotImplementedError``
+  with the dependency named, and ``fake_feature_extract`` is the
+  deterministic stand-in the tests pin. Swapping in Pillow/torchaudio later
+  changes ONE function, not the plan.
+
+At 100 TB: binary payloads dominate I/O — store them in their own parquet
+column (parquet keeps column pages separate, so metadata-only queries never
+read the bytes), partition by acquisition date, and size
+``spark.sql.files.maxPartitionBytes`` so one task's Arrow batch of payloads
+fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BINARY_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Stub: real implementation needs an image library (e.g. Pillow),
+    which is deliberately not vendored here."""
+    raise NotImplementedError(
+        "image decode requires an image library (e.g. Pillow); "
+        "install one and replace this kernel — the Spark plan is unchanged"
+    )
+
+
+def fake_feature_extract(payload: bytes) -> tuple[int, str, int]:
+    """Deterministic stand-in for a decode+featurize kernel: byte length,
+    first-4-bytes hex, and a bytewise checksum."""
+    return len(payload), payload[:4].hex().upper(), sum(payload) % 1_000_000_007
+
+
+def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """mapInPandas metadata extraction over a binary column. The kernel sees
+    Arrow record batches (pandas DataFrames) — the shape any real decoder
+    plugs into."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_feature_extract(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "header_hex": [f[1] for f in feats],
+                    "checksum": [f[2] for f in feats],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bin_col).alias(bin_col)
+    ).mapInPandas(kernel, schema=BINARY_META_SCHEMA)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test/demo helper: manufacture a binary payload column from text (the
+    testdata ships no true media bytes); real pipelines read binary columns
+    straight from parquet."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))

@@ -1,10 +1,394 @@
-"""Extension operators (SURVEY.md §2.13, M5): LLM-data-pipeline queries over
-the ``documents`` and ``embeddings`` tables. Populated incrementally; each
-entry keeps its oracle SQL adjacent.
+"""Extension operator queries (SURVEY.md §2.13, M5): dedup, similarity
+search, text analysis, multimodal plumbing, event-time windows — the
+LLM-data-pipeline surface, each with a DuckDB oracle mirror where SQL can
+express it (non-expressible: the mapInPandas multimodal kernel and the
+LSH-ANN variant, which get rows-only checks plus dedicated tests).
+
+Every mirror reproduces the Spark expression bit-for-bit: same tokenizer
+regex, same md5-derived hashes, same sequential double folds, same decimal
+snapping before rounds (see plans/relational.py on why).
 """
 
 from __future__ import annotations
 
-from candyspark.plans import QuerySpec
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-REGISTRY: dict[str, QuerySpec] = {}
+from candyspark.operators import dedup as D
+from candyspark.operators import similarity as S
+from candyspark.operators import text as X
+from candyspark.operators.multimodal import binary_metadata, with_binary_payload
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+from candyspark.streaming import events as E
+
+# --- shared SQL fragments (the DuckDB mirrors of operators/text.py) ---------
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x != '')"
+_HASH32 = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+_EN = "('the','a','of','and','to','in','is','it','that','for')"
+_DE = "('der','die','das','und','ist','ein','zu','den','mit','nicht')"
+_FR = "('le','la','les','et','est','un','une','des','dans','que')"
+_ES = "('el','la','los','las','y','es','un','una','de','en')"
+
+# distinct word-3-gram shingles (mirror of text.word_shingles(k=3))
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+def _count_in_sql(words: str) -> str:
+    return (
+        "COALESCE(list_sum(list_transform(toks, w -> "
+        f"CASE WHEN w IN {words} THEN 1 ELSE 0 END)), 0)"
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: token count, stopword ratio, punctuation density,
+    mean token length, composite quality score — all JVM-side expressions
+    (operators/text.py), one scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n = F.size(toks)
+    total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    sw = X.stopword_count("text", "en")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        X.snap_round(
+            F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0)), 4
+        ).alias("stopword_ratio"),
+        X.snap_round(X.punct_density("text"), 4).alias("punct_density"),
+        X.snap_round(
+            F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+        X.quality_score("text").alias("quality_score"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(ROUND(CAST(CASE WHEN len(toks) > 0
+             THEN CAST({_count_in_sql(_EN)} AS DOUBLE) / len(toks) ELSE 0.0 END
+             AS DECIMAL(28,8)), 4) AS DOUBLE) AS stopword_ratio,
+       CAST(ROUND(CAST(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS punct_density,
+       CAST(ROUND(CAST(CASE WHEN len(toks) > 0
+             THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_token_len,
+       CAST(ROUND(CAST(
+             0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * (1.0 - least((CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END) * 10.0, 1.0))
+           + 0.3 * least((CASE WHEN len(toks) > 0
+                 THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END) / 8.0, 1.0)
+             AS DECIMAL(28,8)), 4) AS DOUBLE) AS quality_score
+FROM t
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language guess (stopword-hit argmax, fixed tie order) next
+    to the labeled lang — a deterministic lang-ID operator shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.lang_guess("text").alias("lang_guess"))
+
+
+LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+             {_count_in_sql(_EN)} AS s_en, {_count_in_sql(_DE)} AS s_de,
+             {_count_in_sql(_FR)} AS s_fr, {_count_in_sql(_ES)} AS s_es
+      FROM t)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+            WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_guess
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: exact md5 of normalized text + shift-robust
+    rolling min-hash over character 16-grams (winnowing-style)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("fp_md5"),
+        X.rolling_min_hash("text", 16).alias("fp_rolling"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, array_to_string({_TOKS}, ' ') AS norm FROM documents)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       list_min(list_transform(range(1, greatest(length(norm) - 15, 1) + 1),
+                i -> {_HASH32.format(s="substr(norm, i, 16)")})) AS fp_rolling
+FROM t
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(d, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(array_to_string({_TOKS}, ' ')) AS content_key,
+       MIN(doc_id) AS kept_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked (by lang) word-3-gram Jaccard pairs ≥ 0.6."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", "lang", k=3, threshold=0.6)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t)
+SELECT * FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(ROUND(CAST(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(a.sh || b.sh))
+                 ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE jaccard_sim >= 0.6
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) candidate pairs verified at Jaccard ≥ 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+hh AS (SELECT doc_id,
+              list_transform(sh, sh_el -> {_HASH32.format(s="sh_el")} % 2147483647) AS shh
+       FROM s),
+sig AS (SELECT doc_id,
+               list_transform(range(0, 32), i -> list_min(list_transform(shh,
+                   h -> (((2654435761 * (i + 1)) % 2147483647) * h
+                         + ((2246822519 * (i + 1)) % 2147483647)) % 2147483647))) AS sig
+        FROM hh),
+bands AS (SELECT doc_id, r.b AS band,
+                 md5(array_to_string(list_transform(list_slice(sig, r.b * 4 + 1, r.b * 4 + 4),
+                     h -> CAST(h AS VARCHAR)), ',')) AS band_key
+          FROM sig, range(0, 8) r(b)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+SELECT * FROM (
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                 THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(sa.sh || sb.sh))
+                 ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
+    FROM cand
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+) WHERE jaccard_sim >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # stage the token hashes as their own projection so the md5 pass runs
+    # once per row, not once per digest bit (see operators/dedup.simhash32)
+    hashed = d.select("doc_id", D.token_hashes("text").alias("th"))
+    return hashed.select("doc_id", D.simhash32(F.col("th")).alias("simhash"))
+
+
+SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, list_transform({_TOKS}, tok -> {_HASH32.format(s="tok")}) AS th
+           FROM documents)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN COALESCE(list_sum(list_transform(th,
+                    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS simhash
+FROM t
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+_COS_SQL = (
+    "CAST(ROUND(CAST("
+    "list_reduce(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i]), (a, b) -> a + b)"
+    " / (sqrt(list_reduce(list_transform(range(1, 65), i -> q_vec[i] * q_vec[i]), (a, b) -> a + b))"
+    " * sqrt(list_reduce(list_transform(range(1, 65), i -> c_vec[i] * c_vec[i]), (a, b) -> a + b)))"
+    " AS DECIMAL(28,10)), 6) AS DOUBLE)"
+)
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 (the ANN ground
+    truth baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+SIMILARITY_BRUTEFORCE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL.replace("c_vec", "e.v")} AS cosine_sim
+    FROM e CROSS JOIN q
+    WHERE e.vec_id != query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (rows-only: the bucketing is Spark-side; its
+    recall vs. the brute-force baseline is pinned in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10, planes=5, tables=6)
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes → Arrow-batched mapInPandas
+    kernel → (n_bytes, header_hex, checksum). The oracle recomputes the
+    kernel's outputs in SQL (ASCII text payloads ⇒ byte = codepoint)."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    return binary_metadata(d, "doc_id", "payload")
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       hex(encode(substr(text, 1, 4))) AS header_hex,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, i, 1)))), 0) % 1000000007 AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+# --- event-time windows -----------------------------------------------------
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS num_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_agg(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start, event_type,
+       COUNT(*) AS num_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM (
+    SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, value
+    FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes',
+           event_type, value
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+EVENTS_SESSION_SQL = """
+WITH o AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+    FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       COUNT(*) AS num_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.json_props_extract(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_JSON_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS INT) AS prop_k
+FROM events
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
+    "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
+    "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),
+    "simhash": QuerySpec(q_simhash, SIMHASH_SQL),
+    "similarity_bruteforce": QuerySpec(q_similarity_bruteforce, SIMILARITY_BRUTEFORCE_SQL),
+    "similarity_ann": QuerySpec(q_similarity_ann, None),  # Spark-side LSH; rows-only
+    "multimodal_metadata": QuerySpec(q_multimodal_metadata, MULTIMODAL_METADATA_SQL),
+    "events_tumbling": QuerySpec(q_events_tumbling, EVENTS_TUMBLING_SQL),
+    "events_sliding": QuerySpec(q_events_sliding, EVENTS_SLIDING_SQL),
+    "events_session": QuerySpec(q_events_session, EVENTS_SESSION_SQL),
+    "events_json": QuerySpec(q_events_json, EVENTS_JSON_SQL),
+}

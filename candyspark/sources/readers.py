@@ -46,7 +46,19 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (FIXTURES.md §B) from ``sf_dir``."""
+    """Load one driver testdata table (FIXTURES.md §B) from ``sf_dir``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    ([PARQUET_TYPE_ILLEGAL]); it is read as int64 nanos (legacy conf,
+    runtime-settable so it works on any caller's session) and truncated to
+    microseconds — exactly what DuckDB's ns→µs timestamp cast does."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
