@@ -81,6 +81,31 @@ def brute_force_topk(
     )
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cosine_sim ≥
+    threshold), vec_a < vec_b — the exact all-pairs verifier.
+
+    O(n²) by construction: run it as-is only inside a blocking key or on a
+    candidate set. At corpus scale, generate candidates with the
+    ``lsh_bucketed_topk`` hyperplane buckets (vectors meeting in ≥1 table)
+    and verify those pairs with this cosine — same shape as MinHash-LSH's
+    candidates→verify split in ``operators/dedup.py``."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplane_signature(
     vec: Column, table: int, planes: int = 5, dim: int = 64
 ) -> Column:

@@ -27,6 +27,12 @@ STOPWORDS = {
 
 TOKEN_SPLIT_RE = r"\W+"
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single other non-space
+#: chars — the GPT-2-style split shape (minus byte-level merges, which need a
+#: learned vocab). Non-overlapping left-to-right matches count identically in
+#: Java regex and DuckDB RE2.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
 
 def tokens(text: Column | str) -> Column:
     """Lowercased word tokens; empty fragments from leading/trailing
@@ -38,6 +44,20 @@ def tokens(text: Column | str) -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace-delimited token count (empty fragments dropped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != "")).cast("int")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex — the cheap
+    LLM-cost estimator column (a real BPE count needs the merge table; the
+    pre-tokenizer split is the deterministic, JVM-side approximation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("int")
 
 
 def _count_in(toks: Column, words: list[str]) -> Column:

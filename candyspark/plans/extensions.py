@@ -142,6 +142,27 @@ FROM t
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-cost columns: whitespace tokens, BPE-ish regex tokens, chars —
+    the per-document LLM budget estimators, all scan-stage expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.ws_token_count("text").alias("ws_tokens"),
+        X.bpe_token_count("text").alias("bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
 # --- dedup ------------------------------------------------------------------
 
 
@@ -277,6 +298,23 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10, planes=5, tables=6)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at τ=0.4 (exact all-pairs verifier;
+    see operators/similarity.embedding_dup_pairs for the LSH scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_dup_pairs(e, threshold=0.4)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT * FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS_SQL.replace("q_vec", "a.v").replace("c_vec", "b.v")} AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.4
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -380,7 +418,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "token_counts": QuerySpec(q_token_counts, TOKEN_COUNTS_SQL),
     "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_embedding": QuerySpec(q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),
     "simhash": QuerySpec(q_simhash, SIMHASH_SQL),

@@ -1,0 +1,82 @@
+"""Physical-plan posture tests (SURVEY.md §4.3): the properties that make
+plans survive a 100× scale-up are asserted on explain output, not assumed —
+pushdown reaching the scan, column pruning, broadcast dims, and shuffle
+discipline all regress silently if an operator is rewritten carelessly."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from candyspark.plans import collect_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = collect_registry()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_small_dim_join_is_broadcast(spark):
+    """J1-class joins against tiny dims must not shuffle the fact side."""
+    plan = plan_of(spark, "join_left_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P-class predicates must land in the parquet scan, not a post-scan
+    Filter only — at 100 TB the difference is reading row groups vs all."""
+    plan = plan_of(spark, "filter_project")
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("PushedFilters: []" not in ln for ln in pushed), pushed
+
+
+def test_column_pruning_daily_summary(spark):
+    """The flagship aggregate projects 3-4 lineitem columns; the scan must
+    not read the wide ones (l_comment is the canary)."""
+    plan = plan_of(spark, "daily_summary")
+    assert "l_comment" not in plan
+
+
+def test_scan_stage_text_ops_have_no_shuffle(spark):
+    """Per-row text statistics are scan-stage expressions: zero exchanges."""
+    for name in ("text_stats", "lang_id", "doc_fingerprint", "token_counts", "simhash"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
+
+
+def test_greedy_allocation_single_shuffle(spark):
+    """The allocator is ONE groupBy-applyInPandas pass — exactly one shuffle
+    exchange (the reference's per-day loop shuffled 10×, SURVEY.md §4.2);
+    the dim attach is a broadcast, not a shuffle."""
+    plan = plan_of(spark, "greedy_allocation")
+    shuffles = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, plan
+
+
+def _plan_nodes(plan: str) -> list[str]:
+    """Formatted-explain detail blocks, one per physical node."""
+    return plan.split("\n\n")
+
+
+def test_minhash_band_exchange_carries_no_shingles(spark):
+    """The LSH band self-join input is (doc_id, band, band_key) only —
+    shingle arrays join back in AFTER candidate pruning. Whether Spark
+    broadcasts the band table (tiny sf) or shuffles it (at scale), the
+    exchange feeding the band join must not ship shingles."""
+    plan = plan_of(spark, "dedup_minhash")
+    band_nodes = [
+        b
+        for b in _plan_nodes(plan)
+        if "Exchange" in b.splitlines()[0] and "band_key" in b
+    ]
+    assert band_nodes, plan
+    for block in band_nodes:
+        assert "sh#" not in block, block
