@@ -1,14 +1,22 @@
 """Structured Streaming ≡ batch: the streaming tumbling-window aggregate over
 a file source (availableNow trigger) produces exactly the batch operator's
-result — the unification that lets the windowed operators deploy either way."""
+result — the unification that lets the windowed operators deploy either way.
+The stateful allocator additionally pins cross-micro-batch state carry
+against the batch kernel."""
 
 from __future__ import annotations
 
+import datetime as dt
+import glob
+import os
+
 import pandas as pd
 
+from candyspark.operators.allocation import allocate_greedy
 from candyspark.sources.readers import load_table
 from candyspark.sources.sinks import save_parquet
 from candyspark.streaming.events import tumbling_agg
+from candyspark.streaming.stateful import streaming_greedy_allocation
 from candyspark.streaming.stream import (
     read_events_stream,
     run_available_now,
@@ -33,3 +41,81 @@ def test_streaming_equals_batch(spark, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+REQ_SCHEMA = (
+    "product_id long, order_id long, ts timestamp, qty double, "
+    "stock double, unit_price double"
+)
+
+
+def _day(d: int, h: int) -> dt.datetime:
+    return dt.datetime(2024, 2, d, h, 0, 0)
+
+
+def test_stateful_allocation_carries_stock_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): day-2 verdicts depend on
+    day-1 consumption held in the state store, and the whole run equals the
+    batch allocator over the concatenated period."""
+    day1 = [
+        (1, 101, _day(1, 9), 4.0, 10.0, 2.5),
+        (1, 102, _day(1, 10), 5.0, 10.0, 2.5),   # product 1 -> remaining 1
+        (2, 103, _day(1, 11), 6.0, 5.0, 1.0),    # over stock -> cancelled
+    ]
+    day2 = [
+        (1, 201, _day(2, 9), 2.0, 10.0, 2.5),    # > remaining 1 -> cancelled
+        (1, 202, _day(2, 10), 1.0, 10.0, 2.5),   # fits remaining -> filled
+        (2, 203, _day(2, 11), 5.0, 5.0, 1.0),    # day-1 cancel left 5 -> filled
+        (2, 204, _day(2, 12), 0.0, 5.0, 1.0),    # zero qty -> cancelled
+    ]
+    src = str(tmp_path / "requests")
+    for i, rows in enumerate([day1, day2]):
+        spark.createDataFrame(rows, REQ_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # pin file order = day order for the file source (oldest mtime first)
+    for i, part in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(part, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = streaming_greedy_allocation(
+        spark.readStream.schema(REQ_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("alloc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM alloc_stream")
+        .toPandas()
+        .sort_values(["product_id", "order_id"])
+        .reset_index(drop=True)
+    )
+
+    batch_in = spark.createDataFrame(day1 + day2, REQ_SCHEMA)
+    want = (
+        allocate_greedy(
+            batch_in,
+            group_col="product_id",
+            order_cols=["ts", "order_id"],
+            qty_col="qty",
+            stock_col="stock",
+            unit_price_col="unit_price",
+            out_keys=["product_id", "order_id"],
+        )
+        .toPandas()
+        .sort_values(["product_id", "order_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # the cross-batch dependency actually bit: 201 cancelled, 202 filled
+    by_order = got.set_index("order_id")
+    assert by_order.loc[201, "fulfilled_qty"] == 0.0
+    assert by_order.loc[202, "fulfilled_qty"] == 1.0
+    assert by_order.loc[203, "fulfilled_qty"] == 5.0
+    assert by_order.loc[204, "fulfilled_qty"] == 0.0
