@@ -80,3 +80,22 @@ def test_minhash_band_exchange_carries_no_shingles(spark):
     assert band_nodes, plan
     for block in band_nodes:
         assert "sh#" not in block, block
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join is union + running window: one shuffle on the key, no
+    range-condition join operator anywhere in the plan."""
+    plan = plan_of(spark, "asof_click_attribution")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """Interval banding must turn the point-in-range predicate into a plain
+    (key, band) equi-join — never a nested-loop join."""
+    plan = plan_of(spark, "range_join_error_window")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan

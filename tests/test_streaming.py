@@ -68,14 +68,19 @@ def test_stateful_allocation_carries_stock_across_batches(spark, tmp_path):
         (2, 203, _day(2, 11), 5.0, 5.0, 1.0),    # day-1 cancel left 5 -> filled
         (2, 204, _day(2, 12), 0.0, 5.0, 1.0),    # zero qty -> cancelled
     ]
-    src = str(tmp_path / "requests")
+    # land each day as one named file with day-ordered mtimes — the file
+    # source picks batches oldest-mtime-first (part-file UUID names don't
+    # sort by write order, so name/mtime must be pinned explicitly)
+    src = tmp_path / "requests"
+    src.mkdir()
     for i, rows in enumerate([day1, day2]):
-        spark.createDataFrame(rows, REQ_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    # pin file order = day order for the file source (oldest mtime first)
-    for i, part in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
-        os.utime(part, (1_700_000_000 + i, 1_700_000_000 + i))
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, REQ_SCHEMA).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = str(src / f"day{i}.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = str(src)
 
     stream = streaming_greedy_allocation(
         spark.readStream.schema(REQ_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
