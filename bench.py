@@ -29,8 +29,13 @@ HEADLINE = [
     "greedy_allocation",
     "text_stats",
     "dedup_minhash",
+    "dedup_exact",
     "similarity_bruteforce",
+    "similarity_ivf",
     "events_sliding",
+    "asof_click_attribution",
+    "range_join_error_window",
+    "forecast_linear",
 ]
 
 

@@ -83,3 +83,89 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     testdata ships no true media bytes); real pipelines read binary columns
     straight from parquet."""
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+try:  # pragma: no cover - optional dependency, not in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover
+    HAVE_PIL = False
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: tile/truncate the
+    payload to exactly width*height bytes (a 1-channel 'image'). Replace with
+    a PIL kernel when available — same signature, same plan."""
+    need = width * height
+    reps = -(-need // max(len(payload), 1)) if payload else 0
+    return (payload * reps)[:need] if payload else b"\x00" * need
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, bin_col: str, width: int = 32, height: int = 32
+) -> DataFrame:
+    """1→1 media kernel shape: binary in, fixed-size binary out, Arrow-batched.
+    The stub kernel is deterministic (tests pin output sizes + bytes); a real
+    decoder swaps in behind ``HAVE_PIL`` without touching the plan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized": [_fake_resize(b, width, height) for b in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    frame_bytes: int = 256,
+    every_n: int = 4,
+) -> DataFrame:
+    """1→N media kernel shape (video frame sampling): each payload splits
+    into fixed-size 'frames' and every ``every_n``-th is emitted with its
+    index — ``mapInPandas`` output is not row-aligned with input, which is
+    exactly what real frame extraction needs (and what a pandas_udf can't
+    express). The fake 'codec' is byte-chunking; a real one is pyav/ffmpeg."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col].astype("int64"), pdf[bin_col]):
+                n_frames = max(len(payload), 1) // frame_bytes + (
+                    1 if max(len(payload), 1) % frame_bytes else 0
+                )
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, schema=FRAMES_SCHEMA)

@@ -81,6 +81,85 @@ def brute_force_topk(
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance (fold, same shape as ``dot``)."""
+    return _fold_sum(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (L2):
+    broadcast the (small) centroid table, score, keep rank ≤ n_probe.
+    Output: (id_col, vec_col, cluster_id, crank). ``n_probe=1`` is index
+    build; >1 is query-time multi-probe."""
+    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    scored = scored.withColumn("__d2", l2sq(F.col(vec_col), F.col("c_vec")))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select(id_col, vec_col, "cluster_id", "crank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: the coarse-quantizer scale path. Centroids are the
+    ``n_centroids`` lowest-id vectors (deterministic seeds — production runs
+    Lloyd iterations on a sample; the *partitioned-search* structure is the
+    point here): every vector lands in 1 inverted list, each query probes
+    its ``n_probe`` nearest lists and scores only those candidates. Search
+    cost drops from O(N) to O(N·n_probe/n_centroids) per query; recall is
+    tuned by n_probe (measured against the exact baseline in tests).
+
+    Same output shape as ``brute_force_topk``; self-matches excluded."""
+    centroids = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    lists = ivf_assign(embeddings, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cluster_id",
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster_id"
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -298,6 +298,15 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10, planes=5, tables=6)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-list) ANN top-10 — the coarse-quantizer scale path
+    (rows-only; recall vs. the exact baseline is pinned in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at τ=0.4 (exact all-pairs verifier;
     see operators/similarity.embedding_dup_pairs for the LSH scale path)."""
@@ -426,6 +435,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, SIMHASH_SQL),
     "similarity_bruteforce": QuerySpec(q_similarity_bruteforce, SIMILARITY_BRUTEFORCE_SQL),
     "similarity_ann": QuerySpec(q_similarity_ann, None),  # Spark-side LSH; rows-only
+    "similarity_ivf": QuerySpec(q_similarity_ivf, None),  # Spark-side IVF; rows-only
     "multimodal_metadata": QuerySpec(q_multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "events_tumbling": QuerySpec(q_events_tumbling, EVENTS_TUMBLING_SQL),
     "events_sliding": QuerySpec(q_events_sliding, EVENTS_SLIDING_SQL),

@@ -76,3 +76,48 @@ def test_multimodal_stub_and_metadata(spark):
     j = docs.merge(meta, on="doc_id")
     assert (j.n_bytes == j.text.str.len()).all()  # ASCII corpus
     assert (j.header_hex.str.len() == 8).all()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probes n_probe of 16 inverted lists; every hit carries the exact
+    cosine, and recall@10 against the exact baseline is substantial on the
+    clustered synthetic embeddings."""
+    from candyspark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=10).toPandas()
+    ivf = ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).toPandas()
+    merged = ivf.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"), how="inner"
+    )
+    assert (merged.cosine_sim_i == merged.cosine_sim_e).all()
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    ivf_pairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall > 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_resize_kernel_shape(spark):
+    from candyspark.operators.multimodal import resize_images
+
+    d = with_binary_payload(load_table(spark, SF_SMOKE, "documents"), "text")
+    out = resize_images(d, "doc_id", "payload", width=16, height=8).toPandas()
+    assert (out.resized.str.len() == 16 * 8).all()
+    assert (out.width == 16).all() and (out.height == 8).all()
+    assert len(out) == d.count()  # 1 -> 1
+
+
+def test_frame_sampling_is_one_to_many(spark):
+    from candyspark.operators.multimodal import sample_frames
+
+    d = with_binary_payload(load_table(spark, SF_SMOKE, "documents"), "text")
+    out = sample_frames(d, "doc_id", "payload", frame_bytes=64, every_n=2).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    n_bytes = docs.set_index("doc_id").text.str.len()
+    import math
+
+    want = n_bytes.map(lambda n: math.ceil(math.ceil(max(n, 1) / 64) / 2))
+    got = out.groupby("doc_id").size()
+    assert got.sort_index().equals(want.sort_index().astype("int64"))
+    assert (out.frame_idx % 2 == 0).all()
