@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from candyspark.operators.text import char_hash32, normalized_text, word_shingles
+from candyspark.sources.readers import fan_out
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,6 +65,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Blocked exact near-dup: word-k-gram Jaccard over all pairs sharing
     ``block_col``; emits pairs with similarity ≥ threshold."""
+    df = fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("doc_a"),
         F.col(block_col).alias("block"),
@@ -179,6 +181,7 @@ def minhash_lsh_pairs(
     (a tiny relation after LSH) then re-join the shingle table for
     verification. Carrying shingles through the band shuffle would multiply
     shuffle volume by bands × document size."""
+    df = fan_out(df)  # shingle hashing is CPU-bound; don't serialize on 1 split
     rows_per_band = num_hashes // bands
     sh_tbl = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("sh")

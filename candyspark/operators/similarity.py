@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from candyspark.operators.text import char_hash32
+from candyspark.sources.readers import fan_out
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -59,7 +60,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(
+    c = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -130,6 +131,7 @@ def ivf_topk(
     tuned by n_probe (measured against the exact baseline in tests).
 
     Same output shape as ``brute_force_topk``; self-matches excluded."""
+    embeddings = fan_out(embeddings)
     centroids = F.broadcast(
         embeddings.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("c_vec")
@@ -174,6 +176,7 @@ def embedding_dup_pairs(
     ``lsh_bucketed_topk`` hyperplane buckets (vectors meeting in ≥1 table)
     and verify those pairs with this cosine — same shape as MinHash-LSH's
     candidates→verify split in ``operators/dedup.py``."""
+    embeddings = fan_out(embeddings)
     a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
@@ -250,7 +253,9 @@ def lsh_bucketed_topk(
     output shape as ``brute_force_topk``; recall < 1 by construction (tests
     measure it against the exact baseline)."""
     dim = 64
-    c = _with_buckets(embeddings, "neighbor_id", "c_vec", id_col, vec_col, tables, planes, dim)
+    c = _with_buckets(
+        fan_out(embeddings), "neighbor_id", "c_vec", id_col, vec_col, tables, planes, dim
+    )
     q = _with_buckets(queries, "query_id", "q_vec", id_col, vec_col, tables, planes, dim)
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])

@@ -19,7 +19,7 @@ from candyspark.operators import similarity as S
 from candyspark.operators import text as X
 from candyspark.operators.multimodal import binary_metadata, with_binary_payload
 from candyspark.plans import QuerySpec
-from candyspark.sources.readers import load_table
+from candyspark.sources.readers import fan_out, load_table
 from candyspark.streaming import events as E
 
 # --- shared SQL fragments (the DuckDB mirrors of operators/text.py) ---------
@@ -52,8 +52,9 @@ def _count_in_sql(words: str) -> str:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: token count, stopword ratio, punctuation density,
     mean token length, composite quality score — all JVM-side expressions
-    (operators/text.py), one scan, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    (operators/text.py), one scan, no data-dependent shuffle (``fan_out``
+    round-robins small-file scans so the per-row CPU parallelizes)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     n = F.size(toks)
     total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
@@ -101,7 +102,7 @@ FROM t
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language guess (stopword-hit argmax, fixed tie order) next
     to the labeled lang — a deterministic lang-ID operator shape."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", X.lang_guess("text").alias("lang_guess"))
 
 
@@ -124,7 +125,7 @@ FROM s
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact md5 of normalized text + shift-robust
     rolling min-hash over character 16-grams (winnowing-style)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         X.fingerprint_md5("text").alias("fp_md5"),
@@ -145,7 +146,7 @@ FROM t
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-cost columns: whitespace tokens, BPE-ish regex tokens, chars —
     the per-document LLM budget estimators, all scan-stage expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         X.ws_token_count("text").alias("ws_tokens"),
@@ -238,7 +239,7 @@ SELECT * FROM (
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # stage the token hashes as their own projection so the md5 pass runs
     # once per row, not once per digest bit (see operators/dedup.simhash32)
     hashed = d.select("doc_id", D.token_hashes("text").alias("th"))

@@ -43,11 +43,15 @@ def test_column_pruning_daily_summary(spark):
     assert "l_comment" not in plan
 
 
-def test_scan_stage_text_ops_have_no_shuffle(spark):
-    """Per-row text statistics are scan-stage expressions: zero exchanges."""
+def test_scan_stage_text_ops_have_no_keyed_shuffle(spark):
+    """Per-row text statistics are scan-stage expressions: no data-dependent
+    (hash-partitioned) exchange anywhere. A round-robin fan-out exchange is
+    permitted — it only fires on small-file scans (readers.fan_out) and is a
+    no-op at scale, whereas a hashpartitioning exchange would mean the
+    operator grew a keyed shuffle."""
     for name in ("text_stats", "lang_id", "doc_fingerprint", "token_counts", "simhash"):
         plan = plan_of(spark, name)
-        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
+        assert "hashpartitioning" not in plan, f"{name} plan key-shuffles:\n{plan}"
 
 
 def test_greedy_allocation_single_shuffle(spark):
