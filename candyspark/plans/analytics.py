@@ -1,0 +1,263 @@
+"""Analytics extensions the reference lacks but a Spark engine user expects
+(SURVEY.md §2.5 "no grouping sets / cube", §2.8 "no intersect/except",
+§2.13 training-data ops): deterministic sampling, pivot, discrete
+percentiles, set operations, cube, and a composite C4-style corpus cleaner.
+
+Every query is oracle-checked (QuerySpec.sql) under the same decimal/money
+discipline as plans/relational.py. Cross-engine determinism notes:
+
+- sampling keys on md5 hex (the one hash Spark and DuckDB share bit-for-bit;
+  see operators/text.char_hash32) — NOT on rand() or Spark's hash(), which
+  are engine-local;
+- percentiles use PERCENTILE_DISC (picks an actual row value — no
+  interpolation, so no float divergence between engines);
+- pivot passes the value list explicitly, which also skips the extra
+  distinct-values job Spark otherwise runs (and at 100 TB that job is a full
+  scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from candyspark.operators import text as X
+from candyspark.plans import QuerySpec
+from candyspark.plans.relational import money, round2
+from candyspark.sources.readers import fan_out, load_table
+
+# --- deterministic hash sampling -------------------------------------------
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~16% deterministic content sample of `documents`: keep rows whose
+    md5(text) hex prefix sorts below the threshold. A pure scan-stage
+    predicate — no shuffle, no RNG state, reproducible across engines, runs,
+    and partitionings (the properties `df.sample`/rand() cannot give), so a
+    100-TB sample is re-derivable from the threshold alone. The reference has
+    no sampling at all (SURVEY.md §2.7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("h"))
+        .filter(F.col("h") < "29")  # hex prefix: 0x29/0x100 ≈ 16%
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE md5(text) < '29'
+ORDER BY doc_id
+"""
+
+
+# --- pivot ------------------------------------------------------------------
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide aggregation): quantity by return flag × line status.
+    The pivot value list is explicit — Spark otherwise runs a separate
+    distinct-values job over the full input to discover columns, and the
+    resulting schema becomes data-dependent (both wrong at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(money("l_quantity")))
+        .select(
+            "l_returnflag",
+            round2(F.coalesce(F.col("F"), F.lit(0))).alias("qty_f"),
+            round2(F.coalesce(F.col("O"), F.lit(0))).alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_LINESTATUS_SQL = """
+SELECT l_returnflag,
+       CAST(ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS qty_f,
+       CAST(ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- discrete percentiles ---------------------------------------------------
+
+
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order statistics via PERCENTILE_DISC (SQL-standard WITHIN
+    GROUP) — discrete quantiles return an actual data value, so Spark and
+    DuckDB agree exactly (PERCENTILE_CONT interpolates in float and can
+    diverge in the last ulp). At scale this is a sort-based aggregate per
+    group; for dashboard-grade answers over 100 TB swap in
+    approx_percentile (t-digest sketch, one pass, mergeable) — kept out of
+    the oracle set because sketches are engine-specific by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("q25"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("median"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("q90"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_QUANTITY_SQL = """
+SELECT l_returnflag,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY.md §2.8: the reference only unions):
+    customers with both urgent and high-priority orders, and urgent-only
+    customers, tagged and unioned. Both set ops are distinct-semantics
+    (hash shuffle on the key); the two branches reuse the same two scans."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).select(F.lit("both").alias("op"), "o_custkey")
+    only = urgent.subtract(high).select(  # subtract = EXCEPT DISTINCT
+        F.lit("urgent_only").alias("op"), "o_custkey"
+    )
+    return both.unionByName(only).orderBy("op", "o_custkey")
+
+
+SET_OPS_CUSTOMERS_SQL = """
+SELECT 'both' AS op, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+UNION ALL
+SELECT 'urgent_only' AS op, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+ORDER BY op, o_custkey
+"""
+
+
+# --- cube -------------------------------------------------------------------
+
+
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (return flag, line status) — all 4 grouping sets in one
+    pass (Spark expands to a single Expand + hash aggregate; no re-scan per
+    set). grouping_id disambiguates subtotal NULLs from data NULLs, same as
+    plans/relational.grouping_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            round2(F.sum(money("l_quantity"))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_QTY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# --- composite corpus cleaner (C4-style) ------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x != '')"
+
+_QUALITY = """CAST(ROUND(CAST(
+      0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * (1.0 - least((CASE WHEN length(text) > 0
+          THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+          ELSE 0.0 END) * 10.0, 1.0))
+    + 0.3 * least((CASE WHEN len(toks) > 0
+          THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+          ELSE 0.0 END) / 8.0, 1.0)
+      AS DECIMAL(28,8)), 4) AS DOUBLE)"""
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning pipeline (C4-style), one plan:
+    quality gate (score ≥ 0.5) → length gate (≥ 10 tokens) → exact dedup on
+    normalized text keeping the lowest doc_id. Filters and the score are
+    scan-stage expressions (evaluated before the only shuffle), so the dedup
+    window shuffles just the survivors; at 100 TB the same plan holds —
+    cheap gates first, one hash exchange on the dedup key."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        X.quality_score("text").alias("quality_score"),
+        X.token_count("text").alias("n_tokens"),
+        X.normalized_text("text").alias("norm"),
+    ).filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
+    w = Window.partitionBy("norm").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality_score", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CLEAN_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, lang,
+           {_QUALITY} AS quality_score,
+           len(toks) AS n_tokens,
+           array_to_string(toks, ' ') AS norm
+    FROM t
+),
+gated AS (SELECT * FROM scored WHERE quality_score >= 0.5 AND n_tokens >= 10),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM gated
+)
+SELECT doc_id, lang, quality_score, n_tokens FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "sample_hash": QuerySpec(sample_hash, SAMPLE_HASH_SQL),
+    "pivot_linestatus": QuerySpec(pivot_linestatus, PIVOT_LINESTATUS_SQL),
+    "percentile_quantity": QuerySpec(percentile_quantity, PERCENTILE_QUANTITY_SQL),
+    "set_ops_customers": QuerySpec(set_ops_customers, SET_OPS_CUSTOMERS_SQL),
+    "cube_qty": QuerySpec(cube_qty, CUBE_QTY_SQL),
+    "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL),
+}
