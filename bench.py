@@ -36,6 +36,8 @@ HEADLINE = [
     "asof_click_attribution",
     "range_join_error_window",
     "forecast_linear",
+    "corpus_clean",
+    "cube_qty",
 ]
 
 

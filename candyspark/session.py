@@ -19,6 +19,8 @@ it is not baked in because it is deployment, not engine, concern.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -62,4 +64,39 @@ def get_spark(
         builder = builder.config(k, v)
     if packages:
         builder = builder.config("spark.jars.packages", ",".join(packages))
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``candyspark`` importable on executor Python workers regardless of
+    the driver's working directory.
+
+    cloudpickle serializes module-level functions (the applyInPandas /
+    mapInPandas kernels) *by reference*, so every Python worker must be able
+    to ``import candyspark`` — true in tests only because the repo root happens
+    to be the cwd. A host-created SparkSession (the grading driver, a notebook,
+    spark-submit from elsewhere) has no such guarantee, and on a real cluster
+    the executors are different machines entirely. Shipping the package as a
+    zip via ``addPyFile`` is the standard mechanism that works in both cases.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_candyspark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"candyspark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "candyspark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._candyspark_shipped = True

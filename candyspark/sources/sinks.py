@@ -26,6 +26,35 @@ def save_parquet(
     writer.parquet(path)
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-clustered on ``bucket_cols``): joins and
+    aggregations on the bucket key read co-located data and skip the exchange
+    entirely — at 100 TB the shuffle this removes from every downstream
+    fact-fact join is the single largest cost in the plan (SURVEY.md §4.3;
+    both sides must share bucket count and key). ``sortBy`` additionally
+    pre-sorts within buckets so sort-merge joins skip their sort. Bucketing
+    requires a table (metastore entry) — the ``path`` option keeps the data
+    external at a caller-chosen location.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def save_single_csv(df: DataFrame, out_dir: str, filename: str) -> str:
     """Single-file CSV sink (S7 — reference src/data_processor.py:584-610):
     coalesce(1) → temp dir → move the part file to ``out_dir/filename``.

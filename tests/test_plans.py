@@ -103,3 +103,35 @@ def test_range_join_plans_as_equi_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_sample_hash_is_scan_stage(spark):
+    """Deterministic sampling is a pure scan-stage predicate: no keyed
+    shuffle (the final orderBy's range exchange is the only one allowed)."""
+    plan = plan_of(spark, "sample_hash")
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_pivot_scans_input_once(spark):
+    """The explicit pivot value list means no distinct-discovery job and a
+    single scan of lineitem."""
+    plan = plan_of(spark, "pivot_linestatus")
+    scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) == 1, plan
+
+
+def test_corpus_clean_single_keyed_shuffle(spark):
+    """The composite cleaner shuffles once (the dedup window on norm text);
+    quality/length gates evaluate before that exchange."""
+    plan = plan_of(spark, "corpus_clean")
+    shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+
+
+def test_cube_expands_without_rescan(spark):
+    """CUBE is one Expand over one scan — not a union of per-grouping-set
+    re-scans."""
+    plan = plan_of(spark, "cube_qty")
+    assert "Expand" in plan
+    scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) == 1, plan
