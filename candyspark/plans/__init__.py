@@ -24,10 +24,17 @@ class QuerySpec:
 
 def collect_registry() -> dict[str, QuerySpec]:
     """Union of all plan modules' registries (stable names across rounds)."""
-    from candyspark.plans import analytics, candy, extensions, relational, temporal
+    from candyspark.plans import (
+        analytics,
+        candy,
+        extensions,
+        profiling,
+        relational,
+        temporal,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, candy, extensions, temporal, analytics):
+    for mod in (relational, candy, extensions, temporal, analytics, profiling):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

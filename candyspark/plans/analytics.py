@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from candyspark.operators import text as X
 from candyspark.plans import QuerySpec
-from candyspark.plans.relational import money, round2
+from candyspark.functions.numeric import money, round2
 from candyspark.sources.readers import fan_out, load_table
 
 # --- deterministic hash sampling -------------------------------------------

@@ -1,0 +1,212 @@
+"""Profiling & approximate-aggregate plans.
+
+Three capabilities a 100-TB pipeline needs that the reference lacks entirely
+(SURVEY.md §2.5 "no approximate aggregates", §2.6 windows imported-but-unused
+— /root/reference/src/data_processor.py:19):
+
+- ``window_lag_movavg`` — the lag/lead/moving-average/ntile window family
+  (the reference imports ``Window`` and never uses it).
+- ``approx_aggregates`` — sketch-based aggregation (HyperLogLog distinct,
+  approximate percentile). Sketches are THE scale story for distinct counts:
+  exact countDistinct shuffles every distinct value; HLL ships a fixed-size
+  binary sketch per partition. Sketch outputs are engine-specific, so the
+  oracle contract is a tolerance *boolean* computed inside the query —
+  deterministic on both engines (the oracle asserts TRUE) while still failing
+  the hash if Spark's sketch ever drifts out of tolerance.
+- ``profile_lineitem`` — single-pass column profiler (the ``df.summary()``
+  shape as an oracle-checked plan): per-column non-null/distinct/min/max/mean
+  in ONE aggregate over ONE scan, unpivoted with ``stack``. At 100 TB the
+  one-pass property is the point — a naive per-column loop is N full scans.
+
+Money/mean expressions follow the decimal discipline from
+candyspark.functions.numeric so cross-engine value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from candyspark.functions.numeric import money
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+# Shared decimal-mean fragment (see plans/relational.py pricing_summary):
+# exact decimal sum ÷ count in double, snapped through decimal before the
+# 2-dp round so Spark and DuckDB agree at half-cent boundaries.
+
+
+def _dec_mean(col: str) -> F.Column:
+    return (
+        F.round(
+            (F.sum(money(col)).cast("double") / F.count(col)).cast("decimal(28,8)"), 2
+        )
+        .cast("double")
+    )
+
+
+def _dec_mean_sql(col: str) -> str:
+    return (
+        f"CAST(ROUND(CAST(CAST(SUM(CAST({col} AS DECIMAL(12,2))) AS DOUBLE)"
+        f" / COUNT({col}) AS DECIMAL(28,8)), 2) AS DOUBLE)"
+    )
+
+
+# --- window family: lag / lead / moving average / ntile ----------------------
+
+
+def window_lag_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history: previous/next order value (lag/lead),
+    3-order moving average (ROWS frame), and spend quartile (ntile).
+
+    One shuffle on o_custkey serves all four window functions (same
+    partitioning + ordering → a single Window physical operator). The
+    (o_orderdate, o_orderkey) ordering is a total order, so every output is
+    a deterministic function of the data — the property the reference's
+    allocator lacked (SURVEY.md §2.9 [verified]).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(
+            (F.sum(money("o_totalprice")).over(wf).cast("double")
+             / F.count(F.lit(1)).over(wf)).cast("decimal(28,8)"),
+            2,
+        )
+        .cast("double")
+        .alias("movavg3_price"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+    )
+
+
+WINDOW_LAG_MOVAVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wf AS DOUBLE)
+           / COUNT(*) OVER wf AS DECIMAL(28,8)), 2) AS DOUBLE) AS movavg3_price,
+       CAST(NTILE(4) OVER w AS INT) AS spend_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- approximate aggregates (sketches) ---------------------------------------
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + approximate median per order priority, verified
+    in-plan against their exact counterparts.
+
+    The sketches are what run at 100 TB (fixed-size partial state, no
+    distinct-value shuffle, no Expand); the exact forms exist here to bound
+    them. Output booleans are the cross-engine contract: DuckDB cannot
+    reproduce Spark's HLL register values, but both engines agree that the
+    estimate is (or is not) within tolerance of the exact answer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        # rsd=0.01 (vs the 0.05 default): the tolerance below is 5%, so the
+        # sketch must be precise enough that a >5% miss is a ~5-sigma event,
+        # not a coin flip. Cost: a larger (but still fixed-size) register set.
+        F.approx_count_distinct("o_custkey", 0.01).alias("_hll"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("_apx_median"),
+        # percentile_disc, not percentile (cont): approx_percentile returns an
+        # actual data value, so the exact bound must use the same discrete
+        # semantics — at small group sizes the interpolated median can sit
+        # between two data values more than 1% apart.
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("_exact_median"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custkeys",
+        (
+            F.abs(F.col("_hll") - F.col("exact_custkeys"))
+            <= 0.05 * F.col("exact_custkeys")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("_apx_median") - F.col("_exact_median"))
+            <= 0.01 * F.col("_exact_median")
+        ).alias("median_within_1pct"),
+    ).orderBy("o_orderpriority")
+
+
+APPROX_AGGREGATES_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_custkeys,
+       TRUE AS hll_within_5pct,
+       TRUE AS median_within_1pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- single-pass column profiler ---------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (non-null count, distinct count, min, max, mean) for
+    four lineitem measures — ONE aggregate, ONE scan, then ``stack`` to
+    unpivot metrics into rows.
+
+    The multiple exact count-distincts cost one Expand (4× row multiply
+    pre-shuffle); that is the price of exact profiling — the approximate
+    profiler would swap them for approx_count_distinct (see
+    ``approx_aggregates`` for how sketches stay oracle-checkable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"n_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            _dec_mean(c).alias(f"avg_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, d_{c}, mn_{c}, mx_{c}, avg_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_val, max_val, mean_val)"
+    ).orderBy("column_name")
+
+
+PROFILE_LINEITEM_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}) AS min_val,
+       MAX({c}) AS max_val,
+       {_dec_mean_sql(c)} AS mean_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "window_lag_movavg": QuerySpec(window_lag_movavg, WINDOW_LAG_MOVAVG_SQL),
+    "approx_aggregates": QuerySpec(approx_aggregates, APPROX_AGGREGATES_SQL),
+    "profile_lineitem": QuerySpec(profile_lineitem, PROFILE_LINEITEM_SQL),
+}

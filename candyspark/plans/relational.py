@@ -23,24 +23,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from candyspark.functions.numeric import money, rate, round2
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
-
-
-def money(c: str | Column) -> Column:
-    """Price-like double → exact DECIMAL(12,2) (fits both engines' 38-digit
-    cap through a 3-factor product)."""
-    return (F.col(c) if isinstance(c, str) else c).cast("decimal(12,2)")
-
-
-def rate(c: Column) -> Column:
-    """(1 ± rate) factor → DECIMAL(4,2)."""
-    return c.cast("decimal(4,2)")
-
-
-def round2(c: Column) -> Column:
-    """Final money output: decimal HALF_UP at 2 dp, surfaced as double."""
-    return F.round(c, 2).cast("double")
 
 
 def _revenue() -> Column:

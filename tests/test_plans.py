@@ -135,3 +135,27 @@ def test_cube_expands_without_rescan(spark):
     assert "Expand" in plan
     scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
     assert len(scans) == 1, plan
+
+
+def test_window_family_single_shuffle(spark):
+    """lag/lead/movavg/ntile share one partitioning+ordering: the plan must
+    contain exactly one keyed exchange (and at most two Window operators —
+    running frame vs whole-partition frame)."""
+    plan = plan_of(spark, "window_lag_movavg")
+    shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+
+
+def test_profile_single_scan(spark):
+    """The profiler reads lineitem exactly once — per-column loops would be
+    N scans at 100 TB."""
+    plan = plan_of(spark, "profile_lineitem")
+    scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) == 1, plan
+
+
+def test_approx_aggregates_single_scan(spark):
+    """Sketch + exact forms compute side by side over one scan of orders."""
+    plan = plan_of(spark, "approx_aggregates")
+    scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) == 1, plan
