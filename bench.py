@@ -38,6 +38,8 @@ HEADLINE = [
     "forecast_linear",
     "corpus_clean",
     "cube_qty",
+    "chunk_documents",
+    "pii_scrub",
 ]
 
 

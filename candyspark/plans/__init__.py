@@ -27,6 +27,7 @@ def collect_registry() -> dict[str, QuerySpec]:
     from candyspark.plans import (
         analytics,
         candy,
+        corpus,
         extensions,
         profiling,
         relational,
@@ -34,7 +35,7 @@ def collect_registry() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, candy, extensions, temporal, analytics, profiling):
+    for mod in (relational, candy, extensions, temporal, analytics, profiling, corpus):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

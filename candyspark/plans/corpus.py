@@ -1,0 +1,183 @@
+"""Training-corpus preparation plans (LLM-data-pipeline extension surface).
+
+The ops a 100-TB text-corpus pipeline runs between raw crawl and training
+shards, absent from the reference (whose only text handling is schema-level —
+SURVEY.md §2.10 "no string manipulation"):
+
+- ``chunk_documents`` — token-window chunking with overlap (the UDTF shape:
+  one row in, N chunk rows out). Expressed JVM-side as
+  ``split → sequence → explode → slice → array_join`` — no Python UDTF
+  needed, so it rides whole-stage codegen and scales linearly.
+- ``pii_scrub`` — regex redaction (emails, phone numbers) with per-doc
+  redaction counts. The synthetic corpus has no PII, so the plan injects a
+  deterministic fake email/phone per document first — the operator under
+  test is the scrubber, and the oracle proves byte-identical redaction.
+- ``sample_stratified`` — per-language deterministic sampling at different
+  rates (the corpus-mixture knob). Hash-mod sampling, not ``rand()``:
+  reproducible across runs/engines/partitionings, and a pure scan-stage
+  predicate — no shuffle, no sort, prunes before any downstream cost.
+
+All three stay fully SQL-expressible for the DuckDB oracle. Regexes are kept
+to the syntax subset Java regex and RE2 share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from candyspark.operators.text import char_hash32
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+# --- chunking ----------------------------------------------------------------
+
+_WIN = 100  # tokens per chunk
+_STRIDE = 80  # tokens between chunk starts (20-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document.
+
+    Chunk i covers tokens [i*stride, i*stride + window); the last chunk
+    starts at the final stride boundary that still adds new tokens, so every
+    token lands in ≥1 chunk and short docs yield exactly one chunk.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    last = F.greatest(
+        F.lit(0),
+        F.ceil((F.size(toks) - F.lit(_WIN)) / F.lit(float(_STRIDE))).cast("int"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_id") * _STRIDE + 1, _WIN), " "
+            ).alias("chunk"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(
+           list_slice(string_split_regex(text, '\\s+'), i*{_STRIDE}+1, i*{_STRIDE}+{_WIN}),
+           ' ') AS chunk
+FROM documents,
+     UNNEST(generate_series(0,
+         GREATEST(0, CAST(CEIL((len(string_split_regex(text, '\\s+')) - {_WIN})
+                               / {_STRIDE}.0) AS BIGINT)))) AS t(i)
+"""
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers, reporting per-doc redaction counts.
+
+    Counts are computed as length deltas of targeted removals (regexp_count
+    differs across engines' dialects; length arithmetic does not). Both
+    regexes use the Java∩RE2 syntax subset so Spark and the oracle redact
+    identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199."),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(with_pii, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        (
+            F.length(with_pii)
+            - F.length(F.regexp_replace(with_pii, _EMAIL_RE, ""))
+        ).cast("int").alias("email_chars_redacted"),
+        (
+            F.length(with_pii)
+            - F.length(F.regexp_replace(with_pii, _PHONE_RE, ""))
+        ).cast("int").alias("phone_chars_redacted"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH w AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-0199.' AS with_pii
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(with_pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(with_pii) - len(regexp_replace(with_pii, '{_EMAIL_RE}', '', 'g'))
+            AS INT) AS email_chars_redacted,
+       CAST(len(with_pii) - len(regexp_replace(with_pii, '{_PHONE_RE}', '', 'g'))
+            AS INT) AS phone_chars_redacted
+FROM w
+"""
+
+
+# --- stratified sampling -----------------------------------------------------
+
+_RATES = {"en": 10, "de": 30, "fr": 50, "es": 70}  # percent kept per lang
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling at mixture-specific rates.
+
+    hash(doc_id) mod 100 < rate(lang): every engine, run, and partitioning
+    keeps the same documents (rand()-based sampleBy cannot be oracle-checked
+    and is not reproducible under retries/speculative execution at scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(0),
+    )
+    bucket = F.pmod(char_hash32(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        d.filter(bucket < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_HASH_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _RATES.items()
+) + " ELSE 0 END"
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_HASH_SQL} % 100 < {_RATE_SQL}
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),
+    "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),
+    "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),
+}

@@ -159,3 +159,12 @@ def test_approx_aggregates_single_scan(spark):
     plan = plan_of(spark, "approx_aggregates")
     scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
     assert len(scans) == 1, plan
+
+
+def test_corpus_ops_are_narrow(spark):
+    """Chunking (UDTF shape), PII scrub, and stratified sampling are pure
+    per-row plans: zero exchanges — they pipeline inside the scan stage at
+    any scale."""
+    for name in ("chunk_documents", "pii_scrub", "sample_stratified"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, f"{name}: {plan}"
