@@ -569,8 +569,21 @@ ORDER BY gid, order_year, o_orderstatus
 """
 
 
+def sql_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the ``spark.sql`` entry point: the SAME
+    ANSI SQL string the DuckDB oracle runs, parsed by Catalyst over temp
+    views. Proves the engine's SQL surface — a user can address every table
+    relationally without touching the DataFrame API (the reference has no
+    SQL entry at all: SURVEY.md §3, "no spark.sql(...) call anywhere").
+    Both APIs produce the identical optimized logical plan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(DAILY_SUMMARY_SQL)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "daily_summary": QuerySpec(daily_summary, DAILY_SUMMARY_SQL),
+    "sql_daily_summary": QuerySpec(sql_daily_summary, DAILY_SUMMARY_SQL),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "order_totals": QuerySpec(order_totals, ORDER_TOTALS_SQL),
     "filter_project": QuerySpec(filter_project, FILTER_PROJECT_SQL),
