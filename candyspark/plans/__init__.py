@@ -32,10 +32,11 @@ def collect_registry() -> dict[str, QuerySpec]:
         profiling,
         relational,
         temporal,
+        tpch,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, candy, extensions, temporal, analytics, profiling, corpus):
+    for mod in (relational, candy, extensions, temporal, analytics, profiling, corpus, tpch):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
