@@ -40,6 +40,9 @@ HEADLINE = [
     "cube_qty",
     "chunk_documents",
     "pii_scrub",
+    "shipping_priority",
+    "local_trade_share",
+    "term_frequencies",
 ]
 
 

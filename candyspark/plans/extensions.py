@@ -424,6 +424,86 @@ FROM events
 """
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function family over the embedding column —
+    transform / aggregate (fold) / filter / array_max / array_min, all
+    JVM-side lambda expressions (no UDF; the similarity operators use the
+    same primitives for dot products, operators/similarity.py).
+
+    The folds accumulate in DOUBLE in strict element order on both engines
+    (sequential fold ≡ DuckDB list_reduce), so the doubles agree bit-for-bit
+    before the 4-dp snap. Scale: pure scan-stage expressions — zero
+    exchanges, pipelineable at any SF.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        X.snap_round(fold(dbl), 4).alias("el_sum"),
+        X.snap_round(fold(F.transform(dbl, F.abs)), 4).alias("l1_norm"),
+        F.array_max("embedding").cast("double").alias("max_el"),
+        F.array_min("embedding").cast("double").alias("min_el"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("num_positive"),
+    ).orderBy("vec_id")
+
+
+ARRAY_FUNCTIONS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(ROUND(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                (a, x) -> a + x) AS DECIMAL(28,8)), 4) AS DOUBLE) AS el_sum,
+       CAST(ROUND(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))),
+                (a, x) -> a + x) AS DECIMAL(28,8)), 4) AS DOUBLE) AS l1_norm,
+       CAST(list_max(embedding) AS DOUBLE) AS max_el,
+       CAST(list_min(embedding) AS DOUBLE) AS min_el,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS num_positive
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed term statistics (word count + document frequency) — the
+    canonical corpus-scale aggregation an LLM-data pipeline runs first.
+    Tokenizer is the engine's shared regex (operators/text.py tokens()),
+    identical to every other text operator's.
+
+    Scale: explode multiplies rows ~|tokens|×, then partial aggregation
+    collapses map-side BEFORE the term shuffle, so the exchange carries one
+    row per (task, term). Natural-language term frequency is Zipfian —
+     'the' alone is ~5% of tokens — which partial agg absorbs; for
+    countDistinct over doc_id the skew lands on the distinct expansion, and
+    operators/skew.salted_agg is the documented escape hatch at 100 TB.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit(""))
+    return (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("total_count"), "term")
+        .limit(50)
+    )
+
+
+TERM_FREQUENCIES_SQL = f"""
+SELECT term, COUNT(*) AS total_count, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+)
+GROUP BY term
+ORDER BY total_count DESC, term
+LIMIT 50
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -442,4 +522,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_sliding": QuerySpec(q_events_sliding, EVENTS_SLIDING_SQL),
     "events_session": QuerySpec(q_events_session, EVENTS_SESSION_SQL),
     "events_json": QuerySpec(q_events_json, EVENTS_JSON_SQL),
+    "array_functions": QuerySpec(q_array_functions, ARRAY_FUNCTIONS_SQL),
+    "term_frequencies": QuerySpec(q_term_frequencies, TERM_FREQUENCIES_SQL),
 }

@@ -168,3 +168,22 @@ def test_corpus_ops_are_narrow(spark):
     for name in ("chunk_documents", "pii_scrub", "sample_stratified"):
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, f"{name}: {plan}"
+
+
+def test_trade_share_nation_joins_broadcast(spark):
+    """The six-relation chain joins nation twice; both sides must be
+    broadcast (25 rows at any SF) and the lineitem scan must not read
+    measure columns the query never touches (l_returnflag is the canary)."""
+    plan = plan_of(spark, "local_trade_share")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "l_returnflag" not in plan, plan
+
+
+def test_shipping_priority_topk_and_pushdown(spark):
+    """Q3 shape: the date/segment filters reach the parquet scans, and the
+    top-10 is a TakeOrdered — a global Sort before limit would materialize
+    the full grouped result at 100 TB."""
+    plan = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert sum("PushedFilters: []" not in ln for ln in pushed) >= 3, pushed
