@@ -504,6 +504,60 @@ LIMIT 50
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize kernel plumbing (1→1 mapInPandas over a binary column;
+    decode stubbed deterministically — operators/multimodal.py). Rows-only:
+    binary payloads aren't SQL-oracle territory; dedicated tests pin the
+    kernel's bytes."""
+    from candyspark.operators.multimodal import resize_images
+
+    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    return resize_images(d, "doc_id", "payload", width=32, height=32)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel plumbing (1→N mapInPandas: each binary payload
+    emits every-4th fixed-size chunk with its index). Rows-only."""
+    from candyspark.operators.multimodal import sample_frames
+
+    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    return sample_frames(d, "doc_id", "payload")
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate run through Structured Streaming
+    (file source → watermark → windowed agg → availableNow drain into a
+    memory sink) and checked against the SAME DuckDB oracle as the batch
+    form — the batch/stream unification gate, driver-visible.
+
+    The source is re-landed as ONE µs-timestamp parquet file so the
+    available-now run is a single micro-batch: with multiple batches the
+    watermark would legitimately drop late rows and the batch oracle would
+    no longer be the spec (tests/test_streaming.py covers the multi-batch
+    stateful path instead).
+    """
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_tumbling_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="candyspark_stream_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_available_now(
+        streaming_tumbling_agg(read_events_stream(spark, src), "1 hour", "2 hours"),
+        ckpt,
+        query_name=name,
+    )
+    return spark.table(name)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -524,4 +578,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_json": QuerySpec(q_events_json, EVENTS_JSON_SQL),
     "array_functions": QuerySpec(q_array_functions, ARRAY_FUNCTIONS_SQL),
     "term_frequencies": QuerySpec(q_term_frequencies, TERM_FREQUENCIES_SQL),
+    "multimodal_resize": QuerySpec(q_multimodal_resize, None),  # binary out; rows-only
+    "multimodal_frames": QuerySpec(q_multimodal_frames, None),  # binary out; rows-only
+    "streaming_tumbling": QuerySpec(q_streaming_tumbling, EVENTS_TUMBLING_SQL),
 }
