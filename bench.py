@@ -43,6 +43,10 @@ HEADLINE = [
     "shipping_priority",
     "local_trade_share",
     "term_frequencies",
+    "order_priority_check",
+    "returned_item_losses",
+    "exclusive_return_suppliers",
+    "disjunctive_revenue",
 ]
 
 

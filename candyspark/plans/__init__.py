@@ -33,10 +33,21 @@ def collect_registry() -> dict[str, QuerySpec]:
         relational,
         temporal,
         tpch,
+        tpch2,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, candy, extensions, temporal, analytics, profiling, corpus, tpch):
+    for mod in (
+        relational,
+        candy,
+        extensions,
+        temporal,
+        analytics,
+        profiling,
+        corpus,
+        tpch,
+        tpch2,
+    ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

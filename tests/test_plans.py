@@ -187,3 +187,30 @@ def test_shipping_priority_topk_and_pushdown(spark):
     assert "TakeOrderedAndProject" in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert sum("PushedFilters: []" not in ln for ln in pushed) >= 3, pushed
+
+
+def test_exists_shapes_plan_as_semi_and_anti(spark):
+    """Q4/Q21 shapes: EXISTS must plan as LeftSemi and NOT EXISTS as
+    LeftAnti — a correlated re-execution or inner-join + distinct rewrite
+    would re-materialize the fact side at 100 TB."""
+    plan = plan_of(spark, "order_priority_check")
+    assert "LeftSemi" in plan, plan
+    plan = plan_of(spark, "exclusive_return_suppliers")
+    assert "LeftAnti" in plan, plan
+
+
+def test_scalar_subquery_is_broadcast_not_reexecuted(spark):
+    """Q11 shape: the global-total compare must be a broadcast nested-loop
+    over a ONE-ROW side (fine at any scale) — never a shuffled cross join."""
+    plan = plan_of(spark, "important_part_value")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_disjunctive_predicate_pushes_common_factors(spark):
+    """Q19 shape: Catalyst extracts pushable factors from the OR-of-ANDs;
+    at minimum the partkey/brand-size domain must reach the part scan as
+    pushed filters rather than evaluating everything post-join."""
+    plan = plan_of(spark, "disjunctive_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("PushedFilters: []" not in ln for ln in pushed), pushed
