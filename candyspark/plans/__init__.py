@@ -29,6 +29,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         candy,
         corpus,
         extensions,
+        mutation,
         profiling,
         relational,
         temporal,
@@ -47,6 +48,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         corpus,
         tpch,
         tpch2,
+        mutation,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

@@ -1,0 +1,160 @@
+"""Mutation family queries: MERGE upsert, CDC snapshot diff, SCD2 history.
+
+Driver-visible, oracle-checked exercises of operators/mutation.py. Each
+derives its "other table version" deterministically from the testdata
+itself (no side files), so the DuckDB oracle can state the same scenario
+in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from candyspark.operators.mutation import merge_upsert, scd2_history, snapshot_diff
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer: BUILDING customers get an account credit
+    (matched → update), AUTOMOBILE customers re-enter under offset keys
+    (not matched → insert), everyone else persists untouched.
+
+    Scale: one full-outer shuffle on custkey; at 100 TB the physical write
+    would be copy-on-write over the partitions the source touches — the
+    join itself is the whole read path.
+    """
+    t = load_table(spark, sf_dir, "customer")
+    updates = t.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = t.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(t, source, ["c_custkey"]).orderBy("c_custkey")
+
+
+MERGE_UPSERT_SQL = """
+WITH source AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW_' || c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END
+         AS c_nationkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END
+         AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END
+         AS c_mktsegment
+FROM customer t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two order-table versions: the 1999 snapshot vs the 2000
+    snapshot where urgent orders got repriced (+10) and 'P'-status orders
+    were purged — classifies every key as insert / delete / update and
+    drops the unchanged majority.
+
+    Scale: one full-outer shuffle on orderkey; the classification and the
+    NULL-safe column compares are codegen expressions on the joined row —
+    no second pass, no driver collection of either snapshot.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    new = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("o_orderstatus") != "P")
+        ).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 10
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 10
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '2001-01-01' AND o_orderstatus <> 'P'
+)
+SELECT * FROM (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'update'
+         END AS change_type,
+         COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+              ELSE o.o_totalprice END AS o_totalprice,
+         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+              ELSE o.o_orderstatus END AS o_orderstatus
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+WHERE change_type IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the events change log: per user, the
+    validity interval of each observed event_type, consecutive duplicates
+    collapsed, open intervals NULL-terminated.
+
+    Scale: one window shuffle on user_id serves both the duplicate
+    collapse (lag) and the interval close (lead) — Catalyst reuses the
+    partitioning, so no second exchange. Deterministic under timestamp
+    ties via the (ts, event_id) composite order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        e, ["user_id"], "ts", ["event_type"], order_cols=["ts", "event_id"]
+    ).orderBy("user_id", "valid_from", "event_type")
+
+
+SCD2_HISTORY_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+ORDER BY user_id, valid_from, event_type
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "merge_upsert": QuerySpec(q_merge_upsert, MERGE_UPSERT_SQL),
+    "snapshot_diff": QuerySpec(q_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "scd2_history": QuerySpec(q_scd2_history, SCD2_HISTORY_SQL),
+}

@@ -214,3 +214,21 @@ def test_disjunctive_predicate_pushes_common_factors(spark):
     plan = plan_of(spark, "disjunctive_revenue")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("PushedFilters: []" not in ln for ln in pushed), pushed
+
+
+def test_scd2_single_window_shuffle(spark):
+    """SCD2's lag-collapse and lead-close share ONE hashpartitioning
+    exchange on the key — a second exchange would mean the two window
+    passes stopped sharing their partitioning."""
+    plan = plan_of(spark, "scd2_history")
+    shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+
+
+def test_merge_and_diff_join_on_keys(spark):
+    """MERGE/CDC plan as keyed joins (sort-merge or hash), never a
+    nested-loop — a theta rewrite would be quadratic at 100 TB."""
+    for name in ("merge_upsert", "snapshot_diff"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
