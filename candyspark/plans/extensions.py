@@ -558,6 +558,82 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _land_once(spark: SparkSession, df: DataFrame) -> str:
+    """Re-land a frame as ONE parquet file for a single-micro-batch
+    availableNow run (multi-batch behavior — watermark drops, cross-batch
+    state — is covered by tests/test_streaming.py; the driver-visible
+    queries pin the batch-equivalence contract instead)."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="candyspark_stream_src_")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return src
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication: the events table landed TWICE
+    into the stream source (every row an exact duplicate), drained through
+    dropDuplicates state — output must be exactly the original table, i.e.
+    the batch DISTINCT oracle."""
+    import uuid
+
+    from candyspark.streaming.stream import read_events_stream, run_append, streaming_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events.unionByName(events))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_append(
+        streaming_dedup(read_events_stream(spark, src), ["event_id"]), ckpt, query_name=name
+    )
+    return spark.table(name).select("event_id", "user_id", "event_type", "ts")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT event_id, user_id, event_type, ts
+FROM events
+"""
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks within 1h before each error, per
+    user), drained availableNow and checked against the identical batch
+    join in DuckDB — the stream-stream/batch unification gate."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_append,
+        streaming_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    stream = read_events_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    errors = stream.filter(F.col("event_type") == "error")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_append(streaming_interval_join(clicks, errors), ckpt, query_name=name)
+    return spark.table(name).select("c_user", "click_ts", "click_id", "error_ts", "error_id")
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT c.user_id AS c_user,
+       c.ts AS click_ts,
+       c.event_id AS click_id,
+       e.ts AS error_ts,
+       e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -581,4 +657,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(q_multimodal_resize, None),  # binary out; rows-only
     "multimodal_frames": QuerySpec(q_multimodal_frames, None),  # binary out; rows-only
     "streaming_tumbling": QuerySpec(q_streaming_tumbling, EVENTS_TUMBLING_SQL),
+    "streaming_dedup": QuerySpec(q_streaming_dedup, STREAMING_DEDUP_SQL),
+    "streaming_interval_join": QuerySpec(
+        q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
+    ),
 }

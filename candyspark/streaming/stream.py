@@ -65,3 +65,61 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming deduplication: first arrival per key wins,
+    duplicates dropped across micro-batches. State holds one entry per key
+    seen within the watermark horizon — the watermark is what makes dedup
+    state FINITE on an unbounded stream (keys older than the horizon are
+    evicted; a duplicate arriving later than the watermark would pass, by
+    contract).
+
+    Batch twin: ``dropDuplicates(keys)`` / SELECT DISTINCT — equal output
+    whenever the run is a single micro-batch or all duplicates arrive
+    within the watermark.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
+def streaming_interval_join(
+    clicks: DataFrame, errors: DataFrame, lag: str = "INTERVAL 1 HOUR"
+) -> DataFrame:
+    """Stream-stream inner join: each 'error' event joins 'click' events by
+    the same user within [error.ts - lag, error.ts]. Both sides carry
+    watermarks and the join condition carries the time bound — together
+    they let the engine evict buffered rows once no future match is
+    possible (unbounded-state-safe, the canonical stream-stream pattern).
+
+    Batch twin: the same equi+range join over static frames
+    (plans/extensions range_join_error_window is the banded batch form).
+    """
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = errors.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    return c.join(
+        e,
+        F.expr(
+            f"c_user = e_user AND click_ts BETWEEN error_ts - {lag} AND error_ts"
+        ),
+        "inner",
+    )
+
+
+def run_append(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> None:
+    """Drain the source through an APPEND-mode memory sink (the mode
+    row-level operators like dedup and stream-stream joins require)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -13,6 +13,7 @@ import os
 import pandas as pd
 
 from candyspark.operators.allocation import allocate_greedy
+from candyspark.schemas import EVENTS
 from candyspark.sources.readers import load_table
 from candyspark.sources.sinks import save_parquet
 from candyspark.streaming.events import tumbling_agg
@@ -124,3 +125,34 @@ def test_stateful_allocation_carries_stock_across_batches(spark, tmp_path):
     assert by_order.loc[202, "fulfilled_qty"] == 1.0
     assert by_order.loc[203, "fulfilled_qty"] == 5.0
     assert by_order.loc[204, "fulfilled_qty"] == 0.0
+
+
+def test_streaming_dedup_state_spans_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must still be dropped —
+    the dedup state store, not per-batch distinct, is what's under test."""
+    import glob as _glob
+    import os as _os
+
+    from candyspark.streaming.stream import read_events_stream, run_append, streaming_dedup
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    batch1 = [(1, ts, 10, "click", 1.0, "{}"), (2, ts, 11, "view", 2.0, "{}")]
+    batch2 = [(1, ts, 10, "click", 1.0, "{}"), (3, ts, 12, "error", 3.0, "{}")]
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        dest = str(src / f"b{i}.parquet")
+        _os.rename(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = streaming_dedup(
+        spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        ["event_id"],
+    )
+    assert stream.isStreaming
+    run_append(stream, str(tmp_path / "ckpt"), query_name="dedup_stream")
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [1, 2, 3]  # the batch-2 re-send of event 1 was dropped by state
