@@ -634,6 +634,52 @@ FROM events c JOIN events e
 """
 
 
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-fidelity gate: documents → ORC → read back → JSON-lines →
+    read back (explicit schema), then aggregate per (lang, source). The
+    oracle aggregates the ORIGINAL parquet directly, so any row lost or
+    text mangled by either roundtrip breaks the hash. JSONL rather than
+    the reference's multiLine arrays because JSONL splits by line at scale
+    (a multiLine array file is one task regardless of size — SURVEY.md
+    §2.1 S2)."""
+    import tempfile
+
+    from candyspark.sources.readers import load_jsonl, load_orc
+    from candyspark.sources.sinks import save_jsonl, save_orc
+
+    d = load_table(spark, sf_dir, "documents")
+    orc_dir = tempfile.mkdtemp(prefix="candyspark_orc_")
+    save_orc(d, orc_dir)
+    via_orc = load_orc(spark, orc_dir)
+    jsonl_dir = tempfile.mkdtemp(prefix="candyspark_jsonl_")
+    save_jsonl(via_orc, jsonl_dir)
+    back = load_jsonl(spark, jsonl_dir, schema=via_orc.schema)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+FORMAT_ROUNDTRIP_SQL = """
+SELECT lang, source,
+       COUNT(*) AS num_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -661,4 +707,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_interval_join": QuerySpec(
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
+    "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
 }

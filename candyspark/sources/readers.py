@@ -133,3 +133,24 @@ def load_mongodb(
         .option("collection", collection)
         .load()
     )
+
+
+def load_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan — same columnar/pushdown posture as parquet (predicate
+    pushdown, column pruning, splittable stripes); offered for lakes whose
+    interchange standard is ORC rather than parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan (one object per line — splittable, unlike the
+    reference's multiLine array files, SURVEY.md §2.1 S2: a multiLine JSON
+    file is ONE task no matter its size, while JSONL parallelizes by
+    line). Pass an explicit schema in production — inference scans twice."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -109,3 +109,21 @@ def save_mongodb(
         .mode(mode)
         .save()
     )
+
+
+def save_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink — columnar alternative when the consuming lake standardizes
+    on ORC; same partitioning discipline as save_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def save_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable on re-read) — the
+    interchange format for text-corpus pipelines whose downstream tooling
+    expects JSONL rather than parquet."""
+    df.write.mode(mode).json(path)

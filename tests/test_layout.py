@@ -86,3 +86,36 @@ def _no_broadcast(spark):
         yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_orc_roundtrip_preserves_and_pushes_down(spark, tmp_path):
+    """ORC sink → scan: lossless for every documents column, and a
+    predicate on the re-read reaches the ORC scan as a pushed filter
+    (stripe-level skipping — same posture as parquet)."""
+    from candyspark.sources.readers import load_orc
+    from candyspark.sources.sinks import save_orc
+
+    d = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_orc")
+    save_orc(d, path)
+    back = load_orc(spark, path)
+    assert back.count() == d.count()
+    assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
+    plan = plan_of(back.filter(F.col("doc_id") > 100).select("doc_id"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("PushedFilters: []" not in ln for ln in pushed), plan
+
+
+def test_jsonl_roundtrip_is_lossless_and_splittable(spark, tmp_path):
+    """JSON-lines sink → schema'd scan: lossless (unicode text, embedded
+    newlines escaped) and NOT single-task — unlike multiLine JSON arrays,
+    JSONL splits by line (SURVEY.md §2.1 S2)."""
+    from candyspark.sources.readers import load_jsonl
+    from candyspark.sources.sinks import save_jsonl
+
+    d = load_table(spark, SF, "documents").repartition(4)
+    path = str(tmp_path / "docs_jsonl")
+    save_jsonl(d, path)
+    back = load_jsonl(spark, path, schema=d.schema)
+    assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
+    assert back.rdd.getNumPartitions() > 1  # multiple line-splittable files
