@@ -31,6 +31,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         extensions,
         mutation,
         profiling,
+        quality,
         relational,
         temporal,
         tpch,
@@ -49,6 +50,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         mutation,
+        quality,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:
