@@ -1,0 +1,79 @@
+"""Distributed k-means (Lloyd) over embedding columns — the iterative-
+algorithm pattern, DataFrame-native.
+
+The reference has no iterative computation beyond its per-day driver loop
+(SURVEY.md §4.2 — an anti-pattern this engine replaced with single
+passes); k-means is the canonical computation that genuinely IS iterative,
+so it demonstrates the engine's discipline for that class:
+
+- **Assignment** is a broadcast cross join against the (tiny) centroid
+  table + an L2 score + a per-vector rank — no shuffle of the vectors.
+- **Update** recomputes centroids as per-dimension means: ``posexplode``
+  the vectors, aggregate ``(cluster, dim) → avg``, fold back to arrays
+  with ``array_sort(collect_list(...))``. The only shuffle per iteration,
+  and it moves |vectors|·dim scalar rows — map-side partial averaging
+  keeps the exchange small.
+- **Lineage is cut per iteration** with ``localCheckpoint()`` — without
+  it, iteration i's plan contains i copies of the assignment join and
+  Catalyst re-optimizes a linearly-growing tree (the SURVEY.md §4.2
+  "10-deep lineage growth" failure mode, solved the sanctioned way).
+
+Everything is deterministic: seeds are the k lowest-id vectors, distance
+ties break on cluster_id, so tests can pin exact assignments against a
+numpy reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from candyspark.operators.similarity import l2sq
+
+
+def assign_clusters(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest centroid per vector (L2, ties → lowest cluster_id).
+    Centroids broadcast; output (id, vec, cluster_id)."""
+    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    scored = scored.withColumn("__d2", l2sq(F.col(vec_col), F.col("c_vec")))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, "cluster_id")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension mean per cluster, folded back into arrays (JVM-side:
+    posexplode → avg → array_sort(collect_list(struct)) → transform)."""
+    dims = assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "val"))
+    means = dims.groupBy("cluster_id", "pos").agg(F.avg("val").alias("mean_val"))
+    return means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s.mean_val.cast("float"),
+        ).alias("c_vec")
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's algorithm: returns (assignments, centroids). Deterministic
+    seeding (k lowest-id vectors) and tie-breaks — same inputs, same
+    clusters, on any partitioning."""
+    centroids = vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = None
+    for _ in range(max_iter):
+        assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+        centroids = _recompute_centroids(assigned, vec_col).localCheckpoint()
+    return assign_clusters(vectors, centroids, id_col, vec_col), centroids

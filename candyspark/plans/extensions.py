@@ -680,6 +680,29 @@ ORDER BY lang, source
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=8, 3
+    iterations, deterministic seeding/tie-breaks — operators/clustering).
+    Returns per-cluster population and centroid L2 norm. Rows-only: the
+    iteration can't be stated in one oracle SQL; tests pin the exact
+    assignments against a same-semantics numpy reference."""
+    from candyspark.operators.clustering import kmeans
+    from candyspark.operators.similarity import norm
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    assigned, centroids = kmeans(emb, k=8, max_iter=3)
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("num_vectors"))
+    return (
+        sizes.join(centroids, "cluster_id")
+        .select(
+            "cluster_id",
+            "num_vectors",
+            F.round(norm(F.col("c_vec")), 4).alias("centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -708,4 +731,5 @@ REGISTRY: dict[str, QuerySpec] = {
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
+    "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
 }
