@@ -47,6 +47,13 @@ HEADLINE = [
     "returned_item_losses",
     "exclusive_return_suppliers",
     "disjunctive_revenue",
+    "merge_upsert",
+    "snapshot_diff",
+    "scd2_history",
+    "quality_report",
+    "stats_moments",
+    "grouping_sets",
+    "kmeans_clusters",
 ]
 
 
