@@ -703,6 +703,77 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequenced conversion funnel over events: users who viewed,
+    then clicked AFTER their first view, then purchased AFTER that first
+    qualifying click — the product-analytics staple the reference's batch
+    summaries can't express.
+
+    Scale: three per-user aggregates, each over a type-filtered subset
+    (the filter pushes to the scan), all shuffling on user_id so AQE plans
+    them as one partitioning chain; each stage's input is the PREVIOUS
+    stage's survivors joined to one event type — monotonically shrinking.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("num_users")).select(
+            F.lit(name).alias("stage"), "num_users"
+        )
+
+    return (
+        _stage(v, "1_view")
+        .unionByName(_stage(c, "2_click_after_view"))
+        .unionByName(_stage(p, "3_purchase_after_click"))
+        .orderBy("stage")
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT stage, num_users FROM (
+  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS num_users FROM v
+  UNION ALL
+  SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+)
+ORDER BY stage
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -732,4 +803,5 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
+    "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),
 }

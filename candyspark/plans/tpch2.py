@@ -479,6 +479,114 @@ LIMIT 10
 """
 
 
+# --- Q2 shape: correlated MIN subquery as window/top-1 ----------------------
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part (small sizes), the supplier with the LOWEST
+    total traded value for it. The correlated MIN subquery becomes one
+    aggregate + one per-part top-1 window — no re-execution per part. The
+    testdata lacks partsupp/ps_supplycost (FIXTURES.md §B); lineitem
+    revenue per (part, supplier) stands in as the cost relation.
+
+    Scale: aggregate shuffles (part, supp) pairs — bounded by the pair
+    domain, not |lineitem|; the window's per-part top-1 shuffles |pairs|
+    on partkey. Tie-break on suppkey pins the oracle hash.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(F.sum(_revenue()).alias("pair_value"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("pair_value"), F.asc("l_suppkey"))
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(s, best.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            round2(F.col("pair_value")).alias("best_value"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = f"""
+WITH pairs AS (
+  SELECT l_partkey, p_name, l_suppkey, SUM({_REV}) AS pair_value
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10
+  GROUP BY l_partkey, p_name, l_suppkey
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                               ORDER BY pair_value ASC, l_suppkey ASC) AS rn
+  FROM pairs
+)
+SELECT l_partkey AS p_partkey, p_name, s_name,
+       CAST(ROUND(pair_value, 2) AS DOUBLE) AS best_value
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+# --- Q20 shape: volume-share semi join --------------------------------------
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that shipped MORE THAN HALF of some
+    part's total quantity — a per-(part,supplier) aggregate compared
+    against its per-part total, then rolled up per supplier. The share
+    compare stays exact: qty sums in DECIMAL, ``2·pair > total`` instead
+    of a float ratio.
+
+    Scale: two aggregates over one scan (pair-level, then part-level
+    re-aggregated FROM the pair level — no second lineitem pass), one
+    broadcast-able join of pair→part totals, count per supplier. The
+    expensive side shrinks to the pair domain immediately.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("pair_qty"))
+    totals = pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    dominated = (
+        pair.join(totals, "l_partkey")
+        .filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
+    )
+    return (
+        dominated.join(s, dominated.l_suppkey == s.s_suppkey)
+        .select("s_name", "dominated_parts")
+        .orderBy(F.desc("dominated_parts"), "s_name")
+    )
+
+
+DOMINANT_SUPPLIERS_SQL = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS pair_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+  SELECT l_partkey, SUM(pair_qty) AS part_qty FROM pair GROUP BY l_partkey
+)
+SELECT s_name, COUNT(*) AS dominated_parts
+FROM pair JOIN totals USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE pair_qty * 2 > part_qty
+GROUP BY s_name
+ORDER BY dominated_parts DESC, s_name
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(order_priority_check, ORDER_PRIORITY_CHECK_SQL),
     "bilateral_trade_volume": QuerySpec(bilateral_trade_volume, BILATERAL_TRADE_VOLUME_SQL),
@@ -495,4 +603,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "exclusive_return_suppliers": QuerySpec(
         exclusive_return_suppliers, EXCLUSIVE_RETURN_SUPPLIERS_SQL
     ),
+    "cheapest_supplier_per_part": QuerySpec(
+        cheapest_supplier_per_part, CHEAPEST_SUPPLIER_PER_PART_SQL
+    ),
+    "dominant_suppliers": QuerySpec(dominant_suppliers, DOMINANT_SUPPLIERS_SQL),
 }

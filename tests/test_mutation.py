@@ -74,3 +74,59 @@ def test_scd2_intervals_chain_per_key(spark):
         by_key.setdefault(r["k"], []).append(r)
     assert len(by_key[1]) == 2 and len(by_key[2]) == 1
     assert by_key[2][0]["valid_to"] is None  # open interval for the single entry
+
+
+def test_foreach_batch_incremental_upsert(spark, tmp_path):
+    """The production maintenance loop: a stream of change batches applied
+    to a stored table via merge_upsert inside foreachBatch (stage-then-swap
+    so the target is never read and overwritten in one job). Later batches
+    must win on key collision; the final table equals a batch merge of all
+    updates in order."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    schema = "k int, v string, w int"
+    target_dir = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "base1", 10), (2, "base2", 20)], schema
+    ).write.parquet(target_dir)
+
+    batch1 = [(1, "b1", 11), (3, "new3", 30)]
+    batch2 = [(1, "b2", 12), (4, "new4", 40)]  # re-updates key 1: must win
+    src = tmp_path / "updates"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        dest = str(src / f"b{i}.parquet")
+        _os.rename(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def upsert_batch(batch_df, batch_id):
+        tgt = batch_df.sparkSession.read.parquet(target_dir)
+        merged = merge_upsert(tgt, batch_df, ["k"])
+        staged = str(tmp_path / f"swap_{batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        _shutil.rmtree(target_dir)
+        _shutil.move(staged, target_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["k"]: (r["v"], r["w"]) for r in spark.read.parquet(target_dir).collect()}
+    assert got == {
+        1: ("b2", 12),   # batch2 overwrote batch1's update
+        2: ("base2", 20),
+        3: ("new3", 30),
+        4: ("new4", 40),
+    }
