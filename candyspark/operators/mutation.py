@@ -113,9 +113,14 @@ def scd2_history(
     for c in value_cols:
         eq = F.col(c).eqNullSafe(F.lag(c).over(w))
         same_as_prev = eq if same_as_prev is None else (same_as_prev & eq)
+    # "has a previous row" must be detected independently of the values:
+    # lag(value) is NULL both for a missing previous row AND for a previous
+    # NULL value, and eqNullSafe(NULL, NULL) is TRUE — without this marker a
+    # key whose FIRST value is NULL would lose its opening interval.
+    has_prev = F.lag(F.lit(1)).over(w).isNotNull()
     carried = list(dict.fromkeys([ts_col, *order_cols]))
     changes = updates.select(*keys, *carried, *value_cols).withColumn(
-        "_is_change", ~F.coalesce(same_as_prev, F.lit(False))
+        "_is_change", ~has_prev | ~same_as_prev
     )
     changes = changes.filter(F.col("_is_change")).drop("_is_change")
     return changes.select(

@@ -774,6 +774,79 @@ ORDER BY stage
 """
 
 
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency dedup — keep each user's LATEST event (row_number over
+    (user) ordered by ts desc, tie-break event_id desc): the 'current
+    state from a change log' staple, the one-shuffle window twin of
+    dropDuplicates-by-recency (which offers no ordering guarantee)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+        .orderBy("user_id")
+    )
+
+
+LATEST_PER_KEY_SQL = """
+SELECT user_id, event_id, event_type, ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month retention: for each cohort month (a user's first
+    event month), how many of its users were active again k months later.
+    Two aggregates (first-month per user; distinct user-months) and one
+    join — the cohort matrix every growth dashboard needs.
+
+    Scale: both aggregates shuffle on user_id, the join reuses that
+    partitioning; the output is |months|² rows regardless of input size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", "ts").cast("date")
+    first = e.groupBy("user_id").agg(F.min(month).alias("cohort_month"))
+    active = e.select("user_id", month.alias("active_month")).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy("cohort_month", "active_month")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .withColumn(
+            "months_since",
+            (F.months_between("active_month", "cohort_month")).cast("int"),
+        )
+        .select("cohort_month", "months_since", "active_users")
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(DATE_TRUNC('month', ts) AS DATE)) AS cohort_month
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('month', ts) AS DATE) AS active_month
+  FROM events
+)
+SELECT cohort_month,
+       CAST(DATEDIFF('month', cohort_month, active_month) AS INTEGER) AS months_since,
+       COUNT(DISTINCT user_id) AS active_users
+FROM first JOIN active USING (user_id)
+GROUP BY cohort_month, active_month
+ORDER BY cohort_month, months_since
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
@@ -804,4 +877,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
     "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),
+    "latest_per_key": QuerySpec(q_latest_per_key, LATEST_PER_KEY_SQL),
+    "retention_cohorts": QuerySpec(q_retention_cohorts, RETENTION_COHORTS_SQL),
 }
