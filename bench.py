@@ -54,6 +54,10 @@ HEADLINE = [
     "stats_moments",
     "grouping_sets",
     "kmeans_clusters",
+    "event_funnel",
+    "retention_cohorts",
+    "latest_per_key",
+    "gap_fill_daily",
 ]
 
 

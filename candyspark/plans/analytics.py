@@ -253,6 +253,120 @@ ORDER BY doc_id
 """
 
 
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: daily order counts on a COMPLETE date
+    spine (missing days materialized), zero-filled and forward-filled —
+    the resampling step every time-series consumer needs before modeling
+    (the engine's forecaster assumes a gapless series; the reference just
+    had no gaps by luck of its 10 dense days).
+
+    Scale: the spine is sequence(min,max) exploded from ONE row — |days|
+    rows regardless of input size; the join is broadcast (spine side is
+    tiny); the forward fill is one window pass with a deterministic total
+    order. 1998-01 slice keeps the demo spine bounded.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("orders_zero_filled"),
+            F.last("n", ignorenulls=True).over(w).cast("long").alias("orders_carried"),
+        )
+        .orderBy("day")
+    )
+
+
+GAP_FILL_DAILY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-02-01'
+  GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d FROM daily
+)
+SELECT spine.d AS day,
+       CAST(COALESCE(n, 0) AS BIGINT) AS orders_zero_filled,
+       CAST(LAST_VALUE(n IGNORE NULLS) OVER (ORDER BY spine.d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS orders_carried
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+ORDER BY day
+"""
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of pivot_linestatus: the three lineitem
+    measures melted to long format (orderkey, linenumber, measure, value).
+    Scan-stage row expansion (3× rows, no shuffle); long format is what
+    generic profilers and chart layers consume."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+UNPIVOT_MEASURES_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey <= 1000
+) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    dense_rank per return flag under a pinned total order (quantity,
+    orderkey, linenumber): deterministic rank-derived doubles, one window
+    shuffle for all three."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    ).orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+FROM lineitem
+WHERE l_orderkey <= 2000
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber)
+ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sample_hash": QuerySpec(sample_hash, SAMPLE_HASH_SQL),
     "pivot_linestatus": QuerySpec(pivot_linestatus, PIVOT_LINESTATUS_SQL),
@@ -260,4 +374,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "set_ops_customers": QuerySpec(set_ops_customers, SET_OPS_CUSTOMERS_SQL),
     "cube_qty": QuerySpec(cube_qty, CUBE_QTY_SQL),
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL),
+    "gap_fill_daily": QuerySpec(gap_fill_daily, GAP_FILL_DAILY_SQL),
+    "unpivot_measures": QuerySpec(unpivot_measures, UNPIVOT_MEASURES_SQL),
+    "window_distribution": QuerySpec(window_distribution, WINDOW_DISTRIBUTION_SQL),
 }
