@@ -29,6 +29,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         candy,
         corpus,
         extensions,
+        graph,
         mutation,
         profiling,
         quality,
@@ -51,6 +52,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         tpch2,
         mutation,
         quality,
+        graph,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

@@ -1,0 +1,115 @@
+"""Duplicate-group queries: near-dup pairs → connected components →
+keep-one-per-group survivors (the policy stage of corpus dedup; extension
+surface, SURVEY.md §2.13 — the reference stops at per-key exact dedup,
+/root/reference/src/data_processor.py:398).
+
+The DuckDB oracles state the same fixpoint with a recursive CTE (min label
+over the transitive closure) — the component labeling is iteration-order-
+independent, so the one-hop Spark loop and the closure recursion agree
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from candyspark.operators import dedup as D
+from candyspark.operators.components import dedup_clusters
+from candyspark.plans import QuerySpec
+from candyspark.plans.extensions import _SHINGLES, _TOKS
+from candyspark.sources.readers import load_table
+
+# near-dup edges: lang-blocked word-3-gram Jaccard ≥ 0.6 (the dedup_ngram
+# pair generator — same fragment as plans/extensions.DEDUP_NGRAM_SQL)
+_PAIRS_CTES = f"""
+t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t),
+pairs AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(ROUND(CAST(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(a.sh || b.sh))
+                     ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.6
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", "lang", k=3, threshold=0.6)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups over the near-dup pair graph: every paired document
+    labeled with its component's min doc id + the group size. Near-dup
+    similarity isn't transitive, so the kept-set policy needs components,
+    not pairs (operators/components.py)."""
+    return dedup_clusters(_ngram_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTES}
+SELECT l.doc_id, l.cluster_id, c.cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) c
+  USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-lowest-id-per-group dedup applied to the corpus: per-lang doc
+    counts before/after removal. The removed set is exactly the non-canonical
+    members of each duplicate group — the anti-join is the 100-TB shape
+    (corpus never collects; removal list is |duplicates|-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    removed = (
+        dedup_clusters(_ngram_pairs(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("is_removed"))
+    )
+    return (
+        docs.join(removed, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.coalesce("is_removed", F.lit(0))).alias("removed_docs"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("is_removed", F.lit(0)))).alias(
+                "kept_docs"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+removed AS (SELECT doc_id, 1 AS is_removed FROM lab WHERE doc_id != cluster_id)
+SELECT d.lang,
+       COUNT(*) AS total_docs,
+       CAST(SUM(COALESCE(r.is_removed, 0)) AS BIGINT) AS removed_docs,
+       CAST(COUNT(*) - SUM(COALESCE(r.is_removed, 0)) AS BIGINT) AS kept_docs
+FROM documents d LEFT JOIN removed r USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "dedup_clusters": QuerySpec(q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_survivors": QuerySpec(q_dedup_survivors, DEDUP_SURVIVORS_SQL),
+}

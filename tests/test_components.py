@@ -1,0 +1,82 @@
+"""Connected components (operators/components.py): fixpoint correctness vs
+a driver-side union-find, convergence on long chains, and partitioning
+invariance — the determinism contract of the dedup-cluster stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from candyspark.operators.components import connected_components, dedup_clusters
+from candyspark.plans.graph import _ngram_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id label per node
+    labels = {}
+    for n in list(parent):
+        root = find(n)
+        members = [m for m in parent if find(m) == root]
+        labels[n] = min(members)
+    return labels
+
+
+def test_components_match_union_find(spark):
+    pairs = _ngram_pairs(spark, SF_DIR)
+    edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert edge_list, "fixture should contain near-dup pairs"
+    expected = _union_find(edge_list)
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == expected
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-19: worst-case diameter for one-hop propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src bigint, dst bigint"
+    )
+    comp = connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == 20
+    assert {r.component for r in rows} == {0}
+
+
+def test_two_components_and_sizes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 1)], "src bigint, dst bigint"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(edges, "src", "dst").collect()
+    }
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_repartition_invariance(spark):
+    pairs = _ngram_pairs(spark, SF_DIR)
+    base = sorted(
+        (r.node, r.component)
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    )
+    skewed = sorted(
+        (r.node, r.component)
+        for r in connected_components(pairs.repartition(3), "doc_a", "doc_b").collect()
+    )
+    assert base == skewed
