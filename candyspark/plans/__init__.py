@@ -34,6 +34,8 @@ def collect_registry() -> dict[str, QuerySpec]:
         profiling,
         quality,
         relational,
+        retrieval,
+        sketches,
         temporal,
         tpch,
         tpch2,
@@ -53,6 +55,8 @@ def collect_registry() -> dict[str, QuerySpec]:
         mutation,
         quality,
         graph,
+        retrieval,
+        sketches,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

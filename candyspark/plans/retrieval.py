@@ -1,0 +1,153 @@
+"""Retrieval-scoring and contamination queries over the documents table —
+the corpus-indexing stage of an LLM-data pipeline (extension surface,
+SURVEY.md §2.13; no reference counterpart — /root/reference has no text
+operators at all, its string surface is format_number/format_string only,
+src/data_processor.py:485-487,565-570).
+
+Shared tokenizer/shingle semantics with operators/text.py so every text
+operator in the engine agrees on token boundaries; every fragment is
+mirrored bit-for-bit in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.operators.text import snap_round, tokens, word_shingles
+from candyspark.plans import QuerySpec
+from candyspark.plans.extensions import _TOKS
+from candyspark.sources.readers import fan_out, load_table
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf: ln((N+1)/(df+1)) + 1).
+
+    Scale: term frequencies partial-aggregate map-side before the (doc,
+    term) shuffle; document frequency derives from the tf relation (one
+    extra term-keyed aggregate, never a rescan); the corpus size N is a
+    1-row aggregate broadcast into the scoring projection. The final
+    ranking windows on doc_id — vocabulary size never concentrates on one
+    task. Ties order by term so ranking is total across engines.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            snap_round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term,
+           CAST(ROUND(CAST(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                AS DECIMAL(28,8)), 4) AS DOUBLE) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+# word-8-gram shingles, distinct (mirror of text.word_shingles(k=8))
+_SHINGLES8 = (
+    "list_distinct(CASE WHEN len(toks) >= 8 THEN "
+    "list_transform(range(1, len(toks) - 6), i -> array_to_string(list_slice(toks, i, i + 7), ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share any
+    word-8-gram with a held-out benchmark set (here: doc_id % 20 == 0 — a
+    deterministic 5% slice standing in for an eval suite). Emits, per
+    contaminated training doc, how many distinct 8-grams leak and how many
+    benchmark docs they touch.
+
+    Scale: both sides reduce to DISTINCT (doc, md5(shingle)) relations
+    before the join — the join key is a fixed 32-byte digest, never text.
+    The benchmark side is ~|eval suites|, orders of magnitude smaller than
+    the corpus: at 100 TB, broadcast it (or a Bloom filter of its digests)
+    so the corpus side never shuffles; here the equi-join states the
+    semantics and AQE picks broadcast from size estimates.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(word_shingles("text", 8)).alias("s")
+    ).select("doc_id", F.md5("s").alias("gk"))
+    bench = (
+        grams.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "gk")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 20 != 0).distinct()
+    return (
+        train.join(bench, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gk").alias("shared_ngrams"),
+            F.countDistinct("bench_id").alias("bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id, md5(s) AS gk
+    FROM (SELECT doc_id, unnest({_SHINGLES8}) AS s FROM t)
+),
+bench AS (SELECT DISTINCT doc_id AS bench_id, gk FROM g WHERE doc_id % 20 = 0),
+train AS (SELECT DISTINCT doc_id, gk FROM g WHERE doc_id % 20 != 0)
+SELECT doc_id,
+       COUNT(DISTINCT gk) AS shared_ngrams,
+       COUNT(DISTINCT bench_id) AS bench_docs
+FROM train JOIN bench USING (gk)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "contamination_check": QuerySpec(q_contamination_check, CONTAMINATION_CHECK_SQL),
+}

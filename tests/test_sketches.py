@@ -1,0 +1,45 @@
+"""HLL sketch aggregates (plans/sketches.py): estimates within the
+configured error bound of exact distinct counts, and the merged '__all__'
+sketch consistent with a direct global sketch — the mergeability contract
+that makes sketches the incremental-rollup primitive at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from candyspark.plans.sketches import q_hll_sketches
+from candyspark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_estimates_within_bound(spark):
+    got = {r.event_type: r.approx_users for r in q_hll_sketches(spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = e.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+
+
+def test_hll_merge_equals_direct_global_sketch(spark):
+    e = load_table(spark, SF_DIR, "events")
+    merged = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = (
+        e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == direct
