@@ -58,6 +58,14 @@ HEADLINE = [
     "retention_cohorts",
     "latest_per_key",
     "gap_fill_daily",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "contamination_check",
+    "histogram_prices",
+    "ohlc_bars",
+    "hll_sketches",
+    "weighted_sample",
+    "zscore_outliers",
 ]
 
 

@@ -31,6 +31,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         extensions,
         graph,
         mutation,
+        outliers,
         profiling,
         quality,
         relational,
@@ -57,6 +58,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         graph,
         retrieval,
         sketches,
+        outliers,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

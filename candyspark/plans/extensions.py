@@ -634,6 +634,51 @@ FROM events c JOIN events e
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: purchase events streamed through a
+    broadcast join against a batch-computed per-user spend dimension —
+    the canonical 'enrich the firehose with a slowly-changing dim' shape.
+    Stateless streaming (no watermark/state store), so stream output ≡ the
+    batch join, which is the DuckDB oracle."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_append,
+        streaming_static_enrich,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    user_spend = events.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("user_total"),
+        F.count(F.lit(1)).alias("user_events"),
+    )
+    src = _land_once(spark, events)
+    stream = read_events_stream(spark, src).filter(F.col("event_type") == "purchase")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_append(streaming_static_enrich(stream, user_spend, ["user_id"]), ckpt, query_name=name)
+    return spark.table(name).select(
+        "event_id", "user_id", "ts", "value", "user_total", "user_events"
+    )
+
+
+STREAMING_ENRICH_SQL = """
+WITH spend AS (
+    SELECT user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS user_total,
+           COUNT(*) AS user_events
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.ts, e.value, s.user_total, s.user_events
+FROM events e JOIN spend s USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
 def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-fidelity gate: documents → ORC → read back → JSON-lines →
     read back (explicit schema), then aggregate per (lang, source). The
@@ -874,6 +919,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_interval_join": QuerySpec(
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
+    "streaming_enrich": QuerySpec(q_streaming_enrich, STREAMING_ENRICH_SQL),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
     "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),

@@ -1,0 +1,121 @@
+"""Statistical curation queries: deterministic weighted sampling and
+z-score outlier detection (extension surface — the reference has no
+sampling or dispersion statistics at all, SURVEY.md §2.5/§2.7).
+
+Both follow the engine's cross-engine determinism discipline: randomness
+derives from md5 (never rand()/seeded RNGs, which differ per engine, run,
+and partitioning), and dispersion comes from exact DECIMAL power sums with
+the closed-form double formula applied once at the end (see
+plans/quality.q_stats_moments on why built-in stddev isn't hashable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.operators.text import snap_round
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+_HASH32 = "CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, k=50, weight = n_chars —
+    Efraimidis–Spirakis A-ES: draw u~U(0,1) per row, keep the top-k by
+    priority u^(1/w) (equivalently ln(u)/w). u comes from the md5 of the
+    text, so the sample is a pure function of content: reproducible across
+    engines, runs, and partitionings, and re-derivable at 100 TB without
+    storing RNG state.
+
+    Scale: priority is a scan-stage expression; top-k is ORDER BY + LIMIT,
+    which Spark executes as per-partition TakeOrdered + a k-row driver
+    merge — no global sort, no single-task window over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    u = (h.cast("double") + 0.5) / F.lit(4294967296.0)
+    pri = snap_round(F.log(u) / F.col("n_chars"), 6)
+    top = (
+        d.select("doc_id", "lang", F.col("n_chars").alias("weight"), pri.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(50)
+    )
+    # rank assignment happens on the 50 surviving rows only
+    w = Window.orderBy(F.desc("priority"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH p AS (
+    SELECT doc_id, lang, n_chars AS weight,
+           CAST(ROUND(CAST(ln(({_HASH32} + 0.5) / 4294967296.0) / n_chars
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS priority
+    FROM documents
+)
+SELECT doc_id, lang, weight, priority, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
+    FROM p
+) WHERE rank <= 50
+ORDER BY rank
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 3 sample standard deviations from their
+    event_type's mean. Two passes over events: a per-type moments aggregate
+    (4-ish rows) broadcast back into a scan-stage filter — the corpus never
+    shuffles on data keys, so the shape holds at any SF. The z threshold is
+    applied to the 4-dp-snapped score so both engines cut identically."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    sv = F.col("sv").cast("double")
+    svv = F.col("svv").cast("double")
+    stats = stats.select(
+        "event_type",
+        (sv / n).alias("mean_v"),
+        F.sqrt((svv - sv * sv / n) / (n - F.lit(1.0))).alias("std_v"),
+    )
+    z = snap_round((F.col("value") - F.col("mean_v")) / F.col("std_v"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .orderBy("event_id")
+    )
+
+
+ZSCORE_OUTLIERS_SQL = """
+WITH sums AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+           SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
+    FROM events GROUP BY event_type
+),
+stats AS (
+    SELECT event_type,
+           CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+           SQRT((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)) AS std_v
+    FROM sums
+)
+SELECT event_id, event_type, value, zscore FROM (
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(ROUND(CAST((e.value - s.mean_v) / s.std_v AS DECIMAL(28,8)), 4) AS DOUBLE) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+)
+WHERE ABS(zscore) > 3.0
+ORDER BY event_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "weighted_sample": QuerySpec(q_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "zscore_outliers": QuerySpec(q_zscore_outliers, ZSCORE_OUTLIERS_SQL),
+}

@@ -111,6 +111,15 @@ def streaming_interval_join(
     )
 
 
+def streaming_static_enrich(stream: DataFrame, static_dim: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static equi-join: enrich each streaming row with a static
+    (batch-computed) dimension. Stateless on the stream side — no watermark
+    needed, the static side is re-read (and re-broadcast) per micro-batch,
+    which is exactly how slowly-changing dims stay fresh under a long-running
+    query. Batch twin: the same equi-join of two static frames."""
+    return stream.join(F.broadcast(static_dim), keys, "inner")
+
+
 def run_append(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> None:
     """Drain the source through an APPEND-mode memory sink (the mode
     row-level operators like dedup and stream-stream joins require)."""
