@@ -66,6 +66,8 @@ HEADLINE = [
     "hll_sketches",
     "weighted_sample",
     "zscore_outliers",
+    "discount_revenue_lift",
+    "pack_sequences",
 ]
 
 

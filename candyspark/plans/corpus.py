@@ -16,6 +16,14 @@ SURVEY.md §2.10 "no string manipulation"):
   rates (the corpus-mixture knob). Hash-mod sampling, not ``rand()``:
   reproducible across runs/engines/partitionings, and a pure scan-stage
   predicate — no shuffle, no sort, prunes before any downstream cost.
+- ``pack_sequences`` — assign documents to fixed-capacity training bins
+  (context windows) by running token offset: bin = floor(start_offset /
+  capacity) over a per-language cumulative sum in doc_id order. This is the
+  offset-packing spec (documents may straddle a boundary and belong to the
+  bin where they start) — deterministic and windowed-SQL-expressible, unlike
+  greedy first-fit, which is inherently sequential; the allocator kernel
+  (operators/allocation.py) is the template if exact first-fit is ever
+  needed.
 
 All three stay fully SQL-expressible for the DuckDB oracle. Regexes are kept
 to the syntax subset Java regex and RE2 share.
@@ -176,8 +184,72 @@ WHERE {_HASH_SQL} % 100 < {_RATE_SQL}
 """
 
 
+_CAPACITY = 2048  # tokens per training bin
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → fixed-capacity training bins per language (offset
+    packing, see module docstring). Output is per-bin: how many documents
+    start in it, their token total, and the id span — the shard manifest a
+    training loader consumes.
+
+    Scale: one window shuffle on lang (the mixture dimension caps
+    parallelism here; at 100 TB partition the cumsum by (lang, day) and
+    offset bins per partition — same spec, restored parallelism), then a
+    hash aggregate on the derived bin key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    sized = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    offs = sized.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offs.withColumn("bin_id", F.floor(F.col("start_off") / _CAPACITY).cast("int"))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH sized AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+offs AS (
+    SELECT doc_id, lang, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+    FROM sized
+)
+SELECT lang,
+       CAST(FLOOR(start_off / {_CAPACITY}) AS INT) AS bin_id,
+       COUNT(*) AS num_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM offs
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),
     "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL),
 }

@@ -516,7 +516,44 @@ ORDER BY o_orderkey
 """
 
 
+def discount_revenue_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue forgone to discounts in a year-long band filter —
+    the canonical full-pushdown aggregate. No join, no groupBy key: every
+    predicate (shipdate year, discount band, quantity cap) reaches the
+    parquet scan as PushedFilters, the projection prunes to 4 columns, and
+    the only exchange is the 1-row partial-agg merge. At 100 TB with
+    date-partitioned layout the year filter becomes partition pruning and
+    the query touches 1/7th of the files."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round2(F.sum(money("l_extendedprice") * rate(F.col("l_discount")))).alias(
+                "revenue_lift"
+            ),
+            F.count(F.lit(1)).alias("num_lines"),
+        )
+    )
+
+
+DISCOUNT_REVENUE_LIFT_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue_lift,
+       COUNT(*) AS num_lines
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "discount_revenue_lift": QuerySpec(discount_revenue_lift, DISCOUNT_REVENUE_LIFT_SQL),
     "shipping_priority": QuerySpec(shipping_priority, SHIPPING_PRIORITY_SQL),
     "promo_revenue_share": QuerySpec(promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
     "local_trade_share": QuerySpec(local_trade_share, LOCAL_TRADE_SHARE_SQL),
