@@ -68,6 +68,7 @@ HEADLINE = [
     "zscore_outliers",
     "discount_revenue_lift",
     "pack_sequences",
+    "trend_per_type",
 ]
 
 

@@ -115,7 +115,82 @@ ORDER BY event_id
 """
 
 
+def q_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: daily value totals per event_type,
+    fitted with the closed-form OLS slope/intercept (x = epoch day).
+
+    This is the distributed 'fit a model per group' shape WITHOUT a Python
+    kernel: two hash aggregates (day rollup, then per-type moment sums
+    Σt, Σt², Σy, Σty — t exact int, y exact decimal) and the closed form
+    applied once per group in doubles. Groups never co-locate more than
+    their moment tuple, so a million series fit in one pass — the
+    applyInPandas per-series kernel (forecast.py) is only needed when the
+    model itself is iterative."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("y"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("t"),
+            F.col("y").cast("decimal(14,2)").alias("y"),
+        )
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("t").cast("decimal(10,0)")).alias("sty"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    sy = F.col("sy").cast("double")
+    sty = F.col("sty").cast("double")
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        snap_round(slope, 6).alias("slope"),
+        snap_round((sy - slope * st) / n, 4).alias("intercept"),
+    ).orderBy("event_type")
+
+
+TREND_PER_TYPE_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '1970-01-01', CAST(DATE_TRUNC('day', ts) AS DATE)) AS t,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS y
+    FROM events
+    GROUP BY event_type, CAST(DATE_TRUNC('day', ts) AS DATE)
+),
+sums AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(t) AS st, SUM(t * t) AS stt,
+           SUM(y) AS sy, SUM(y * CAST(t AS DECIMAL(10,0))) AS sty
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(ROUND(CAST(
+           (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS slope,
+       CAST(ROUND(CAST(
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+              * CAST(st AS DOUBLE))
+           / CAST(n AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS intercept
+FROM sums
+ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(q_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "zscore_outliers": QuerySpec(q_zscore_outliers, ZSCORE_OUTLIERS_SQL),
+    "trend_per_type": QuerySpec(q_trend_per_type, TREND_PER_TYPE_SQL),
 }

@@ -232,3 +232,45 @@ def test_merge_and_diff_join_on_keys(spark):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """The Q6 shape's whole point: date/discount/quantity predicates reach
+    the parquet scan, and the projection prunes to the 4 touched columns."""
+    plan = plan_of(spark, "discount_revenue_lift")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("PushedFilters: []" not in ln for ln in pushed), pushed
+    assert "l_comment" not in plan and "l_partkey" not in plan, plan
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    """The per-type moments dim is a handful of rows — the corpus side must
+    not shuffle to meet it."""
+    plan = plan_of(spark, "zscore_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_topk_not_global_sort(spark):
+    """A-ES top-k must plan as TakeOrderedAndProject (per-partition top-k +
+    k-row driver merge), never a global sort of the corpus."""
+    plan = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ohlc_single_shuffle(spark):
+    """Both row_number windows and the final aggregate share the ONE
+    (bar_start, event_type) exchange."""
+    plan = plan_of(spark, "ohlc_bars")
+    shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+
+
+def test_histogram_exchange_is_constant_width(spark):
+    """The histogram aggregates on a derived 24-value int key: the exchange
+    after partial aggregation carries ≤ buckets × tasks rows regardless of
+    SF — assert the plan is partial-agg → exchange → final-agg with no
+    extra shuffles."""
+    plan = plan_of(spark, "histogram_prices")
+    shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+    assert "HashAggregate" in plan, plan
