@@ -69,6 +69,7 @@ HEADLINE = [
     "discount_revenue_lift",
     "pack_sequences",
     "trend_per_type",
+    "rolling_weekly_value",
 ]
 
 

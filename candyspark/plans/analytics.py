@@ -367,6 +367,61 @@ ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber
 """
 
 
+def rolling_weekly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per event_type daily totals with a
+    trailing-7-day rolling sum and event count. RANGE (value-based) frames
+    differ from ROWS frames exactly when days are missing — the frame spans
+    calendar time, not row count, so gaps shrink the window (the honest
+    rolling metric; a ROWS frame silently stretches across gaps).
+
+    Cross-engine form: Spark's rangeBetween needs a numeric ordering key →
+    order both engines on epoch days with a [-6, 0] day frame. One shuffle
+    on event_type feeds the day rollup AND the window (same partitioning).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(money("value")).alias("day_value"),
+            F.count(F.lit(1)).alias("day_events"),
+        )
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        round2(F.col("day_value")).alias("day_value"),
+        round2(F.sum("day_value").over(w)).alias("rolling_7d_value"),
+        F.sum("day_events").over(w).alias("rolling_7d_events"),
+    ).orderBy("event_type", "day")
+
+
+ROLLING_WEEKLY_VALUE_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(12,2))) AS day_value,
+           COUNT(*) AS day_events,
+           DATEDIFF('day', DATE '1970-01-01', CAST(DATE_TRUNC('day', ts) AS DATE)) AS epoch_day
+    FROM events
+    GROUP BY event_type, CAST(DATE_TRUNC('day', ts) AS DATE)
+)
+SELECT event_type, day,
+       CAST(ROUND(day_value, 2) AS DOUBLE) AS day_value,
+       CAST(ROUND(SUM(day_value) OVER w, 2) AS DOUBLE) AS rolling_7d_value,
+       CAST(SUM(day_events) OVER w AS BIGINT) AS rolling_7d_events
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sample_hash": QuerySpec(sample_hash, SAMPLE_HASH_SQL),
     "pivot_linestatus": QuerySpec(pivot_linestatus, PIVOT_LINESTATUS_SQL),
@@ -377,4 +432,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "gap_fill_daily": QuerySpec(gap_fill_daily, GAP_FILL_DAILY_SQL),
     "unpivot_measures": QuerySpec(unpivot_measures, UNPIVOT_MEASURES_SQL),
     "window_distribution": QuerySpec(window_distribution, WINDOW_DISTRIBUTION_SQL),
+    "rolling_weekly_value": QuerySpec(rolling_weekly_value, ROLLING_WEEKLY_VALUE_SQL),
 }

@@ -634,6 +634,28 @@ FROM events c JOIN events e
 """
 
 
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization run through Structured Streaming
+    (session_window + watermark, the merging-state operator) and checked
+    against the SAME DuckDB oracle as the batch form — single-micro-batch
+    availableNow run so the watermark cannot drop sessions (multi-batch
+    session merging is the state store's concern; batch equivalence is the
+    contract here)."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.events import session_agg
+    from candyspark.streaming.stream import read_events_stream, run_available_now
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    stream = read_events_stream(spark, src).withWatermark("ts", "2 hours")
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_available_now(session_agg(stream, "30 minutes"), ckpt, query_name=name)
+    return spark.table(name)
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: purchase events streamed through a
     broadcast join against a batch-computed per-user spend dimension —
@@ -920,6 +942,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
     "streaming_enrich": QuerySpec(q_streaming_enrich, STREAMING_ENRICH_SQL),
+    "streaming_session": QuerySpec(q_streaming_session, EVENTS_SESSION_SQL),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
     "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),
