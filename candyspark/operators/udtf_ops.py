@@ -1,0 +1,42 @@
+"""Python UDTF surface (1-row → N-rows table functions).
+
+The engine's default 1→N shape is JVM-side ``explode`` over an array
+expression (plans/corpus.chunk_documents — whole-stage codegen, scan
+speed); ``mapInPandas`` covers Arrow-batched kernels (operators/
+multimodal.py). A declared UDTF is the third form: genuinely imperative
+per-row expansion logic with UDTF semantics (LATERAL join), for the cases
+where the expansion can't be stated as an array expression. It runs
+row-at-a-time in Python workers — the SLOWEST of the three forms; use it
+for expressiveness, never in a 100-TB hot path when an expression form
+exists. Kept deterministic (regex split + trim) so the DuckDB oracle
+checks it exactly like any relational operator.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+_SENT_RE = re.compile(r"[.!?]+")
+_TRIM = " \t\n\r"
+
+
+@udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
+class SentenceSplitter:
+    """Split a document into trimmed, non-empty sentences with a stable
+    per-document index; mirrors DuckDB
+    ``string_split_regex(text, '[.!?]+')`` + trim + filter semantics."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102 (UDTF contract)
+        idx = 0
+        for part in _SENT_RE.split(text or ""):
+            p = part.strip(_TRIM)
+            if p:
+                yield doc_id, idx, p
+                idx += 1
+
+
+def register_udtfs(spark) -> None:
+    """Register all engine UDTFs on a session (idempotent)."""
+    spark.udtf.register("sentence_split", SentenceSplitter)

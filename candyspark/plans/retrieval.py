@@ -147,7 +147,53 @@ ORDER BY doc_id
 """
 
 
+def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a registered Python UDTF in a LATERAL
+    join — the declared-table-function surface (operators/udtf_ops.py; see
+    its docstring for when a UDTF is and isn't the right 1→N form). The
+    aggregation on top keeps the driver compare small: per-doc sentence
+    count, max index, and total sentence characters."""
+    import uuid
+
+    from candyspark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    view = f"docs_udtf_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id,
+               COUNT(*) AS n_sentences,
+               MAX(s.sent_idx) AS max_idx,
+               CAST(SUM(LENGTH(s.sentence)) AS BIGINT) AS sent_chars
+        FROM {view} d, LATERAL sentence_split(d.doc_id, d.text) s
+        WHERE d.doc_id = s.doc_id
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+        """
+    )
+
+
+SENTENCES_UDTF_SQL = r"""
+WITH s AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                       x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                       x -> x != '') AS sents
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(len(sents) - 1 AS INT) AS max_idx,
+       CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))), 0) AS BIGINT) AS sent_chars
+FROM s
+WHERE len(sents) > 0
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "contamination_check": QuerySpec(q_contamination_check, CONTAMINATION_CHECK_SQL),
+    "sentences_udtf": QuerySpec(q_sentences_udtf, SENTENCES_UDTF_SQL),
 }
