@@ -70,6 +70,8 @@ HEADLINE = [
     "pack_sequences",
     "trend_per_type",
     "rolling_weekly_value",
+    "bitmap_distinct",
+    "ordered_listagg",
 ]
 
 

@@ -144,8 +144,101 @@ ORDER BY bar_start, event_type
 """
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event_type via bitmap aggregation — the
+    exact counterpart of the HLL sketch, still fully mergeable: each
+    (group, bucket) holds a fixed-width bitmap of bit positions, bitmaps
+    OR-combine map-side, and the per-group count is the sum of bucket
+    popcounts. At 100 TB this replaces countDistinct's expand-shuffle of
+    every distinct value with a bounded-width bitmap exchange — and daily
+    bitmaps OR-merge into rollups with no rescan. Being exact, it
+    hash-checks against plain COUNT(DISTINCT) in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.groupBy("event_type", F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
+        .orderBy("event_type")
+    )
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches: set-operation cardinalities (union / intersection of
+    clicker and purchaser user sets) from mergeable fixed-size sketches —
+    the sketch family HLL cannot provide (HLL unions but never intersects).
+    Approximate by design → rows-only check; error vs exact is pinned in
+    tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    both = clicks.select(F.lit("click").alias("side"), "sk").unionByName(
+        purchases.select(F.lit("purchase").alias("side"), "sk")
+    )
+    merged = both.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("union_users"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias(
+            "intersect_users"
+        ),
+    )
+    return merged.select(
+        F.lit("click_x_purchase").alias("pair"), "union_users", "intersect_users"
+    )
+
+
+def q_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic aggregation-to-string: per lang, the sorted id list of
+    a hash-thinned document sample, joined with commas. collect_list alone
+    is partition-order-nondeterministic — sort_array before array_join is
+    what makes string aggregation reproducible (same contract as DuckDB's
+    string_agg ... ORDER BY). The thinning keeps the string bounded; an
+    unbounded listagg over a group is a driver-OOM shape at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(F.col("doc_id") % 97 == 0)
+    ids = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return (
+        sample.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), ids.alias("doc_ids"))
+        .orderBy("lang")
+    )
+
+
+ORDERED_LISTAGG_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), ',')
+           AS doc_ids
+FROM documents
+WHERE doc_id % 97 = 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "hll_sketches": QuerySpec(q_hll_sketches, None),  # approximate; tests pin error
     "histogram_prices": QuerySpec(q_histogram_prices, HISTOGRAM_PRICES_SQL),
     "ohlc_bars": QuerySpec(q_ohlc_bars, OHLC_BARS_SQL),
+    "bitmap_distinct": QuerySpec(q_bitmap_distinct, BITMAP_DISTINCT_SQL),
+    "theta_set_ops": QuerySpec(q_theta_set_ops, None),  # approximate; tests pin error
+    "ordered_listagg": QuerySpec(q_ordered_listagg, ORDERED_LISTAGG_SQL),
 }

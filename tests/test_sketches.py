@@ -43,3 +43,28 @@ def test_hll_merge_equals_direct_global_sketch(spark):
         .est
     )
     assert merged == direct
+
+
+def test_theta_set_ops_within_bound(spark):
+    from candyspark.plans.sketches import q_theta_set_ops
+
+    row = q_theta_set_ops(spark, SF_DIR).collect()[0]
+    e = load_table(spark, SF_DIR, "events")
+    clickers = {r.user_id for r in e.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    purchasers = {r.user_id for r in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    exact_union = len(clickers | purchasers)
+    exact_inter = len(clickers & purchasers)
+    assert abs(row.union_users - exact_union) <= max(0.05 * exact_union, 2)
+    assert abs(row.intersect_users - exact_inter) <= max(0.05 * exact_inter, 2)
+
+
+def test_bitmap_distinct_is_exact(spark):
+    from candyspark.plans.sketches import q_bitmap_distinct
+
+    got = {r.event_type: r.exact_users for r in q_bitmap_distinct(spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == exact
