@@ -119,3 +119,42 @@ def test_jsonl_roundtrip_is_lossless_and_splittable(spark, tmp_path):
     back = load_jsonl(spark, path, schema=d.schema)
     assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
     assert back.rdd.getNumPartitions() > 1  # multiple line-splittable files
+
+
+def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, tmp_path):
+    """Re-landing ONE day with partitionOverwriteMode=dynamic must replace
+    only that day's partition and leave every sibling intact — the
+    idempotent-backfill contract a 100-TB daily pipeline depends on
+    (STATIC overwrite mode would clobber the whole table root on retry)."""
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    out = str(tmp_path / "events_dyn")
+    save_parquet(ev, out, partition_by=["event_date"])
+    before = spark.read.parquet(out).count()
+    days = sorted(
+        str(r.event_date)
+        for r in spark.read.parquet(out).select("event_date").distinct().collect()
+    )
+    target = days[0]
+
+    # backfill the earliest day with a corrected copy (value doubled)
+    corrected = ev.filter(F.col("event_date") == target).withColumn(
+        "value", F.col("value") * 2
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        save_parquet(corrected, out, partition_by=["event_date"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    after = spark.read.parquet(out)
+    assert after.count() == before  # no sibling partition lost
+    assert sorted(
+        str(r.event_date) for r in after.select("event_date").distinct().collect()
+    ) == days
+    # the target day really was replaced, others untouched
+    orig_sum = ev.filter(F.col("event_date") == target).agg(F.sum("value")).collect()[0][0]
+    new_sum = (
+        after.filter(F.col("event_date") == target).agg(F.sum("value")).collect()[0][0]
+    )
+    assert abs(new_sum - 2 * orig_sum) < 1e-6
