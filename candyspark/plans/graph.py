@@ -17,23 +17,16 @@ from pyspark.sql import functions as F
 from candyspark.operators import dedup as D
 from candyspark.operators.components import dedup_clusters
 from candyspark.plans import QuerySpec
-from candyspark.plans.extensions import _SHINGLES, _TOKS
+from candyspark.plans.extensions import DEDUP_MINHASH_SQL
 from candyspark.sources.readers import load_table
 
-# near-dup edges: lang-blocked word-3-gram Jaccard ≥ 0.6 (the dedup_ngram
-# pair generator — same fragment as plans/extensions.DEDUP_NGRAM_SQL)
+# near-dup edges: the MinHash-LSH pair generator (the linear-ish scale path —
+# a lang-blocked all-pairs Jaccard would be O(block²) and was measured 6×
+# slower at sf0.1). The oracle embeds plans/extensions.DEDUP_MINHASH_SQL as
+# the pair relation, so edges are bit-identical to the dedup_minhash query.
 _PAIRS_CTES = f"""
-t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t),
 pairs AS (
-    SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(ROUND(CAST(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
-                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                          / len(list_distinct(a.sh || b.sh))
-                     ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
-        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    ) WHERE jaccard_sim >= 0.6
+    SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
 ),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION
@@ -48,9 +41,12 @@ lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
-def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same generator + parameters as the dedup_minhash query
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "text", "doc_id", "lang", k=3, threshold=0.6)
+    return D.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +54,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with its component's min doc id + the group size. Near-dup
     similarity isn't transitive, so the kept-set policy needs components,
     not pairs (operators/components.py)."""
-    return dedup_clusters(_ngram_pairs(spark, sf_dir)).orderBy("doc_id")
+    return dedup_clusters(_near_dup_pairs(spark, sf_dir)).orderBy("doc_id")
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -78,7 +74,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus never collects; removal list is |duplicates|-sized)."""
     docs = load_table(spark, sf_dir, "documents")
     removed = (
-        dedup_clusters(_ngram_pairs(spark, sf_dir))
+        dedup_clusters(_near_dup_pairs(spark, sf_dir))
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(1).alias("is_removed"))
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from candyspark.operators.components import connected_components, dedup_clusters
-from candyspark.plans.graph import _ngram_pairs
+from candyspark.plans.graph import _near_dup_pairs
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -36,7 +36,7 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def test_components_match_union_find(spark):
-    pairs = _ngram_pairs(spark, SF_DIR)
+    pairs = _near_dup_pairs(spark, SF_DIR)
     edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
     assert edge_list, "fixture should contain near-dup pairs"
     expected = _union_find(edge_list)
@@ -70,7 +70,7 @@ def test_two_components_and_sizes(spark):
 
 
 def test_repartition_invariance(spark):
-    pairs = _ngram_pairs(spark, SF_DIR)
+    pairs = _near_dup_pairs(spark, SF_DIR)
     base = sorted(
         (r.node, r.component)
         for r in connected_components(pairs, "doc_a", "doc_b").collect()
