@@ -48,17 +48,23 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (FIXTURES.md §B) from ``sf_dir``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    ([PARQUET_TYPE_ILLEGAL]); it is read as int64 nanos (legacy conf,
-    runtime-settable so it works on any caller's session) and truncated to
-    microseconds — exactly what DuckDB's ns→µs timestamp cast does."""
+    ``events.ts`` normalization is type-adaptive, because the driver has
+    shipped it both as parquet TIMESTAMP(NANOS) — which Spark 4 rejects
+    ([PARQUET_TYPE_ILLEGAL]) unless read as int64 nanos via the legacy conf —
+    and as plain TIMESTAMP(MICROS) (naive, -> TIMESTAMP_NTZ). Either way the
+    column leaves here as session-TZ TIMESTAMP (UTC session, see session.py),
+    matching DuckDB's naive-microsecond timestamps value-for-value."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):  # int64 nanos under the legacy conf
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz -> session-TZ timestamp
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
