@@ -72,6 +72,12 @@ HEADLINE = [
     "rolling_weekly_value",
     "bitmap_distinct",
     "ordered_listagg",
+    "basket_pairs",
+    "event_transitions",
+    "peak_concurrency",
+    "rfm_segments",
+    "robust_stats",
+    "repetition_signals",
 ]
 
 

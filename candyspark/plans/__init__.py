@@ -26,6 +26,7 @@ def collect_registry() -> dict[str, QuerySpec]:
     """Union of all plan modules' registries (stable names across rounds)."""
     from candyspark.plans import (
         analytics,
+        behavior,
         candy,
         corpus,
         extensions,
@@ -59,6 +60,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         retrieval,
         sketches,
         outliers,
+        behavior,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

@@ -1,0 +1,229 @@
+"""Behavioral-analytics plans: co-occurrence, transition, concurrency, RFM.
+
+Extension surface — the reference has no self-joins, no lead/lag, and no
+interval logic at all (SURVEY.md §2.4 "no theta/range/as-of" and §2.6
+"no window functions executed"). These four shapes are the standard
+behavioral-warehouse workloads a production engine is expected to run:
+
+- ``basket_pairs`` — market-basket co-occurrence via an equi self-join on
+  the order key. The join shuffles both sides on ``l_orderkey`` once; the
+  pair fan-out is bounded by items-per-order (≤ 7 in TPC-H shape, so ≤ 21
+  pairs per order), which is what keeps the shape linear at 100 TB —
+  co-occurrence on an UNBOUNDED group key (e.g. user) would need a
+  frequency cap or sampling first.
+- ``event_transitions`` — first-order Markov transition counts/probabilities
+  from ``lead()`` over per-user event sequences. One shuffle on user_id;
+  per-user state never leaves the window frame. The tie-break ``(ts,
+  event_id)`` makes the sequence a total order (same discipline as the
+  allocator, SURVEY.md §2.9).
+- ``peak_concurrency`` — classic sweep-line max-overlap, fully relational:
+  each event opens a half-open 15-minute interval; ±1 deltas are
+  pre-aggregated per distinct timestamp BEFORE the running sum, so the
+  window input is bounded by distinct timestamps, not events. End-before-
+  start at equal instants falls out of netting the deltas (c − e + s is
+  the post-instant value either way).
+- ``rfm_segments`` — recency/frequency/monetary quartile segmentation with
+  ``ntile(4)``. The quartile windows are global single-partition by
+  definition, but they run over the per-customer AGGREGATE (one row per
+  customer), not raw orders; at true 100-TB cardinality the scale path is
+  approx-quantile cutoffs joined as a broadcast dim — kept here as the
+  exact, oracle-checkable form with documented tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.operators.text import snap_round
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part pairs by number of orders containing both."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 100
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix: count + probability per (from, to)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(seq))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = t.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("from_total", F.sum("n").over(per_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            snap_round(F.col("n") / F.col("from_total"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(ROUND(CAST(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS prob
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 15-minute event intervals per event_type (sweep-line)."""
+    e = load_table(spark, sf_dir, "events")
+    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    per_instant = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        )
+    )
+    sweep = Window.partitionBy("event_type").orderBy("t")
+    return (
+        per_instant.withColumn("running", F.sum("net").over(sweep))
+        .groupBy("event_type")
+        .agg(
+            F.max("running").alias("peak_concurrency"),
+            F.sum("n_starts").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH deltas AS (
+    SELECT event_type, ts AS t, 1 AS delta, 1 AS is_start FROM events
+    UNION ALL
+    SELECT event_type, ts + INTERVAL 15 MINUTE AS t, -1 AS delta, 0 AS is_start FROM events
+),
+per_instant AS (
+    SELECT event_type, t, SUM(delta) AS net, SUM(is_start) AS n_starts
+    FROM deltas GROUP BY 1, 2
+),
+swept AS (
+    SELECT event_type, n_starts,
+           SUM(net) OVER (PARTITION BY event_type ORDER BY t) AS running
+    FROM per_instant
+)
+SELECT event_type,
+       CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+       CAST(SUM(n_starts) AS BIGINT) AS n_intervals
+FROM swept GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers, rolled up per segment."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("decimal(18,2)").cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH cust AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, monetary,
+           NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM cust
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       CAST(CAST(SUM(monetary) AS DECIMAL(18,2)) AS DOUBLE) AS total_monetary
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "basket_pairs": QuerySpec(q_basket_pairs, BASKET_PAIRS_SQL),
+    "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL),
+    "peak_concurrency": QuerySpec(q_peak_concurrency, PEAK_CONCURRENCY_SQL),
+    "rfm_segments": QuerySpec(q_rfm_segments, RFM_SEGMENTS_SQL),
+}

@@ -31,10 +31,10 @@ to the syntax subset Java regex and RE2 share.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from candyspark.operators.text import char_hash32
+from candyspark.operators.text import char_hash32, snap_round
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -247,7 +247,94 @@ ORDER BY lang, bin_id
 """
 
 
+# --- repetition / entropy quality signals ------------------------------------
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition and diversity signals:
+    word count, distinct-word ratio, top-word fraction, and word-unigram
+    Shannon entropy (bits). Heavily repetitive documents (low entropy, high
+    top-word fraction) are the classic filter targets in training-corpus
+    curation.
+
+    Shape: explode → count per (doc_id, word) → roll up per doc_id. Both
+    shuffles key on the document (or finer), so the plan is embarrassingly
+    parallel at any corpus size; the per-doc window in the entropy step
+    spans one document's distinct words only. Entropy terms are snapped to
+    6 dp and summed as exact decimals — floating-point sums are
+    order-dependent, and partial aggregation means Spark's summation order
+    is nondeterministic, so a raw double sum would not be oracle-hashable."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = Window.partitionBy("doc_id")
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    term = snap_round(-p * F.log(p), 6).cast("decimal(18,6)")
+    ent = (
+        wc.withColumn("total", F.sum("n").over(per_doc))
+        .select("doc_id", "n", "total", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_n"),
+            F.sum("term").alias("ent_nats"),
+        )
+    )
+    ln2 = F.lit(0.6931471805599453)
+    return ent.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        snap_round(F.col("n_distinct") / F.col("n_words"), 4).alias("distinct_ratio"),
+        snap_round(F.col("top_n") / F.col("n_words"), 4).alias("top_word_frac"),
+        snap_round(F.col("ent_nats").cast("double") / ln2, 4).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+REPETITION_SIGNALS_SQL = """
+WITH words AS (
+    SELECT doc_id, w AS word
+    FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(w)
+    WHERE w <> ''
+),
+wc AS (
+    SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2
+),
+with_tot AS (
+    SELECT doc_id, n,
+           SUM(n) OVER (PARTITION BY doc_id) AS total
+    FROM wc
+),
+ent AS (
+    SELECT doc_id,
+           MAX(total) AS n_words,
+           COUNT(*) AS n_distinct,
+           MAX(n) AS top_n,
+           SUM(CAST(ROUND(CAST(-(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                    * LN(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6))) AS ent_nats
+    FROM with_tot
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       n_distinct,
+       CAST(ROUND(CAST(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS distinct_ratio,
+       CAST(ROUND(CAST(CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS top_word_frac,
+       CAST(ROUND(CAST(CAST(ent_nats AS DOUBLE) / 0.6931471805599453
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS entropy_bits
+FROM ent
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "repetition_signals": QuerySpec(repetition_signals, REPETITION_SIGNALS_SQL),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),
     "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),

@@ -189,8 +189,77 @@ ORDER BY event_type
 """
 
 
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group dispersion: median, quartiles, IQR, and MAD of
+    l_extendedprice per return flag — the outlier-detection companion to
+    z-scores when the distribution is heavy-tailed (mean/stddev are not
+    robust; median/MAD are).
+
+    Exact percentiles are a SORT-based aggregate: Spark's ``percentile``
+    buffers each group's values, so the shape is one shuffle on the (tiny)
+    group key with large groups — fine while groups fit an executor; the
+    100-TB path swaps in ``approx_percentile`` (KLL-style mergeable sketch,
+    already covered by approx_aggregates) with no plan change. MAD needs a
+    second pass by definition (median of |x − median|): stats are broadcast
+    back so the fact table never shuffles for the re-join. Both engines use
+    linear interpolation at (n−1)·q; outputs are snapped to 4 dp."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    quartiles = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.5).alias("med"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    mad = (
+        li.join(F.broadcast(quartiles.select("l_returnflag", "med")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5).alias(
+                "mad_raw"
+            )
+        )
+    )
+    return (
+        quartiles.join(mad, "l_returnflag")
+        .select(
+            "l_returnflag",
+            snap_round(F.col("med"), 4).alias("median_price"),
+            snap_round(F.col("q1"), 4).alias("q1"),
+            snap_round(F.col("q3"), 4).alias("q3"),
+            snap_round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            snap_round(F.col("mad_raw"), 4).alias("mad"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ROBUST_STATS_SQL = """
+WITH quartiles AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS q1,
+           quantile_cont(l_extendedprice, 0.5) AS med,
+           quantile_cont(l_extendedprice, 0.75) AS q3
+    FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+    SELECT l.l_returnflag,
+           quantile_cont(ABS(l.l_extendedprice - q.med), 0.5) AS mad_raw
+    FROM lineitem l JOIN quartiles q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+)
+SELECT q.l_returnflag,
+       CAST(ROUND(CAST(q.med AS DECIMAL(28,8)), 4) AS DOUBLE) AS median_price,
+       CAST(ROUND(CAST(q.q1 AS DECIMAL(28,8)), 4) AS DOUBLE) AS q1,
+       CAST(ROUND(CAST(q.q3 AS DECIMAL(28,8)), 4) AS DOUBLE) AS q3,
+       CAST(ROUND(CAST(q.q3 - q.q1 AS DECIMAL(28,8)), 4) AS DOUBLE) AS iqr,
+       CAST(ROUND(CAST(m.mad_raw AS DECIMAL(28,8)), 4) AS DOUBLE) AS mad
+FROM quartiles q JOIN mad m USING (l_returnflag)
+ORDER BY q.l_returnflag
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(q_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "zscore_outliers": QuerySpec(q_zscore_outliers, ZSCORE_OUTLIERS_SQL),
     "trend_per_type": QuerySpec(q_trend_per_type, TREND_PER_TYPE_SQL),
+    "robust_stats": QuerySpec(q_robust_stats, ROBUST_STATS_SQL),
 }

@@ -274,3 +274,42 @@ def test_histogram_exchange_is_constant_width(spark):
     shuffles = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
     assert len(shuffles) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_basket_pairs_topk_and_single_join(spark):
+    """The self-join is an EQUI join on l_orderkey (at test SF the build
+    side broadcasts; at scale AQE picks shuffle-on-orderkey — either way,
+    never a nested-loop over the cross product); the top-100 is
+    TakeOrdered, not a global sort of all pairs."""
+    plan = plan_of(spark, "basket_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_peak_concurrency_preaggregates_before_window(spark):
+    """Sweep-line deltas are netted per (event_type, t) BEFORE the running
+    sum, so the window input is distinct timestamps, not 2× events."""
+    plan = plan_of(spark, "peak_concurrency", "simple")
+    assert "Window" in plan, plan
+    # in simple mode children print below their parent: the netting
+    # aggregate on (event_type, t) must appear under the Window operator
+    below_window = plan.split("Window")[-1]
+    assert "HashAggregate(keys=[event_type" in below_window, plan
+
+
+def test_repetition_signals_shuffles_on_doc_keys_only(spark):
+    """Repetition/entropy rolls up (doc_id, word) → doc_id: every exchange
+    is keyed on the document or finer — nothing global, so the shape is
+    embarrassingly parallel at corpus scale."""
+    plan = plan_of(spark, "repetition_signals")
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert "doc_id" in ln, ln
+
+
+def test_robust_stats_fact_join_is_broadcast(spark):
+    """The MAD second pass re-joins a 3-row quartile dim to lineitem — must
+    broadcast, never shuffle the fact side for it."""
+    plan = plan_of(spark, "robust_stats")
+    assert "BroadcastHashJoin" in plan, plan
