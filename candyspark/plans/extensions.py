@@ -701,6 +701,89 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API v2 (streaming/tws.py). Single-batch
+    availableNow drain, so each user's final snapshot equals the batch
+    aggregate: the DuckDB oracle. Registered only when protobuf is
+    importable — the v2 state protocol serializes state over protobuf, and
+    the runtime gate keeps the registry honest in stripped containers."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import read_events_stream, run_update
+    from candyspark.streaming.tws import streaming_running_totals
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_update(
+        streaming_running_totals(read_events_stream(spark, src)), ckpt, query_name=name
+    )
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        (F.col("total_cents").cast("double") / F.lit(100.0)).alias("total_value"),
+    ).orderBy("user_id")
+
+
+STREAMING_RUNNING_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources/pydatasource.py): 20k rows
+    generated across 8 explicit input partitions, aggregated per event
+    type. The oracle re-derives every row from the same md5 formula over
+    ``range(20000)`` — proving the source's content, partition planning,
+    and the aggregate in one hash. ``sf_dir`` is unused by construction
+    (the source IS the data)."""
+    from candyspark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SYNTHETIC_SOURCE_SQL = """
+WITH seq AS (SELECT unnest(range(20000)) AS i),
+h AS (
+    SELECT CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+    FROM seq
+)
+SELECT ['click', 'view', 'purchase', 'error'][(h % 4) + 1] AS event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT h % 97) AS n_users,
+       CAST(ROUND(SUM(CAST(((h // 4) % 100000) / 100.0 AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_value
+FROM h
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-fidelity gate: documents → ORC → read back → JSON-lines →
     read back (explicit schema), then aggregate per (lang, source). The
@@ -948,4 +1031,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),
     "latest_per_key": QuerySpec(q_latest_per_key, LATEST_PER_KEY_SQL),
     "retention_cohorts": QuerySpec(q_retention_cohorts, RETENTION_COHORTS_SQL),
+    "synthetic_source": QuerySpec(q_synthetic_source, SYNTHETIC_SOURCE_SQL),
 }
+
+# transformWithStateInPandas (state API v2) speaks protobuf between the JVM
+# and the Python state server; register its query only where that runs.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    REGISTRY["streaming_running_totals"] = QuerySpec(
+        q_streaming_running_totals, STREAMING_RUNNING_TOTALS_SQL
+    )
+except ImportError:
+    pass

@@ -120,6 +120,20 @@ def streaming_static_enrich(stream: DataFrame, static_dim: DataFrame, keys: list
     return stream.join(F.broadcast(static_dim), keys, "inner")
 
 
+def run_update(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> None:
+    """Drain the source through an UPDATE-mode memory sink (the mode
+    snapshot-emitting stateful operators like transformWithState use)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_append(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> None:
     """Drain the source through an APPEND-mode memory sink (the mode
     row-level operators like dedup and stream-stream joins require)."""

@@ -158,3 +158,33 @@ def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, tmp_path):
         after.filter(F.col("event_date") == target).agg(F.sum("value")).collect()[0][0]
     )
     assert abs(new_sum - 2 * orig_sum) < 1e-6
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom source must parallelize via its own InputPartitions (8
+    requested → 8 task slices covering [0, rows) disjointly) and generate
+    rows derivable purely from the index — re-reading any slice yields
+    identical bytes."""
+    from candyspark.sources.pydatasource import (
+        SyntheticEventsReader,
+        register_synthetic_source,
+        row_for_index,
+    )
+
+    reader = SyntheticEventsReader({"rows": 1000, "partitions": 8})
+    parts = reader.partitions()
+    assert len(parts) == 8
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 0 and covered[-1][1] == 1000
+    assert all(a[1] == b[0] for a, b in zip(covered, covered[1:]))
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(row_for_index(i) for i in range(100))

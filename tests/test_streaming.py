@@ -11,6 +11,7 @@ import glob
 import os
 
 import pandas as pd
+import pytest
 
 from candyspark.operators.allocation import allocate_greedy
 from candyspark.schemas import EVENTS
@@ -156,3 +157,43 @@ def test_streaming_dedup_state_spans_batches(spark, tmp_path):
     run_append(stream, str(tmp_path / "ckpt"), query_name="dedup_stream")
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == [1, 2, 3]  # the batch-2 re-send of event 1 was dropped by state
+
+
+def test_tws_running_totals_carry_across_batches(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas): per-user totals must
+    accumulate ACROSS micro-batches — batch 2's snapshot for user 10
+    includes batch 1's events. Skipped where protobuf (the v2 state
+    protocol's wire format) isn't installed."""
+    pytest.importorskip("google.protobuf")
+    import glob as _glob
+    import os as _os
+
+    from candyspark.streaming.stream import run_update
+    from candyspark.streaming.tws import streaming_running_totals
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    batch1 = [(1, ts, 10, "click", 1.25, "{}"), (2, ts, 11, "view", 2.00, "{}")]
+    batch2 = [(3, ts, 10, "click", 0.75, "{}")]
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        dest = str(src / f"b{i}.parquet")
+        _os.rename(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = streaming_running_totals(
+        spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    assert stream.isStreaming
+    run_update(stream, str(tmp_path / "ckpt"), query_name="tws_stream")
+    rows = spark.sql("SELECT * FROM tws_stream").collect()
+    # update mode appends one snapshot per (user, batch) to the memory sink;
+    # the LAST snapshot per user is the running total
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_cents"])
+    assert last[10] == (2, 200)  # 1.25 + 0.75 across two batches
+    assert last[11] == (1, 200)
