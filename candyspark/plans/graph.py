@@ -105,7 +105,46 @@ ORDER BY d.lang
 """
 
 
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the market-basket co-occurrence graph:
+    parts are nodes, an (undirected → symmetrized) edge links parts bought
+    together in ≥ 2 orders; 8 power iterations, top 50 by rank.
+
+    Iterative (one keyed shuffle per round, lineage checkpointed), so
+    rows-only for the driver — like kmeans_clusters; determinism under
+    repartitioning is pinned in tests/test_pagerank.py instead."""
+    from candyspark.operators.components import symmetrize
+    from candyspark.operators.pagerank import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = symmetrize(pairs, "src", "dst")
+    ranks = pagerank(edges, "a", "b", damping=0.85, iterations=8)
+    return (
+        ranks.select(F.col("node").alias("part"), "rank")
+        .orderBy(F.desc("rank"), "part")
+        .limit(50)
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_survivors": QuerySpec(q_dedup_survivors, DEDUP_SURVIVORS_SQL),
+    "pagerank_parts": QuerySpec(q_pagerank_parts, None),  # iterative; rows-only
 }
