@@ -221,9 +221,131 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity self-join: per brand, count part-name
+    pairs within Levenshtein distance ≤ 4 (the catalog-hygiene /
+    entity-resolution shape).
+
+    The block key (p_brand) is what makes this survive scale: the
+    quadratic edit-distance comparison runs only WITHIN blocks, so cost is
+    Σ block² instead of N² — the same blocking discipline as the n-gram
+    dedup blocker (operators/dedup.py). Levenshtein evaluates JVM-side
+    (whole-stage codegen), never in Python."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(F.col("a.p_brand").alias("brand"), dist.alias("dist"))
+        .filter(F.col("dist") <= 4)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy_pairs"),
+            snap_round(
+                F.sum("dist").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_dist"),
+        )
+        .orderBy("brand")
+    )
+
+
+FUZZY_PART_PAIRS_SQL = """
+SELECT a.p_brand AS brand,
+       COUNT(*) AS n_fuzzy_pairs,
+       CAST(ROUND(CAST(CAST(SUM(levenshtein(a.p_name, b.p_name)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+GROUP BY a.p_brand
+ORDER BY brand
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and ISO
+    weekday — 'is behavior day-of-week dependent?'. The statistic is
+    assembled from three tiny aggregates (cells, row margins, column
+    margins) broadcast-joined back onto the ≤ |types|×7 contingency cells;
+    the fact table is scanned once and shuffles only on the cell key.
+    Per-cell terms are decimal-snapped before the sum (float addition is
+    not associative; decimal is), keeping the statistic engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    total = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    expected = (
+        F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    )
+    resid = F.col("o").cast("double") - expected
+    term = snap_round(resid * resid / expected, 6).cast("decimal(18,6)")
+    return (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(term.alias("term"), "n", "nr", "nc")
+        .groupBy("n", "nr", "nc")
+        .agg(F.sum("term").alias("chi2_sum"))
+        .select(
+            snap_round(F.col("chi2_sum").cast("double"), 4).alias("chi2"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+CHI2_INDEPENDENCE_SQL = """
+WITH cells AS (
+    SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+cols_m AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+total AS (
+    SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
+    FROM cells
+),
+expect AS (
+    SELECT c.o,
+           CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE) AS e,
+           t.n, t.nr, t.nc
+    FROM cells c
+    JOIN rows_m r USING (event_type)
+    JOIN cols_m m USING (dow)
+    CROSS JOIN total t
+),
+terms AS (
+    SELECT CAST(ROUND(CAST(
+               (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS term,
+           n, nr, nc
+    FROM expect
+)
+SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
+       CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+       CAST(n AS BIGINT) AS n_events
+FROM terms
+GROUP BY n, nr, nc
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "basket_pairs": QuerySpec(q_basket_pairs, BASKET_PAIRS_SQL),
     "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL),
     "peak_concurrency": QuerySpec(q_peak_concurrency, PEAK_CONCURRENCY_SQL),
     "rfm_segments": QuerySpec(q_rfm_segments, RFM_SEGMENTS_SQL),
+    "fuzzy_part_pairs": QuerySpec(q_fuzzy_part_pairs, FUZZY_PART_PAIRS_SQL),
+    "chi2_independence": QuerySpec(q_chi2_independence, CHI2_INDEPENDENCE_SQL),
 }
