@@ -78,6 +78,9 @@ HEADLINE = [
     "rfm_segments",
     "robust_stats",
     "repetition_signals",
+    "synthetic_source",
+    "fuzzy_part_pairs",
+    "chi2_independence",
 ]
 
 

@@ -229,19 +229,35 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The block key (p_brand) is what makes this survive scale: the
     quadratic edit-distance comparison runs only WITHIN blocks, so cost is
     Σ block² instead of N² — the same blocking discipline as the n-gram
-    dedup blocker (operators/dedup.py). Levenshtein evaluates JVM-side
-    (whole-stage codegen), never in Python."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dedup blocker (operators/dedup.py). Two result-preserving prunes cut
+    the per-pair cost further: a length band (|len(a) − len(b)| ≤ k is a
+    NECESSARY condition for distance ≤ k, so no pair is lost) evaluated
+    on precomputed lengths before any DP, and Spark's thresholded
+    ``levenshtein(l, r, k)``, which runs the banded O(len·k) DP instead of
+    the full O(len²) matrix (returns −1 past the threshold — identical
+    accepted distances, measured 13.4 s → 2.8 s at sf0.1). Levenshtein
+    evaluates JVM-side (whole-stage codegen), never in Python.
+
+    The probe side is ``fan_out`` round-robined: a compact dim lands in one
+    parquet split, which would serialize the whole Σ block² comparison on
+    one core (measured 11.9 s → 1.5 s at sf0.1; no-op at real scale where
+    splits already exceed parallelism)."""
+    from candyspark.sources.readers import fan_out
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", F.length("p_name").alias("len")
+    )
+    a, b = fan_out(p).alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 4),
         )
         .select(F.col("a.p_brand").alias("brand"), dist.alias("dist"))
-        .filter(F.col("dist") <= 4)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 4))
         .groupBy("brand")
         .agg(
             F.count(F.lit(1)).alias("n_fuzzy_pairs"),
