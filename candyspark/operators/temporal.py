@@ -96,3 +96,92 @@ def range_join_banded(
         )
         .drop("__band")
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    seq_col: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """The SAME contract as ``asof_join``, executed as
+    ``cogroup().applyInPandas`` — both sides shuffle once on ``by`` and a
+    pandas ``merge_asof`` runs per key group. This is the cogrouped-map
+    escape hatch (the two-input sibling of the allocator's grouped-map):
+    use it when per-key logic needs BOTH sides materialized at once —
+    custom tolerance rules, per-key models, nearest-rather-than-backward
+    semantics — where the union+window trick stops composing. For the
+    plain backward as-of the window form stays the JVM-side fast path;
+    keeping both behind one contract lets tests pin strategy equivalence.
+
+    Scale: one co-partitioned exchange per side, Arrow-batched transfer,
+    per-group memory = that key's rows (the grouped-map bound). Ties
+    mirror the window form: a same-instant right row IS visible, and among
+    right ties the higher ``seq_col`` wins (merge_asof takes the last
+    sorted match; the right side sorts by (ts, seq)).
+
+    The right side is internally renamed ``__r_<col>`` before the cogroup:
+    when both sides derive from the SAME scan (self-cogroup, as in
+    click-attribution), shared attribute ids make Spark prune the right
+    side down to its grouping key — the kernel then receives key-only
+    right frames. Distinct names keep the attributes distinct (observed on
+    Spark 4.1; harmless everywhere else)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+    out_fields = list(left.schema.fields) + [
+        T.StructField(prefix + right_ts, right_types[right_ts]),
+        *[T.StructField(prefix + c, right_types[c]) for c in right_vals],
+    ]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+    # unmatched lefts yield NaN; integer outputs need pandas' nullable ints
+    pd_int = {"long": "Int64", "integer": "Int32"}
+    null_casts = {
+        prefix + c: pd_int[right_types[c].typeName()]
+        for c in right_vals
+        if right_types[c].typeName() in pd_int
+    }
+
+    unmangle = {f"__r_{c}": c for c in right.columns}
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:  # right-only key: contributes no output rows
+            return pd.DataFrame(columns=out_cols)
+        rpdf = rpdf.rename(columns=unmangle)
+        lpdf = lpdf.sort_values([left_ts, seq_col], kind="mergesort")
+        if rpdf.empty:  # left-only key: all match columns null
+            out = lpdf.copy()
+            out[prefix + right_ts] = pd.NaT
+            for c in right_vals:
+                out[prefix + c] = pd.array([None] * len(out), dtype="object")
+            for col, dtype in null_casts.items():
+                out[col] = out[col].astype(dtype)
+            return out[out_cols]
+        r = rpdf.sort_values([right_ts, seq_col], kind="mergesort")
+        rr = pd.DataFrame(
+            {
+                left_ts: r[right_ts],  # merge_asof 'on' key (consumed)
+                prefix + right_ts: r[right_ts],  # matched ts, kept as output
+                **{prefix + c: r[c].array for c in right_vals},
+            }
+        )
+        out = pd.merge_asof(
+            lpdf, rr, on=left_ts, direction="backward", allow_exact_matches=True
+        )
+        for col, dtype in null_casts.items():
+            out[col] = out[col].astype(dtype)
+        return out[out_cols]
+
+    mangled = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
+    return (
+        left.groupBy(*by)
+        .cogroup(mangled.groupBy(*[f"__r_{k}" for k in by]))
+        .applyInPandas(merge, out_schema)
+    )

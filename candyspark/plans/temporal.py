@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from candyspark.operators.temporal import asof_join, range_join_banded
+from candyspark.operators.temporal import (
+    asof_join,
+    asof_join_cogrouped,
+    range_join_banded,
+)
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -104,7 +108,40 @@ FROM events p JOIN events e
 """
 
 
+def q_asof_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The click-attribution as-of join executed through the OTHER physical
+    strategy — ``cogroup().applyInPandas`` with per-user ``merge_asof``
+    (operators/temporal.asof_join_cogrouped) — against the SAME DuckDB
+    oracle as the window form: two execution paths, one contract, both
+    hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    out = asof_join_cogrouped(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["event_id"],
+        seq_col="event_id",
+        prefix="click_",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+        F.col("click_event_id").alias("click_id"),
+        F.col("click_ts").alias("click_ts"),
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "asof_click_attribution": QuerySpec(q_asof_click_attribution, ASOF_CLICK_SQL),
+    "asof_cogroup_attribution": QuerySpec(q_asof_cogroup_attribution, ASOF_CLICK_SQL),
     "range_join_error_window": QuerySpec(q_range_join_error_window, RANGE_JOIN_SQL),
 }

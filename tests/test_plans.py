@@ -313,3 +313,29 @@ def test_robust_stats_fact_join_is_broadcast(spark):
     broadcast, never shuffle the fact side for it."""
     plan = plan_of(spark, "robust_stats")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_strategies_agree_and_cogroup_plans_flatmap(spark):
+    """The window as-of and the cogrouped-map merge_asof are two physical
+    strategies behind ONE contract: identical output row-for-row
+    (including null-match lefts and same-instant ties), and the cogroup
+    form must plan as FlatMapCoGroupsInPandas over two co-partitioned
+    exchanges — never a joined/pruned shape (the self-cogroup pruning
+    hazard documented in operators/temporal.py)."""
+    from candyspark.plans import collect_registry
+
+    reg = collect_registry()
+    a = reg["asof_click_attribution"].fn(spark, SF).toPandas()
+    b = reg["asof_cogroup_attribution"].fn(spark, SF).toPandas()
+    key = ["purchase_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in a.columns:
+        ca, cb = a[col], b[col]
+        assert (ca.isna() == cb.isna()).all(), col
+        mask = ~ca.isna()
+        assert (ca[mask].astype(str).values == cb[mask].astype(str).values).all(), col
+
+    plan = plan_of(spark, "asof_cogroup_attribution", "simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
