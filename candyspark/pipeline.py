@@ -200,6 +200,50 @@ def run_pipeline(spark: SparkSession, data_dir: str) -> CandyOutputs:
     return build_final_outputs(allocated, line_items, products)
 
 
+def run_pipeline_observed(
+    spark: SparkSession, data_dir: str
+) -> tuple[CandyOutputs, dict]:
+    """``run_pipeline`` with flow metrics attached via ``df.observe()`` —
+    the engine's answer to the reference's count()-as-control-flow
+    anti-pattern (A5, SURVEY.md §2.5/§4.2: 17+ extra jobs, each a full
+    re-scan). Observations are accumulator-backed: they ride the SAME job
+    that materializes the outputs, costing zero extra scans at any SF.
+
+    Returns the outputs plus {stage: Observation}; call ``.get`` on an
+    Observation AFTER an action has run the corresponding frame (it
+    blocks until the metrics exist)."""
+    from pyspark.sql import Observation
+
+    obs = {
+        "line_items": Observation("line_items"),
+        "orders": Observation("orders"),
+    }
+    _customers, products, transactions = load_inputs(spark, data_dir)
+    line_items = prepare_line_items(transactions).observe(
+        obs["line_items"],
+        F.count(F.lit(1)).alias("n_line_items"),
+        # DISTINCT aggregates are disallowed in observed metrics (they need
+        # a second shuffle pass; observations are single-pass accumulators)
+        # — the sketch form is the observe-compatible counterpart
+        F.approx_count_distinct("order_id", rsd=0.005).alias("n_orders_with_items"),
+    )
+    allocated = allocate_inventory(line_items, products)
+    outputs = build_final_outputs(allocated, line_items, products)
+    outputs = CandyOutputs(
+        orders=outputs.orders.observe(
+            obs["orders"],
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("total_amount").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_sales"),
+        ),
+        order_line_items=outputs.order_line_items,
+        products_updated=outputs.products_updated,
+        daily_summary=outputs.daily_summary,
+    )
+    return outputs, obs
+
+
 def save_outputs(outputs: CandyOutputs, out_dir: str) -> None:
     """Golden-file CSV sinks (S7): sort + %.2f money formatting happen HERE,
     at the edge (vs. in-DataFrame format_number, reference :485-487 — whose

@@ -128,3 +128,26 @@ def test_save_outputs_golden_csv_shape(spark, tmp_path):
     assert len(daily) == 10 and daily.date.iloc[0] == "2024-02-01"
     prod = pd.read_csv(tmp_path / "products_updated.csv")
     assert len(prod) == 30
+
+
+def test_observed_pipeline_metrics_without_extra_jobs(spark):
+    """The observe()-based flow metrics must report the pipeline's known
+    cardinalities (10,000 transactions explode to line items on 9,846+154
+    orders; 9,846 survive the all-null drop) from the SAME jobs that
+    materialize the outputs — the A5 anti-pattern (count() control flow,
+    17+ extra scans in the reference) replaced at zero scan cost."""
+    from candyspark.pipeline import run_pipeline_observed
+
+    outputs, obs = run_pipeline_observed(spark, DATA)
+    # one action per observed frame materializes its metrics
+    n_line_item_rows = outputs.order_line_items.count()
+    n_order_rows = outputs.orders.count()
+
+    li = obs["line_items"].get
+    # approx_count_distinct (observe() forbids DISTINCT aggs): within 2%
+    assert abs(li["n_orders_with_items"] - 9846) <= 0.02 * 9846
+    assert li["n_line_items"] >= n_line_item_rows  # pre-allocation grain
+
+    o = obs["orders"].get
+    assert o["n_orders"] == n_order_rows == 9846
+    assert o["total_sales"] > 0
