@@ -339,3 +339,52 @@ def test_asof_strategies_agree_and_cogroup_plans_flatmap(spark):
 
     plan = plan_of(spark, "asof_cogroup_attribution", "simple")
     assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_runtime_bloom_filter_reduces_probe_scan(spark):
+    """The 100-TB semi-join-reduction posture: when the build side of a
+    shuffle join is selective (filtered dim) and too big to broadcast,
+    Spark must inject a runtime bloom filter — the probe scan then drops
+    non-matching rows BEFORE the shuffle (bloom_filter_agg on the build
+    keys, might_contain on the probe). Thresholds are tuned down only
+    because test data is tiny; at real scale the defaults fire."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(True)
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
