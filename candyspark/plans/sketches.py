@@ -81,6 +81,54 @@ ORDER BY bucket
 """
 
 
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of lineitem extended price:
+    ntile(10) over the totally-ordered values, then per-bucket min/max/
+    count/sum — the companion to the equi-width form above when the
+    distribution is skewed (each bucket carries ~equal mass, so bucket
+    bounds ARE the deciles).
+
+    The ntile window is a global sort — single-partition by definition,
+    same caveat as RFM (plans/behavior.py): exact and oracle-checkable
+    here; at 100-TB cardinality the swap-in is approx-quantile cutoffs
+    (one pass, mergeable sketch) with bucket assignment as a scan-stage
+    comparison against the broadcast cutoff array. The tie-break
+    (l_orderkey, l_linenumber) makes bucket assignment a total order, so
+    both engines cut identically."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("num_items"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_EQUIDEPTH_SQL = """
+SELECT bucket, COUNT(*) AS num_items,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+FROM (
+    SELECT l_extendedprice,
+           NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+    FROM lineitem
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event_type: open/close = first/last value under
     the total order (ts, event_id), high/low = max/min, volume, turnover.
@@ -237,6 +285,7 @@ ORDER BY lang
 REGISTRY: dict[str, QuerySpec] = {
     "hll_sketches": QuerySpec(q_hll_sketches, None),  # approximate; tests pin error
     "histogram_prices": QuerySpec(q_histogram_prices, HISTOGRAM_PRICES_SQL),
+    "histogram_equidepth": QuerySpec(q_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),
     "ohlc_bars": QuerySpec(q_ohlc_bars, OHLC_BARS_SQL),
     "bitmap_distinct": QuerySpec(q_bitmap_distinct, BITMAP_DISTINCT_SQL),
     "theta_set_ops": QuerySpec(q_theta_set_ops, None),  # approximate; tests pin error
