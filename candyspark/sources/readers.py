@@ -151,12 +151,25 @@ def load_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.orc(path)
 
 
-def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def load_jsonl(
+    spark: SparkSession, path: str, schema=None, corrupt_col: str | None = None
+) -> DataFrame:
     """JSON-lines scan (one object per line — splittable, unlike the
     reference's multiLine array files, SURVEY.md §2.1 S2: a multiLine JSON
     file is ONE task no matter its size, while JSONL parallelizes by
-    line). Pass an explicit schema in production — inference scans twice."""
+    line). Pass an explicit schema in production — inference scans twice.
+
+    ``corrupt_col``: capture-don't-drop malformed records (PERMISSIVE
+    mode). The schema must include ``corrupt_col`` as a nullable string;
+    malformed lines land there verbatim with every data field null, so a
+    100-TB ingest quantifies and quarantines bad input relationally
+    instead of failing the job (FAILFAST) or silently nulling
+    (PERMISSIVE without the column)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     return reader.json(path)

@@ -188,3 +188,83 @@ def test_python_datasource_partition_planning(spark):
     assert df.rdd.getNumPartitions() == 4
     got = sorted(tuple(r) for r in df.collect())
     assert got == sorted(row_for_index(i) for i in range(100))
+
+
+def test_corrupt_json_records_are_captured_not_dropped(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: malformed lines must land in
+    the corrupt column verbatim (data fields null) while good lines parse —
+    the ingest contract that lets a 100-TB load quarantine bad input
+    relationally instead of failing or silently nulling."""
+    from pyspark.sql import types as T
+
+    from candyspark.sources.readers import load_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json here}\n"
+        '{"id": 3, "name": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    df = load_jsonl(spark, str(src), schema, corrupt_col="_bad").cache()
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1]["name"] == "ok" and rows[1]["_bad"] is None
+    assert rows[3]["name"] == "also ok"
+    bad = rows[None]
+    assert bad["_bad"] == "{broken json here}" and bad["name"] is None
+    df.unpersist()
+
+
+def test_parquet_schema_evolution_merges(spark, tmp_path):
+    """Schema evolution: files written before a column existed must read
+    together with newer files under mergeSchema — old rows null-fill the
+    new column. This is the append-only-dataset upgrade path at scale (no
+    rewrite of history)."""
+    d = str(tmp_path / "data")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.mode(
+        "append"
+    ).parquet(d)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
+
+
+def test_dynamic_partition_pruning_from_filtered_dim(spark, tmp_path):
+    """DPP: a date-partitioned fact joined to a selectively-filtered dim
+    must get a dynamicpruning subquery on its PartitionFilters — only the
+    dim's surviving dates are read, decided at RUNTIME from the broadcast.
+    At 100 TB this is the difference between scanning 10 years and
+    scanning the quarter the dim selects."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(d)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    j = spark.read.parquet(d).join(dim, "day").groupBy("day").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan, plan
