@@ -422,6 +422,48 @@ ORDER BY event_type, day
 """
 
 
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key aggregation pattern (operators/skew.salted_agg) as a
+    driver-checked query: per-event-type totals computed via a two-phase
+    (key, salt) partial → key combine. The oracle is the PLAIN single-phase
+    aggregate — salting must be semantically invisible (decimal partials
+    make the re-combination exact; float partials would drift).
+
+    At 100 TB this is the shape for a grouping key whose top value owns a
+    double-digit share of the table: the first shuffle spreads the hot key
+    over 16 reducers, the second combines 16 partial rows per key. AQE's
+    skew handling covers sort-merge JOINS; skewed AGGREGATIONS need this
+    explicit form."""
+    from candyspark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        key_cols=["event_type"],
+        unique_col="event_id",
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("pv"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        ],
+        buckets=16,
+    )
+    return out.orderBy("event_type")
+
+
+SALTED_AGGREGATION_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sample_hash": QuerySpec(sample_hash, SAMPLE_HASH_SQL),
     "pivot_linestatus": QuerySpec(pivot_linestatus, PIVOT_LINESTATUS_SQL),
@@ -433,4 +475,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "unpivot_measures": QuerySpec(unpivot_measures, UNPIVOT_MEASURES_SQL),
     "window_distribution": QuerySpec(window_distribution, WINDOW_DISTRIBUTION_SQL),
     "rolling_weekly_value": QuerySpec(rolling_weekly_value, ROLLING_WEEKLY_VALUE_SQL),
+    "salted_aggregation": QuerySpec(salted_aggregation, SALTED_AGGREGATION_SQL),
 }

@@ -333,6 +333,9 @@ ORDER BY doc_id
 """
 
 
+from candyspark.plans.analytics import _QUALITY as _AN_QUALITY  # noqa: E402
+from candyspark.plans.analytics import _TOKS as _AN_TOKS  # noqa: E402
+
 REGISTRY: dict[str, QuerySpec] = {
     "repetition_signals": QuerySpec(repetition_signals, REPETITION_SIGNALS_SQL),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),
@@ -340,3 +343,91 @@ REGISTRY: dict[str, QuerySpec] = {
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL),
 }
+
+
+# --- end-to-end corpus pipeline (clean -> dedup -> pack) ---------------------
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in ONE plan: quality gate →
+    length gate → exact dedup on normalized text (keep lowest doc_id) →
+    per-language offset packing of the survivors → bin manifest. Each
+    stage is an already-oracle-checked operator (corpus_clean,
+    pack_sequences); composing them proves the stages CHAIN — the
+    intermediate schemas line up and the whole thing stays one Catalyst
+    plan (gates before the dedup exchange, dedup before the packing
+    window, no materialization between stages).
+
+    Scale: cheap scan-stage gates first, one exchange on the dedup key,
+    one window on (lang) — the same two-shuffle shape as the pieces; at
+    100 TB the packing cumsum shards by (lang, day) as documented in
+    pack_sequences."""
+    from candyspark.operators import text as X
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != ""))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        X.quality_score("text").alias("quality_score"),
+        toks.cast("bigint").alias("n_tokens"),
+        X.normalized_text("text").alias("norm"),
+    ).filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
+    dedup_w = Window.partitionBy("norm").orderBy("doc_id")
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    pack_w = Window.partitionBy("lang").orderBy("doc_id")
+    offs = survivors.withColumn(
+        "start_off", F.sum("n_tokens").over(pack_w) - F.col("n_tokens")
+    )
+    return (
+        offs.withColumn("bin_id", F.floor(F.col("start_off") / _CAPACITY).cast("int"))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+CORPUS_PIPELINE_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_AN_TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, lang,
+           {_AN_QUALITY} AS quality_score,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(toks, ' ') AS norm
+    FROM t
+),
+gated AS (SELECT * FROM scored WHERE quality_score >= 0.5 AND n_tokens >= 10),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM gated
+),
+survivors AS (SELECT doc_id, lang, n_tokens FROM ranked WHERE rn = 1),
+offs AS (
+    SELECT doc_id, lang, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+    FROM survivors
+)
+SELECT lang,
+       CAST(FLOOR(start_off / {_CAPACITY}) AS INT) AS bin_id,
+       COUNT(*) AS num_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM offs
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+REGISTRY["corpus_pipeline"] = QuerySpec(corpus_pipeline, CORPUS_PIPELINE_SQL)
