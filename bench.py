@@ -81,6 +81,9 @@ HEADLINE = [
     "synthetic_source",
     "fuzzy_part_pairs",
     "chi2_independence",
+    "corpus_pipeline",
+    "salted_aggregation",
+    "histogram_equidepth",
 ]
 
 

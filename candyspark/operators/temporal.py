@@ -119,7 +119,11 @@ def asof_join_cogrouped(
     keeping both behind one contract lets tests pin strategy equivalence.
 
     Scale: one co-partitioned exchange per side, Arrow-batched transfer,
-    per-group memory = that key's rows (the grouped-map bound). Ties
+    per-group memory = that key's rows (the grouped-map bound). The
+    per-GROUP kernel-invocation overhead is the real cost driver: with
+    many tiny groups (e.g. 60k users at sf0.1) the cogroup form measured
+    ~13 s vs ~0.8 s for the window form — pick cogroup only when the
+    per-key logic itself is heavy enough to amortize the call. Ties
     mirror the window form: a same-instant right row IS visible, and among
     right ties the higher ``seq_col`` wins (merge_asof takes the last
     sorted match; the right side sorts by (ts, seq)).

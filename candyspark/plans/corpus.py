@@ -366,12 +366,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from candyspark.sources.readers import fan_out
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != ""))
     scored = d.select(
         "doc_id",
         "lang",
         X.quality_score("text").alias("quality_score"),
-        toks.cast("bigint").alias("n_tokens"),
+        X.token_count("text").cast("bigint").alias("n_tokens"),
         X.normalized_text("text").alias("norm"),
     ).filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
     dedup_w = Window.partitionBy("norm").orderBy("doc_id")
