@@ -424,6 +424,42 @@ FROM events
 """
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json →
+    variant_get with a typed path — the open-schema ingestion path (parse
+    once into the binary variant encoding, extract lazily and typed) vs
+    events_json's per-field string extraction. At 100 TB variant beats
+    re-parsing the JSON string per field: the parse cost is paid once per
+    row regardless of how many fields downstream operators pull, and
+    shredded variant columns store/scan like columns, not strings."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array-function family over the embedding column —
     transform / aggregate (fold) / filter / array_max / array_min, all
@@ -1032,6 +1068,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "latest_per_key": QuerySpec(q_latest_per_key, LATEST_PER_KEY_SQL),
     "retention_cohorts": QuerySpec(q_retention_cohorts, RETENTION_COHORTS_SQL),
     "synthetic_source": QuerySpec(q_synthetic_source, SYNTHETIC_SOURCE_SQL),
+    "events_variant": QuerySpec(q_events_variant, EVENTS_VARIANT_SQL),
 }
 
 # transformWithStateInPandas (state API v2) speaks protobuf between the JVM
