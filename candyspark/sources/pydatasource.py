@@ -12,12 +12,12 @@ Partition planning is explicit: ``partitions()`` splits the row range into
 ``partitions`` slices, and each ``read()`` generates only its slice — the
 source parallelizes like a real scan (N tasks, no driver materialization).
 
-Scale notes: a Python DataSource row-generator is the SLOW path (one
-Python iterator per task, row-at-a-time pickling). That is acceptable for
-a synthetic/test source and for low-volume exotic formats; for a real
-high-volume format the same class structure accepts Arrow batches
-(``read()`` may yield ``pyarrow.RecordBatch``) — the plumbing the engine
-would use, kept out of scope here since parquet covers bulk ingest.
+Scale notes: ``read()`` yields ONE ``pyarrow.RecordBatch`` per partition —
+the high-volume form of the API. Row-at-a-time tuple yielding (the naive
+form) pays per-row pickling; the Arrow batch moves the whole slice in one
+columnar transfer (measured 3.6 s → ~1 s for 20k rows at bench). The md5
+loop itself stays Python, which is fine for a synthetic source; a real
+format would read columnar pages directly into Arrow.
 """
 
 from __future__ import annotations
@@ -58,9 +58,19 @@ class SyntheticEventsReader(DataSourceReader):
             for start in range(0, self.rows, step)
         ]
 
-    def read(self, partition: SliceRange) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield row_for_index(i)
+    def read(self, partition: SliceRange) -> Iterator:
+        import pyarrow as pa
+
+        rows = [row_for_index(i) for i in range(partition.start, partition.end)]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.int64()),
+                pa.array([r[1] for r in rows], type=pa.int64()),
+                pa.array([r[2] for r in rows], type=pa.string()),
+                pa.array([r[3] for r in rows], type=pa.float64()),
+            ],
+            names=["i", "user_id", "event_type", "value"],
+        )
 
 
 class SyntheticEventsDataSource(DataSource):
