@@ -121,3 +121,28 @@ def test_frame_sampling_is_one_to_many(spark):
     got = out.groupby("doc_id").size()
     assert got.sort_index().equals(want.sort_index().astype("int64"))
     assert (out.frame_idx % 2 == 0).all()
+
+
+def test_approx_percentile_swapin_tolerance(spark):
+    """robust_stats documents approx_percentile as its 100-TB swap-in (the
+    exact form buffers whole groups). Prove the swap-in is sound: at
+    accuracy 10000 the sketch's median/quartiles land within 0.5% of exact
+    on real data — the error bound a consumer of the swapped plan inherits."""
+    from pyspark.sql import functions as F
+
+    from candyspark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", probs).alias("exact"),
+            F.percentile_approx("l_extendedprice", probs, 10000).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for row in both:
+        for e, a in zip(row["exact"], row["approx"]):
+            assert abs(a - e) <= 0.005 * e, (row["l_returnflag"], e, a)
