@@ -40,3 +40,35 @@ class SentenceSplitter:
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs on a session (idempotent)."""
     spark.udtf.register("sentence_split", SentenceSplitter)
+    spark.udtf.register("lang_summary", LangSummarizer)
+
+
+@udtf(returnType="lang: string, n_docs: bigint, total_tokens: bigint, best_doc: bigint")
+class LangSummarizer:
+    """TABLE-argument UDTF (``f(TABLE(...) PARTITION BY lang)``): consumes
+    one partition's rows imperatively and emits a single summary row from
+    ``terminate()`` — the per-GROUP custom-aggregation surface callable
+    straight from SQL, sibling to ``groupBy().applyInPandas`` (Arrow,
+    preferred at volume) with UDTF ergonomics instead of a kernel function.
+
+    Best-doc selection is a total order (quality_score DESC, doc_id ASC),
+    so the output is engine-exact; partial sums are ints (exact under any
+    arrival order)."""
+
+    def __init__(self) -> None:
+        self._lang = None
+        self._n = 0
+        self._tokens = 0
+        self._best: tuple | None = None  # (-quality, doc_id) minimized
+
+    def eval(self, row):  # noqa: D102 (UDTF contract; row = TABLE argument)
+        self._lang = row["lang"]
+        self._n += 1
+        self._tokens += int(row["n_tokens"])
+        key = (-float(row["quality_score"]), int(row["doc_id"]))
+        if self._best is None or key < self._best:
+            self._best = key
+
+    def terminate(self):  # noqa: D102
+        if self._n:
+            yield self._lang, self._n, self._tokens, self._best[1]

@@ -192,8 +192,68 @@ ORDER BY doc_id
 """
 
 
+def q_lang_summary_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus summary through a TABLE-argument UDTF with
+    PARTITION BY — SQL-callable per-group imperative aggregation
+    (operators/udtf_ops.LangSummarizer). The oracle is the plain GROUP BY
+    with a windowed best-doc pick, so the UDTF's partition feed, state
+    reset between partitions, and terminate() emission are all under the
+    hash check."""
+    import uuid
+
+    from candyspark.operators import text as X
+    from candyspark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    view = f"docs_scored_{uuid.uuid4().hex[:8]}"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        X.quality_score("text").alias("quality_score"),
+    )
+    d.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT lang, n_docs, total_tokens, best_doc
+        FROM lang_summary(TABLE(SELECT lang, doc_id, n_tokens, quality_score
+                                FROM {view})
+                          PARTITION BY lang)
+        ORDER BY lang
+        """
+    )
+
+
+
+from candyspark.plans.analytics import _QUALITY as _RL_QUALITY  # noqa: E402
+from candyspark.plans.analytics import _TOKS as _RL_TOKS  # noqa: E402
+
+LANG_SUMMARY_UDTF_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_RL_TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {_RL_QUALITY} AS quality_score
+    FROM t
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY quality_score DESC, doc_id) AS rn
+    FROM scored
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(CASE WHEN rn = 1 THEN doc_id END) AS best_doc
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "contamination_check": QuerySpec(q_contamination_check, CONTAMINATION_CHECK_SQL),
     "sentences_udtf": QuerySpec(q_sentences_udtf, SENTENCES_UDTF_SQL),
+    "lang_summary_udtf": QuerySpec(q_lang_summary_udtf, LANG_SUMMARY_UDTF_SQL),
 }
