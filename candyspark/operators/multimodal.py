@@ -169,3 +169,32 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, bin_col).mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
+def arrow_binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """``mapInArrow`` metadata extraction — the Arrow-NATIVE sibling of
+    ``binary_metadata``: the kernel receives raw ``pyarrow.RecordBatch``es
+    with no pandas conversion on either side. For binary-heavy columns
+    that conversion is real cost (pandas boxes each value as a Python
+    bytes object; Arrow keeps one contiguous buffer), so this is the form
+    a high-volume media pipeline wants. Byte length is computed by the
+    vectorized Arrow kernel; the 4-byte header hex (a magic-number sniff)
+    is a per-row loop over buffer slices — the mixed pattern real
+    decoders follow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payload = batch.column(batch.schema.get_field_index(bin_col))
+            n_bytes = pc.binary_length(payload).cast(pa.int32())
+            headers = [
+                (v.as_py()[:4].hex() if v.is_valid else None) for v in payload
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), n_bytes, pa.array(headers, pa.string())],
+                names=["doc_id", "n_bytes", "header_hex"],
+            )
+
+    return df.mapInArrow(kernel, "doc_id bigint, n_bytes int, header_hex string")

@@ -460,6 +460,32 @@ ORDER BY event_type
 
 
 
+def q_multimodal_arrow_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata through the Arrow-NATIVE kernel path (``mapInArrow``,
+    operators/multimodal.arrow_binary_meta — no pandas conversion either
+    side). The payload is the deterministic utf-8 encoding of text, so
+    byte length and the 4-byte header hex are SQL-derivable and the whole
+    Arrow pipeline sits under the oracle hash — unlike the stubbed decode
+    kernels (rows-only by necessity)."""
+    from candyspark.operators.multimodal import arrow_binary_meta, with_binary_payload
+
+    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    return arrow_binary_meta(d, "doc_id", "payload").orderBy("doc_id")
+
+
+MULTIMODAL_ARROW_META_SQL = """
+-- chars==bytes holds because the corpus is pure ASCII (verified:
+-- octet_length(encode(text)) = length(text) for every row); DuckDB has no
+-- BLOB substring, so the byte slice is taken before encoding
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       lower(hex(encode(substring(text, 1, 4)))) AS header_hex
+FROM documents
+ORDER BY doc_id
+"""
+
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array-function family over the embedding column —
     transform / aggregate (fold) / filter / array_max / array_min, all
@@ -1069,6 +1095,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "retention_cohorts": QuerySpec(q_retention_cohorts, RETENTION_COHORTS_SQL),
     "synthetic_source": QuerySpec(q_synthetic_source, SYNTHETIC_SOURCE_SQL),
     "events_variant": QuerySpec(q_events_variant, EVENTS_VARIANT_SQL),
+    "multimodal_arrow_meta": QuerySpec(q_multimodal_arrow_meta, MULTIMODAL_ARROW_META_SQL),
 }
 
 # transformWithStateInPandas (state API v2) speaks protobuf between the JVM
