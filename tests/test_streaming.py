@@ -197,3 +197,114 @@ def test_tws_running_totals_carry_across_batches(spark, tmp_path):
         last[r["user_id"]] = (r["n_events"], r["total_cents"])
     assert last[10] == (2, 200)  # 1.25 + 0.75 across two batches
     assert last[11] == (1, 200)
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting an availableNow stream against the SAME checkpoint must
+    process only data that arrived since the last run — offsets persist,
+    nothing replays, nothing is double-written to the file sink. This is
+    the exactly-once contract a 100-TB incremental pipeline leans on
+    (reprocessing a day of input on every restart is the naive-batch
+    failure mode the checkpoint exists to kill)."""
+    import glob as _glob
+    import os as _os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, tag):
+        stage = str(tmp_path / f"stage_{tag}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(part, str(src / f"{tag}.parquet"))
+
+    def drain():
+        q = (
+            spark.readStream.schema(EVENTS)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    land([(1, ts, 10, "click", 1.0, "{}"), (2, ts, 11, "view", 2.0, "{}")], "b0")
+    drain()
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    land([(3, ts, 12, "error", 3.0, "{}")], "b1")
+    drain()  # SAME checkpoint: must pick up only b1
+    second = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert second == [1, 2, 3]  # no duplicates of 1/2, no loss of 3
+
+
+def test_candy_transactions_stream_matches_batch(spark, tmp_path):
+    """The reference names real-time streaming as future work (README:101);
+    this drives its OWN ten daily transaction files through Structured
+    Streaming one file per micro-batch — multiLine JSON-array source,
+    explode, per-day event-time aggregation — and requires the final
+    per-day totals to equal the batch pipeline's view of the same files.
+    (Pre-allocation metrics: the allocator's stream form and its stock
+    carry are covered in test_stateful_allocation_carries_stock_across
+    _batches; daily money needs allocation and is batch-validated in
+    test_candy_golden.)"""
+    from pyspark.sql import functions as F
+
+    from candyspark.schemas import TRANSACTIONS_RAW
+
+    src = "/root/reference/data/dataset_32"
+    stream = (
+        spark.readStream.schema(TRANSACTIONS_RAW)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/transactions_*.json")
+    )
+
+    def daily(df):
+        items = df.select(
+            F.to_timestamp("timestamp").alias("ts"),
+            F.explode("items").alias("item"),
+        ).filter(F.col("item.qty").isNotNull())
+        return items.withWatermark("ts", "1 day").groupBy(
+            F.window("ts", "1 day").alias("w")
+        ).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("item.qty").cast("bigint")).alias("total_qty"),
+        )
+
+    q = (
+        daily(stream)
+        .writeStream.format("memory")
+        .queryName("candy_stream_daily")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["w"]["start"].date().isoformat(): (r["n_items"], r["total_qty"])
+        for r in spark.sql("SELECT * FROM candy_stream_daily").collect()
+    }
+
+    batch = (
+        spark.read.schema(TRANSACTIONS_RAW)
+        .option("multiLine", "true")
+        .json(f"{src}/transactions_*.json")
+        .select(F.to_date(F.to_timestamp("timestamp")).alias("day"), F.explode("items").alias("item"))
+        .filter(F.col("item.qty").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("item.qty").cast("bigint")).alias("total_qty"),
+        )
+        .collect()
+    )
+    want = {r["day"].isoformat(): (r["n_items"], r["total_qty"]) for r in batch}
+    assert got == want and len(got) == 10
