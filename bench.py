@@ -84,6 +84,11 @@ HEADLINE = [
     "corpus_pipeline",
     "salted_aggregation",
     "histogram_equidepth",
+    "ewma_user_value",
+    "map_functions",
+    "label_centroids",
+    "nation_revenue_share",
+    "udaf_median_price",
 ]
 
 

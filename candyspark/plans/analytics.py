@@ -464,7 +464,67 @@ ORDER BY event_type
 
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue — a
+    window aggregate OVER an aggregate (sum-of-group / sum-over-partition),
+    the reporting shape the reference never reaches (its shares are global
+    scalars, SURVEY.md §2.5). Revenue pre-sums per orderkey before the join
+    chain (the region_revenue lesson: ship |orders| rows, not |lineitem|),
+    dims broadcast, then ONE hash aggregate to nation grain and ONE window
+    exchange over the 25-row aggregate — the window's input is post-
+    aggregation, so its sort is trivial at any SF. Sums stay exact DECIMAL;
+    the share ratio goes through double once, at the end."""
+    from candyspark.functions.numeric import money, rate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = money("l_extendedprice") * rate(1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("order_rev"))
+    per_nation = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("order_rev").alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        round2(F.col("rev")).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+    SELECT r_name, n_name,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+FROM per_nation
+ORDER BY r_name, n_name
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "nation_revenue_share": QuerySpec(nation_revenue_share, NATION_REVENUE_SHARE_SQL),
     "sample_hash": QuerySpec(sample_hash, SAMPLE_HASH_SQL),
     "pivot_linestatus": QuerySpec(pivot_linestatus, PIVOT_LINESTATUS_SQL),
     "percentile_quantity": QuerySpec(percentile_quantity, PERCENTILE_QUANTITY_SQL),

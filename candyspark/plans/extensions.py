@@ -528,6 +528,128 @@ ORDER BY vec_id
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function family (the reference touches no map type at all —
+    SURVEY.md §2.10 "no map functions"): per order, build line→Σquantity and
+    line→Σgross maps with map_from_entries, combine them with map_zip_with
+    (quantity-weighted average unit price per line), keep the expensive
+    lines with map_filter, and flatten back to rows by exploding the map.
+    Every lambda is a JVM-side Catalyst expression — no UDF.
+
+    Keys must be unique for map_from_entries (Spark errors on duplicates by
+    default — the right default at scale; LAST_WIN hides data bugs), so the
+    plan pre-aggregates to (order, linenumber) grain first — sums in exact
+    DECIMAL, division deferred to the zip lambda so only the final ratio
+    touches floats. The DuckDB oracle states the same result relationally
+    (grouped projection, no maps): the map round-trip must be semantically
+    invisible, which is what the hash check proves; map iteration order is
+    irrelevant because the compare is order-insensitive. Scale: the
+    pre-aggregate and the map build group on the same l_orderkey-prefixed
+    keys, maps hold ≤7 entries, state per key is O(lines-per-order)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("qty").alias("qty"),
+        F.sum(F.col("qty") * F.col("price")).alias("gross"),
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linenumber", "qty"))
+        ).alias("qty_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linenumber", "gross"))
+        ).alias("gross_map"),
+    )
+    avg_price = per_order.select(
+        "l_orderkey",
+        F.map_filter(
+            F.map_zip_with(
+                "gross_map",
+                "qty_map",
+                # snap the float ratio to DECIMAL before rounding — round()
+                # straight on a double is engine-dependent at 4-dp ties
+                lambda k, g, q: X.snap_round(
+                    g.cast("double") / q.cast("double"), 4
+                ),
+            ),
+            lambda k, v: v > 80000,
+        ).alias("avg_map"),
+    )
+    return (
+        avg_price.select(
+            "l_orderkey", F.explode("avg_map").alias("l_linenumber", "avg_price")
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+WITH per_line AS (
+    SELECT l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS gross
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(CAST(gross AS DOUBLE) / CAST(qty AS DOUBLE)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_price
+FROM per_line
+WHERE CAST(ROUND(CAST(CAST(gross AS DOUBLE) / CAST(qty AS DOUBLE)
+                      AS DECIMAL(28,8)), 4) AS DOUBLE) > 80000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, computed RELATIONALLY: posexplode the
+    vector to (label, pos, x) rows, hash-aggregate exact-decimal sums per
+    (label, pos), divide once at the end — the mean-vector building block
+    under IVF coarse quantizers and k-means (operators/clustering.py uses
+    the same posexplode-mean shape). Floats are cast float→double (exact)
+    →DECIMAL before summing, so the partial-agg tree and single-threaded
+    DuckDB agree bit-for-bit.
+
+    Scale: the explode is dim× row inflation (64× here) but map-side partial
+    aggregation collapses it to |labels|·dim rows per task before the ONE
+    shuffle; output is |labels|·dim rows regardless of input size. This is
+    the pattern that replaces a driver-side numpy mean at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label", "pos", F.col("x").cast("double").cast("decimal(20,8)").alias("xd")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("xd").alias("s"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n_vecs"), 5).alias("centroid"),
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label,
+       CAST(i AS INTEGER) AS pos,
+       ROUND(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,8)))
+                  AS DOUBLE) / COUNT(*), 5) AS centroid,
+       COUNT(*) AS n_vecs
+FROM embeddings, unnest(range(len(embedding))) AS t(i)
+GROUP BY label, i
+ORDER BY label, pos
+"""
+
+
 def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed term statistics (word count + document frequency) — the
     canonical corpus-scale aggregation an LLM-data pipeline runs first.
@@ -1078,6 +1200,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_session": QuerySpec(q_events_session, EVENTS_SESSION_SQL),
     "events_json": QuerySpec(q_events_json, EVENTS_JSON_SQL),
     "array_functions": QuerySpec(q_array_functions, ARRAY_FUNCTIONS_SQL),
+    "map_functions": QuerySpec(q_map_functions, MAP_FUNCTIONS_SQL),
+    "label_centroids": QuerySpec(q_label_centroids, LABEL_CENTROIDS_SQL),
     "term_frequencies": QuerySpec(q_term_frequencies, TERM_FREQUENCIES_SQL),
     "multimodal_resize": QuerySpec(q_multimodal_resize, None),  # binary out; rows-only
     "multimodal_frames": QuerySpec(q_multimodal_frames, None),  # binary out; rows-only

@@ -272,7 +272,51 @@ ORDER BY q.l_returnflag
 """
 
 
+def q_udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function surface (the engine's UDAF story,
+    complementing the UDTF in operators/udtf_ops.py): a vectorized
+    GROUPED_AGG pandas UDF computing the discrete (lower) median —
+    Arrow-batched Series in, one scalar out per group. Spark fans the
+    group's values to the Python worker in Arrow pages; the kernel sorts
+    once and PICKS AN ACTUAL DATA VALUE (index (n-1)//2), which is exactly
+    PERCENTILE_DISC(0.5) — no interpolation, so the double survives the
+    engine boundary bit-for-bit and the DuckDB hash check is exact.
+
+    Scale notes: a pandas UDAF has no partial aggregation — every group's
+    full value set crosses to Python, so the shuffle carries all rows (fine
+    for a median, which is holistic anyway; built-in percentile_disc has the
+    same buffer bound). The documented 100-TB swap-in is approx_percentile
+    (mergeable t-digest, map-side combined), same tradeoff as
+    plans/analytics.percentile_quantity; the UDAF form exists for statistics
+    Spark has no builtin for (trimmed means, custom M-estimators), where the
+    kernel body changes but this plumbing stays."""
+    from candyspark.functions.udaf import group_size, median_disc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            median_disc(F.col("l_extendedprice")).alias("median_price"),
+            # built-in count() can't share an agg() with a GROUPED_AGG pandas
+            # UDF (INVALID_PANDAS_UDF_PLACEMENT) — companion UDAF instead
+            group_size(F.col("l_extendedprice")).alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+UDAF_MEDIAN_PRICE_SQL = """
+SELECT l_linestatus,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "udaf_median_price": QuerySpec(q_udaf_median_price, UDAF_MEDIAN_PRICE_SQL),
     "weighted_sample": QuerySpec(q_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "zscore_outliers": QuerySpec(q_zscore_outliers, ZSCORE_OUTLIERS_SQL),
     "trend_per_type": QuerySpec(q_trend_per_type, TREND_PER_TYPE_SQL),

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from candyspark.operators.temporal import (
     asof_join,
@@ -140,8 +141,74 @@ def q_asof_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5, adjusted form)
+    of each user's last ≤32 event values — the "sequential" smoothing
+    recurrence y_t = α·x_t + (1-α)·y_{t-1} expressed RELATIONALLY, fully
+    JVM-side (no UDF, no per-row Python): over a bounded recency window the
+    adjusted EWMA is the closed form Σ x_i·2^i / Σ 2^i (i = 0 oldest … 31
+    newest), i.e. one row_number + one hash aggregate. Exactness discipline:
+    value snaps to DECIMAL(18,6), weights are exact BIGINT powers of two, so
+    both sums are exact decimals (order-independent — a Spark partial-agg
+    tree and single-threaded DuckDB agree bit-for-bit); only the final ratio
+    touches floats. At 100 TB this is one shuffle on user_id with map-side
+    partial row_number impossible — but the window and the aggregate share
+    the same user_id partitioning, so Catalyst plans ONE exchange. The
+    32-event cap also bounds the weight magnitude (2^31·max_value ≪ the
+    decimal-38 envelope) — the unbounded recurrence is the documented
+    streaming form (applyInPandasWithState carries y_t across batches)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .withColumn("weight", F.expr("CAST(power(2, 32 - rn) AS BIGINT)"))
+    )
+    return (
+        recent.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("weight")).alias("s1"),
+            F.sum("weight").alias("s2"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("s1").cast("double") / F.col("s2").cast("double"), 4
+            ).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EWMA_USER_SQL = """
+WITH r AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), t AS (
+    SELECT user_id,
+           CAST(value AS DECIMAL(18,6)) * CAST(power(2, 32 - rn) AS BIGINT) AS term,
+           CAST(power(2, 32 - rn) AS BIGINT) AS weight
+    FROM r WHERE rn <= 32
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(weight) AS DOUBLE), 4) AS ewma_value
+FROM t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "asof_click_attribution": QuerySpec(q_asof_click_attribution, ASOF_CLICK_SQL),
     "asof_cogroup_attribution": QuerySpec(q_asof_cogroup_attribution, ASOF_CLICK_SQL),
     "range_join_error_window": QuerySpec(q_range_join_error_window, RANGE_JOIN_SQL),
+    "ewma_user_value": QuerySpec(q_ewma_user_value, EWMA_USER_SQL),
 }
