@@ -89,6 +89,8 @@ HEADLINE = [
     "label_centroids",
     "nation_revenue_share",
     "udaf_median_price",
+    "triangle_count",
+    "dataset_split",
 ]
 
 

@@ -336,7 +336,57 @@ ORDER BY doc_id
 from candyspark.plans.analytics import _QUALITY as _AN_QUALITY  # noqa: E402
 from candyspark.plans.analytics import _TOKS as _AN_TOKS  # noqa: E402
 
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — split = pure
+    function of CONTENT (md5-derived bucket 0..99), never of rand() or row
+    position, so (a) the same document always lands in the same split
+    across runs, engines, partitionings, and corpus versions — the property
+    that prevents silent train/test leakage when the corpus is re-sharded
+    at 100 TB — and (b) the holdout is re-derivable from the formula alone,
+    no assignment table to store or ship. Output is the per-(split, lang)
+    audit summary (counts + char mass) a pipeline logs before training;
+    the row-level assignment is the same expression without the rollup.
+    One scan, one partial-agg'd shuffle of ≤|splits|·|langs| rows."""
+    from candyspark.operators.text import char_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = char_hash32(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH b AS (
+    SELECT lang, n_chars,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),
     "repetition_signals": QuerySpec(repetition_signals, REPETITION_SIGNALS_SQL),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),
     "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),

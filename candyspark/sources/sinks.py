@@ -55,6 +55,35 @@ def save_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    toward ``target_bytes`` (default 128 MiB — the classic HDFS/object-store
+    sweet spot). Returns the output file count.
+
+    The small-files problem is a first-order cost at 100 TB: a directory of
+    10⁶ kilobyte-files makes every downstream scan pay 10⁶ opens, footer
+    reads, and scheduler tasks, and object stores throttle the LISTs. A
+    streaming ingest or an over-partitioned shuffle produces exactly that;
+    periodic compaction is the standard maintenance pass (table formats run
+    it as OPTIMIZE). Target count comes from the directory's actual on-disk
+    bytes (compressed) — not row counts — and the rewrite is ``coalesce``,
+    not ``repartition``: coalesce merges input splits without a shuffle, so
+    compaction is scan + write only. Writes to a NEW directory (``dst``):
+    parquet sources cannot overwrite a path they are reading, and at scale
+    the swap must be atomic-rename anyway (done by the table format or the
+    orchestrator, not mid-job)."""
+    files = glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return len(glob.glob(os.path.join(dst, "*.parquet")))
+
+
 def save_single_csv(df: DataFrame, out_dir: str, filename: str) -> str:
     """Single-file CSV sink (S7 — reference src/data_processor.py:584-610):
     coalesce(1) → temp dir → move the part file to ``out_dir/filename``.

@@ -268,3 +268,29 @@ def test_dynamic_partition_pruning_from_filtered_dim(spark, tmp_path):
         j.explain(True)
     plan = buf.getvalue()
     assert "dynamicpruning" in plan, plan
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 tiny files → compaction produces far fewer files sized toward the
+    target, without a shuffle, and preserves content exactly."""
+    from candyspark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "shattered"), str(tmp_path / "compacted")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(64).write.parquet(src)
+    import glob as _glob
+    import os as _os
+
+    n_in = len(_glob.glob(_os.path.join(src, "*.parquet")))
+    assert n_in == 64
+
+    n_out = compact_parquet(spark, src, dst, target_bytes=512 * 1024)
+    assert n_out < n_in
+
+    # coalesce, not repartition: the compaction job plans no exchange
+    reread = spark.read.parquet(src).coalesce(max(1, n_out))
+    assert "Exchange" not in plan_of(reread)
+
+    before = sorted(r["l_orderkey"] for r in spark.read.parquet(src).collect())
+    after = sorted(r["l_orderkey"] for r in spark.read.parquet(dst).collect())
+    assert before == after
