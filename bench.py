@@ -91,6 +91,7 @@ HEADLINE = [
     "udaf_median_price",
     "triangle_count",
     "dataset_split",
+    "word_bigrams",
 ]
 
 

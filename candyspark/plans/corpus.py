@@ -385,8 +385,63 @@ ORDER BY split, lang
 """
 
 
+# the engine's one tokenizer, DuckDB form (mirror of operators/text.tokens)
+_TOKS_FRAGMENT = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x != '')"
+
+
+def word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (top-50 by occurrence): the n-gram counting
+    pass under language-model evaluation, contamination checks, and
+    collocation mining. Bigram construction is a JVM-side zip of the token
+    array against its own 1-shift (slice + zip_with — no UDF, no extra
+    scan); the explode inflates ~|tokens|× but partial aggregation
+    collapses to one row per (task, bigram) before the single shuffle, and
+    the Zipfian head ('of the', …) is exactly what map-side combine
+    absorbs. Top-50 is TakeOrdered (no global sort). Same tokenizer as
+    every other text operator (operators/text.tokens)."""
+    from candyspark.operators import text as X
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = X.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(50)
+    )
+
+
+WORD_BIGRAMS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+b AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+)
+SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM b
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 50
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),
+    "word_bigrams": QuerySpec(word_bigrams, WORD_BIGRAMS_SQL),
     "repetition_signals": QuerySpec(repetition_signals, REPETITION_SIGNALS_SQL),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),
     "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),

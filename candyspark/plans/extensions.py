@@ -781,6 +781,43 @@ FROM events
 """
 
 
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-jittered duplicate collapse: every event lands TWICE, the copy
+    re-stamped 60 s later (a retry with a fresh timestamp — the shape plain
+    key+ts dedup cannot catch, since the composite key differs).
+    ``dropDuplicatesWithinWatermark`` on event_id collapses each pair while
+    holding per-key state only one watermark past first arrival. The output
+    projects only key-determined columns (ts is first-arrival-dependent, so
+    it is excluded by contract — see streaming/stream.py); the oracle is the
+    batch DISTINCT of those columns."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_append,
+        streaming_dedup_within_watermark,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    jittered = events.withColumn("ts", F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+    src = _land_once(spark, events.unionByName(jittered))
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_append(
+        streaming_dedup_within_watermark(read_events_stream(spark, src), ["event_id"]),
+        ckpt,
+        query_name=name,
+    )
+    return spark.table(name).select("event_id", "user_id", "event_type")
+
+
+STREAMING_DEDUP_WM_SQL = """
+SELECT DISTINCT event_id, user_id, event_type
+FROM events
+"""
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (clicks within 1h before each error, per
     user), drained availableNow and checked against the identical batch
@@ -1207,6 +1244,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_frames": QuerySpec(q_multimodal_frames, None),  # binary out; rows-only
     "streaming_tumbling": QuerySpec(q_streaming_tumbling, EVENTS_TUMBLING_SQL),
     "streaming_dedup": QuerySpec(q_streaming_dedup, STREAMING_DEDUP_SQL),
+    "streaming_dedup_watermark": QuerySpec(
+        q_streaming_dedup_watermark, STREAMING_DEDUP_WM_SQL
+    ),
     "streaming_interval_join": QuerySpec(
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),

@@ -146,3 +146,31 @@ def test_approx_percentile_swapin_tolerance(spark):
     for row in both:
         for e, a in zip(row["exact"], row["approx"]):
             assert abs(a - e) <= 0.005 * e, (row["l_returnflag"], e, a)
+
+
+def test_udaf_works_over_window_partitions(spark):
+    """The GROUPED_AGG pandas UDAF is also a WINDOW function over unbounded
+    partitions: attaching the per-group median to every row must agree with
+    the groupBy form row-for-row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from candyspark.functions.udaf import median_disc
+    from candyspark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    w = Window.partitionBy("l_linestatus")
+    windowed = (
+        li.select("l_linestatus", median_disc(F.col("l_extendedprice")).over(w).alias("m"))
+        .distinct()
+        .collect()
+    )
+    grouped = {
+        r["l_linestatus"]: r["m"]
+        for r in li.groupBy("l_linestatus")
+        .agg(median_disc(F.col("l_extendedprice")).alias("m"))
+        .collect()
+    }
+    assert len(windowed) == len(grouped)
+    for r in windowed:
+        assert r["m"] == grouped[r["l_linestatus"]]

@@ -294,3 +294,55 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     before = sorted(r["l_orderkey"] for r in spark.read.parquet(src).collect())
     after = sorted(r["l_orderkey"] for r in spark.read.parquet(dst).collect())
     assert before == after
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, tmp_path):
+    """Global-sort layout (repartitionByRange + sortWithinPartitions on
+    l_shipdate): every output file covers a DISJOINT key range, so a
+    time-predicate scan skips whole files/row-groups on parquet min/max
+    stats — the poor man's clustering index at 100 TB. A hash-shuffled
+    write of the same data has every file spanning the full range (nothing
+    skippable); both properties asserted from the actual parquet footers."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+    sorted_dir = str(tmp_path / "sorted")
+    shuffled_dir = str(tmp_path / "shuffled")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(sorted_dir)
+    )
+    li.repartition(8, "l_orderkey").write.parquet(shuffled_dir)
+
+    def file_ranges(d):
+        import glob as g
+        import os as o
+
+        ranges = []
+        for f in sorted(g.glob(o.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+                )
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            ranges.append((min(los), max(his)))
+        return ranges
+
+    rs = sorted(file_ranges(sorted_dir))
+    assert len(rs) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+        assert hi1 <= lo2, f"sorted layout has overlapping file ranges: {rs}"
+
+    ru = file_ranges(shuffled_dir)
+    overlaps = sum(
+        1 for i, a in enumerate(ru) for b in ru[i + 1 :] if a[0] <= b[1] and b[0] <= a[1]
+    )
+    assert overlaps > 0, "hash layout unexpectedly produced disjoint ranges"
