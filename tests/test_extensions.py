@@ -174,3 +174,30 @@ def test_udaf_works_over_window_partitions(spark):
     assert len(windowed) == len(grouped)
     for r in windowed:
         assert r["m"] == grouped[r["l_linestatus"]]
+
+
+def test_ewma_closed_form_matches_pandas_ewm(spark):
+    """The relational EWMA (plans/temporal.q_ewma_user_value) must equal
+    pandas' ewm(alpha=0.5, adjust=True) final value over each user's last
+    ≤32 events — an independent semantic check (the DuckDB oracle only
+    proves both engines compute the same FORMULA; this proves the formula
+    IS the adjusted EWMA)."""
+    import pandas as pd
+
+    from candyspark.plans.temporal import q_ewma_user_value
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r["ewma_value"]
+        for r in q_ewma_user_value(spark, sf).collect()
+    }
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    for user_id, g in ev.groupby("user_id"):
+        last = g.sort_values(["ts", "event_id"]).tail(32)
+        expect = last["value"].ewm(alpha=0.5, adjust=True).mean().iloc[-1]
+        assert abs(got[user_id] - expect) < 1e-3, (user_id, got[user_id], expect)
