@@ -93,6 +93,7 @@ HEADLINE = [
     "dataset_split",
     "word_bigrams",
     "part_reachability",
+    "lateral_top_nations",
 ]
 
 

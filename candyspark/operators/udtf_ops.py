@@ -37,10 +37,50 @@ class SentenceSplitter:
                 idx += 1
 
 
+_WORD_RE = re.compile(r"\W+")
+
+
+@udtf
+class FirstWords:
+    """POLYMORPHIC UDTF: output schema computed at plan time by a static
+    ``analyze()`` from a constant argument — ``first_words(doc_id, text, 3)``
+    yields columns (doc_id, word_1..word_3). This is the Spark 4 surface for
+    table functions whose shape depends on their call site (fixed-width
+    splitters, pivot-like expanders); the schema is resolved once during
+    analysis, so downstream operators bind to real columns (no MapType
+    escape hatch, full pruning). Tokenization is the engine's shared regex
+    (operators/text.tokens), so the DuckDB mirror is exact; short documents
+    pad with NULL — same as list indexing past the end in the oracle."""
+
+    @staticmethod
+    def analyze(doc_id, text, n):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("first_words: n must be a positive constant")
+        fields = [StructField("doc_id", LongType())] + [
+            StructField(f"word_{i + 1}", StringType()) for i in range(n.value)
+        ]
+        return AnalyzeResult(StructType(fields))
+
+    def eval(self, doc_id: int, text: str, n: int):  # noqa: D102 (UDTF contract)
+        toks = [t for t in _WORD_RE.split((text or "").lower()) if t]
+        yield tuple(
+            [doc_id] + [toks[i] if i < len(toks) else None for i in range(n)]
+        )
+
+
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs on a session (idempotent)."""
     spark.udtf.register("sentence_split", SentenceSplitter)
     spark.udtf.register("lang_summary", LangSummarizer)
+    spark.udtf.register("first_words", FirstWords)
 
 
 @udtf(returnType="lang: string, n_docs: bigint, total_tokens: bigint, best_doc: bigint")

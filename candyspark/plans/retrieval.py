@@ -251,9 +251,40 @@ ORDER BY lang
 """
 
 
+def q_first_words_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLYMORPHIC UDTF surface: ``first_words(doc_id, text, 3)``'s
+    output schema (word_1..word_3) is computed by its static ``analyze()``
+    at plan time from the constant argument (operators/udtf_ops.FirstWords)
+    — schema-from-call-site table functions, the last of the UDTF forms.
+    Oracle mirrors with list indexing (NULL past the end on both sides)."""
+    import uuid
+
+    from candyspark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    view = f"docs_fw_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT fw.doc_id, fw.word_1, fw.word_2, fw.word_3
+        FROM {view} d, LATERAL first_words(d.doc_id, d.text, 3) fw
+        ORDER BY fw.doc_id
+        """
+    )
+
+
+FIRST_WORDS_UDTF_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, toks[1] AS word_1, toks[2] AS word_2, toks[3] AS word_3
+FROM t
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "contamination_check": QuerySpec(q_contamination_check, CONTAMINATION_CHECK_SQL),
     "sentences_udtf": QuerySpec(q_sentences_udtf, SENTENCES_UDTF_SQL),
     "lang_summary_udtf": QuerySpec(q_lang_summary_udtf, LANG_SUMMARY_UDTF_SQL),
+    "first_words_udtf": QuerySpec(q_first_words_udtf, FIRST_WORDS_UDTF_SQL),
 }

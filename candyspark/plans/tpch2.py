@@ -587,7 +587,48 @@ ORDER BY dominated_parts DESC, s_name
 """
 
 
+# One SQL string, two engines: Spark decorrelates the per-group correlated
+# ORDER BY .. LIMIT into a rank rewrite (the plan a hand-written window
+# top-n produces), so the LATERAL surface costs nothing over the idiomatic
+# form — no nested-loop, no per-row re-execution.
+LATERAL_TOP_NATIONS_SQL = """
+WITH nr AS (
+    SELECT r_name, n_name,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r.r_name, top.n_name, top.revenue
+FROM (SELECT r_name FROM region) r,
+LATERAL (
+    SELECT n_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
+    FROM nr
+    WHERE nr.r_name = r.r_name
+    ORDER BY rev DESC, n_name
+    LIMIT 2
+) top
+ORDER BY r.r_name, top.revenue DESC, top.n_name
+"""
+
+
+def lateral_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 nations per region through a correlated LATERAL subquery with
+    ORDER BY + LIMIT — the SQL-standard per-group top-n shape, executed
+    from the IDENTICAL string in both engines (like sql_daily_summary, the
+    fixpoint-sharing recursive CTE, and the UDTFs: the engine's SQL surface
+    is first-class, not a DataFrame veneer)."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_TOP_NATIONS_SQL)
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "lateral_top_nations": QuerySpec(lateral_top_nations, LATERAL_TOP_NATIONS_SQL),
     "order_priority_check": QuerySpec(order_priority_check, ORDER_PRIORITY_CHECK_SQL),
     "bilateral_trade_volume": QuerySpec(bilateral_trade_volume, BILATERAL_TRADE_VOLUME_SQL),
     "product_type_profit": QuerySpec(product_type_profit, PRODUCT_TYPE_PROFIT_SQL),
