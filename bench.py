@@ -94,6 +94,7 @@ HEADLINE = [
     "word_bigrams",
     "part_reachability",
     "lateral_top_nations",
+    "user_event_profile",
 ]
 
 

@@ -357,7 +357,82 @@ GROUP BY n, nr, nc
 """
 
 
+def q_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile exercising the positional window family
+    the engine hadn't yet surfaced — first_value / last_value / nth_value
+    over the full partition frame — plus the modal event type (most
+    frequent, ties to the lexically-smallest type: mode() without its
+    engine-specific tie ambiguity). Every window uses the (ts, event_id)
+    total order, so all five columns are deterministic.
+
+    Scale: the three positional values and the row-collapse share ONE
+    user_id sort; the mode branch is a (user, type) count + top-1
+    row_number — both sides partition by user_id, so the final join is
+    co-partitioned (no third shuffle of the fact table)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    profile = (
+        e.select(
+            "user_id",
+            F.first_value("event_type").over(full).alias("first_type"),
+            F.last_value("event_type").over(full).alias("last_type"),
+            F.nth_value("value", 2).over(full).alias("second_value"),
+            F.count(F.lit(1)).over(full).alias("n_events"),
+        )
+        .dropDuplicates(["user_id"])
+    )
+    by_count = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    modal = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(by_count))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    return (
+        profile.join(modal, "user_id")
+        .select(
+            "user_id", "first_type", "last_type", "second_value",
+            "modal_type", "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_EVENT_PROFILE_SQL = """
+WITH prof AS (
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(value, 2) OVER w AS second_value,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+modal AS (
+    SELECT user_id, event_type AS modal_type
+    FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+)
+SELECT p.user_id, p.first_type, p.last_type, p.second_value,
+       m.modal_type, p.n_events
+FROM prof p JOIN modal m USING (user_id)
+ORDER BY p.user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "user_event_profile": QuerySpec(q_user_event_profile, USER_EVENT_PROFILE_SQL),
     "basket_pairs": QuerySpec(q_basket_pairs, BASKET_PAIRS_SQL),
     "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL),
     "peak_concurrency": QuerySpec(q_peak_concurrency, PEAK_CONCURRENCY_SQL),

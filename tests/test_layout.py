@@ -346,3 +346,28 @@ def test_range_sorted_write_has_disjoint_file_ranges(spark, tmp_path):
         1 for i, a in enumerate(ru) for b in ru[i + 1 :] if a[0] <= b[1] and b[0] <= a[1]
     )
     assert overlaps > 0, "hash layout unexpectedly produced disjoint ranges"
+
+
+def test_metadata_columns_expose_file_provenance(spark, tmp_path):
+    """The parquet reader's hidden _metadata struct gives per-row file
+    provenance (path, size, mod time) without any engine code — the
+    debugging handle for bad-file triage at 100 TB (pair with a file_name
+    filter to re-scan one suspect file). Asserted: every distinct
+    _metadata.file_name is a real part file, and per-file row counts sum
+    to the table count."""
+    import glob as g
+    import os as o
+
+    d = str(tmp_path / "prov")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    li.repartition(4).write.parquet(d)
+
+    per_file = (
+        spark.read.parquet(d)
+        .groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .count()
+        .collect()
+    )
+    on_disk = {o.path.basename(p) for p in g.glob(o.path.join(d, "*.parquet"))}
+    assert {r["file_name"] for r in per_file} == on_disk
+    assert sum(r["count"] for r in per_file) == li.count()
