@@ -251,25 +251,34 @@ def save_outputs(outputs: CandyOutputs, out_dir: str) -> None:
     values < 1,000)."""
     money = lambda c: F.format_string("%.2f", F.col(c).cast("double")).alias(c)  # noqa: E731
 
+    # sort via the sink's sort_cols (single-partition sort) — a global
+    # orderBy here would add a RangePartitioner sampling pass per output:
+    # one full extra execution of the pipeline subtree each, and double-
+    # fired observe() metrics on the observed variant
     save_single_csv(
-        outputs.order_line_items.orderBy("order_id", "product_id").select(
+        outputs.order_line_items.select(
             "order_id", "product_id", "quantity", money("unit_price"), money("line_total")
         ),
         out_dir,
         "order_line_items.csv",
+        sort_cols=["order_id", "product_id"],
     )
     save_single_csv(
-        outputs.orders.orderBy("order_id").select(
+        outputs.orders.select(
             "order_id", "order_datetime", "customer_id", money("total_amount"), "num_items"
         ),
         out_dir,
         "orders.csv",
+        sort_cols=["order_id"],
     )
     save_single_csv(
-        outputs.products_updated.orderBy("product_id"), out_dir, "products_updated.csv"
+        outputs.products_updated,
+        out_dir,
+        "products_updated.csv",
+        sort_cols=["product_id"],
     )
     save_single_csv(
-        outputs.daily_summary.orderBy("date").select(
+        outputs.daily_summary.select(
             F.date_format("date", "yyyy-MM-dd").alias("date"),
             "num_orders",
             money("total_sales"),
@@ -277,4 +286,5 @@ def save_outputs(outputs: CandyOutputs, out_dir: str) -> None:
         ),
         out_dir,
         "daily_summary.csv",
+        sort_cols=["date"],
     )

@@ -84,18 +84,31 @@ def compact_parquet(
     return len(glob.glob(os.path.join(dst, "*.parquet")))
 
 
-def save_single_csv(df: DataFrame, out_dir: str, filename: str) -> str:
+def save_single_csv(
+    df: DataFrame,
+    out_dir: str,
+    filename: str,
+    sort_cols: list[str] | None = None,
+) -> str:
     """Single-file CSV sink (S7 — reference src/data_processor.py:584-610):
     coalesce(1) → temp dir → move the part file to ``out_dir/filename``.
 
     Row order is part of the golden-file contract (positional CI compare,
-    SURVEY.md §5.1), so callers sort immediately before this sink; coalesce(1)
-    of an already-sorted plan preserves order.
+    SURVEY.md §5.1). Pass ``sort_cols`` rather than pre-sorting with
+    ``orderBy``: a global ``orderBy`` plans a RangePartitioner whose
+    boundary-SAMPLING pass re-executes the whole upstream plan (a second
+    scan per output — and it double-fires any ``observe()`` accumulators
+    riding the frame); sorting WITHIN the single coalesced partition is the
+    same total order in one pass. Callers that already sorted still work:
+    coalesce(1) concatenates range partitions in index order.
     """
     os.makedirs(out_dir, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="candyspark_csv_", dir=out_dir)
     try:
-        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        out = df.coalesce(1)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").option("header", True).csv(tmp)
         (part,) = glob.glob(os.path.join(tmp, "part-*.csv"))
         final = os.path.join(out_dir, filename)
         shutil.move(part, final)
