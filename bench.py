@@ -95,6 +95,7 @@ HEADLINE = [
     "part_reachability",
     "lateral_top_nations",
     "user_event_profile",
+    "asof_cogroup_attribution",
 ]
 
 

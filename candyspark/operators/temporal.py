@@ -107,26 +107,31 @@ def asof_join_cogrouped(
     right_vals: list[str],
     seq_col: str,
     prefix: str = "asof_",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """The SAME contract as ``asof_join``, executed as
-    ``cogroup().applyInPandas`` — both sides shuffle once on ``by`` and a
-    pandas ``merge_asof`` runs per key group. This is the cogrouped-map
-    escape hatch (the two-input sibling of the allocator's grouped-map):
-    use it when per-key logic needs BOTH sides materialized at once —
-    custom tolerance rules, per-key models, nearest-rather-than-backward
-    semantics — where the union+window trick stops composing. For the
-    plain backward as-of the window form stays the JVM-side fast path;
-    keeping both behind one contract lets tests pin strategy equivalence.
+    ``cogroup().applyInPandas``. This is the cogrouped-map escape hatch
+    (the two-input sibling of the allocator's grouped-map): use it when
+    per-key logic needs BOTH sides materialized at once — custom tolerance
+    rules, per-key models, nearest-rather-than-backward semantics — where
+    the union+window trick stops composing. For the plain backward as-of
+    the window form stays the JVM-side fast path; keeping both behind one
+    contract lets tests pin strategy equivalence.
 
-    Scale: one co-partitioned exchange per side, Arrow-batched transfer,
-    per-group memory = that key's rows (the grouped-map bound). The
-    per-GROUP kernel-invocation overhead is the real cost driver: with
-    many tiny groups (e.g. 60k users at sf0.1) the cogroup form measured
-    ~13 s vs ~0.8 s for the window form — pick cogroup only when the
-    per-key logic itself is heavy enough to amortize the call. Ties
-    mirror the window form: a same-instant right row IS visible, and among
-    right ties the higher ``seq_col`` wins (merge_asof takes the last
-    sorted match; the right side sorts by (ts, seq)).
+    The cogroup key is ``hash(by) % n_buckets``, NOT the raw key: with
+    many tiny key groups, per-GROUP kernel-invocation overhead dominates
+    (the per-user form measured ~13 s at sf0.1 for 60k users vs ~0.8 s
+    for the window form). Bucketing amortizes it — one kernel call per
+    bucket, with pandas ``merge_asof(by=...)`` doing the per-key matching
+    vectorized inside — measured 13.5 s → 5.6 s on that workload, and the
+    bucket count (not key cardinality) now sets the invocation cost. Both sides
+    hash identically, so buckets are co-partitioned; per-task memory is
+    O(rows-per-bucket) — size n_buckets ≥ cluster cores so AQE can spread
+    them, and higher when individual buckets outgrow executor memory.
+
+    Ties mirror the window form: a same-instant right row IS visible, and
+    among right ties the higher ``seq_col`` wins (merge_asof takes the
+    last row in (ts, seq) sort order whose key matches).
 
     The right side is internally renamed ``__r_<col>`` before the cogroup:
     when both sides derive from the SAME scan (self-cogroup, as in
@@ -154,13 +159,17 @@ def asof_join_cogrouped(
     }
 
     unmangle = {f"__r_{c}": c for c in right.columns}
+    bucket = "__asof_bucket"
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty:  # right-only key: contributes no output rows
+        if lpdf.empty:  # right-only bucket: contributes no output rows
             return pd.DataFrame(columns=out_cols)
-        rpdf = rpdf.rename(columns=unmangle)
+        lpdf = lpdf.drop(columns=[bucket])
+        rpdf = rpdf.rename(columns=unmangle).drop(columns=[bucket])
+        # merge_asof requires monotone 'on'; (ts, seq) keeps within-key tie
+        # order deterministic (later seq sorts later → wins backward match)
         lpdf = lpdf.sort_values([left_ts, seq_col], kind="mergesort")
-        if rpdf.empty:  # left-only key: all match columns null
+        if rpdf.empty:  # left-only bucket: all match columns null
             out = lpdf.copy()
             out[prefix + right_ts] = pd.NaT
             for c in right_vals:
@@ -171,21 +180,34 @@ def asof_join_cogrouped(
         r = rpdf.sort_values([right_ts, seq_col], kind="mergesort")
         rr = pd.DataFrame(
             {
+                **{k: r[k].array for k in by},  # merge_asof 'by' keys
                 left_ts: r[right_ts],  # merge_asof 'on' key (consumed)
                 prefix + right_ts: r[right_ts],  # matched ts, kept as output
                 **{prefix + c: r[c].array for c in right_vals},
             }
         )
         out = pd.merge_asof(
-            lpdf, rr, on=left_ts, direction="backward", allow_exact_matches=True
+            lpdf,
+            rr,
+            on=left_ts,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
         )
         for col, dtype in null_casts.items():
             out[col] = out[col].astype(dtype)
         return out[out_cols]
 
-    mangled = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
+    left_b = left.withColumn(
+        bucket, F.pmod(F.hash(*by), F.lit(n_buckets))
+    )
+    mangled = right.select(
+        [F.col(c).alias(f"__r_{c}") for c in right.columns]
+    ).withColumn(
+        bucket, F.pmod(F.hash(*[f"__r_{k}" for k in by]), F.lit(n_buckets))
+    )
     return (
-        left.groupBy(*by)
-        .cogroup(mangled.groupBy(*[f"__r_{k}" for k in by]))
+        left_b.groupBy(bucket)
+        .cogroup(mangled.groupBy(bucket))
         .applyInPandas(merge, out_schema)
     )
