@@ -184,7 +184,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     same triangles with plain id-ordering. The ~|E|-row oriented edge set
     is localCheckpointed: it feeds three joins, and without the checkpoint
     Spark would re-run the lineitem self-join three times."""
-    und = _copurchase_edges(spark, sf_dir)
+    return (
+        triangles_per_vertex(_copurchase_edges(spark, sf_dir), "l_partkey")
+        .orderBy(F.desc("n_triangles"), "l_partkey")
+    )
+
+
+def triangles_per_vertex(und: DataFrame, out_col: str = "vertex") -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge set ``(u, v)``
+    with u < v and no duplicates — the degree-oriented wedge join described
+    in q_triangle_count, reusable over any edge relation (fuzzed against a
+    brute-force reference in test_components)."""
     deg = (
         und.select(F.col("u").alias("x"))
         .unionByName(und.select(F.col("v").alias("x")))
@@ -217,10 +227,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = wedges.join(closer, ["a", "b"])
     return (
-        tri.select(F.explode(F.array("s", "a", "b")).alias("l_partkey"))
-        .groupBy("l_partkey")
+        tri.select(F.explode(F.array("s", "a", "b")).alias(out_col))
+        .groupBy(out_col)
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), "l_partkey")
     )
 
 

@@ -80,3 +80,37 @@ def test_repartition_invariance(spark):
         for r in connected_components(pairs.repartition(3), "doc_a", "doc_b").collect()
     )
     assert base == skewed
+
+
+def test_triangle_counts_match_brute_force_on_random_graphs(spark):
+    """The degree-oriented wedge join must count triangles exactly on
+    arbitrary graphs — verified against a brute-force itertools reference
+    over random edge sets (hub-heavy shapes included: vertex 0 connects to
+    everything in the densest draws, exercising the orientation's tie
+    handling)."""
+    import itertools
+    import random
+
+    from candyspark.plans.graph import triangles_per_vertex
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        n = rng.randint(4, 12)
+        pairs = list(itertools.combinations(range(n), 2))
+        edges = sorted(rng.sample(pairs, k=rng.randint(3, len(pairs))))
+        adj = {x: set() for x in range(n)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        expect: dict[int, int] = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for x in (a, b, c):
+                    expect[x] = expect.get(x, 0) + 1
+
+        und = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r["vertex"]: r["n_triangles"]
+            for r in triangles_per_vertex(und).collect()
+        }
+        assert got == expect, (trial, edges, got, expect)
