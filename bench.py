@@ -96,6 +96,7 @@ HEADLINE = [
     "lateral_top_nations",
     "user_event_profile",
     "asof_cogroup_attribution",
+    "ab_conversion",
 ]
 
 

@@ -431,7 +431,90 @@ ORDER BY p.user_id
 """
 
 
+def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis shape: users deterministically split into two
+    arms (content-hash parity of user_id — the same re-shard-proof
+    assignment discipline as plans/corpus.dataset_split), per-arm
+    conversion rate (users with ≥1 purchase), and the 95% Wilson score
+    interval. Wilson beats the normal approximation at small n and never
+    leaves [0,1]; the math is sqrt/± in IEEE double (sqrt is
+    correctly-rounded, so engines agree bit-for-bit) snapped through
+    decimal at the edge. Scale: one scan → per-user flag (partial-agg'd
+    groupBy) → 2-row aggregate; the interval math runs on 2 rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            "converted",
+        )
+    )
+    z = F.lit(1.959963984540054)  # two-sided 95%
+    agg = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    n, x = F.col("n_users").cast("double"), F.col("n_converted").cast("double")
+    p = x / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    ) / denom
+    snap = lambda c: F.round(c.cast("decimal(28,8)"), 4).cast("double")  # noqa: E731
+    return agg.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        snap(p).alias("conversion_rate"),
+        snap(center - half).alias("wilson_low"),
+        snap(center + half).alias("wilson_high"),
+    ).orderBy("arm")
+
+
+AB_CONVERSION_SQL = """
+WITH per_user AS (
+    SELECT user_id % 2 AS arm,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM events
+    GROUP BY user_id
+),
+agg AS (
+    SELECT arm,
+           COUNT(*) AS n_users,
+           SUM(converted) AS n_converted
+    FROM per_user
+    GROUP BY arm
+)
+SELECT arm, n_users, CAST(n_converted AS BIGINT) AS n_converted,
+       CAST(ROUND(CAST(p AS DECIMAL(28,8)), 4) AS DOUBLE) AS conversion_rate,
+       CAST(ROUND(CAST((center - half) AS DECIMAL(28,8)), 4) AS DOUBLE) AS wilson_low,
+       CAST(ROUND(CAST((center + half) AS DECIMAL(28,8)), 4) AS DOUBLE) AS wilson_high
+FROM (
+    SELECT arm, n_users, n_converted,
+           p,
+           (p + z * z / (2.0 * n)) / (1.0 + z * z / n) AS center,
+           (z * sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)))
+               / (1.0 + z * z / n) AS half
+    FROM (
+        SELECT arm, n_users, n_converted,
+               CAST(n_users AS DOUBLE) AS n,
+               CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+               1.959963984540054 AS z
+        FROM agg
+    )
+)
+ORDER BY arm
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "ab_conversion": QuerySpec(q_ab_conversion, AB_CONVERSION_SQL),
     "user_event_profile": QuerySpec(q_user_event_profile, USER_EVENT_PROFILE_SQL),
     "basket_pairs": QuerySpec(q_basket_pairs, BASKET_PAIRS_SQL),
     "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL),
