@@ -97,6 +97,7 @@ HEADLINE = [
     "user_event_profile",
     "asof_cogroup_attribution",
     "ab_conversion",
+    "interevent_gaps",
 ]
 
 

@@ -513,8 +513,86 @@ ORDER BY arm
 """
 
 
+_GAP_BUCKETS = [  # (upper bound in ms — exclusive, order, label)
+    (10_000, 0, "lt_10s"),
+    (60_000, 1, "10s_1m"),
+    (600_000, 2, "1m_10m"),
+    (3_600_000, 3, "10m_1h"),
+    (21_600_000, 4, "1h_6h"),
+]
+
+
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency distribution: per-user gaps between consecutive
+    events (lag over the (ts, event_id) total order), bucketed into
+    human-scale latency bands — the session-timeout / SLA-tail histogram.
+    Gap math is exact integer milliseconds (unix_millis), and the bucket
+    ladder is integer comparisons — no float log in sight, so both engines
+    bucket identically by construction (floor(log2(gap)) would wobble at
+    power-of-two boundaries across libms). Scale: one user_id window pass,
+    then a ≤6-row aggregate; the share column divides on those 6 rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("gap_ms", ms - F.lag(ms).over(w))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    bucket_order = F.lit(len(_GAP_BUCKETS))
+    bucket_label = F.lit("ge_6h")
+    for hi, order, label in reversed(_GAP_BUCKETS):
+        bucket_order = F.when(F.col("gap_ms") < hi, order).otherwise(bucket_order)
+        bucket_label = F.when(F.col("gap_ms") < hi, label).otherwise(bucket_label)
+    agg = gaps.select(
+        bucket_order.alias("bucket_order"), bucket_label.alias("bucket")
+    ).groupBy("bucket_order", "bucket").agg(F.count(F.lit(1)).alias("n_gaps"))
+    total = Window.partitionBy()
+    return agg.select(
+        "bucket_order",
+        "bucket",
+        "n_gaps",
+        F.round(
+            (F.col("n_gaps") / F.sum("n_gaps").over(total)).cast("decimal(28,8)"), 4
+        ).cast("double").alias("share"),
+    ).orderBy("bucket_order")
+
+
+INTEREVENT_GAPS_SQL = """
+WITH g AS (
+    SELECT user_id,
+           epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+    FROM events
+),
+b AS (
+    SELECT CASE WHEN gap_ms < 10000 THEN 0
+                WHEN gap_ms < 60000 THEN 1
+                WHEN gap_ms < 600000 THEN 2
+                WHEN gap_ms < 3600000 THEN 3
+                WHEN gap_ms < 21600000 THEN 4
+                ELSE 5 END AS bucket_order,
+           CASE WHEN gap_ms < 10000 THEN 'lt_10s'
+                WHEN gap_ms < 60000 THEN '10s_1m'
+                WHEN gap_ms < 600000 THEN '1m_10m'
+                WHEN gap_ms < 3600000 THEN '10m_1h'
+                WHEN gap_ms < 21600000 THEN '1h_6h'
+                ELSE 'ge_6h' END AS bucket
+    FROM g WHERE gap_ms IS NOT NULL
+)
+SELECT bucket_order, bucket, COUNT(*) AS n_gaps,
+       CAST(ROUND(CAST(CAST(COUNT(*) AS DOUBLE)
+                       / SUM(CAST(COUNT(*) AS DOUBLE)) OVER ()
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS share
+FROM b
+GROUP BY bucket_order, bucket
+ORDER BY bucket_order
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "ab_conversion": QuerySpec(q_ab_conversion, AB_CONVERSION_SQL),
+    "interevent_gaps": QuerySpec(q_interevent_gaps, INTEREVENT_GAPS_SQL),
     "user_event_profile": QuerySpec(q_user_event_profile, USER_EVENT_PROFILE_SQL),
     "basket_pairs": QuerySpec(q_basket_pairs, BASKET_PAIRS_SQL),
     "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL),
