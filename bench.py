@@ -98,6 +98,8 @@ HEADLINE = [
     "asof_cogroup_attribution",
     "ab_conversion",
     "interevent_gaps",
+    "winsorized_mean",
+    "funnel_timebound",
 ]
 
 

@@ -1145,6 +1145,78 @@ ORDER BY stage
 """
 
 
+def q_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel with a TIME BUDGET per step: click within 24 h
+    of the first view, purchase within 24 h of that qualifying click —
+    the attribution-window form real funnel metrics use (an unbounded
+    funnel inflates conversion with returns that happen weeks later).
+    Same monotonically-shrinking per-user aggregate chain as
+    q_event_funnel; the bound is one extra scan-stage predicate, so the
+    plan shape (and its 100-TB posture) is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("num_users")).select(
+            F.lit(name).alias("stage"), "num_users"
+        )
+
+    return (
+        _stage(v, "1_view")
+        .unionByName(_stage(c, "2_click_within_24h"))
+        .unionByName(_stage(p, "3_purchase_within_24h"))
+        .orderBy("stage")
+    )
+
+
+FUNNEL_TIMEBOUND_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL '24 hours'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL '24 hours'
+  GROUP BY e.user_id
+)
+SELECT stage, num_users FROM (
+  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS num_users FROM v
+  UNION ALL
+  SELECT '2_click_within_24h', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT '3_purchase_within_24h', CAST(COUNT(*) AS BIGINT) FROM p
+)
+ORDER BY stage
+"""
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency dedup — keep each user's LATEST event (row_number over
     (user) ordered by ts desc, tie-break event_id desc): the 'current
@@ -1255,6 +1327,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
     "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),
+    "funnel_timebound": QuerySpec(q_funnel_timebound, FUNNEL_TIMEBOUND_SQL),
     "latest_per_key": QuerySpec(q_latest_per_key, LATEST_PER_KEY_SQL),
     "retention_cohorts": QuerySpec(q_retention_cohorts, RETENTION_COHORTS_SQL),
     "synthetic_source": QuerySpec(q_synthetic_source, SYNTHETIC_SOURCE_SQL),

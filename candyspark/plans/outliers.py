@@ -315,8 +315,74 @@ ORDER BY l_linestatus
 """
 
 
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp each price into its group's
+    [p05, p95] (PERCENTILE_DISC — actual data values, engine-exact) and
+    average the clamped values — the robust location estimate metric
+    pipelines prefer over trimming (keeps n constant) and over the raw
+    mean (tail-insensitive). Clamped values snap to DECIMAL before the
+    exact sum; only the final mean division touches doubles.
+
+    Scale: the percentile aggregate is the only holistic step (same
+    buffer bound and approx_percentile swap-in as robust_stats); the
+    2-row cutoff dim broadcasts back onto the fact, so the clamp+mean is
+    one partial-agg'd pass — no second sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p95"),
+    )
+    clamped = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+        .cast("decimal(18,2)")
+        .alias("w"),
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "l_returnflag",
+            F.round(
+                (F.col("s").cast("double") / F.col("n_lines")).cast("decimal(28,8)"),
+                4,
+            ).cast("double").alias("winsorized_mean"),
+            "n_lines",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WINSORIZED_MEAN_SQL = """
+WITH cuts AS (
+    SELECT l_returnflag,
+           PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+           PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+),
+clamped AS (
+    SELECT li.l_returnflag,
+           CAST(LEAST(GREATEST(l_extendedprice, p05), p95) AS DECIMAL(18,2)) AS w
+    FROM lineitem li JOIN cuts USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(ROUND(CAST(CAST(SUM(w) AS DOUBLE) / COUNT(*) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS winsorized_mean,
+       COUNT(*) AS n_lines
+FROM clamped
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "udaf_median_price": QuerySpec(q_udaf_median_price, UDAF_MEDIAN_PRICE_SQL),
+    "winsorized_mean": QuerySpec(q_winsorized_mean, WINSORIZED_MEAN_SQL),
     "weighted_sample": QuerySpec(q_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "zscore_outliers": QuerySpec(q_zscore_outliers, ZSCORE_OUTLIERS_SQL),
     "trend_per_type": QuerySpec(q_trend_per_type, TREND_PER_TYPE_SQL),
