@@ -37,6 +37,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         quality,
         relational,
         retrieval,
+        sequences,
         sketches,
         temporal,
         tpch,
@@ -61,6 +62,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         sketches,
         outliers,
         behavior,
+        sequences,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

@@ -1,0 +1,437 @@
+"""Sequence / incremental-maintenance plans: gaps-and-islands, growth
+accounting, multi-touch attribution, ordered-path matching, and
+partial-aggregate merge (incremental materialized-view refresh).
+
+Extension surface — the reference has no window functions at all
+(SURVEY.md §2.6) and its only notion of "incremental" is re-running the
+whole batch (src/data_processor.py:353-436, the per-day driver loop).
+These six shapes are the standard sequence workloads of a production
+warehouse, each expressed so both engines compute bit-identical values:
+
+- ``activity_streaks`` — classic gaps-and-islands: consecutive-active-day
+  runs per user via the ``epoch_day − row_number`` island key. Integer
+  arithmetic end to end; one user_id window pass, then per-(user, island)
+  and per-user hash aggregates that all reuse the same user_id exchange.
+- ``new_vs_returning`` — daily growth accounting: DAU, first-seen new
+  users, returning = DAU − new, and the running cumulative user count.
+  The cumulative window is a single partition BY DESIGN over the per-day
+  aggregate (≤ one row per calendar day — thousands of rows at any SF),
+  never over raw events.
+- ``mom_growth`` — month-over-month revenue growth and rank movement per
+  nation: two window families (lag over nation-partitioned months; rank
+  over month-partitioned nations) over one join-aggregate. Revenue stays
+  exact decimal through the aggregate; the growth ratio divides two
+  doubles that both engines derived from the same exact decimal, then
+  snaps (functions/numeric.snap_round discipline).
+- ``linear_attribution`` — multi-touch credit: each purchase splits its
+  value equally across the user's touches in the prior 24 h. The
+  interval self-join is bounded by the attribution window (same scale
+  posture as operators/temporal.py's banded range join: at 100 TB,
+  bucket both sides by (user_id, time-band) first). Per-touch credit is
+  snapped to DECIMAL(18,6) BEFORE the sum so the engine-side aggregate
+  is exact and partial-order-independent.
+- ``mv_incremental_refresh`` — incremental materialized-view maintenance:
+  COUNT/SUM partials computed on a base slice and a delta slice are
+  merged by re-aggregation, proving the algebraic-mergeability contract
+  (sum-of-sums, sum-of-counts) that makes the view maintainable without
+  a full rescan at 100 TB. The oracle is the full recompute — the merge
+  must be semantically invisible.
+- ``event_path_match`` — ordered-sequence pattern detection: per
+  (user, day) the event-type initials are concatenated in (ts, event_id)
+  total order and matched against the view→click→purchase regex. Spark
+  builds the ordered string via ``array_sort(collect_list(struct(...)))``
+  — collect_list alone has NO ordering guarantee — and the path length
+  is bounded by events-per-user-day, so the row never blows up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.functions.numeric import money, round2, snap_round
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+
+# --- gaps-and-islands --------------------------------------------------------
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands).
+
+    ``d − row_number()`` is constant exactly while days are consecutive, so
+    it names the island. All integer math (epoch days), identical in both
+    engines. One shuffle: the row_number window, the (user, island) agg,
+    and the per-user agg all hash on user_id and AQE reuses the exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").cast("long").alias("active_days"),
+            F.max("streak_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+    FROM events
+),
+islands AS (
+    SELECT user_id, d,
+           d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island, COUNT(*) AS streak_len
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days,
+       MAX(streak_len) AS longest_streak,
+       COUNT(*) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- growth accounting -------------------------------------------------------
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU split into first-seen vs returning, plus the running user base.
+
+    Two aggregates off one scan (daily actives; first-seen day per user →
+    new-user counts), joined on the day, then ONE cumulative window over
+    the per-day aggregate — ≤ 1 row per calendar day at any SF, so the
+    single-partition window is bounded by the calendar, not the data.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    daily = e.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    news = (
+        e.groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(news, "d", "left")
+        .select("d", "dau", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("returning", F.col("dau") - F.col("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(cum).cast("long"))
+        .orderBy("d")
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+daily AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY d),
+news AS (
+    SELECT d, COUNT(*) AS new_users
+    FROM (SELECT user_id, MIN(d) AS d FROM e GROUP BY user_id)
+    GROUP BY d
+)
+SELECT daily.d, dau,
+       COALESCE(new_users, 0) AS new_users,
+       dau - COALESCE(new_users, 0) AS returning,
+       CAST(SUM(COALESCE(new_users, 0))
+            OVER (ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM daily LEFT JOIN news ON daily.d = news.d
+ORDER BY daily.d
+"""
+
+
+# --- month-over-month growth + rank movement ---------------------------------
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per nation with MoM growth %, rank, and rank shift.
+
+    orders ⨝ customer shuffles on custkey (both fact-sized at 100 TB);
+    nation stays an explicit broadcast (25 rows at ANY SF). The aggregate
+    collapses to ≤ 25 × months rows, so both window families (lag within
+    nation, rank within month) run over the aggregate, never the facts.
+    Revenue is exact decimal; the growth ratio divides the two doubles
+    both engines derive from that decimal, then snaps at 4 dp.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        )
+        .agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    )
+    lagw = Window.partitionBy("nation").orderBy("month")
+    rankw = Window.partitionBy("month").orderBy(F.desc("rev_dec"), "nation")
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag("rev_dec").over(lagw).cast("double")
+    return monthly.select(
+        "nation",
+        "month",
+        round2(rev).alias("revenue"),
+        snap_round((rev - prev) / prev, 4).alias("growth_pct"),
+        F.rank().over(rankw).alias("rnk"),
+        (F.lag(F.rank().over(rankw)).over(lagw) - F.rank().over(rankw)).alias(
+            "rank_delta"
+        ),
+    ).orderBy("nation", "month")
+
+
+MOM_GROWTH_SQL = """
+WITH monthly AS (
+    SELECT n_name AS nation,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT nation, month, rev_dec,
+           RANK() OVER (PARTITION BY month ORDER BY rev_dec DESC, nation) AS rnk
+    FROM monthly
+)
+SELECT nation, month,
+       CAST(ROUND(CAST(rev_dec AS DOUBLE), 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(CAST((CAST(rev_dec AS DOUBLE)
+                        - LAG(CAST(rev_dec AS DOUBLE))
+                              OVER (PARTITION BY nation ORDER BY month))
+                       / LAG(CAST(rev_dec AS DOUBLE))
+                             OVER (PARTITION BY nation ORDER BY month)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS growth_pct,
+       rnk,
+       LAG(rnk) OVER (PARTITION BY nation ORDER BY month) - rnk AS rank_delta
+FROM ranked
+ORDER BY nation, month
+"""
+
+
+# --- multi-touch attribution -------------------------------------------------
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across that user's view/click/signup touches in the prior
+    24 h (touches strictly before the purchase instant).
+
+    The per-conversion touch count comes from ONE window over the joined
+    pairs (no second join back). Credit is snapped to DECIMAL(18,6) per
+    pair BEFORE summing, so the final per-channel totals are exact and
+    independent of partial-aggregation order — the property that keeps
+    the answer stable across 1000 executors.
+    """
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    per_conv = Window.partitionBy("conv_id")
+    credit = (
+        F.round(
+            (F.col("value") / F.count(F.lit(1)).over(per_conv)).cast("decimal(28,8)"),
+            6,
+        )
+        .cast("decimal(18,6)")
+    )
+    return (
+        pairs.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").cast("double").alias("credited_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH pairs AS (
+    SELECT c.event_id AS conv_id, c.value,
+           t.event_type AS channel
+    FROM events c
+    JOIN events t
+      ON t.user_id = c.user_id
+     AND t.ts < c.ts
+     AND t.ts >= c.ts - INTERVAL 24 HOUR
+    WHERE c.event_type = 'purchase'
+      AND t.event_type IN ('view', 'click', 'signup')
+),
+credits AS (
+    SELECT channel,
+           CAST(ROUND(CAST(value / COUNT(*) OVER (PARTITION BY conv_id)
+                           AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS credit
+    FROM pairs
+)
+SELECT channel, COUNT(*) AS n_touches,
+       CAST(SUM(credit) AS DOUBLE) AS credited_value
+FROM credits
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+# --- incremental materialized-view refresh -----------------------------------
+
+_MV_CUTOFF = "1998-01-01"
+
+
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance: merge base-slice and delta-slice
+    COUNT/SUM partials by re-aggregation (sum-of-counts, sum-of-sums).
+
+    The oracle is the FULL recompute over all orders — the merge must be
+    semantically invisible, which is exactly the algebraic-aggregate
+    contract that lets a 100 TB view absorb a day's delta without
+    rescanning history. Exact decimal sums make the merge bit-identical
+    regardless of how the partials were partitioned.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(money("o_totalprice")).alias("s"),
+        )
+
+    base = partial(o.filter(F.to_date("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.to_date("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MV_INCREMENTAL_REFRESH_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- ordered-path pattern matching -------------------------------------------
+
+
+def q_event_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day funnel-path detection: concatenate each (user, day)'s
+    event-type initials in (ts, event_id) total order and regex-match the
+    view→click→purchase path; report per-day match share.
+
+    collect_list has NO ordering guarantee in Spark, so the order is
+    imposed by sorting structs keyed (ts, event_id) before joining the
+    initials — the same total-order discipline as the allocator
+    (SURVEY.md §2.9). Path length is bounded by events-per-user-day;
+    the per-day rollup then reuses nothing heavier than a 31-row agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ini = F.substring("event_type", 1, 1)  # v/c/p/s/e — initials are unique
+    per_user_day = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.struct(F.col("ts"), F.col("event_id"), ini.alias("ini")).alias("evt"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("evt")), lambda x: x["ini"]
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    matched = F.col("path").rlike("v.*c.*p").cast("int")
+    return (
+        per_user_day.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.sum(matched).cast("long").alias("n_matched"),
+        )
+        .withColumn(
+            "match_share", snap_round(F.col("n_matched") / F.col("n_user_days"), 4)
+        )
+        .orderBy("d")
+    )
+
+
+EVENT_PATH_MATCH_SQL = """
+WITH paths AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT d, COUNT(*) AS n_user_days,
+       CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(ROUND(CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p')
+                                THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS match_share
+FROM paths
+GROUP BY d
+ORDER BY d
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "activity_streaks": QuerySpec(q_activity_streaks, ACTIVITY_STREAKS_SQL),
+    "new_vs_returning": QuerySpec(q_new_vs_returning, NEW_VS_RETURNING_SQL),
+    "mom_growth": QuerySpec(q_mom_growth, MOM_GROWTH_SQL),
+    "linear_attribution": QuerySpec(q_linear_attribution, LINEAR_ATTRIBUTION_SQL),
+    "mv_incremental_refresh": QuerySpec(
+        q_mv_incremental_refresh, MV_INCREMENTAL_REFRESH_SQL
+    ),
+    "event_path_match": QuerySpec(q_event_path_match, EVENT_PATH_MATCH_SQL),
+}
