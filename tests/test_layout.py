@@ -371,3 +371,60 @@ def test_metadata_columns_expose_file_provenance(spark, tmp_path):
     on_disk = {o.path.basename(p) for p in g.glob(o.path.join(d, "*.parquet"))}
     assert {r["file_name"] for r in per_file} == on_disk
     assert sum(r["count"] for r in per_file) == li.count()
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
+    """Z-order clustering (sinks.save_zordered): after Morton-interleaving
+    (l_partkey, l_orderkey) and range-writing on the key, EVERY file's
+    min/max band is a fraction of the global span on BOTH columns — so
+    footer stats can skip files for predicates on either dimension. The
+    control (linear sort on l_partkey alone) narrows only its leading
+    column: l_orderkey spans ~the full range in every file. Asserted from
+    the actual parquet footers, same method as the range-sorted test."""
+    import glob as g
+    import os as o
+
+    import pyarrow.parquet as pq
+
+    from candyspark.sources.sinks import save_zordered
+
+    li = load_table(spark, SF, "lineitem").select("l_partkey", "l_orderkey")
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    save_zordered(li, zdir, "l_partkey", "l_orderkey", n_files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(ldir)
+    )
+
+    def spans(d, col):
+        out = []
+        for f in sorted(g.glob(o.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                los.append(c.statistics.min)
+                his.append(c.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def avg_frac(d, col):
+        s = spans(d, col)
+        glo = min(lo for lo, _ in s)
+        ghi = max(hi for _, hi in s)
+        return sum(hi - lo for lo, hi in s) / len(s) / max(ghi - glo, 1)
+
+    assert len(spans(zdir, "l_partkey")) > 1
+    # z-order: both dimensions narrowed (ideal = 1/sqrt(8) ≈ 0.35)
+    assert avg_frac(zdir, "l_partkey") < 0.7, spans(zdir, "l_partkey")
+    assert avg_frac(zdir, "l_orderkey") < 0.7, spans(zdir, "l_orderkey")
+    # linear control: leading column narrow, second column ~full-span
+    assert avg_frac(ldir, "l_partkey") < 0.5, spans(ldir, "l_partkey")
+    assert avg_frac(ldir, "l_orderkey") > 0.9, spans(ldir, "l_orderkey")
