@@ -535,3 +535,87 @@ ORDER BY lang, bin_id
 """
 
 REGISTRY["corpus_pipeline"] = QuerySpec(corpus_pipeline, CORPUS_PIPELINE_SQL)
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (segment-level) dedup — the C4/RefinedWeb step that
+    removes boilerplate REPEATED ACROSS documents while keeping each
+    document's unique content, at sub-document granularity.
+
+    The corpus here is a flat word stream (no newline paragraph marks), so
+    the "paragraph" unit is a deterministic 10-word segment; on real data
+    the segmentation expression is the only line that changes. Flow:
+    posexplode words → segment id = pos / 10 → rebuild each segment in
+    word order → global first-occurrence window over the segment TEXT
+    (keeper = lowest (doc_id, seg_idx), the same pinned total order as
+    the allocator) → reassemble surviving segments per document in
+    segment order.
+
+    Scale: three keyed exchanges — (doc) for segment rebuild, (segment
+    text) for the dedup window, (doc) for reassembly; each carries rows
+    bounded by words/10. The dedup key at 100 TB should be xxhash64 of
+    the segment (8 bytes shuffled, not the text); kept as text here so
+    the oracle states the identical computation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    segs = (
+        words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
+        .groupBy("doc_id", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("seg")
+        )
+    )
+    first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(first)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_segs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = """
+WITH split AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+words AS (
+    -- parallel unnest zips element with its index (DuckDB semantics)
+    SELECT doc_id, unnest(l) AS word, unnest(range(len(l))) AS pos
+    FROM split
+),
+segs AS (
+    SELECT doc_id, CAST(pos // 10 AS BIGINT) AS seg_idx,
+           string_agg(word, ' ' ORDER BY pos) AS seg
+    FROM words GROUP BY doc_id, pos // 10
+),
+kept AS (
+    SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+    FROM segs
+)
+SELECT doc_id, COUNT(*) AS n_kept_segs,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
+FROM kept WHERE rn = 1
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+REGISTRY["dedup_paragraphs"] = QuerySpec(dedup_paragraphs, DEDUP_PARAGRAPHS_SQL)

@@ -288,3 +288,63 @@ REGISTRY: dict[str, QuerySpec] = {
     "lang_summary_udtf": QuerySpec(q_lang_summary_udtf, LANG_SUMMARY_UDTF_SQL),
     "first_words_udtf": QuerySpec(q_first_words_udtf, FIRST_WORDS_UDTF_SQL),
 }
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: top-50 terms by corpus frequency with the
+    CUMULATIVE share of all token occurrences they cover — the "how big a
+    vocab do we need" question every tokenizer build starts with.
+
+    Term counting is the distributed part (map-side combine absorbs the
+    Zipfian head before the term-keyed shuffle); the ranked cumulative
+    window then runs over the tiny post-aggregate, single-partition BY
+    DESIGN (≤ |vocab| rows, and only the top-50 leave the driver). Rank
+    ties break lexically so both engines pick the same top-50.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), 32)
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rankw = Window.orderBy(F.desc("n"), "term")
+    cumw = rankw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totw = Window.partitionBy()
+    return (
+        counts.select(
+            "term",
+            "n",
+            F.row_number().over(rankw).alias("rnk"),
+            snap_round(
+                F.sum("n").over(cumw) / F.sum("n").over(totw), 6
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rnk") <= 50)
+        .orderBy("rnk")
+    )
+
+
+VOCAB_COVERAGE_SQL = """
+WITH counts AS (
+    SELECT u.term, COUNT(*) AS n
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY u.term
+),
+ranked AS (
+    SELECT term, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk,
+           CAST(ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, term
+                                        ROWS UNBOUNDED PRECEDING)
+                           / CAST(SUM(n) OVER () AS DOUBLE)
+                           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cum_share
+    FROM counts
+)
+SELECT term, n, rnk, cum_share
+FROM ranked WHERE rnk <= 50
+ORDER BY rnk
+"""
+
+
+REGISTRY["vocab_coverage"] = QuerySpec(q_vocab_coverage, VOCAB_COVERAGE_SQL)

@@ -435,3 +435,67 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "event_path_match": QuerySpec(q_event_path_match, EVENT_PATH_MATCH_SQL),
 }
+
+
+# --- conditional-reset runs --------------------------------------------------
+
+
+def q_error_free_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user error-free run lengths: position of each event minus the
+    position of the user's most recent 'error' — a running counter that
+    RESETS on a condition, expressed as ``rn − max(error_rn) over
+    preceding`` (no loop, no state kernel). Reports the longest error-free
+    run, total events, and error count per user. All integer math; both
+    windows and the aggregate share the one user_id exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rn = F.row_number().over(seq)
+    err_rn = F.max(
+        F.when(F.col("event_type") == "error", F.row_number().over(seq))
+    ).over(run)
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type"),
+            (rn - F.coalesce(err_rn, F.lit(0))).alias("run_len"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .cast("long")
+            .alias("n_errors"),
+            F.max("run_len").alias("longest_error_free_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ERROR_FREE_RUNS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+runs AS (
+    SELECT user_id, event_type,
+           rn - COALESCE(MAX(CASE WHEN event_type = 'error' THEN rn END)
+                             OVER (PARTITION BY user_id ORDER BY rn
+                                   ROWS UNBOUNDED PRECEDING), 0) AS run_len
+    FROM seq
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       MAX(run_len) AS longest_error_free_run
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+REGISTRY["error_free_runs"] = QuerySpec(q_error_free_runs, ERROR_FREE_RUNS_SQL)

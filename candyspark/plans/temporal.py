@@ -212,3 +212,66 @@ REGISTRY: dict[str, QuerySpec] = {
     "range_join_error_window": QuerySpec(q_range_join_error_window, RANGE_JOIN_SQL),
     "ewma_user_value": QuerySpec(q_ewma_user_value, EWMA_USER_SQL),
 }
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per (user, day): each event's
+    value "holds" until the next event of the same day, so the mean is
+    weighted by holding duration — the correct average for sampled-on-
+    change signals (prices, gauges), where the arithmetic mean over-weights
+    bursts. The day's last event has no holding interval and drops out.
+
+    Durations are exact integer milliseconds; each value×duration product
+    is snapped to decimal BEFORE the sum, so the per-group totals are
+    partial-order-independent (the 1000-executor determinism discipline).
+    One (user, day)-keyed exchange shared by the lead() window and the
+    aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    held = (
+        e.select("user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value")
+        .withColumn("dur_ms", F.lead(ms).over(w) - ms)
+        .filter(F.col("dur_ms").isNotNull())
+    )
+    wsum = F.sum((F.col("value") * F.col("dur_ms")).cast("decimal(28,6)"))
+    dsum = F.sum("dur_ms")
+    return (
+        held.groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            dsum.cast("long").alias("held_ms"),
+            F.round(
+                (wsum.cast("double") / dsum.cast("double")).cast("decimal(28,8)"), 6
+            )
+            .cast("double")
+            .alias("twap"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH held AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, value,
+           lead(epoch_ms(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id)
+               - epoch_ms(ts) AS dur_ms
+    FROM events
+)
+SELECT user_id, d, COUNT(*) AS n_intervals,
+       CAST(SUM(dur_ms) AS BIGINT) AS held_ms,
+       CAST(ROUND(CAST(CAST(SUM(CAST(value * dur_ms AS DECIMAL(28,6)))
+                            AS DOUBLE)
+                       / CAST(SUM(dur_ms) AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS twap
+FROM held WHERE dur_ms IS NOT NULL
+GROUP BY user_id, d
+ORDER BY user_id, d
+"""
+
+
+REGISTRY["time_weighted_value"] = QuerySpec(
+    q_time_weighted_value, TIME_WEIGHTED_VALUE_SQL
+)
