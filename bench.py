@@ -100,6 +100,16 @@ HEADLINE = [
     "interevent_gaps",
     "winsorized_mean",
     "funnel_timebound",
+    "activity_streaks",
+    "new_vs_returning",
+    "mom_growth",
+    "linear_attribution",
+    "mv_incremental_refresh",
+    "event_path_match",
+    "error_free_runs",
+    "dedup_paragraphs",
+    "vocab_coverage",
+    "time_weighted_value",
 ]
 
 

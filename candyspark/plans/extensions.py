@@ -543,15 +543,20 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches floats. The DuckDB oracle states the same result relationally
     (grouped projection, no maps): the map round-trip must be semantically
     invisible, which is what the hash check proves; map iteration order is
-    irrelevant because the compare is order-insensitive. Scale: the
-    pre-aggregate and the map build group on the same l_orderkey-prefixed
-    keys, maps hold ≤7 entries, state per key is O(lines-per-order)."""
+    irrelevant because the compare is order-insensitive. Scale: ONE
+    explicit repartition on l_orderkey up front — hash-partitioning on the
+    prefix satisfies ClusteredDistribution for BOTH aggregates (the
+    (l_orderkey, l_linenumber) grain and the l_orderkey map build), so the
+    whole plan runs on a single wide shuffle instead of two. Nothing is
+    lost map-side: (orderkey, linenumber) is the table's grain, so a
+    pre-shuffle partial agg would combine nothing anyway. Maps hold ≤7
+    entries; state per key is O(lines-per-order)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
-    )
+    ).repartition("l_orderkey")
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.sum("qty").alias("qty"),
         F.sum(F.col("qty") * F.col("price")).alias("gross"),
