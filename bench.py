@@ -110,6 +110,14 @@ HEADLINE = [
     "dedup_paragraphs",
     "vocab_coverage",
     "time_weighted_value",
+    "drift_psi",
+    "benford_digits",
+    "basket_rules",
+    "session_stats",
+    "seasonal_anomaly",
+    "weighted_median",
+    "doc_cosine_pairs",
+    "pmi_collocations",
 ]
 
 

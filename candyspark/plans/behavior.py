@@ -590,8 +590,214 @@ ORDER BY bucket_order
 """
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: support, confidence, and
+    lift for the top-100 part pairs (market-basket analysis proper — the
+    metric layer q_basket_pairs stops short of).
+
+    All three metrics are ratios of exact long counts (pair count, per-item
+    basket counts, total baskets), snapped at 6 dp. Scale posture: the
+    per-item counts and the basket total are aggregates of the SAME
+    deduplicated (order, part) relation the pair join uses; per-item counts
+    broadcast back onto the top-100 pairs (a dim-sized frame), and the
+    basket total is a 1-row broadcast — the only quadratic object is the
+    within-order pair join, same bound as q_basket_pairs.
+
+    The deduplicated relation feeds FOUR consumers (two pair-join sides,
+    item counts, basket total) — Spark re-executes shared subtrees per
+    consumer, so it's materialized once (localCheckpoint; the
+    triangle-count lesson, plans/graph.py) instead of rescanning and
+    re-shuffling lineitem four times.
+    """
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(100)
+    )
+    item_cnt = d.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    baskets = d.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nab, nk = F.col("n_ab").cast("double"), F.col("n_baskets").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(item_cnt.withColumnRenamed("n_item", "n_a")),
+            F.col("part_a") == F.col("pk"),
+        )
+        .drop("pk")
+        .join(
+            F.broadcast(item_cnt.withColumnRenamed("n_item", "n_b")),
+            F.col("part_b") == F.col("pk"),
+        )
+        .drop("pk")
+        .crossJoin(F.broadcast(baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            snap_round(nab / nk, 6).alias("support"),
+            snap_round(nab / na, 6).alias("confidence_ab"),
+            snap_round(nab * nk / (na * nb), 6).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+    )
+
+
+BASKET_RULES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_ab DESC, part_a, part_b
+    LIMIT 100
+),
+item_cnt AS (SELECT l_partkey AS pk, COUNT(*) AS n_item FROM d GROUP BY 1),
+baskets AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM d)
+SELECT part_a, part_b, n_ab,
+       CAST(ROUND(CAST(CAST(n_ab AS DOUBLE) / n_baskets AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS support,
+       CAST(ROUND(CAST(CAST(n_ab AS DOUBLE) / ia.n_item AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS confidence_ab,
+       CAST(ROUND(CAST(CAST(n_ab AS DOUBLE) * n_baskets / (ia.n_item * CAST(ib.n_item AS DOUBLE))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS lift
+FROM pairs
+JOIN item_cnt ia ON part_a = ia.pk
+JOIN item_cnt ib ON part_b = ib.pk
+CROSS JOIN baskets
+ORDER BY n_ab DESC, part_a, part_b
+"""
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) + engagement decay by
+    session ordinal: the lag-flag-cumsum idiom that turns a raw event
+    stream into sessions with plain windows — the batch twin of
+    streaming_session's session_window, on a different axis (per-ordinal
+    engagement, not per-session rows).
+
+    Session boundaries are exact integer-millisecond comparisons; the
+    session number is a running SUM of the boundary flags (cumsum over the
+    same (ts, event_id) total order), so both engines assign identical
+    session ids. Per-(user, session) stats then roll up by session ordinal
+    (capped at 5+) with all averages derived from exact long sums, snapped.
+    Scale: every window and the first aggregate hash on user_id — one
+    keyed exchange for the heavy phase, then a ≤6-row rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        ms.alias("ms"),
+        F.when(
+            (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > 1_800_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = flagged.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    ordinal = F.when(F.col("session_no") >= 5, F.lit(5)).otherwise(
+        F.col("session_no")
+    ).cast("int")
+    by_ordinal = sessions.groupBy(ordinal.alias("session_ordinal")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("sum_events"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        F.sum("has_purchase").cast("long").alias("n_with_purchase"),
+    )
+    ns = F.col("n_sessions").cast("double")
+    return by_ordinal.select(
+        "session_ordinal",
+        "n_sessions",
+        snap_round(F.col("sum_events") / ns, 6).alias("avg_events"),
+        snap_round(F.col("sum_duration_ms") / ns / 60000.0, 6).alias("avg_duration_min"),
+        snap_round(F.col("n_with_purchase") / ns, 6).alias("purchase_rate"),
+    ).orderBy("session_ordinal")
+
+
+SESSION_STATS_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_type,
+           epoch_ms(ts) AS ms,
+           CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_ms(ts) - LAG(epoch_ms(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_session,
+           ts, event_id
+    FROM events
+),
+numbered AS (
+    SELECT *,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MAX(ms) - MIN(ms) AS duration_ms,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+    FROM numbered
+    GROUP BY user_id, session_no
+),
+by_ordinal AS (
+    SELECT CAST(CASE WHEN session_no >= 5 THEN 5 ELSE session_no END AS INTEGER)
+             AS session_ordinal,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS sum_events,
+           CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms,
+           CAST(SUM(has_purchase) AS BIGINT) AS n_with_purchase
+    FROM sessions
+    GROUP BY 1
+)
+SELECT session_ordinal, n_sessions,
+       CAST(ROUND(CAST(sum_events / CAST(n_sessions AS DOUBLE) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS avg_events,
+       CAST(ROUND(CAST(sum_duration_ms / CAST(n_sessions AS DOUBLE) / 60000.0
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS avg_duration_min,
+       CAST(ROUND(CAST(n_with_purchase / CAST(n_sessions AS DOUBLE) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS purchase_rate
+FROM by_ordinal
+ORDER BY session_ordinal
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "ab_conversion": QuerySpec(q_ab_conversion, AB_CONVERSION_SQL),
+    "basket_rules": QuerySpec(q_basket_rules, BASKET_RULES_SQL),
+    "session_stats": QuerySpec(q_session_stats, SESSION_STATS_SQL),
     "interevent_gaps": QuerySpec(q_interevent_gaps, INTEREVENT_GAPS_SQL),
     "user_event_profile": QuerySpec(q_user_event_profile, USER_EVENT_PROFILE_SQL),
     "basket_pairs": QuerySpec(q_basket_pairs, BASKET_PAIRS_SQL),

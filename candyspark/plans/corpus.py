@@ -439,8 +439,115 @@ LIMIT 50
 """
 
 
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent word pairs by pointwise mutual
+    information — the statistical layer over word_bigrams' raw counts
+    (raw frequency surfaces 'of the'; PMI surfaces genuinely associated
+    pairs). The multi-word-expression detector of a tokenizer-training /
+    phrase-vocabulary pipeline.
+
+    Every probability is a ratio of exact long counts (pair count, both
+    unigram counts, corpus totals derived once from the SAME token
+    relation); the single ln per surviving pair is snapped at 6 dp. Pairs
+    seen < 5 times are dropped BEFORE the join (PMI of rare pairs is
+    noise, and the filter bounds the join input). Scale: the token
+    relation is materialized once (doc-count rows of token arrays) and
+    feeds bigram counts, unigram counts, and the 1-row totals; unigram
+    counts are a vocabulary-sized dim broadcast onto the filtered pairs.
+    """
+    from candyspark.operators import text as X
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks_rel = d.select(
+        "doc_id", X.tokens("text").alias("toks")
+    ).localCheckpoint()
+    toks = F.col("toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigram_cnt = (
+        toks_rel.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    unigram_cnt = (
+        toks_rel.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = toks_rel.agg(
+        F.sum(F.size(toks)).cast("double").alias("n_uni"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).cast("double").alias("n_bi"),
+    )
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_bi"))
+        / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
+    )
+    return (
+        bigram_cnt.join(
+            F.broadcast(unigram_cnt.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(unigram_cnt.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            snap_round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+PMI_COLLOCATIONS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+    FROM t
+),
+bigram_cnt AS (
+    SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_ab
+    FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+unigram_cnt AS (
+    SELECT w, COUNT(*) AS n_w
+    FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+totals AS (
+    SELECT CAST(SUM(len(toks)) AS DOUBLE) AS n_uni,
+           CAST(SUM(GREATEST(len(toks) - 1, 0)) AS DOUBLE) AS n_bi
+    FROM t
+)
+SELECT w1, w2, n_ab,
+       CAST(ROUND(CAST(
+         LN((n_ab / n_bi) / ((ua.n_w / n_uni) * (ub.n_w / n_uni)))
+         AS DECIMAL(28,8)), 6) AS DOUBLE) AS pmi
+FROM bigram_cnt
+JOIN unigram_cnt ua ON w1 = ua.w
+JOIN unigram_cnt ub ON w2 = ub.w
+CROSS JOIN totals
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),
+    "pmi_collocations": QuerySpec(pmi_collocations, PMI_COLLOCATIONS_SQL),
     "word_bigrams": QuerySpec(word_bigrams, WORD_BIGRAMS_SQL),
     "repetition_signals": QuerySpec(repetition_signals, REPETITION_SIGNALS_SQL),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_DOCUMENTS_SQL),

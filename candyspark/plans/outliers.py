@@ -380,7 +380,154 @@ ORDER BY l_returnflag
 """
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: daily order revenue z-scored against its
+    OWN day-of-week baseline (Sundays vs the Sunday norm) — the
+    weekday-seasonality-aware monitor that a flat global z-score
+    (q_zscore_outliers) gets wrong by construction.
+
+    Day-of-week is pure integer arithmetic ((epoch_day + 4) % 7 — no
+    engine-specific dayofweek numbering, Spark counts Sunday=1 while
+    DuckDB counts Sunday=0), the per-dow moments come from exact DECIMAL
+    power sums, and the final z divides doubles both engines derived from
+    identical decimals, snapped at 6 dp. Scale: raw orders collapse to one
+    row per calendar day first (one keyed shuffle with map-side combine);
+    the dow baseline is a window over that ~day-count-sized aggregate.
+    Returns only the flagged days (|z| > 1.5).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    daily = (
+        o.select(d.alias("d"), F.col("o_totalprice").cast("decimal(12,2)").alias("p"))
+        .groupBy("d")
+        .agg(F.sum("p").alias("revenue"))
+        .withColumn("dow", (F.col("d") + 4) % 7)
+    )
+    w = Window.partitionBy("dow")
+    rev = F.col("revenue").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum(rev).over(w).cast("double")
+    s2 = F.sum(rev * rev).over(w).cast("double")
+    mean = s1 / n
+    std = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    z = (F.col("revenue").cast("double") - mean) / std
+    return (
+        daily.withColumn("z", snap_round(z, 6))
+        .filter(F.abs(F.col("z")) > 1.5)
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+                "day"
+            ),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("revenue").cast("double").alias("revenue"),
+            "z",
+        )
+        .orderBy("day")
+    )
+
+
+SEASONAL_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
+    FROM orders
+    GROUP BY 1
+),
+scored AS (
+    SELECT d, (d + 4) % 7 AS dow, revenue,
+           COUNT(*) OVER (PARTITION BY (d + 4) % 7) AS n,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (PARTITION BY (d + 4) % 7)
+                AS DOUBLE) AS s1,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2)) * CAST(revenue AS DECIMAL(18,2)))
+                OVER (PARTITION BY (d + 4) % 7) AS DOUBLE) AS s2
+    FROM daily
+)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+       CAST(dow AS INTEGER) AS dow,
+       CAST(revenue AS DOUBLE) AS revenue,
+       z
+FROM (
+    SELECT *,
+           CAST(ROUND(CAST(
+             (CAST(revenue AS DOUBLE) - s1 / n)
+             / SQRT((s2 - s1 * s1 / n) / (n - 1.0))
+             AS DECIMAL(28,8)), 6) AS DOUBLE) AS z
+    FROM scored
+)
+WHERE ABS(z) > 1.5
+ORDER BY day
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    PERCENTILE_DISC generalization where each row counts l_quantity times
+    (a 50-unit line moves the median 50× more than a 1-unit line).
+
+    The cumulative-weight scan runs over a pinned (price, orderkey,
+    linenumber) total order with exact long weights, and picks the
+    smallest price whose cumulative weight reaches half the total; the
+    chosen PRICE is tie-order-invariant (the cumulative weight at a price
+    group's boundary doesn't depend on intra-group order), so both
+    engines agree even where they'd order equal prices differently.
+    Scale: the window and both aggregates hash on l_returnflag — one
+    keyed exchange; weights never leave integer arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    grp = Window.partitionBy("l_returnflag")
+    scanned = rows.withColumn(
+        "cum_wt", F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total_wt", F.sum("wt").over(grp))
+    return (
+        scanned.filter(F.col("cum_wt") * 2 >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price"),
+            F.max("total_wt").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH rows_w AS (
+    SELECT l_returnflag,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+           CAST(l_quantity AS BIGINT) AS wt,
+           l_orderkey, l_linenumber
+    FROM lineitem
+),
+scanned AS (
+    SELECT l_returnflag, price, wt,
+           SUM(wt) OVER (PARTITION BY l_returnflag
+                         ORDER BY price, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cum_wt,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+    FROM rows_w
+)
+SELECT l_returnflag,
+       CAST(MIN(price) AS DOUBLE) AS weighted_median_price,
+       CAST(MAX(total_wt) AS BIGINT) AS total_weight
+FROM scanned
+WHERE cum_wt * 2 >= total_wt
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "seasonal_anomaly": QuerySpec(q_seasonal_anomaly, SEASONAL_ANOMALY_SQL),
+    "weighted_median": QuerySpec(q_weighted_median, WEIGHTED_MEDIAN_SQL),
     "udaf_median_price": QuerySpec(q_udaf_median_price, UDAF_MEDIAN_PRICE_SQL),
     "winsorized_mean": QuerySpec(q_winsorized_mean, WINSORIZED_MEAN_SQL),
     "weighted_sample": QuerySpec(q_weighted_sample, WEIGHTED_SAMPLE_SQL),

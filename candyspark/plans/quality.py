@@ -27,7 +27,7 @@ standardizes on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from candyspark.functions.numeric import snap_round
@@ -226,8 +226,168 @@ ORDER BY return_flag, line_status
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — data-drift detection between the first
+    and second half of the event history (the monitoring gate a training
+    pipeline runs before trusting a new data drop).
+
+    The split point is derived FROM the data (midpoint of the min/max epoch
+    day), with Laplace smoothing (+1 per category) so a category absent
+    from one half never produces ln(0). Everything up to the final ln is
+    exact integer arithmetic; the ln runs once per category on identical
+    doubles in both engines and is snapped at 6 dp (the snap_round
+    discipline).
+
+    Scale: raw events collapse to a per-(event_type, day) aggregate FIRST
+    (one keyed shuffle, map-side combine absorbs the volume); the split
+    bounds, category count, and half totals are all windows over that
+    tiny aggregate — one scan, no re-scan for the bounds, no driver round
+    trip.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    whole = Window.partitionBy()
+    mid = F.floor(
+        (F.min("d").over(whole) + F.max("d").over(whole)) / F.lit(2)
+    )
+    halves = (
+        daily.withColumn("mid", mid)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("mid"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("d") > F.col("mid"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    k = F.count(F.lit(1)).over(whole).cast("double")
+    pa = (F.col("cnt_a") + 1).cast("double") / (
+        F.sum("cnt_a").over(whole).cast("double") + k
+    )
+    pb = (F.col("cnt_b") + 1).cast("double") / (
+        F.sum("cnt_b").over(whole).cast("double") + k
+    )
+    return (
+        halves.select(
+            "event_type",
+            "cnt_a",
+            "cnt_b",
+            snap_round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DRIFT_PSI_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, d
+),
+halves AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN d <= mid THEN n ELSE 0 END) AS BIGINT) AS cnt_a,
+           CAST(SUM(CASE WHEN d > mid THEN n ELSE 0 END) AS BIGINT) AS cnt_b
+    FROM (
+        SELECT *,
+               CAST(FLOOR((MIN(d) OVER () + MAX(d) OVER ()) / 2.0) AS BIGINT) AS mid
+        FROM daily
+    )
+    GROUP BY event_type
+)
+SELECT event_type, cnt_a, cnt_b,
+       CAST(ROUND(CAST(
+         (CAST(cnt_a + 1 AS DOUBLE) / (SUM(cnt_a) OVER () + COUNT(*) OVER ())
+          - CAST(cnt_b + 1 AS DOUBLE) / (SUM(cnt_b) OVER () + COUNT(*) OVER ()))
+         * LN((CAST(cnt_a + 1 AS DOUBLE) / (SUM(cnt_a) OVER () + COUNT(*) OVER ()))
+              / (CAST(cnt_b + 1 AS DOUBLE) / (SUM(cnt_b) OVER () + COUNT(*) OVER ())))
+         AS DECIMAL(28,8)), 6) AS DOUBLE) AS psi_term
+FROM halves
+ORDER BY event_type
+"""
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fabricated-data / corrupted-feed detector.
+
+    Digit extraction is exact: totals become integer cents, the leading
+    digit is the first character of the integer's decimal string (both
+    engines print integers identically) — no log10-of-double near a
+    power-of-10 boundary, where floor(log10(x)) is one ulp from flipping.
+    Expected frequency log10(1 + 1/d) is evaluated on exact small
+    constants and snapped.
+
+    Scale: one scan of one column → 9-row aggregate; the share window
+    runs over those 9 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    whole = Window.partitionBy()
+    observed = F.col("n_orders").cast("double") / F.sum("n_orders").over(whole)
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        digits.select(
+            "digit",
+            "n_orders",
+            snap_round(observed, 6).alias("observed_freq"),
+            snap_round(expected, 6).alias("benford_freq"),
+            snap_round(observed - expected, 6).alias("excess"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_DIGITS_SQL = """
+WITH digits AS (
+    SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1
+)
+SELECT digit, n_orders,
+       CAST(ROUND(CAST(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER ()
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS observed_freq,
+       CAST(ROUND(CAST(LOG10(1.0 + 1.0 / digit) AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS benford_freq,
+       CAST(ROUND(CAST(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER ()
+                       - LOG10(1.0 + 1.0 / digit)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS excess
+FROM digits
+ORDER BY digit
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "quality_report": QuerySpec(q_quality_report, QUALITY_REPORT_SQL),
     "stats_moments": QuerySpec(q_stats_moments, STATS_MOMENTS_SQL),
     "grouping_sets": QuerySpec(q_grouping_sets, GROUPING_SETS_SQL),
+    "drift_psi": QuerySpec(q_drift_psi, DRIFT_PSI_SQL),
+    "benford_digits": QuerySpec(q_benford_digits, BENFORD_DIGITS_SQL),
 }

@@ -348,3 +348,122 @@ ORDER BY rnk
 
 
 REGISTRY["vocab_coverage"] = QuerySpec(q_vocab_coverage, VOCAB_COVERAGE_SQL)
+
+
+def q_doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document cosine similarity via an inverted index — the
+    classic MapReduce similarity self-join (postings joined on term, dot
+    products summed per document pair), the sparse-vector complement to
+    operators/similarity's dense-embedding dup detection.
+
+    Determinism: TF-IDF weights are snapped to DECIMAL(18,6) BEFORE any
+    product, so dot products and squared norms are exact decimal sums
+    (partial-order-independent); the single sqrt/divide at the end runs on
+    identical doubles in both engines and is snapped at 6 dp.
+
+    Scale: terms appearing in >5% of documents are pruned from the index
+    (an exact integer predicate, df * 20 <= n_docs) — posting-list length,
+    not corpus size, bounds the pair blow-up, and common-term lists are
+    exactly the quadratic ones (standard all-pairs-similarity pruning,
+    cf. Elsayed et al. pairwise-similarity-with-MapReduce). The join keys
+    on term, the pair aggregate on (doc_a, doc_b), norms join back keyed
+    on doc_id; top-50 via TakeOrdered.
+
+    The tf index feeds its own document-frequency aggregate, and the
+    pruned postings feed THREE consumers (norms + both self-join sides) —
+    both are materialized once (localCheckpoint; the triangle-count
+    lesson) so the corpus is tokenized exactly once, not five times.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    postings = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 20 <= F.col("n_docs"))
+        .select(
+            "term",
+            "doc_id",
+            F.round((F.col("tf") * idf).cast("decimal(28,8)"), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = postings.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            snap_round(
+                F.col("dot").cast("double") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+DOC_COSINE_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+postings AS (
+    SELECT term, doc_id,
+           CAST(ROUND(CAST(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                           AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS w
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    WHERE df * 20 <= n_docs
+),
+norms AS (
+    SELECT doc_id, SQRT(CAST(SUM(w * w) AS DOUBLE)) AS norm
+    FROM postings GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+    FROM postings a JOIN postings b
+      ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(CAST(CAST(dot AS DOUBLE) / (na.norm * nb.norm)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS cosine
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 50
+"""
+
+
+REGISTRY["doc_cosine_pairs"] = QuerySpec(q_doc_cosine_pairs, DOC_COSINE_PAIRS_SQL)
