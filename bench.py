@@ -118,6 +118,12 @@ HEADLINE = [
     "weighted_median",
     "doc_cosine_pairs",
     "pmi_collocations",
+    "gini_by_nation",
+    "active_user_windows",
+    "position_attribution",
+    "triplet_sampling",
+    "cohort_ltv",
+    "shipping_sla",
 ]
 
 

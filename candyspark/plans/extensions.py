@@ -11,7 +11,7 @@ snapping before rounds (see plans/relational.py on why).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from candyspark.operators import dedup as D
@@ -860,6 +860,76 @@ FROM events c JOIN events e
 """
 
 
+def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (every click, with the errors the same
+    user raised within the following hour, or NULLs once the watermark
+    proves none can arrive), drained availableNow and checked against the
+    identical batch LEFT JOIN in DuckDB.
+
+    Null-padded rows only emit when the event-time watermark passes
+    click_ts + horizon — end-of-data alone flushes nothing — so the source
+    carries two far-future sentinel rows (user_id −1, max ts + 10 h) that
+    drive the final watermark past every real click; the no-data
+    micro-batch availableNow runs at the end then evicts and emits the
+    unmatched tail. Sentinels are filtered from the result.
+    """
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_append,
+        streaming_left_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sentinels = events.sparkSession.createDataFrame(
+        [(-1, "click"), (-2, "error")], "event_id long, event_type string"
+    ).select(
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    max_ts = events.agg(F.max("ts").alias("m"))
+    sentinels = sentinels.crossJoin(F.broadcast(max_ts)).select(
+        "event_id",
+        (F.col("m") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    src = _land_once(spark, events.unionByName(sentinels))
+    stream = read_events_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    errors = stream.filter(F.col("event_type") == "error")
+    name = f"stream_ljoin_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_append(streaming_left_join(clicks, errors), ckpt, query_name=name)
+    return (
+        spark.table(name)
+        .filter(F.col("c_user") >= 0)
+        .select("c_user", "click_ts", "click_id", "error_ts", "error_id")
+    )
+
+
+STREAMING_LEFT_JOIN_SQL = """
+SELECT c.user_id AS c_user,
+       c.ts AS click_ts,
+       c.event_id AS click_id,
+       e.ts AS error_ts,
+       e.event_id AS error_id
+FROM events c LEFT JOIN events e
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND e.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+"""
+
+
 def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization run through Structured Streaming
     (session_window + watermark, the merging-state operator) and checked
@@ -1327,6 +1397,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_interval_join": QuerySpec(
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
+    "streaming_left_join": QuerySpec(q_streaming_left_join, STREAMING_LEFT_JOIN_SQL),
     "streaming_enrich": QuerySpec(q_streaming_enrich, STREAMING_ENRICH_SQL),
     "streaming_session": QuerySpec(q_streaming_session, EVENTS_SESSION_SQL),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
@@ -1350,3 +1421,110 @@ try:  # pragma: no cover - environment probe
     )
 except ImportError:
     pass
+
+
+def q_triplet_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet generation over the embeddings table:
+    for each anchor, a same-label positive and a different-label negative,
+    both chosen by DETERMINISTIC pseudo-random pairing (md5-rank circular
+    neighbors) — the repeatable, re-shard-proof form of "sample a
+    positive/negative per anchor" that rand()-based samplers can't give a
+    distributed engine (per-task RNG differs per partitioning, and two
+    engines never agree; same discipline as plans/corpus.dataset_split).
+
+    Positive: the next vector in md5 order WITHIN the label (circular, so
+    every anchor in a ≥2-member label gets one). Negative: the vector
+    ⌊n/2⌋ positions away in GLOBAL md5 order — maximally decorrelated from
+    the anchor's hash neighborhood — kept only when its label differs
+    (dropped pairs are the expected ~1/n_labels; at scale re-probe p+k
+    offsets). No doc-id contiguity is assumed anywhere.
+
+    Scale: the GLOBAL md5 rank is computed distributed — two-phase ranking
+    (row_number within md5-prefix buckets + cumulative bucket offsets over
+    a ≤256-row aggregate broadcast back), never a single-partition window,
+    because the bucket key IS a prefix of the sort key so bucket-major
+    order equals global order. Both windows run over the id+label
+    projection — never the vectors — and the one self-join keys on the
+    derived position; the positions relation is materialized once.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    hashed = emb.withColumn("h", F.md5(F.col("vec_id").cast("string"))).withColumn(
+        "b", F.substring("h", 1, 2)
+    )
+    wb = Window.partitionBy("b").orderBy("h", "vec_id")
+    bucket_counts = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_counts.select(
+        "b", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    n_total = bucket_counts.agg(F.sum("cnt").cast("long").alias("n"))
+    wl = Window.partitionBy("label").orderBy("h", "vec_id")
+    wl_full = wl.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pos = (
+        hashed.withColumn("rb", F.row_number().over(wb))
+        .join(F.broadcast(offsets), "b")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("p", F.col("off") + F.col("rb") - 1)
+        .withColumn(
+            "pos_id",
+            F.coalesce(
+                F.lead("vec_id").over(wl), F.first("vec_id").over(wl_full)
+            ),
+        )
+        .select("vec_id", "label", "p", "n", "pos_id")
+        .localCheckpoint()
+    )
+    neg = pos.select(
+        F.col("p").alias("np"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+    )
+    return (
+        pos.join(
+            neg,
+            ((F.col("p") + F.floor(F.col("n") / 2)) % F.col("n")) == F.col("np"),
+        )
+        .filter(
+            (F.col("neg_label") != F.col("label"))
+            & (F.col("pos_id") != F.col("vec_id"))
+        )
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "pos_id",
+            "neg_id",
+            "neg_label",
+        )
+        .orderBy("anchor_id")
+    )
+
+
+TRIPLET_SAMPLING_SQL = """
+WITH base AS (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS p,
+           COUNT(*) OVER () AS n,
+           COALESCE(
+             LEAD(vec_id) OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id),
+             FIRST_VALUE(vec_id) OVER (PARTITION BY label
+                                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING)
+           ) AS pos_id
+    FROM embeddings
+)
+SELECT a.vec_id AS anchor_id,
+       a.label AS anchor_label,
+       a.pos_id,
+       b.vec_id AS neg_id,
+       b.label AS neg_label
+FROM base a
+JOIN base b ON (a.p + CAST(FLOOR(a.n / 2) AS BIGINT)) % a.n = b.p
+WHERE b.label != a.label AND a.pos_id != a.vec_id
+ORDER BY anchor_id
+"""
+
+REGISTRY["triplet_sampling"] = QuerySpec(q_triplet_sampling, TRIPLET_SAMPLING_SQL)

@@ -525,8 +525,105 @@ ORDER BY l_returnflag
 """
 
 
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) of customer spend per
+    nation — the inequality statistic behind "whale" analysis and
+    fairness/coverage audits of a training corpus (same formula over
+    per-source token counts).
+
+    Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    ascending revenue with a pinned (revenue, custkey) total order;
+    Σ(i·xᵢ) is invariant under permutations of equal revenues, so the tie
+    order never reaches the value. Zero-order customers enter at revenue 0
+    (a LEFT join from the customer dim — dropping them understates
+    concentration). All sums are exact decimal/integer; the two divides
+    happen once per nation and snap at 6 dp.
+
+    Scale: orders pre-aggregate per customer before any join; the window
+    and both aggregates after the dim join hash on nationkey (one keyed
+    exchange); nation names broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    per_cust = (
+        c.select("c_custkey", "c_nationkey")
+        .join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("w_sum"),
+        F.sum(F.col("i") * F.col("rev")).alias("s_sum"),
+    )
+    nn = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s_sum").cast("double") / (nn * F.col("w_sum").cast("double"))
+        - (nn + 1.0) / nn
+    )
+    return (
+        agg.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.col("w_sum").cast("double").alias("total_revenue"),
+            snap_round(gini, 6).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+GINI_BY_NATION_SQL = """
+WITH spend AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+per_cust AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(COALESCE(rev, 0) AS DECIMAL(18,2)) AS rev
+    FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY rev, c_custkey) AS i
+    FROM per_cust
+),
+agg AS (
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           SUM(rev) AS w_sum,
+           SUM(i * rev) AS s_sum
+    FROM ranked GROUP BY c_nationkey
+)
+SELECT n_name AS nation,
+       n_customers,
+       CAST(w_sum AS DOUBLE) AS total_revenue,
+       CAST(ROUND(CAST(
+         2.0 * CAST(s_sum AS DOUBLE) / (CAST(n_customers AS DOUBLE) * CAST(w_sum AS DOUBLE))
+         - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE)
+         AS DECIMAL(28,8)), 6) AS DOUBLE) AS gini
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+ORDER BY nation
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "seasonal_anomaly": QuerySpec(q_seasonal_anomaly, SEASONAL_ANOMALY_SQL),
+    "gini_by_nation": QuerySpec(q_gini_by_nation, GINI_BY_NATION_SQL),
     "weighted_median": QuerySpec(q_weighted_median, WEIGHTED_MEDIAN_SQL),
     "udaf_median_price": QuerySpec(q_udaf_median_price, UDAF_MEDIAN_PRICE_SQL),
     "winsorized_mean": QuerySpec(q_winsorized_mean, WINSORIZED_MEAN_SQL),

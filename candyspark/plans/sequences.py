@@ -499,3 +499,266 @@ ORDER BY user_id
 
 
 REGISTRY["error_free_runs"] = QuerySpec(q_error_free_runs, ERROR_FREE_RUNS_SQL)
+
+
+# --- rolling active-user windows ---------------------------------------------
+
+
+def q_active_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    dashboard's headline ratio. COUNT(DISTINCT) over a sliding window has
+    no direct window-function form (distinct isn't decomposable across
+    overlapping frames), so the scalable idiom is contribute-then-count:
+    each (user, active-day) row is exploded to the ≤7 report days it
+    contributes to (sequence + explode, JVM-side), then one exact
+    countDistinct per report day. At 100 TB the 7× inflation of the
+    ALREADY-deduplicated per-user-day relation is far smaller than the raw
+    event volume it replaced.
+
+    Reported for days with DAU ≥ 1 (the dau frame's days); stickiness =
+    DAU/WAU from exact longs, snapped. Scale: one (user_id, d) dedup
+    shuffle (materialized once — DAU and WAU both consume it), then two
+    day-keyed aggregates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, F.col("d") == F.col("day"))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+                "day"
+            ),
+            "dau",
+            "wau",
+            snap_round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ACTIVE_USER_WINDOWS_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+    FROM events
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+wau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS wau
+    FROM (SELECT user_id, unnest(generate_series(d, d + 6)) AS day FROM ud)
+    GROUP BY day
+)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day, dau, wau,
+       CAST(ROUND(CAST(CAST(dau AS DOUBLE) / wau AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS stickiness
+FROM dau JOIN wau ON d = day
+ORDER BY day
+"""
+
+REGISTRY["active_user_windows"] = QuerySpec(
+    q_active_user_windows, ACTIVE_USER_WINDOWS_SQL
+)
+
+
+# --- position-based (U-shaped) attribution -----------------------------------
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: the
+    first and last touch before each purchase take 40% of its value each,
+    the middle touches split the remaining 20% — the credit model that
+    values discovery and closing over the path middle (sibling of
+    q_linear_attribution; same join bound, different credit curve).
+
+    Touch ordinal and touch count come from ONE window family over the
+    joined pairs (same conv_id exchange); the share is exact rational
+    arithmetic until the one snapped multiply, summed as DECIMAL — totals
+    are partial-order-independent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    per_conv = Window.partitionBy("conv_id")
+    rn = F.row_number().over(per_conv.orderBy("touch_ts", "touch_id"))
+    n = F.count(F.lit(1)).over(per_conv)
+    share = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(rn == 1, F.lit(0.4))
+        .when(rn == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    credit = (
+        F.round((F.col("value") * share).cast("decimal(28,8)"), 6)
+        .cast("decimal(18,6)")
+    )
+    return (
+        pairs.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").cast("double").alias("credited_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+POSITION_ATTRIBUTION_SQL = """
+WITH pairs AS (
+    SELECT c.event_id AS conv_id, c.value,
+           t.event_type AS channel,
+           ROW_NUMBER() OVER (PARTITION BY c.event_id
+                              ORDER BY t.ts, t.event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.event_id) AS n
+    FROM events c
+    JOIN events t
+      ON t.user_id = c.user_id
+     AND t.ts < c.ts
+     AND t.ts >= c.ts - INTERVAL 24 HOURS
+     AND c.event_type = 'purchase'
+     AND t.event_type IN ('view', 'click', 'signup')
+),
+credited AS (
+    SELECT channel,
+           CAST(ROUND(CAST(value * (CASE WHEN n = 1 THEN 1.0
+                                         WHEN n = 2 THEN 0.5
+                                         WHEN rn = 1 THEN 0.4
+                                         WHEN rn = n THEN 0.4
+                                         ELSE 0.2 / CAST(n - 2 AS DOUBLE) END)
+                           AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS credit
+    FROM pairs
+)
+SELECT channel, COUNT(*) AS n_touches,
+       CAST(SUM(credit) AS DOUBLE) AS credited_value
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+REGISTRY["position_attribution"] = QuerySpec(
+    q_position_attribution, POSITION_ATTRIBUTION_SQL
+)
+
+
+# --- cohort LTV curves -------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-purchase month,
+    cumulative revenue per cohort member at each month of age — the
+    monetized deepening of retention_cohorts (which counts the SAME
+    cohorts but only whether users came back, not what they spent).
+
+    Months are exact integers (year*12 + month − 1, both engines'
+    year()/month() agree by definition); revenue stays DECIMAL through
+    the cumulative window (runs over the ≤cohorts×ages post-aggregate,
+    never raw events); LTV divides by cohort size once at the end and
+    snaps. The per-user first-purchase relation feeds the age join AND
+    the cohort-size aggregate — materialized once.
+
+    Scale: one user_id aggregate, one user_id-keyed join back, one
+    (cohort, age) aggregate; the cumulative window partitions by cohort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts") - 1).alias("m"),
+        F.col("value").cast("decimal(12,2)").alias("rev"),
+    )
+    users = (
+        p.groupBy("user_id").agg(F.min("m").alias("cohort_m")).localCheckpoint()
+    )
+    sizes = users.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_users"))
+    by_age = (
+        p.join(users, "user_id")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_age.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(sizes, "cohort_m")
+        .select(
+            F.make_date(
+                F.floor(F.col("cohort_m") / 12).cast("int"),
+                (F.col("cohort_m") % 12 + 1).cast("int"),
+                F.lit(1),
+            ).alias("cohort_month"),
+            "age_months",
+            "cohort_users",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            snap_round(
+                F.col("cum_rev").cast("double") / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH p AS (
+    SELECT user_id,
+           YEAR(ts) * 12 + MONTH(ts) - 1 AS m,
+           CAST(value AS DECIMAL(12,2)) AS rev
+    FROM events WHERE event_type = 'purchase'
+),
+users AS (SELECT user_id, MIN(m) AS cohort_m FROM p GROUP BY user_id),
+sizes AS (SELECT cohort_m, COUNT(*) AS cohort_users FROM users GROUP BY cohort_m),
+by_age AS (
+    SELECT cohort_m, p.m - cohort_m AS age_months, SUM(rev) AS rev
+    FROM p JOIN users USING (user_id)
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_m, age_months,
+           SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_months
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev
+    FROM by_age
+)
+SELECT MAKE_DATE(CAST(FLOOR(cohort_m / 12) AS INTEGER),
+                 CAST(cohort_m % 12 + 1 AS INTEGER), 1) AS cohort_month,
+       age_months,
+       cohort_users,
+       CAST(cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(ROUND(CAST(CAST(cum_rev AS DOUBLE) / cohort_users AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS ltv_per_user
+FROM cum JOIN sizes USING (cohort_m)
+ORDER BY cohort_month, age_months
+"""
+
+REGISTRY["cohort_ltv"] = QuerySpec(q_cohort_ltv, COHORT_LTV_SQL)

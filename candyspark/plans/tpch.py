@@ -567,3 +567,68 @@ REGISTRY: dict[str, QuerySpec] = {
     "string_functions": QuerySpec(string_functions, STRING_FUNCTIONS_SQL),
     "date_functions": QuerySpec(date_functions, DATE_FUNCTIONS_SQL),
 }
+
+
+def shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA per order priority: exact p50/p90 of the
+    integer day latency plus the share shipped within 7 days — the
+    fulfillment-operations KPI the reference's daily summary never
+    computes (its pipeline stops at revenue, SURVEY.md §2.5).
+
+    Latency is exact integer days (datediff), so the interpolated
+    percentile runs on identical inputs in both engines (snapped at 4 dp,
+    the robust_stats discipline); the SLA share is a conditional count
+    ratio of exact longs. Scale: orders⨝lineitem shuffles once on
+    orderkey, then one priority-keyed aggregate — percentile buffers
+    per-group values (approx_percentile is the documented 100-TB swap-in).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            n.alias("n_lines"),
+            F.percentile("days", F.array(F.lit(0.5), F.lit(0.9))).alias("ps"),
+            F.sum(F.when(F.col("days") <= 7, 1).otherwise(0)).cast("long").alias("n_7d"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            snap_round(F.col("ps")[0], 4).alias("p50_days"),
+            snap_round(F.col("ps")[1], 4).alias("p90_days"),
+            snap_round(F.col("n_7d") / F.col("n_lines").cast("double"), 6).alias(
+                "within_7d_share"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIPPING_SLA_SQL = """
+WITH lat AS (
+    SELECT o_orderpriority,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(CAST(quantile_cont(days, 0.5) AS DECIMAL(28,8)), 4) AS DOUBLE)
+         AS p50_days,
+       CAST(ROUND(CAST(quantile_cont(days, 0.9) AS DECIMAL(28,8)), 4) AS DOUBLE)
+         AS p90_days,
+       CAST(ROUND(CAST(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS within_7d_share
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+REGISTRY["shipping_sla"] = QuerySpec(shipping_sla, SHIPPING_SLA_SQL)

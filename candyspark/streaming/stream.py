@@ -127,6 +127,39 @@ def streaming_interval_join(
     )
 
 
+def streaming_left_join(
+    clicks: DataFrame, errors: DataFrame, horizon: str = "INTERVAL 1 HOUR"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click emits — matched with the
+    errors the same user raised within the following ``horizon``, or with
+    NULL error columns once the watermark proves no match can still arrive.
+    The outer side is exactly what the inner interval join
+    (``streaming_interval_join``) cannot express: "clicks that did NOT
+    lead to an error" requires the engine to hold each click in state
+    until event time passes click_ts + horizon + watermark, then emit the
+    null-padded row — so null emission is watermark-DRIVEN, not
+    end-of-data-driven. Both sides carry watermarks and the join carries
+    the time bound; state stays bounded by construction.
+
+    Batch twin / oracle: the identical LEFT JOIN over static frames.
+    """
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = errors.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    return c.join(
+        e,
+        F.expr(
+            f"c_user = e_user AND error_ts BETWEEN click_ts AND click_ts + {horizon}"
+        ),
+        "leftOuter",
+    )
+
+
 def streaming_static_enrich(stream: DataFrame, static_dim: DataFrame, keys: list[str]) -> DataFrame:
     """Stream-static equi-join: enrich each streaming row with a static
     (batch-computed) dimension. Stateless on the stream side — no watermark

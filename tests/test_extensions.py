@@ -201,3 +201,83 @@ def test_ewma_closed_form_matches_pandas_ewm(spark):
         last = g.sort_values(["ts", "event_id"]).tail(32)
         expect = last["value"].ewm(alpha=0.5, adjust=True).mean().iloc[-1]
         assert abs(got[user_id] - expect) < 1e-3, (user_id, got[user_id], expect)
+
+
+def test_arrow_python_udf_matches_builtin(spark):
+    """API surface: Spark 4's Arrow-optimized Python scalar UDF
+    (@udf(useArrow=True) — Arrow batch transfer without the pandas UDF's
+    Series boxing). The engine's stance stays JVM-first (UDFs are the slow
+    path), but the escape hatch must work and agree with the built-in
+    expression it would replace."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from candyspark.sources.readers import load_table
+
+    @udf("double", useArrow=True)
+    def py_net(price, disc):
+        return float(round(price * (1.0 - disc), 4))
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(500)
+    got = li.select(
+        py_net("l_extendedprice", "l_discount").alias("net"),
+        F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 4)
+        .cast("double")
+        .alias("want"),
+    ).collect()
+    assert len(got) == 500
+    for r in got:
+        assert abs(r["net"] - r["want"]) < 1e-9
+
+
+def test_weighted_median_matches_numpy(spark):
+    """q_weighted_median vs a brute-force numpy weighted median (lower
+    weighted median: smallest x with cumweight*2 >= total) — independent
+    of the DuckDB oracle, proves the windowed form computes the intended
+    statistic."""
+    import numpy as np
+
+    from candyspark.plans.outliers import q_weighted_median
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["weighted_median_price"], r["total_weight"])
+        for r in q_weighted_median(spark, sf).collect()
+    }
+    pdf = (
+        load_table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        order = np.argsort(g["l_extendedprice"].values, kind="stable")
+        x = np.round(g["l_extendedprice"].values[order], 2)
+        w = g["l_quantity"].values[order].astype("int64")
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(cum * 2, cum[-1], side="left"))
+        assert got[flag][1] == int(cum[-1])
+        assert abs(got[flag][0] - float(x[idx])) < 1e-9, (flag, got[flag], x[idx])
+
+
+def test_gini_matches_numpy(spark):
+    """q_gini_by_nation vs the textbook O(n log n) numpy Gini on the same
+    per-customer revenues (zero-revenue customers included)."""
+    import numpy as np
+
+    from candyspark.plans.outliers import q_gini_by_nation
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["nation"]: r["gini"] for r in q_gini_by_nation(spark, sf).collect()}
+    o = load_table(spark, sf, "orders").toPandas()
+    c = load_table(spark, sf, "customer").toPandas()
+    n = load_table(spark, sf, "nation").toPandas()
+    spend = o.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    c = c.assign(rev=c["c_custkey"].map(spend).fillna(0.0))
+    c = c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    for nation, g in c.groupby("n_name"):
+        x = np.sort(g["rev"].values)
+        nn = len(x)
+        expect = 2.0 * np.sum(np.arange(1, nn + 1) * x) / (nn * np.sum(x)) - (nn + 1.0) / nn
+        assert abs(got[nation] - expect) < 1e-4, (nation, got[nation], expect)
