@@ -124,6 +124,13 @@ HEADLINE = [
     "triplet_sampling",
     "cohort_ltv",
     "shipping_sla",
+    "seasonal_decompose",
+    "cusum_changepoint",
+    "target_encode_loo",
+    "feature_hashing",
+    "pareto_revenue_share",
+    "conversion_lag_curve",
+    "segment_migration",
 ]
 
 

@@ -537,3 +537,203 @@ REGISTRY: dict[str, QuerySpec] = {
     "rolling_weekly_value": QuerySpec(rolling_weekly_value, ROLLING_WEEKLY_VALUE_SQL),
     "salted_aggregation": QuerySpec(salted_aggregation, SALTED_AGGREGATION_SQL),
 }
+
+
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (the Pareto / whale
+    curve): customers bucketed into spend deciles, each decile's revenue
+    and the cumulative share captured from the top down — the "top 10% of
+    customers drive X% of revenue" statement, computed without a global
+    sort.
+
+    Deciles come from interpolated percentile CUTOFFS (one buffered
+    aggregate over the per-customer spend frame) broadcast back as an
+    array; each customer's decile is size(filter(cutoffs, c -> spend > c))
+    — pure comparisons against identical doubles in both engines, no
+    NTILE (a global-sort single-partition window at row grain). The
+    cumulative window then runs over the 10-row decile aggregate.
+    approx_percentile is the documented 100-TB cutoff swap-in.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    cuts = spend.agg(
+        F.percentile(
+            "spend", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("cuts")
+    )
+    bucketed = spend.crossJoin(F.broadcast(cuts)).select(
+        "spend",
+        (
+            F.lit(10)
+            - F.size(F.filter("cuts", lambda c: F.col("spend") > c))
+        ).alias("decile"),  # 1 = top spenders
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("spend").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+    whole = Window.partitionBy()
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.withColumn(
+            "cum_share",
+            X.snap_round(
+                F.sum("revenue").over(cum) / F.sum("revenue").over(whole), 6
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+PARETO_REVENUE_SHARE_SQL = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+),
+cuts AS (
+    SELECT quantile_cont(spend, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+    FROM spend
+),
+bucketed AS (
+    SELECT spend,
+           10 - len(list_filter(cuts, c -> spend > c)) AS decile
+    FROM spend CROSS JOIN cuts
+),
+agg AS (
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(spend AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM bucketed GROUP BY decile
+)
+SELECT decile, n_customers, revenue,
+       CAST(ROUND(CAST(SUM(revenue) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                       / SUM(revenue) OVER () AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS cum_share
+FROM agg
+ORDER BY decile
+"""
+
+REGISTRY["pareto_revenue_share"] = QuerySpec(
+    pareto_revenue_share, PARETO_REVENUE_SHARE_SQL
+)
+
+
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration matrix: spend terciles (high/mid/low)
+    in the first half of the order history vs the second half, with
+    transition counts and row-shares — the churn/upsell movement table
+    behind lifecycle marketing (the longitudinal complement of
+    rfm_segments' single-point segmentation).
+
+    Both periods are bucketed against the SAME tercile cutoffs (computed
+    on first-half spend, broadcast back), so movement means spend change,
+    not cutoff change. The period split derives from the data (midpoint
+    of min/max epoch day, the drift_psi discipline); customers absent
+    from a period land in segment 'none'. All counts exact; shares snap.
+
+    Scale: BOTH periods aggregate in ONE conditional-agg custkey pass
+    (sum-when per period — never one scan per period), materialized once
+    for its two consumers (tercile cutoffs + bucketing); the matrix is a
+    ≤16-row aggregate; cutoffs are a 1-row broadcast (approx_percentile
+    is the 100-TB swap-in).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    base = o.select(
+        "o_custkey",
+        d.alias("d"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    bounds = base.agg(
+        F.floor((F.min("d") + F.max("d")) / 2).alias("mid")
+    )
+    spend = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("mid"), F.col("p")))
+            .cast("double")
+            .alias("spend_a"),
+            F.sum(F.when(F.col("d") > F.col("mid"), F.col("p")))
+            .cast("double")
+            .alias("spend_b"),
+        )
+        .localCheckpoint()
+    )
+    cuts = spend.filter(F.col("spend_a").isNotNull()).agg(
+        F.percentile("spend_a", F.array(F.lit(1 / 3), F.lit(2 / 3))).alias("cuts")
+    )
+
+    def seg(col: str) -> F.Column:
+        return (
+            F.when(F.col(col).isNull(), "none")
+            .when(F.col(col) > F.col("cuts")[1], "high")
+            .when(F.col(col) > F.col("cuts")[0], "mid")
+            .otherwise("low")
+        )
+
+    joined = spend.crossJoin(F.broadcast(cuts)).select(
+        seg("spend_a").alias("seg_from"), seg("spend_b").alias("seg_to")
+    )
+    per_from = Window.partitionBy("seg_from")
+    return (
+        joined.groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn(
+            "row_share",
+            X.snap_round(
+                F.col("n_customers") / F.sum("n_customers").over(per_from), 6
+            ),
+        )
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+SEGMENT_MIGRATION_SQL = """
+WITH base AS (
+    SELECT o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+),
+bounds AS (SELECT CAST(FLOOR((MIN(d) + MAX(d)) / 2.0) AS BIGINT) AS mid FROM base),
+spend_a AS (
+    SELECT o_custkey, CAST(SUM(p) AS DOUBLE) AS spend_a
+    FROM base CROSS JOIN bounds WHERE d <= mid GROUP BY o_custkey
+),
+spend_b AS (
+    SELECT o_custkey, CAST(SUM(p) AS DOUBLE) AS spend_b
+    FROM base CROSS JOIN bounds WHERE d > mid GROUP BY o_custkey
+),
+cuts AS (
+    SELECT quantile_cont(spend_a, [0.3333333333333333, 0.6666666666666666]) AS cuts
+    FROM spend_a
+),
+joined AS (
+    SELECT CASE WHEN spend_a IS NULL THEN 'none'
+                WHEN spend_a > cuts[2] THEN 'high'
+                WHEN spend_a > cuts[1] THEN 'mid'
+                ELSE 'low' END AS seg_from,
+           CASE WHEN spend_b IS NULL THEN 'none'
+                WHEN spend_b > cuts[2] THEN 'high'
+                WHEN spend_b > cuts[1] THEN 'mid'
+                ELSE 'low' END AS seg_to
+    FROM spend_a FULL OUTER JOIN spend_b USING (o_custkey)
+    CROSS JOIN cuts
+)
+SELECT seg_from, seg_to, COUNT(*) AS n_customers,
+       CAST(ROUND(CAST(CAST(COUNT(*) AS DOUBLE)
+                       / SUM(COUNT(*)) OVER (PARTITION BY seg_from)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS row_share
+FROM joined
+GROUP BY seg_from, seg_to
+ORDER BY seg_from, seg_to
+"""
+
+REGISTRY["segment_migration"] = QuerySpec(segment_migration, SEGMENT_MIGRATION_SQL)

@@ -1528,3 +1528,225 @@ ORDER BY anchor_id
 """
 
 REGISTRY["triplet_sampling"] = QuerySpec(q_triplet_sampling, TRIPLET_SAMPLING_SQL)
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of part brand against return rate —
+    the ML feature-engineering transform that replaces a high-cardinality
+    categorical with its target mean while excluding each row's OWN label
+    (plain per-category means leak the target into the feature; LOO is
+    the standard fix). Encoded per line item: (Σ_brand y − yᵢ)/(n_brand−1).
+
+    All sums are exact integers via ONE brand-partitioned window (no
+    second aggregate-and-join pass); the single divide snaps at 6 dp.
+    Singleton brands encode NULL (0/0) rather than a leaked value.
+    Scale: lineitem⨝part shuffles once on partkey, the window once on
+    brand — both keyed exchanges; output stays at line grain (the
+    training-set transform, not a report).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    wb = Window.partitionBy("p_brand")
+    enc = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("y", y)
+        .withColumn("brand_sum", F.sum("y").over(wb))
+        .withColumn("brand_n", F.count(F.lit(1)).over(wb))
+    )
+    loo = (F.col("brand_sum") - F.col("y")).cast("double") / (
+        F.col("brand_n") - 1
+    ).cast("double")
+    return (
+        enc.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("p_brand").alias("brand"),
+            F.col("y").cast("int").alias("returned"),
+            X.snap_round(
+                F.when(F.col("brand_n") > 1, loo), 6
+            ).alias("brand_return_loo"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+TARGET_ENCODE_LOO_SQL = """
+WITH enc AS (
+    SELECT l_orderkey, l_linenumber, p_brand AS brand,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY p_brand) AS brand_sum,
+           COUNT(*) OVER (PARTITION BY p_brand) AS brand_n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT l_orderkey, l_linenumber, brand,
+       CAST(y AS INTEGER) AS returned,
+       CASE WHEN brand_n > 1 THEN
+         CAST(ROUND(CAST(CAST(brand_sum - y AS DOUBLE) / (brand_n - 1)
+                         AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS brand_return_loo
+FROM enc
+ORDER BY l_orderkey, l_linenumber
+"""
+
+REGISTRY["target_encode_loo"] = QuerySpec(q_target_encode_loo, TARGET_ENCODE_LOO_SQL)
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): each document's token set maps
+    into a fixed 1024-bucket index space via the engine's cross-engine
+    hash (md5-prefix → integer, the dataset_split discipline — NEVER
+    rand() or engine-specific hash functions, which no two engines share).
+    Output is the sorted distinct index array per document — the sparse
+    feature vector a downstream linear model consumes — plus the active
+    dimension count and collision count (distinct tokens − distinct
+    buckets, the quantity the trick trades for its fixed width).
+
+    Scale: tokenize → explode → per-(doc, bucket) dedup inside ONE
+    doc-keyed aggregate (collect_set); no vocabulary table, no global
+    state — the whole point of hashing features at 100 TB.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 1024
+    ).cast("int")
+    return (
+        tok.withColumn("b", bucket)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_set("b")).alias("feature_idx"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        .select(
+            "doc_id",
+            "feature_idx",
+            F.size("feature_idx").alias("n_features"),
+            (F.col("n_terms") - F.size("feature_idx")).cast("long").alias("n_collisions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FEATURE_HASHING_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+b AS (
+    SELECT doc_id, term,
+           CAST({_HASH32.format(s="term")} % 1024 AS INTEGER) AS b
+    FROM tok
+)
+SELECT doc_id,
+       list_sort(list_distinct(list(b))) AS feature_idx,
+       len(list_distinct(list(b))) AS n_features,
+       CAST(COUNT(DISTINCT term) - len(list_distinct(list(b))) AS BIGINT)
+         AS n_collisions
+FROM b
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+REGISTRY["feature_hashing"] = QuerySpec(q_feature_hashing, FEATURE_HASHING_SQL)
+
+
+def q_conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert survival curve: of users who signed up, the share
+    whose FIRST subsequent purchase landed within k days (k = 0..7) — the
+    activation-latency curve growth teams read before touching onboarding
+    (the lag-resolved deepening of q_event_funnel's binary conversion).
+
+    Lag is exact integer days from exact epoch seconds; each k's share is
+    a conditional count over the per-user lag relation (8 bands × one
+    conditional-agg pass — the quality_report one-scan-many-checks
+    discipline, via explode of the band sequence on a per-user frame).
+    Scale: signup and first-purchase reductions key on user_id and join
+    keyed; non-converters stay (NULL lag) and count in every denominator.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    first_conv = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("pu")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+        .select(
+            "user_id",
+            F.floor(
+                (F.unix_micros("conv_ts") - F.unix_micros("signup_ts"))
+                / F.lit(86400000000)
+            ).alias("lag_days"),
+        )
+    )
+    bands = first_conv.select(
+        "lag_days", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    )
+    return (
+        bands.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(
+                F.when(
+                    F.col("lag_days").isNotNull() & (F.col("lag_days") <= F.col("k")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .select(
+            F.col("k").cast("int").alias("within_days"),
+            "n_signups",
+            "n_converted",
+            X.snap_round(
+                F.col("n_converted") / F.col("n_signups").cast("double"), 6
+            ).alias("conversion_share"),
+        )
+        .orderBy("within_days")
+    )
+
+
+CONVERSION_LAG_CURVE_SQL = """
+WITH signups AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_conv AS (
+    SELECT s.user_id,
+           FLOOR((epoch_us(MIN(p.ts)) - epoch_us(s.signup_ts)) / 86400000000) AS lag_days
+    FROM signups s
+    LEFT JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase'
+     AND p.ts >= s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
+),
+bands AS (
+    SELECT lag_days, unnest(generate_series(0, 7)) AS k FROM first_conv
+)
+SELECT CAST(k AS INTEGER) AS within_days,
+       COUNT(*) AS n_signups,
+       CAST(SUM(CASE WHEN lag_days IS NOT NULL AND lag_days <= k THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       CAST(ROUND(CAST(SUM(CASE WHEN lag_days IS NOT NULL AND lag_days <= k
+                                THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS conversion_share
+FROM bands
+GROUP BY k
+ORDER BY within_days
+"""
+
+REGISTRY["conversion_lag_curve"] = QuerySpec(
+    q_conversion_lag_curve, CONVERSION_LAG_CURVE_SQL
+)

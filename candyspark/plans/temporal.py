@@ -14,6 +14,7 @@ from candyspark.operators.temporal import (
     asof_join_cogrouped,
     range_join_banded,
 )
+from candyspark.functions.numeric import snap_round
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -274,4 +275,193 @@ ORDER BY user_id, d
 
 REGISTRY["time_weighted_value"] = QuerySpec(
     q_time_weighted_value, TIME_WEIGHTED_VALUE_SQL
+)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily order revenue (STL-lite):
+    trend = centered 7-day moving average, seasonal = day-of-week mean of
+    the detrended series, residual = remainder — the decomposition behind
+    anomaly baselines and de-seasonalized forecasting (the relational
+    counterpart of forecast.py's fitted seasonal component).
+
+    Determinism: the trend divides an EXACT decimal 7-day frame sum (full
+    frames only — edge days stay NULL rather than biased); the detrended
+    values are snapped to DECIMAL(18,6) BEFORE the day-of-week aggregate,
+    so the seasonal means are exact-decimal ratios — never sums of raw
+    doubles, which are partial-order-dependent. One snap per output edge.
+
+    Scale: raw orders collapse to one row per day first; every window/agg
+    after that runs over the ≤days-sized aggregate (calendar-bounded by
+    construction, the new_vs_returning precedent) and the dow means
+    broadcast back.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    daily = (
+        o.select(d.alias("d"), F.col("o_totalprice").cast("decimal(12,2)").alias("p"))
+        .groupBy("d")
+        .agg(F.sum("p").cast("decimal(18,2)").alias("y"))
+    )
+    wd = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(wd) == 7,
+            snap_round(F.sum("y").over(wd).cast("double") / 7.0, 6),
+        ),
+    ).withColumn(
+        "detrended",
+        F.round(
+            (F.col("y").cast("double") - F.col("trend")).cast("decimal(28,8)"), 6
+        ).cast("decimal(18,6)"),
+    )
+    dow_means = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy(((F.col("d") + 4) % 7).alias("dow"))
+        .agg(
+            (F.sum("detrended") / F.count(F.lit(1))).alias("seasonal_raw")
+        )
+        .select("dow", snap_round(F.col("seasonal_raw").cast("double"), 6).alias("seasonal"))
+    )
+    return (
+        trended.join(
+            F.broadcast(dow_means), ((F.col("d") + 4) % 7) == F.col("dow"), "left"
+        )
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+                "day"
+            ),
+            F.col("y").cast("double").alias("revenue"),
+            "trend",
+            "seasonal",
+            snap_round(
+                F.col("y").cast("double") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS y
+    FROM orders GROUP BY 1
+),
+trended AS (
+    SELECT d, y,
+           CASE WHEN COUNT(*) OVER w7 = 7
+                THEN CAST(ROUND(CAST(CAST(SUM(y) OVER w7 AS DOUBLE) / 7.0
+                                     AS DECIMAL(28,8)), 6) AS DOUBLE)
+           END AS trend
+    FROM daily
+    WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT *,
+           CAST(ROUND(CAST(CAST(y AS DOUBLE) - trend AS DECIMAL(28,8)), 6)
+                AS DECIMAL(18,6)) AS detrended
+    FROM trended
+),
+dow_means AS (
+    SELECT (d + 4) % 7 AS dow,
+           CAST(ROUND(CAST(CAST(SUM(detrended) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,8)), 6) AS DOUBLE) AS seasonal
+    FROM detr WHERE trend IS NOT NULL
+    GROUP BY 1
+)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+       CAST(y AS DOUBLE) AS revenue,
+       trend,
+       seasonal,
+       CAST(ROUND(CAST(CAST(y AS DOUBLE) - trend - seasonal AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS residual
+FROM detr LEFT JOIN dow_means ON (d + 4) % 7 = dow
+ORDER BY day
+"""
+
+REGISTRY["seasonal_decompose"] = QuerySpec(
+    q_seasonal_decompose, SEASONAL_DECOMPOSE_SQL
+)
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily event volume: the day where
+    the cumulative deviation from the global mean peaks — the classic
+    level-shift detector (Page's CUSUM, evaluated at the argmax).
+
+    Exactness: the deviation is kept in the SCALED integer form
+    n·yᵢ − Σy (multiplying through by n avoids dividing per row), so the
+    running CUSUM is an exact integer/decimal at every step; a single
+    divide-by-n happens for the reported magnitude. The argmax tie-breaks
+    by earliest day — a total order, identical in both engines.
+
+    Scale: events collapse to per-day counts first; the two windows
+    (running sum, global total) run over the calendar-bounded aggregate;
+    TakeOrdered picks the peak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    whole = Window.partitionBy()
+    run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.withColumn("n", F.count(F.lit(1)).over(whole))
+        .withColumn("total", F.sum("y").over(whole))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(F.col("y") * F.col("n") - F.col("total")).over(run),
+        )
+    )
+    return (
+        scored.select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+                "changepoint_day"
+            ),
+            "n",
+            snap_round(
+                F.abs(F.col("cusum_scaled")).cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("cusum_peak"),
+        )
+        .orderBy(F.desc("cusum_peak"), "changepoint_day")
+        .limit(1)
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           COUNT(*) AS y
+    FROM events GROUP BY 1
+),
+with_tot AS (
+    SELECT d, y,
+           COUNT(*) OVER () AS n,
+           SUM(y) OVER () AS total
+    FROM daily
+),
+scored AS (
+    SELECT d, n,
+           SUM(y * n - total) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS cusum_scaled
+    FROM with_tot
+)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS changepoint_day,
+       n,
+       CAST(ROUND(CAST(ABS(cusum_scaled) / CAST(n AS DOUBLE) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS cusum_peak
+FROM scored
+ORDER BY cusum_peak DESC, changepoint_day
+LIMIT 1
+"""
+
+REGISTRY["cusum_changepoint"] = QuerySpec(
+    q_cusum_changepoint, CUSUM_CHANGEPOINT_SQL
 )

