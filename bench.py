@@ -131,6 +131,11 @@ HEADLINE = [
     "pareto_revenue_share",
     "conversion_lag_curve",
     "segment_migration",
+    "sliding_hll_wau",
+    "langid_confusion",
+    "auc_quality_langid",
+    "embedding_quantize",
+    "quantile_normalize",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Corpus-preparation CLI — the training-data twin of ``python -m candyspark``
+(which drives the reference-parity candy pipeline). Runs the composed
+LLM-data flow over a documents table and writes training-ready artifacts:
+
+  clean (quality/length gates) → exact dedup → deterministic split
+  → per-(split, lang) sequence packing manifest
+
+Every stage is an already-oracle-checked operator (plans/corpus.py:
+corpus_clean / dataset_split / pack_sequences discipline); the CLI only
+composes and lands them. Outputs:
+
+  <out>/documents/          survivors, parquet partitioned by split
+                            (train/val/test subdirs prune at read time)
+  <out>/pack_manifest/      per-(split, lang, bin) packing manifest parquet
+  one JSON summary line on stdout (counts per split — the driver-readable
+  receipt, same contract shape as bench.py)
+
+Usage:
+  python -m candyspark.corpus_cli --sf-dir /root/testdata/sf0.001 \
+      --output-dir ./corpus_out [--bin-tokens 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
+    p = argparse.ArgumentParser(prog="python -m candyspark.corpus_cli")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    p.add_argument("--output-dir", default="./corpus_out")
+    p.add_argument("--bin-tokens", type=int, default=4096)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--min-tokens", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from candyspark.operators import text as X
+    from candyspark.session import get_spark
+    from candyspark.sources.readers import fan_out, load_table
+
+    t0 = time.time()
+    spark = get_spark(app_name="candyspark-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = fan_out(load_table(spark, args.sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        X.quality_score("text").alias("quality_score"),
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        X.normalized_text("text").alias("norm"),
+    ).filter(
+        (F.col("quality_score") >= args.min_quality)
+        & (F.col("n_tokens") >= args.min_tokens)
+    )
+    dedup_w = Window.partitionBy("norm").orderBy("doc_id")
+    # content-hash split (plans/corpus.dataset_split discipline): re-shard-proof,
+    # no assignment table — the bucket is a pure function of the content id.
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .select("doc_id", "text", "lang", "source", "n_tokens", "split")
+        .localCheckpoint()  # two consumers: the sink and the manifest
+    )
+
+    docs_out = os.path.join(args.output_dir, "documents")
+    survivors.write.mode("overwrite").partitionBy("split").parquet(docs_out)
+
+    pack_w = Window.partitionBy("split", "lang").orderBy("doc_id")
+    packed = (
+        survivors.withColumn(
+            "end_tok",
+            F.sum("n_tokens").over(pack_w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("bin", F.floor((F.col("end_tok") - 1) / args.bin_tokens))
+        .groupBy("split", "lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+    manifest_out = os.path.join(args.output_dir, "pack_manifest")
+    packed.write.mode("overwrite").parquet(manifest_out)
+
+    counts = {
+        r["split"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in survivors.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_prepared",
+                "splits": counts,
+                "output": args.output_dir,
+                "sec": round(time.time() - t0, 2),
+            },
+            sort_keys=True,
+        )
+    )
+    if stop_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -686,6 +686,39 @@ ORDER BY n_ab DESC, part_a, part_b
 """
 
 
+def sessionize(e: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
+    """Gap-based sessionization core: lag-flag-cumsum session ids over the
+    (ts, event_id) total order, one per-(user, session) aggregate row out
+    (n_events, duration_ms, has_purchase). Exact integer-ms comparisons —
+    both engines (and the brute-force fuzz oracle) assign identical
+    sessions. One user_id exchange; the window and aggregate share it."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        ms.alias("ms"),
+        F.when(
+            (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) + engagement decay by
     session ordinal: the lag-flag-cumsum idiom that turns a raw event
@@ -702,31 +735,7 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed exchange for the heavy phase, then a ≤6-row rollup.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        ms.alias("ms"),
-        F.when(
-            (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > 1_800_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    ).withColumn(
-        "session_no",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    sessions = flagged.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("ms") - F.min("ms")).alias("duration_ms"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "has_purchase"
-        ),
-    )
+    sessions = sessionize(e)
     ordinal = F.when(F.col("session_no") >= 5, F.lit(5)).otherwise(
         F.col("session_no")
     ).cast("int")

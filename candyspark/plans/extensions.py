@@ -1750,3 +1750,307 @@ ORDER BY within_days
 REGISTRY["conversion_lag_curve"] = QuerySpec(
     q_conversion_lag_curve, CONVERSION_LAG_CURVE_SQL
 )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix of the heuristic language
+    guesser against the labeled lang column, with per-cell precision
+    (share of the predicted column) and recall (share of the true row) —
+    the model-quality report a data pipeline runs on every heuristic
+    gate before trusting it to filter a corpus.
+
+    All counts exact; shares divide within two window families over the
+    ≤(langs+1)² matrix. One scan, one (lang, guess) aggregate.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    m = (
+        d.select("lang", X.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    row_w = Window.partitionBy("lang")
+    col_w = Window.partitionBy("lang_guess")
+    return (
+        m.select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            X.snap_round(F.col("n_docs") / F.sum("n_docs").over(row_w), 6).alias(
+                "recall_share"
+            ),
+            X.snap_round(F.col("n_docs") / F.sum("n_docs").over(col_w), 6).alias(
+                "precision_share"
+            ),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+m AS (
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, lang_guess
+)
+SELECT lang, lang_guess, n_docs,
+       CAST(ROUND(CAST(CAST(n_docs AS DOUBLE)
+                       / SUM(n_docs) OVER (PARTITION BY lang)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS recall_share,
+       CAST(ROUND(CAST(CAST(n_docs AS DOUBLE)
+                       / SUM(n_docs) OVER (PARTITION BY lang_guess)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS precision_share
+FROM m
+ORDER BY lang, lang_guess
+"""
+
+REGISTRY["langid_confusion"] = QuerySpec(q_langid_confusion, LANGID_CONFUSION_SQL)
+
+
+def q_auc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric evaluation: AUC of the quality score as a separator
+    of English vs non-English documents, computed by the exact
+    Mann-Whitney pair formulation WITH tie credit (Σ over positives of
+    negatives-below + ½·negatives-tied, over P·N) — never a global
+    per-row rank: the score is already 4-dp snapped, so grouping by score
+    yields a ≤10⁴-row distribution and every window runs over THAT.
+    The standard trick for rank statistics at 100 TB: aggregate to the
+    (bounded) score distribution first, then do rank math on the
+    distribution, not the rows.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        X.quality_score("text").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    dist = scored.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    below = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    whole = Window.partitionBy()
+    contrib = dist.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("n_pos")
+            * (
+                F.coalesce(F.sum("n_neg").over(below), F.lit(0)).cast("double")
+                + 0.5 * F.col("n_neg").cast("double")
+            )
+        ).alias("u"),
+        F.sum("n_pos").over(whole).alias("p_total"),
+        F.sum("n_neg").over(whole).alias("n_total"),
+    )
+    return contrib.groupBy("p_total", "n_total").agg(
+        F.sum("u").alias("u_sum")
+    ).select(
+        F.col("p_total").alias("n_english"),
+        F.col("n_total").alias("n_other"),
+        X.snap_round(
+            F.col("u_sum") / (F.col("p_total") * F.col("n_total")).cast("double"), 6
+        ).alias("auc"),
+    )
+
+
+AUC_QUALITY_LANGID_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL}),
+labeled AS (
+    SELECT s.quality_score AS score,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM stats s JOIN documents d USING (doc_id)
+),
+dist AS (
+    SELECT score,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+    FROM labeled GROUP BY score
+),
+contrib AS (
+    SELECT n_pos, n_neg,
+           n_pos * (CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                    + 0.5 * n_neg) AS u,
+           SUM(n_pos) OVER () AS p_total,
+           SUM(n_neg) OVER () AS n_total
+    FROM dist
+)
+SELECT CAST(p_total AS BIGINT) AS n_english,
+       CAST(n_total AS BIGINT) AS n_other,
+       CAST(ROUND(CAST(SUM(u) / (p_total * CAST(n_total AS DOUBLE))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS auc
+FROM contrib
+GROUP BY p_total, n_total
+"""
+
+REGISTRY["auc_quality_langid"] = QuerySpec(
+    q_auc_quality_langid, AUC_QUALITY_LANGID_SQL
+)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of embedding vectors (per-vector
+    absmax scale, q = round(x/scale) ∈ [−127, 127]) plus the exact mean
+    reconstruction error — the vector-compression pass an embedding store
+    runs before serving ANN at scale (4× smaller, cache-resident).
+
+    Everything is array HOFs in the scan stage (zero shuffles): absmax by
+    fold, quantize by transform, and the per-element |x − q·scale| error
+    snapped to DECIMAL BEFORE the fold so the error sum is exact — a raw
+    double fold would be evaluation-order-dependent. The x/scale double
+    is snapped through a wide decimal before rounding so both engines
+    round identical values at the int boundary.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    absmax = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    scale = absmax / 127.0
+    # the raw scale column must NOT share the output alias "scale": a later
+    # item in the same select list resolves the name against the earlier
+    # ALIAS (Spark lateral column aliases), silently feeding the SNAPPED
+    # scale into the error fold (caught by the oracle hash).
+    q = F.transform(
+        x,
+        lambda v: F.round((v / F.col("scale_raw")).cast("decimal(18,9)"), 0).cast(
+            "int"
+        ),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            x,
+            F.col("q"),
+            lambda v, qi: F.abs(v - qi.cast("double") * F.col("scale_raw"))
+            .cast("decimal(18,9)"),
+        ),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, d: (acc + d).cast("decimal(28,9)"),
+    )
+    return (
+        e.withColumn("scale_raw", scale)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            X.snap_round(F.col("scale_raw"), 6).alias("scale"),
+            "q",
+            X.snap_round(
+                err.cast("double") / F.size("embedding"), 6
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+           list_max(list_transform(embedding, v -> ABS(CAST(v AS DOUBLE)))) / 127.0
+             AS scale
+    FROM embeddings
+),
+qz AS (
+    SELECT vec_id, x, scale,
+           list_transform(x, v -> CAST(ROUND(CAST(v / scale AS DECIMAL(18,9)), 0)
+                                       AS INTEGER)) AS q
+    FROM s
+)
+SELECT vec_id,
+       CAST(ROUND(CAST(scale AS DECIMAL(28,8)), 6) AS DOUBLE) AS scale,
+       q,
+       CAST(ROUND(CAST(
+         CAST(list_sum(list_transform(range(1, len(x) + 1),
+                i -> CAST(ABS(x[i] - q[i] * scale) AS DECIMAL(18,9)))) AS DOUBLE)
+         / len(x) AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_abs_err
+FROM qz
+ORDER BY vec_id
+"""
+
+REGISTRY["embedding_quantize"] = QuerySpec(
+    q_embedding_quantize, EMBEDDING_QUANTIZE_SQL
+)
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of prices across brands: each line's price is
+    replaced by the GLOBAL price-distribution value at the same within-brand
+    rank — the cross-group comparability transform (the batch-effect
+    remover of expression arrays, the score normalizer of federated
+    feature pipelines). A brand whose prices run high no longer dominates
+    a shared threshold.
+
+    Within-brand position = cume_dist (exact count ratio, tie-stable);
+    the global reference is a 21-point interpolated quantile grid (one
+    buffered aggregate, 1-row broadcast); the mapped value linearly
+    interpolates inside the grid cell. Doubles are identical in both
+    engines at every step; one snap at the edge. Scale: one brand-keyed
+    window over the joined line grain; the grid is approx_percentile-
+    swappable at 100 TB like every other cutoff in this engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # two consumers (grid aggregate + ranked pass) re-derive the broadcast
+    # join rather than materializing it: the join is a broadcast-hash over a
+    # dim (cheap to repeat), while checkpointing the line grain costs more
+    # than it saves (measured 11.4 s vs 9.9 s at sf0.1). At 100 TB flip to a
+    # persisted table — rescanning a fact twice is the wrong trade there.
+    lines = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_orderkey", "l_linenumber", "p_brand", "l_extendedprice"
+    )
+    grid = lines.agg(
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(i / 20.0) for i in range(21)])
+        ).alias("grid")
+    )
+    w = Window.partitionBy("p_brand").orderBy("l_extendedprice")
+    r = F.cume_dist().over(w)
+    k = F.least(F.floor(r * 20), F.lit(19)).cast("int")
+    t = r * 20 - k
+    mapped = F.col("grid")[k] + t * (F.col("grid")[k + 1] - F.col("grid")[k])
+    return (
+        lines.crossJoin(F.broadcast(grid))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("p_brand").alias("brand"),
+            "l_extendedprice",
+            X.snap_round(mapped, 4).alias("normalized_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH lines AS (
+    SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+grid AS (
+    SELECT quantile_cont(l_extendedprice,
+        [0.0,0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,0.5,
+         0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95,1.0]) AS grid
+    FROM lines
+),
+ranked AS (
+    SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice,
+           cume_dist() OVER (PARTITION BY p_brand ORDER BY l_extendedprice) AS r
+    FROM lines
+)
+SELECT l_orderkey, l_linenumber, p_brand AS brand, l_extendedprice,
+       CAST(ROUND(CAST(
+         grid[k + 1] + t * (grid[k + 2] - grid[k + 1])
+         AS DECIMAL(28,8)), 4) AS DOUBLE) AS normalized_price
+FROM (
+    SELECT *,
+           CAST(LEAST(FLOOR(r * 20), 19) AS INTEGER) AS k,
+           r * 20 - CAST(LEAST(FLOOR(r * 20), 19) AS INTEGER) AS t
+    FROM ranked CROSS JOIN grid
+)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+REGISTRY["quantile_normalize"] = QuerySpec(
+    q_quantile_normalize, QUANTILE_NORMALIZE_SQL
+)

