@@ -136,6 +136,10 @@ HEADLINE = [
     "auc_quality_langid",
     "embedding_quantize",
     "quantile_normalize",
+    "skyline_parts",
+    "info_gain_brand",
+    "calibration_quality",
+    "leadlag_correlation",
 ]
 
 
@@ -167,6 +171,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # the headline set grows every round (BASELINE.md records each
+                # step); the per-query mean is the suite-size-normalized
+                # number to compare across rounds.
+                "n_queries": len(times),
+                "sec_per_query": round(total / len(times), 3),
             }
         )
     )

@@ -737,3 +737,79 @@ ORDER BY seg_from, seg_to
 """
 
 REGISTRY["segment_migration"] = QuerySpec(segment_migration, SEGMENT_MIGRATION_SQL)
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: the parts no other part dominates —
+    nobody is both cheaper AND at-least-as-large (minimize retail price,
+    maximize size; strict in at least one dimension). The classic
+    multi-criteria shortlist operator (Börzsönyi et al., "The Skyline
+    Operator"), which Spark has no built-in for.
+
+    Distributed 2-D algorithm, never the O(n²) self-join and never a
+    global single-partition scan: collapse to per-price grain (max size
+    per price — same-price smaller rows are dominated by definition),
+    bucket by a PRICE-MONOTONE key so bucket order extends price order
+    (the two-phase prefix-bucket rank trick), take the running within-
+    bucket max over strictly-lower prices, fold in the cumulative
+    maximum of LOWER buckets (a ≤buckets-row window broadcast back), and
+    keep prices whose max size beats both. Survivor prices re-join to
+    the part table for the full rows (price ties at the max size all
+    belong to the front).
+
+    The oracle is the DECLARATIVE contract, not the algorithm: a NOT
+    EXISTS dominance anti-join — the two must agree row-for-row.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice", "p_size"
+    )
+    pp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    bucket = F.floor(F.col("p_retailprice") / 100).cast("int")
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmax = (
+        pp.withColumn("b", bucket)
+        .groupBy("b")
+        .agg(F.max("msize").alias("bucket_max"))
+    )
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    prev_bucket = bmax.select(
+        "b", F.max("bucket_max").over(wo).alias("prev_bucket_max")
+    )
+    kept = (
+        pp.withColumn("b", bucket)
+        .withColumn("local_prev", F.max("msize").over(wb))
+        .join(F.broadcast(prev_bucket), "b")
+        .filter(
+            F.col("msize")
+            > F.greatest(
+                F.coalesce(F.col("local_prev"), F.lit(-1)),
+                F.coalesce(F.col("prev_bucket_max"), F.lit(-1)),
+            )
+        )
+        .select("p_retailprice", "msize")
+    )
+    return (
+        p.join(F.broadcast(kept), "p_retailprice")
+        .filter(F.col("p_size") == F.col("msize"))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice, p_size
+FROM part b
+WHERE NOT EXISTS (
+    SELECT 1 FROM part a
+    WHERE a.p_retailprice <= b.p_retailprice
+      AND a.p_size >= b.p_size
+      AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+)
+ORDER BY p_retailprice, p_partkey
+"""
+
+REGISTRY["skyline_parts"] = QuerySpec(skyline_parts, SKYLINE_PARTS_SQL)

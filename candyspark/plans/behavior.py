@@ -816,3 +816,74 @@ REGISTRY: dict[str, QuerySpec] = {
     "fuzzy_part_pairs": QuerySpec(q_fuzzy_part_pairs, FUZZY_PART_PAIRS_SQL),
     "chi2_independence": QuerySpec(q_chi2_independence, CHI2_INDEPENDENCE_SQL),
 }
+
+
+def q_info_gain_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of part brand on the return outcome — the
+    decision-tree split-quality metric (entropy reduction), sibling of
+    q_chi2_independence's association test: IG = H(return) −
+    Σ_b p(b)·H(return | brand=b).
+
+    All probabilities are ratios of exact long counts off ONE
+    (brand, returnflag) aggregate; entropies apply ln to those identical
+    doubles and snap at 6 dp. The contingency table is ≤brands×flags rows
+    — every window runs over it, never the facts. One scan (lineitem⨝part
+    broadcast), one keyed aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    whole = Window.partitionBy()
+    per_brand = Window.partitionBy("p_brand")
+    per_flag = Window.partitionBy("l_returnflag")
+    n_tot = F.sum("n").over(whole).cast("double")
+    n_b = F.sum("n").over(per_brand).cast("double")
+    n_f = F.sum("n").over(per_flag).cast("double")
+    # cell term of Σ p(b) H(y|b) = -(n/N)·ln(n/n_b); cell term of H(y) uses
+    # the flag marginal once per flag — divide by the flag's cell count so
+    # summing cells counts each marginal exactly once.
+    cond_term = -(F.col("n") / n_tot) * F.log(F.col("n") / n_b)
+    flag_cells = F.count(F.lit(1)).over(per_flag).cast("double")
+    marg_term = -(n_f / n_tot) * F.log(n_f / n_tot) / flag_cells
+    return (
+        cells.select(
+            cond_term.alias("cond"),
+            marg_term.alias("marg"),
+        )
+        .agg(
+            snap_round(F.sum("marg"), 6).alias("entropy_return"),
+            snap_round(F.sum("cond"), 6).alias("cond_entropy"),
+            snap_round(F.sum("marg") - F.sum("cond"), 6).alias("info_gain"),
+        )
+    )
+
+
+INFO_GAIN_BRAND_SQL = """
+WITH cells AS (
+    SELECT p_brand, l_returnflag, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, l_returnflag
+),
+t AS (
+    SELECT n,
+           SUM(n) OVER () AS n_tot,
+           SUM(n) OVER (PARTITION BY p_brand) AS n_b,
+           SUM(n) OVER (PARTITION BY l_returnflag) AS n_f,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS flag_cells
+    FROM cells
+)
+SELECT CAST(ROUND(CAST(SUM(-(CAST(n_f AS DOUBLE) / n_tot) * LN(n_f / CAST(n_tot AS DOUBLE)) / flag_cells)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS entropy_return,
+       CAST(ROUND(CAST(SUM(-(CAST(n AS DOUBLE) / n_tot) * LN(n / CAST(n_b AS DOUBLE)))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS cond_entropy,
+       CAST(ROUND(CAST(SUM(-(CAST(n_f AS DOUBLE) / n_tot) * LN(n_f / CAST(n_tot AS DOUBLE)) / flag_cells)
+                       - SUM(-(CAST(n AS DOUBLE) / n_tot) * LN(n / CAST(n_b AS DOUBLE)))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS info_gain
+FROM t
+"""
+
+REGISTRY["info_gain_brand"] = QuerySpec(q_info_gain_brand, INFO_GAIN_BRAND_SQL)

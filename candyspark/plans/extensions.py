@@ -2054,3 +2054,66 @@ ORDER BY l_orderkey, l_linenumber
 REGISTRY["quantile_normalize"] = QuerySpec(
     q_quantile_normalize, QUANTILE_NORMALIZE_SQL
 )
+
+
+def q_calibration_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (calibration curve data): documents bucketed by
+    fixed-width quality-score bins, each bin's observed English rate next
+    to its mean score — the "is a higher score actually more English?"
+    diagnostic that pairs with q_auc_quality_langid's single-number
+    ranking answer.
+
+    Fixed 0.1-wide bins (bounded cardinality — never data-driven
+    cutpoints) keep it a single hash aggregate with map-side combine;
+    the mean score per bin sums DECIMAL-snapped scores, so the aggregate
+    is exact and order-independent.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    score = X.quality_score("text")
+    binned = d.select(
+        F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("bin"),
+        score.cast("decimal(8,4)").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").alias("score_sum"),
+            F.sum("pos").cast("long").alias("n_english"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            X.snap_round(
+                F.col("score_sum").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_score"),
+            X.snap_round(
+                F.col("n_english") / F.col("n_docs").cast("double"), 6
+            ).alias("english_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+CALIBRATION_QUALITY_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL}),
+binned AS (
+    SELECT CAST(LEAST(FLOOR(s.quality_score * 10), 9) AS INTEGER) AS bin,
+           CAST(s.quality_score AS DECIMAL(8,4)) AS score,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM stats s JOIN documents d USING (doc_id)
+)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(ROUND(CAST(CAST(SUM(score) AS DOUBLE) / COUNT(*) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS mean_score,
+       CAST(ROUND(CAST(CAST(SUM(pos) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS english_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+REGISTRY["calibration_quality"] = QuerySpec(
+    q_calibration_quality, CALIBRATION_QUALITY_SQL
+)

@@ -465,3 +465,101 @@ LIMIT 1
 REGISTRY["cusum_changepoint"] = QuerySpec(
     q_cusum_changepoint, CUSUM_CHANGEPOINT_SQL
 )
+
+
+def q_leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag discovery: at which day offset does the view series best
+    predict the purchase series? Pearson correlation between daily view
+    counts at t−lag and purchase counts at t, for lags 0..7 — the
+    cross-correlation sweep behind "does activity lead revenue" questions
+    and feature-lag selection for forecasting.
+
+    Events collapse to one row per day FIRST (counts per type in one
+    conditional pass); the lag sweep explodes that calendar-bounded
+    aggregate ≤8×, self-joins on the shifted day (tiny ⨝ tiny), and the
+    correlation comes from exact integer power sums with the closed-form
+    double applied once per lag and snapped (the stats_moments
+    discipline — never float partials). Only complete overlap days enter
+    each lag's sums, so every lag is a valid Pearson over its own window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "event_type",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+        )
+    )
+    lags = daily.select(
+        "d", "purchases", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("lag")
+    )
+    shifted = daily.select("d", F.col("views").alias("x"))
+    pairs = lags.join(
+        shifted.withColumnRenamed("d", "ds"),
+        F.col("ds") == F.col("d") - F.col("lag"),
+    ).select("lag", F.col("x"), F.col("purchases").alias("y"))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        agg.select(
+            F.col("lag").cast("int").alias("lag_days"),
+            "n",
+            snap_round(corr, 6).alias("corr_views_purchases"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+LEADLAG_CORRELATION_SQL = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+    FROM events GROUP BY 1
+),
+lags AS (
+    SELECT d, purchases, unnest(generate_series(0, 7)) AS lag FROM daily
+),
+pairs AS (
+    SELECT l.lag, s.views AS x, l.purchases AS y
+    FROM lags l JOIN daily s ON s.d = l.d - l.lag
+),
+sums AS (
+    SELECT lag, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(x * x) AS sxx,
+           SUM(y) AS sy, SUM(y * y) AS syy,
+           SUM(x * y) AS sxy
+    FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag_days,
+       n,
+       CAST(ROUND(CAST(
+         (n * sxy - CAST(sx AS DOUBLE) * sy)
+         / (SQRT(n * sxx - CAST(sx AS DOUBLE) * sx) * SQRT(n * syy - CAST(sy AS DOUBLE) * sy))
+         AS DECIMAL(28,8)), 6) AS DOUBLE) AS corr_views_purchases
+FROM sums
+ORDER BY lag_days
+"""
+
+REGISTRY["leadlag_correlation"] = QuerySpec(
+    q_leadlag_correlation, LEADLAG_CORRELATION_SQL
+)

@@ -308,3 +308,46 @@ def test_triplet_sampling_properties(spark):
     # determinism: a different physical partitioning must not change pairs
     again = q_triplet_sampling(spark, sf).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_apply_in_arrow_grouped_map(spark):
+    """API surface: Spark 4's groupBy().applyInArrow (grouped-map over raw
+    Arrow Tables — no pandas boxing). Must agree with the built-in
+    aggregate it mirrors; the engine's real kernels stay mapInArrow /
+    applyInPandas (operators/multimodal.py, operators/allocation.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+
+    from candyspark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+
+    def summarize(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "total": [pc.sum(table.column("l_quantity")).as_py()],
+                "n": [table.num_rows],
+            }
+        )
+
+    got = {
+        r["l_returnflag"]: (r["total"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .applyInArrow(summarize, "l_returnflag string, total double, n long")
+        .collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["total"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6
