@@ -140,6 +140,7 @@ HEADLINE = [
     "info_gain_brand",
     "calibration_quality",
     "leadlag_correlation",
+    "item_jaccard_topk",
 ]
 
 

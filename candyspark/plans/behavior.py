@@ -887,3 +887,113 @@ FROM t
 """
 
 REGISTRY["info_gain_brand"] = QuerySpec(q_info_gain_brand, INFO_GAIN_BRAND_SQL)
+
+
+def q_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores: top-3 most-similar parts
+    per part by basket Jaccard (|orders with both| / |orders with
+    either|) — the "customers also bought" ranking layer over
+    q_basket_pairs' raw co-occurrence and q_basket_rules' lift.
+
+    Similarity is a snapped ratio of exact longs; the pair relation is
+    symmetrized (a→b and b→a) BEFORE the per-item top-3 window so every
+    item ranks its full neighbor list; ties break on the neighbor key.
+    Scale posture is q_basket_rules' (one materialized dedup relation,
+    within-order pair join bounded by items-per-order); the ranking
+    window hashes on the item key.
+    """
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    item_cnt = d.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "n_ab"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(item_cnt.withColumnRenamed("n_item", "n_a")),
+            F.col("pa") == F.col("pk"),
+        )
+        .drop("pk")
+        .join(
+            F.broadcast(item_cnt.withColumnRenamed("n_item", "n_b")),
+            F.col("pb") == F.col("pk"),
+        )
+        .drop("pk")
+        .withColumn(
+            "jaccard",
+            snap_round(
+                F.col("n_ab")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("jaccard"), "pb")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("similar_part"),
+            "n_ab",
+            "jaccard",
+            "rank",
+        )
+        .orderBy("part", "rank")
+    )
+
+
+ITEM_JACCARD_TOPK_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT pa, pb, n_ab FROM pairs
+    UNION ALL
+    SELECT pb, pa, n_ab FROM pairs
+),
+item_cnt AS (SELECT l_partkey AS pk, COUNT(*) AS n_item FROM d GROUP BY 1),
+scored AS (
+    SELECT pa, pb, n_ab,
+           CAST(ROUND(CAST(CAST(n_ab AS DOUBLE)
+                           / (ia.n_item + ib.n_item - n_ab)
+                           AS DECIMAL(28,8)), 6) AS DOUBLE) AS jaccard
+    FROM sym
+    JOIN item_cnt ia ON pa = ia.pk
+    JOIN item_cnt ib ON pb = ib.pk
+)
+SELECT pa AS part, pb AS similar_part, n_ab, jaccard, rank
+FROM (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (PARTITION BY pa ORDER BY jaccard DESC, pb)
+                AS INTEGER) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+ORDER BY part, rank
+"""
+
+REGISTRY["item_jaccard_topk"] = QuerySpec(q_item_jaccard_topk, ITEM_JACCARD_TOPK_SQL)

@@ -78,3 +78,50 @@ def test_sessionize_matches_brute_force(spark, events):
         )
     got = {u: sorted(v) for u, v in got.items()}
     assert got == brute_sessions(rows)
+
+
+# --- skyline fuzz ------------------------------------------------------------
+
+SKY_POINT = st.tuples(
+    st.integers(min_value=0, max_value=8),   # price unit (scaled to straddle buckets)
+    st.integers(min_value=1, max_value=6),   # size
+)
+SKY_POINTS = st.lists(SKY_POINT, min_size=1, max_size=16)
+
+
+def brute_skyline(points):
+    """Strict 2-D dominance filter (minimize price, maximize size)."""
+    keep = []
+    for i, (p, s) in enumerate(points):
+        dominated = any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for j, (p2, s2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            keep.append((p, s))
+    return sorted(keep)
+
+
+@given(points=SKY_POINTS)
+@_SETTINGS
+def test_skyline_matches_brute_force(spark, points):
+    """The distributed bucketed skyline (plans/analytics.skyline_parts) must
+    equal the O(n²) dominance definition on random point sets — duplicate
+    points, same-price ties, and bucket-boundary prices included (prices
+    scaled by 60 so points land in different floor(price/100) buckets)."""
+    import candyspark.plans.analytics as A
+    from unittest import mock
+
+    rows = [
+        (i, f"part{i}", "B", float(p * 60), s) for i, (p, s) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_retailprice double, p_size int"
+    )
+    with mock.patch.object(A, "load_table", lambda _s, _d, _t: df):
+        got = sorted(
+            (int(r["p_retailprice"]) // 60, r["p_size"])
+            for r in A.skyline_parts(spark, "unused").collect()
+        )
+    assert got == brute_skyline(points)

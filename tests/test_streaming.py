@@ -308,3 +308,67 @@ def test_candy_transactions_stream_matches_batch(spark, tmp_path):
     )
     want = {r["day"].isoformat(): (r["n_items"], r["total_qty"]) for r in batch}
     assert got == want and len(got) == 10
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Append-mode windowed aggregation must DROP events that arrive after
+    the watermark has passed their window (the bounded-state contract: at
+    100 TB, keeping every window open forever IS the OOM). Run 1 advances
+    the watermark far past an early window; run 2 (same checkpoint)
+    delivers a straggler into that closed window plus a fresh event — the
+    straggler must not appear in, or reopen, the emitted windows."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def land(rows, tag):
+        stage = str(tmp_path / f"stage_{tag}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(part, str(src / f"{tag}.parquet"))
+
+    def drain():
+        agg = (
+            spark.readStream.schema(EVENTS)
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 3, 1, 0, 30, 0)
+    far = dt.datetime(2024, 3, 1, 12, 30, 0)  # watermark → 11:30, window [0:00,1:00) closed
+    land(
+        [(1, t0, 10, "click", 1.0, "{}"), (2, far, 11, "view", 2.0, "{}")],
+        "b0",
+    )
+    drain()
+    emitted1 = {r["ws"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert emitted1.get(dt.datetime(2024, 3, 1, 0, 0, 0)) == 1  # closed + emitted
+
+    # straggler into the closed 0:00 window + a fresh later event
+    later = dt.datetime(2024, 3, 1, 13, 45, 0)
+    land(
+        [(3, t0, 12, "error", 3.0, "{}"), (4, later, 13, "view", 4.0, "{}")],
+        "b1",
+    )
+    drain()
+    emitted2 = {r["ws"]: r["n"] for r in spark.read.parquet(out).collect()}
+    # the closed window's count did NOT change and was not re-emitted higher
+    assert emitted2[dt.datetime(2024, 3, 1, 0, 0, 0)] == 1
