@@ -141,6 +141,9 @@ HEADLINE = [
     "calibration_quality",
     "leadlag_correlation",
     "item_jaccard_topk",
+    "link_prediction_aa",
+    "kaplan_meier",
+    "bootstrap_ci_mean",
 ]
 
 

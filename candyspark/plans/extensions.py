@@ -2117,3 +2117,151 @@ ORDER BY bin
 REGISTRY["calibration_quality"] = QuerySpec(
     q_calibration_quality, CALIBRATION_QUALITY_SQL
 )
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-first-purchase after
+    signup WITH right-censoring: users whose observation ended (the
+    table's last day) before converting are censored, not dropped —
+    treating them as non-events is exactly the bias KM exists to remove
+    (the deepening of q_conversion_lag_curve, which reports only
+    uncensored shares).
+
+    S(t) = Π_{event days ≤ t} (1 − d/n): the ordered product runs as
+    exp(Σ ln(·)) over the ≤days-sized per-day aggregate with the per-day
+    term snapped before the cumulative sum — identical doubles in both
+    engines at every step. At-risk counts are exact integers from a
+    cumulative window over the same tiny frame. Scale: two user_id
+    reductions and one keyed join; everything after is calendar-bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    horizon = e.agg(F.max("ts").alias("end_ts"))
+    per_user = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("pu")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.floor(
+                    (F.unix_micros("conv_ts") - F.unix_micros("signup_ts"))
+                    / F.lit(86400000000)
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_micros("end_ts") - F.unix_micros("signup_ts"))
+                    / F.lit(86400000000)
+                )
+            )
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    daily = per_user.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(1 - F.col("event")).cast("long").alias("c"),
+    )
+    whole = Window.partitionBy()
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(whole)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before), F.lit(0))
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        X.snap_round(
+            F.log(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    # d == n_risk means everyone still at risk converts that day: S drops to
+    # exactly 0 from there on (ln(0) is the undefined form of the same fact).
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(upto)
+    return (
+        daily.withColumn("n_risk", at_risk)
+        .withColumn("logterm", term)
+        .withColumn(
+            "survival",
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                X.snap_round(F.exp(F.sum("logterm").over(upto)), 6)
+            ),
+        )
+        .select(
+            F.col("t").cast("int").alias("day"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            "survival",
+        )
+        .orderBy("day")
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH signups AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+per_user AS (
+    SELECT s.user_id,
+           CASE WHEN MIN(p.ts) IS NOT NULL
+                THEN FLOOR((epoch_us(MIN(p.ts)) - epoch_us(s.signup_ts)) / 86400000000)
+                ELSE FLOOR((epoch_us(h.end_ts) - epoch_us(s.signup_ts)) / 86400000000)
+           END AS t,
+           CASE WHEN MIN(p.ts) IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM signups s
+    CROSS JOIN horizon h
+    LEFT JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
+    GROUP BY s.user_id, s.signup_ts, h.end_ts
+),
+daily AS (
+    SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+           CAST(SUM(1 - event) AS BIGINT) AS c
+    FROM per_user GROUP BY t
+),
+risked AS (
+    SELECT t, d, c,
+           SUM(d + c) OVER () - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM daily
+),
+terms AS (
+    SELECT *,
+           CASE WHEN d > 0 AND d < n_risk THEN
+             CAST(ROUND(CAST(LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                             AS DECIMAL(28,9)), 9) AS DOUBLE)
+           ELSE 0.0 END AS logterm,
+           MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
+    FROM risked
+)
+SELECT CAST(t AS INTEGER) AS day,
+       CAST(n_risk AS BIGINT) AS n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE
+         CAST(ROUND(CAST(EXP(SUM(logterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                         AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS survival
+FROM terms
+ORDER BY day
+"""
+
+REGISTRY["kaplan_meier"] = QuerySpec(q_kaplan_meier, KAPLAN_MEIER_SQL)

@@ -327,3 +327,93 @@ REGISTRY: dict[str, QuerySpec] = {
     "triangle_count": QuerySpec(q_triangle_count, TRIANGLE_COUNT_SQL),
     "part_reachability": QuerySpec(q_part_reachability, PART_REACHABILITY_SQL),
 }
+
+
+def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: top-25 NON-adjacent part
+    pairs by Adamic-Adar score (Σ over common neighbors of 1/ln(degree))
+    — "these two parts will likely be bought together next", the
+    classical common-neighbor heuristic that down-weights promiscuous
+    hubs.
+
+    Each wedge's 1/ln(deg(center)) term is snapped to DECIMAL(18,9)
+    BEFORE the pair sum (raw double sums are partial-order-dependent —
+    the linear_attribution discipline), so pair scores are exact and the
+    final ordering total. Existing edges are anti-joined away (predicting
+    a present edge is vacuous). Scale: wedge fan-out is Σ deg² over
+    centers — bounded here by the ≥2-shared-orders edge threshold; at
+    100-TB graph scale cap the center degree (hubs contribute ≈0 per
+    wedge anyway: 1/ln(deg) → 0) before the pair join, the standard
+    AA-at-scale mitigation. The neighbor relation is materialized once
+    for its three consumers.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    nbrs = edges.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
+        edges.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    deg = nbrs.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    centered = nbrs.join(deg, "c")
+    a, b = centered.alias("a"), centered.alias("b")
+    wedge_term = (
+        F.lit(1.0) / F.log(F.col("a.deg").cast("double"))
+    ).cast("decimal(18,9)")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .select(
+            F.col("a.n").alias("u"), F.col("b.n").alias("v"), wedge_term.alias("t")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("t").alias("aa_raw"), F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    non_edges = pairs.join(edges, ["u", "v"], "left_anti")
+    return (
+        non_edges.select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(F.col("aa_raw").cast("decimal(28,8)"), 6)
+            .cast("double")
+            .alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "u", "v")
+        .limit(25)
+    )
+
+
+LINK_PREDICTION_AA_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nbrs AS (
+    SELECT u AS c, v AS n FROM edges
+    UNION ALL
+    SELECT v AS c, u AS n FROM edges
+),
+deg AS (SELECT c, COUNT(*) AS deg FROM nbrs GROUP BY c),
+pairs AS (
+    SELECT a.n AS u, b.n AS v,
+           SUM(CAST(1.0 / LN(CAST(dg.deg AS DOUBLE)) AS DECIMAL(18,9))) AS aa_raw,
+           COUNT(*) AS common_neighbors
+    FROM nbrs a
+    JOIN nbrs b ON a.c = b.c AND a.n < b.n
+    JOIN deg dg ON dg.c = a.c
+    GROUP BY 1, 2
+)
+SELECT p.u, p.v, p.common_neighbors,
+       CAST(ROUND(CAST(aa_raw AS DECIMAL(28,8)), 6) AS DOUBLE) AS adamic_adar
+FROM pairs p
+LEFT JOIN edges e ON p.u = e.u AND p.v = e.v
+WHERE e.u IS NULL
+ORDER BY adamic_adar DESC, p.u, p.v
+LIMIT 25
+"""
+
+REGISTRY["link_prediction_aa"] = QuerySpec(
+    q_link_prediction_aa, LINK_PREDICTION_AA_SQL
+)

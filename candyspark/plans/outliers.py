@@ -632,3 +632,139 @@ REGISTRY: dict[str, QuerySpec] = {
     "trend_per_type": QuerySpec(q_trend_per_type, TREND_PER_TYPE_SQL),
     "robust_stats": QuerySpec(q_robust_stats, ROBUST_STATS_SQL),
 }
+
+
+_POIS_CDF = [
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238462),
+    (4, 0.9963401531726563),
+    (5, 0.9994058151824183),
+    (6, 0.9999167588507642),
+]
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value — by
+    DETERMINISTIC Poisson bootstrap: each of 32 replicates draws every
+    order Poisson(1)-many times, with the Poisson variate inverted from
+    an md5-derived uniform (never rand(): per-task RNGs differ by engine,
+    run, and partitioning — the dataset_split discipline applied to
+    resampling inference). Poisson bootstrap is THE distributed-bootstrap
+    formulation: no replicate needs to materialize a resample, each row
+    contributes an integer weight computed locally from its own hash.
+
+    Replicate means are ratios of exact decimal/integer sums; the CI
+    bounds pick actual replicate values (PERCENTILE_DISC over the 32-row
+    replicate frame). Scale: one scan, 32× weight explosion absorbed by
+    map-side combine into a 32-row aggregate.
+    """
+    from candyspark.sources.readers import fan_out
+
+    o = fan_out(load_table(spark, sf_dir, "orders"))
+    # one md5 = 128 bits = FOUR independent 32-bit uniforms: hash per
+    # (order, replicate-GROUP of 4), not per (order, replicate) — 4× less
+    # hashing for identical statistical properties (the hash-once lesson,
+    # operators/dedup.py).
+    rows = (
+        o.select("o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("p"))
+        .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn("h", F.md5(F.concat_ws(":", F.col("g"), F.col("o_orderkey"))))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("b", F.col("g") * 4 + F.col("j"))
+    )
+    u = (
+        F.conv(F.substring("h", F.col("j") * 8 + 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    k = F.lit(7)
+    for kk, cdf in reversed(_POIS_CDF):
+        k = F.when(u < cdf, F.lit(kk)).otherwise(k)
+    reps = (
+        rows.withColumn("k", k)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("p") * F.col("k")).alias("wsum"),
+            F.sum("k").cast("long").alias("wn"),
+        )
+        .select(
+            snap_round(
+                F.col("wsum").cast("double") / F.col("wn").cast("double"), 6
+            ).alias("rep_mean")
+        )
+    )
+    point = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        snap_round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean"),
+    )
+    ci = reps.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY rep_mean)").alias(
+            "boot_p05"
+        ),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY rep_mean)").alias(
+            "boot_median"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY rep_mean)").alias(
+            "boot_p95"
+        ),
+    )
+    return point.crossJoin(ci)
+
+
+BOOTSTRAP_CI_MEAN_SQL = """
+WITH rows_g AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+           unnest(generate_series(0, 7)) AS g
+    FROM orders
+),
+hashed AS (
+    SELECT *, md5(concat(CAST(g AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))) AS h
+    FROM rows_g
+),
+rows_b AS (
+    SELECT o_orderkey, p, g * 4 + j AS b,
+           CAST(concat('0x', substr(h, j * 8 + 1, 8)) AS BIGINT) / 4294967296.0 AS u
+    FROM (SELECT *, unnest(generate_series(0, 3)) AS j FROM hashed)
+),
+drawn AS (
+    SELECT b, p,
+           CASE
+             WHEN u < 0.36787944117144233 THEN 0
+             WHEN u < 0.7357588823428847 THEN 1
+             WHEN u < 0.9196986029286058 THEN 2
+             WHEN u < 0.9810118431238462 THEN 3
+             WHEN u < 0.9963401531726563 THEN 4
+             WHEN u < 0.9994058151824183 THEN 5
+             WHEN u < 0.9999167588507642 THEN 6
+             ELSE 7
+           END AS k
+    FROM rows_b
+),
+reps AS (
+    SELECT b,
+           CAST(ROUND(CAST(CAST(SUM(p * k) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+                           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rep_mean
+    FROM drawn GROUP BY b
+),
+point AS (
+    SELECT COUNT(*) AS n_orders,
+           CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(28,8)), 6) AS DOUBLE) AS point_mean
+    FROM orders
+),
+ci AS (
+    SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY rep_mean) AS boot_p05,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY rep_mean) AS boot_median,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY rep_mean) AS boot_p95
+    FROM reps
+)
+SELECT n_orders, point_mean, boot_p05, boot_median, boot_p95
+FROM point CROSS JOIN ci
+"""
+
+REGISTRY["bootstrap_ci_mean"] = QuerySpec(q_bootstrap_ci_mean, BOOTSTRAP_CI_MEAN_SQL)

@@ -60,4 +60,18 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
     )
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    # the driver hashes CSV text, where int 10 and float 10.0 differ even
+    # when values compare equal — a float column on one side against an int
+    # column on the other (DuckDB HUGEINT → pandas float64 is the usual
+    # culprit: SUM(BIGINT) needs an explicit CAST ... AS BIGINT in the
+    # oracle SQL) must fail HERE, not at the driver.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        numeric = {"i", "u", "f"}
+        if ka in numeric or kb in numeric:
+            assert (ka == "f") == (kb == "f"), (
+                f"{name}.{c}: dtype kind mismatch spark={a[c].dtype} "
+                f"oracle={b[c].dtype} — the driver's CSV hash will differ "
+                f"(cast the integer-valued side explicitly)"
+            )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
