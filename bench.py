@@ -144,6 +144,7 @@ HEADLINE = [
     "link_prediction_aa",
     "kaplan_meier",
     "bootstrap_ci_mean",
+    "naive_bayes_langid",
 ]
 
 

@@ -31,6 +31,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         corpus,
         extensions,
         graph,
+        ml,
         mutation,
         outliers,
         profiling,
@@ -56,6 +57,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         mutation,
+        ml,
         quality,
         graph,
         retrieval,

@@ -1,0 +1,300 @@
+"""In-engine machine learning: model TRAINING as relational aggregation.
+
+Extension surface — the reference has no learning of any kind; its one
+"model" is the Prophet forecast call (SURVEY.md §2.12). These queries show
+the engine training and evaluating models where the data lives, with the
+same oracle-checked determinism discipline as every other plan:
+
+- ``naive_bayes_langid`` — a multinomial Naive Bayes language classifier
+  trained on a content-hash split of the documents table and evaluated on
+  the held-out slice, entirely as joins + aggregates. The classic
+  ML-in-SQL construction: per-(lang, term) counts ARE the model, Laplace
+  smoothing folds missing terms into a per-language constant (see the
+  docstring algebra), and scoring is a LEFT join + one aggregate.
+- ``pca_top_component`` — the leading principal component of the embedding
+  table via exact relational covariance sums + a deterministic driver-side
+  power iteration on the tiny d×d matrix (rows-only: no SQL oracle for an
+  eigensolver; test_ml pins it against numpy's eigendecomposition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.operators import text as X
+from candyspark.plans import QuerySpec
+from candyspark.plans.extensions import _TOKS
+from candyspark.sources.readers import fan_out, load_table
+
+
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID, trained AND evaluated in one
+    Catalyst plan: an 80/20 content-hash split (md5 of doc_id — the
+    dataset_split discipline, never rand()), per-(lang, term) token counts
+    as the model, Laplace(+1) smoothing, and held-out scoring by LEFT join.
+
+    The smoothing algebra that makes missing terms free: score(doc, lang)
+    = ln prior + Σ_tokens ln(n_{lang,term} + 1) − n_tokens·ln(n_lang + V).
+    Terms unseen for a language contribute ln(1) = 0 to the sum, so the
+    join only has to find PRESENT (lang, term) pairs — no dense
+    vocabulary × language matrix is ever materialized. Each ln term is
+    snapped to DECIMAL(18,9) BEFORE summing (raw double sums are
+    partial-order-dependent); argmax ties break on lang.
+
+    Output: the held-out confusion matrix with per-row share — the same
+    evaluation shape as q_langid_confusion, now for a TRAINED model.
+    Scale: model = one (lang, term)-keyed aggregate over train tokens;
+    scoring = one term-keyed join + one doc-keyed aggregate; the
+    language constants are a ≤langs-row broadcast.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 5
+    )
+    docs = d.select("doc_id", "lang", "text").withColumn(
+        "is_test", (split == 0).cast("int")
+    )
+    # the token relation feeds FIVE consumers (model, totals, vocab, test
+    # scoring, doc lengths) and the model two — materialize each once (the
+    # multi-consumer-subtree lesson, SCALE.md).
+    toks = docs.select(
+        "doc_id", "lang", "is_test", F.explode(X.tokens("text")).alias("term")
+    ).localCheckpoint()
+    train_toks = toks.filter(F.col("is_test") == 0)
+
+    model = train_toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n_lt")
+    ).localCheckpoint()
+    lang_tot = train_toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    vocab = model.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
+    doc_prior = (
+        docs.filter(F.col("is_test") == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_l"))
+    )
+    n_train = docs.filter(F.col("is_test") == 0).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    consts = (
+        lang_tot.join(doc_prior, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            X.snap_round(
+                F.log(F.col("n_docs_l") / F.col("n_train").cast("double")), 9
+            ).alias("log_prior"),
+            X.snap_round(
+                F.log((F.col("n_l") + F.col("v")).cast("double")), 9
+            ).alias("log_denom"),
+        )
+    )
+
+    test_toks = toks.filter(F.col("is_test") == 1)
+    # per (doc, candidate lang): Σ ln(n_lt + 1) over PRESENT pairs only
+    hits = (
+        test_toks.join(
+            model.withColumnRenamed("lang", "cand_lang"), "term"
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("n_lt") + 1.0).cast("decimal(18,9)"), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("hit_sum")
+        )
+    )
+    doc_len = test_toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.first("lang").alias("true_lang")
+    )
+    scored = (
+        doc_len.crossJoin(F.broadcast(consts))
+        .join(hits, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            (
+                F.col("log_prior")
+                + F.coalesce(F.col("hit_sum").cast("double"), F.lit(0.0))
+                - F.col("n_tokens") * F.col("log_denom")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    m = pred.groupBy("true_lang", F.col("cand_lang").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    row_w = Window.partitionBy("true_lang")
+    return (
+        m.withColumn(
+            "row_share",
+            X.snap_round(F.col("n_docs") / F.sum("n_docs").over(row_w), 6),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_SPLIT_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5"
+
+NAIVE_BAYES_LANGID_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN {_SPLIT_SQL} = 0 THEN 1 ELSE 0 END AS is_test
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, lang, is_test, unnest({_TOKS}) AS term FROM docs
+),
+model AS (
+    SELECT lang, term, COUNT(*) AS n_lt
+    FROM toks WHERE is_test = 0 GROUP BY lang, term
+),
+lang_tot AS (
+    SELECT lang, COUNT(*) AS n_l FROM toks WHERE is_test = 0 GROUP BY lang
+),
+vocab AS (SELECT COUNT(DISTINCT term) AS v FROM model),
+doc_prior AS (
+    SELECT lang, COUNT(*) AS n_docs_l FROM docs WHERE is_test = 0 GROUP BY lang
+),
+n_train AS (SELECT COUNT(*) AS n_train FROM docs WHERE is_test = 0),
+consts AS (
+    SELECT lt.lang AS cand_lang,
+           CAST(ROUND(CAST(LN(CAST(n_docs_l AS DOUBLE) / n_train) AS DECIMAL(28,9)), 9)
+                AS DOUBLE) AS log_prior,
+           CAST(ROUND(CAST(LN(CAST(n_l + v AS DOUBLE)) AS DECIMAL(28,9)), 9)
+                AS DOUBLE) AS log_denom
+    FROM lang_tot lt JOIN doc_prior dp ON lt.lang = dp.lang
+    CROSS JOIN vocab CROSS JOIN n_train
+),
+test_toks AS (SELECT * FROM toks WHERE is_test = 1),
+hits AS (
+    SELECT t.doc_id, m.lang AS cand_lang,
+           SUM(CAST(ROUND(CAST(LN(n_lt + 1.0) AS DECIMAL(18,9)), 9)
+               AS DECIMAL(18,9))) AS hit_sum
+    FROM test_toks t JOIN model m ON t.term = m.term
+    GROUP BY t.doc_id, m.lang
+),
+doc_len AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, MIN(lang) AS true_lang
+    FROM test_toks GROUP BY doc_id
+),
+scored AS (
+    SELECT dl.doc_id, dl.true_lang, c.cand_lang,
+           c.log_prior + COALESCE(CAST(h.hit_sum AS DOUBLE), 0.0)
+             - dl.n_tokens * c.log_denom AS score
+    FROM doc_len dl
+    CROSS JOIN consts c
+    LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.cand_lang = c.cand_lang
+),
+pred AS (
+    SELECT doc_id, true_lang, cand_lang AS pred_lang
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand_lang) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+m AS (
+    SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n_docs,
+       CAST(ROUND(CAST(CAST(n_docs AS DOUBLE)
+                       / SUM(n_docs) OVER (PARTITION BY true_lang)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS row_share
+FROM m
+ORDER BY true_lang, pred_lang
+"""
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding cloud: the d×d
+    covariance matrix is computed as EXACT relational sums (per-(i, j)
+    Σxᵢxⱼ from a bounded self-pairing of the posexploded coordinates —
+    d is fixed, so the d²-per-row fan-out is a constant factor), then a
+    deterministic fixed-iteration power method runs driver-side on the
+    tiny collected matrix (64×64 doubles — driver linear algebra on a
+    bounded object is sanctioned; the DATA never leaves the cluster).
+
+    Rows-only: an eigensolver has no SQL oracle — test_ml pins the result
+    against numpy's eigendecomposition instead.
+    Output: one row per dimension with the component loading, plus the
+    explained-variance ratio.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    coords = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xi")
+    ).select("vec_id", "i", F.col("xi").cast("decimal(18,9)").alias("xi"))
+    n_mean = coords.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xi").alias("si")
+    )
+    a, b = coords.alias("a"), coords.alias("b")
+    prods = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum((F.col("a.xi") * F.col("b.xi")).cast("decimal(38,18)")).alias("sij"))
+    )
+    rows = (
+        prods.join(n_mean.select(F.col("i"), F.col("n"), F.col("si").alias("si_i")), "i")
+        .join(
+            n_mean.select(F.col("i").alias("j"), F.col("si").alias("si_j")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sij").cast("double")
+                 - F.col("si_i").cast("double") * F.col("si_j").cast("double")
+                 / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+        .collect()
+    )
+    if not rows:  # empty input: schema-stable empty result (the 100-TB
+        # empty-partition case — test_empty_inputs sweeps every query)
+        return spark.createDataFrame(
+            [], "dim int, loading double, explained_variance_ratio double"
+        )
+    d_dim = max(r["i"] for r in rows) + 1
+    cov = [[0.0] * d_dim for _ in range(d_dim)]
+    total_var = 0.0
+    for r in rows:
+        cov[r["i"]][r["j"]] = r["cov"]
+        if r["i"] == r["j"]:
+            total_var += r["cov"]
+    # fixed-iteration power method with a deterministic start — bit-stable
+    # across runs (no RNG, no convergence-threshold branching).
+    v = [1.0 / (d_dim ** 0.5)] * d_dim
+    for _ in range(300):
+        w_vec = [sum(cov[i][j] * v[j] for j in range(d_dim)) for i in range(d_dim)]
+        norm = sum(x * x for x in w_vec) ** 0.5
+        v = [x / norm for x in w_vec]
+    eig = sum(
+        v[i] * sum(cov[i][j] * v[j] for j in range(d_dim)) for i in range(d_dim)
+    )
+    # pin the sign: largest-|loading| coordinate is positive
+    pivot = max(range(d_dim), key=lambda i: abs(v[i]))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    out = [
+        (i, round(v[i], 6), round(eig / total_var, 6)) for i in range(d_dim)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, explained_variance_ratio double"
+    )
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "naive_bayes_langid": QuerySpec(q_naive_bayes_langid, NAIVE_BAYES_LANGID_SQL),
+    "pca_top_component": QuerySpec(q_pca_top_component, None),  # eigensolver; rows-only
+}
