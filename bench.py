@@ -145,6 +145,7 @@ HEADLINE = [
     "kaplan_meier",
     "bootstrap_ci_mean",
     "naive_bayes_langid",
+    "join_size_profile",
 ]
 
 

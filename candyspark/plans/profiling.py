@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from candyspark.functions.numeric import money
+from candyspark.functions.numeric import money, snap_round
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -210,3 +210,74 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_aggregates": QuerySpec(approx_aggregates, APPROX_AGGREGATES_SQL),
     "profile_lineitem": QuerySpec(profile_lineitem, PROFILE_LINEITEM_SQL),
 }
+
+
+def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from per-key histograms — the planner-side
+    arithmetic behind "how big will this join be": for the many-to-many
+    clicks⨝purchases-per-user join, |A ⋈ B| = Σ_k cntA(k)·cntB(k),
+    computed from ONE conditional-aggregation pass (no join executed),
+    alongside the ACTUAL join count as the in-query proof, plus the
+    heaviest key's share — the skew number that decides salting before
+    anyone pays for the shuffle (operators/skew.py).
+
+    Both counts are exact integers; the share snaps. Scale: the histogram
+    pass is one user_id aggregate; the verification join is the only
+    expensive branch (and in production you'd run ONLY the histogram —
+    that asymmetry is the point).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    pred = hist.agg(
+        F.count(F.when((F.col("c") > 0) & (F.col("p") > 0), 1)).alias("n_join_keys"),
+        F.sum(F.col("c") * F.col("p")).cast("long").alias("predicted_pairs"),
+        F.max(F.col("c") * F.col("p")).cast("long").alias("max_key_pairs"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu")
+    )
+    actual = c.join(p, F.col("cu") == F.col("pu")).agg(
+        F.count(F.lit(1)).alias("actual_pairs")
+    )
+    return pred.crossJoin(F.broadcast(actual)).select(
+        "n_join_keys",
+        "predicted_pairs",
+        "actual_pairs",
+        snap_round(
+            F.col("max_key_pairs") / F.col("predicted_pairs").cast("double"), 6
+        ).alias("max_key_share"),
+    )
+
+
+JOIN_SIZE_PROFILE_SQL = """
+WITH hist AS (
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+    FROM events GROUP BY user_id
+),
+pred AS (
+    SELECT COUNT(CASE WHEN c > 0 AND p > 0 THEN 1 END) AS n_join_keys,
+           CAST(SUM(c * p) AS BIGINT) AS predicted_pairs,
+           CAST(MAX(c * p) AS BIGINT) AS max_key_pairs
+    FROM hist
+),
+actual AS (
+    SELECT COUNT(*) AS actual_pairs
+    FROM (SELECT user_id FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+)
+SELECT n_join_keys, predicted_pairs, actual_pairs,
+       CAST(ROUND(CAST(CAST(max_key_pairs AS DOUBLE) / predicted_pairs
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS max_key_share
+FROM pred CROSS JOIN actual
+"""
+
+REGISTRY["join_size_profile"] = QuerySpec(q_join_size_profile, JOIN_SIZE_PROFILE_SQL)
