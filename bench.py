@@ -146,6 +146,7 @@ HEADLINE = [
     "bootstrap_ci_mean",
     "naive_bayes_langid",
     "join_size_profile",
+    "perplexity_filter",
 ]
 
 

@@ -298,3 +298,139 @@ REGISTRY: dict[str, QuerySpec] = {
     "naive_bayes_langid": QuerySpec(q_naive_bayes_langid, NAIVE_BAYES_LANGID_SQL),
     "pca_top_component": QuerySpec(q_pca_top_component, None),  # eigensolver; rows-only
 }
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based corpus filtering (the CCNet recipe): a Laplace-
+    smoothed bigram language model trained on the 80% content-hash split
+    scores the held-out 20%, and each document's perplexity becomes the
+    keep/flag signal — the standard "does this text look like the
+    reference corpus" curation gate of LLM data pipelines.
+
+    The same missing-term algebra as Naive Bayes, one level up: per test
+    bigram (w1, w2), ln p = ln(c12 + 1) − ln(c1 + V), where an UNSEEN
+    bigram contributes ln(1) = 0 to the first part (LEFT join finds only
+    present pairs) and an unseen w1 degrades to ln(V) in the second —
+    both joins stay sparse, no dense transition matrix exists. Each ln is
+    snapped to DECIMAL(18,9) before the per-doc sum (exact,
+    order-independent); perplexity = exp(−Σ/N) snaps at the edge.
+
+    Scale: model = one (w1, w2) aggregate over train bigrams; scoring =
+    two keyed LEFT joins + one doc aggregate. Output: per held-out doc,
+    its bigram count, perplexity, and the gate flag (above twice the
+    smoothed-uniform floor ≈ obvious junk).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 5
+    )
+    toks = F.col("toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    docs = (
+        d.select("doc_id", X.tokens("text").alias("toks"))
+        .withColumn("is_test", (split == 0).cast("int"))
+        .select("doc_id", "is_test", F.explode(pairs).alias("bg"))
+        .select("doc_id", "is_test", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint()  # model, unigrams, and the scoring pass all consume it
+    )
+    train = docs.filter(F.col("is_test") == 0)
+    bigram_cnt = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram_cnt = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    test = docs.filter(F.col("is_test") == 1)
+    scored = (
+        test.join(bigram_cnt, ["w1", "w2"], "left")
+        .join(unigram_cnt, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    F.log(F.coalesce(F.col("c12"), F.lit(0)) + 1.0).cast(
+                        "decimal(18,9)"
+                    ),
+                    9,
+                ).cast("decimal(18,9)")
+                - F.round(
+                    F.log(
+                        (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                    ).cast("decimal(18,9)"),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("logp").alias("ll"),
+    )
+    ppl = F.exp(-(F.col("ll").cast("double")) / F.col("n_bigrams"))
+    return (
+        per_doc.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            X.snap_round(ppl, 4).alias("perplexity"),
+            (ppl > 0.5 * F.col("v")).cast("int").alias("flag_junk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PERPLEXITY_FILTER_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks,
+           CASE WHEN {_SPLIT_SQL} = 0 THEN 1 ELSE 0 END AS is_test
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, is_test, p.w1 AS w1, p.w2 AS w2
+    FROM (
+        SELECT doc_id, is_test,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+        FROM t
+    )
+),
+bigram_cnt AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM docs WHERE is_test = 0 GROUP BY w1, w2
+),
+unigram_cnt AS (
+    SELECT w1, COUNT(*) AS c1 FROM docs WHERE is_test = 0 GROUP BY w1
+),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM docs WHERE is_test = 0),
+scored AS (
+    SELECT d.doc_id,
+           CAST(ROUND(CAST(LN(COALESCE(c12, 0) + 1.0) AS DECIMAL(18,9)), 9)
+                AS DECIMAL(18,9))
+           - CAST(ROUND(CAST(LN(CAST(COALESCE(c1, 0) + v AS DOUBLE)) AS DECIMAL(18,9)), 9)
+                AS DECIMAL(18,9)) AS logp
+    FROM docs d
+    LEFT JOIN bigram_cnt b ON d.w1 = b.w1 AND d.w2 = b.w2
+    LEFT JOIN unigram_cnt u ON d.w1 = u.w1
+    CROSS JOIN vocab
+    WHERE d.is_test = 1
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp) AS ll
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(ROUND(CAST(EXP(-CAST(ll AS DOUBLE) / n_bigrams) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS perplexity,
+       CAST(CASE WHEN EXP(-CAST(ll AS DOUBLE) / n_bigrams) > 0.5 * v
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_junk
+FROM per_doc CROSS JOIN vocab
+ORDER BY doc_id
+"""
+
+REGISTRY["perplexity_filter"] = QuerySpec(q_perplexity_filter, PERPLEXITY_FILTER_SQL)
