@@ -147,6 +147,8 @@ HEADLINE = [
     "naive_bayes_langid",
     "join_size_profile",
     "perplexity_filter",
+    "distribution_distance",
+    "ab_ztest",
 ]
 
 

@@ -391,3 +391,190 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_psi": QuerySpec(q_drift_psi, DRIFT_PSI_SQL),
     "benford_digits": QuerySpec(q_benford_digits, BENFORD_DIGITS_SQL),
 }
+
+
+def q_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift metrics between returned ('R') and kept line
+    items' price distributions: grid-estimated Wasserstein-1 (mean
+    absolute quantile gap) and Kolmogorov-Smirnov-style max gap — the
+    train/serve-skew and cohort-shift detectors that PSI (drift_psi)
+    complements on categorical axes.
+
+    The 1-D W1 distance equals the integral of |Q_A − Q_B| over quantile
+    levels; on a fixed 101-point grid that's the mean absolute gap
+    between the two quantile vectors — the standard sketch-friendly
+    estimator (two buffered percentile aggregates, a 101-term fold, no
+    row-grain global CDF scan, which exact W1 would need). Both engines
+    interpolate identically; one snap per output.
+    """
+    # single-GROUP exact percentile: the final merge concentrates every
+    # value in one task no matter how the scan is split (fan_out measured
+    # a wash here, unlike robust_stats' per-group case) — the cost is the
+    # holistic aggregate itself; approx_percentile is the 100-TB swap-in.
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = F.array(*[F.lit(i / 100.0) for i in range(101)])
+    grids = li.groupBy().agg(
+        F.percentile(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")), probs
+        ).alias("qa"),
+        F.percentile(
+            F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")), probs
+        ).alias("qb"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    gaps = F.zip_with("qa", "qb", lambda a, b: F.abs(a - b))
+    w1 = F.aggregate(
+        F.transform(gaps, lambda g: F.round(g.cast("decimal(28,9)"), 9)),
+        F.lit(0).cast("decimal(38,9)"),
+        lambda acc, g: (acc + g).cast("decimal(38,9)"),
+    ).cast("double") / F.lit(101.0)
+    ks = F.array_max(gaps)
+    return grids.select(
+        "n_returned",
+        "n_kept",
+        snap_round(w1, 4).alias("wasserstein_grid"),
+        snap_round(ks, 4).alias("max_quantile_gap"),
+    )
+
+
+DISTRIBUTION_DISTANCE_SQL = """
+WITH g AS (
+    SELECT quantile_cont(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END,
+               list_transform(range(0, 101), i -> i / 100.0)) AS qa,
+           quantile_cont(CASE WHEN l_returnflag != 'R' THEN l_extendedprice END,
+               list_transform(range(0, 101), i -> i / 100.0)) AS qb,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM lineitem
+)
+SELECT n_returned, n_kept,
+       CAST(ROUND(CAST(
+         CAST(list_sum(list_transform(range(1, 102),
+              i -> CAST(ROUND(CAST(ABS(qa[i] - qb[i]) AS DECIMAL(28,9)), 9)
+                        AS DECIMAL(28,9)))) AS DOUBLE) / 101.0
+         AS DECIMAL(28,8)), 4) AS DOUBLE) AS wasserstein_grid,
+       CAST(ROUND(CAST(
+         list_max(list_transform(range(1, 102), i -> ABS(qa[i] - qb[i])))
+         AS DECIMAL(28,8)), 4) AS DOUBLE) AS max_quantile_gap
+FROM g
+"""
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the A/B arms' conversion rates — the
+    significance statistic q_ab_conversion's Wilson intervals stop short
+    of: z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) under the pooled
+    null. Arms are the same deterministic content-hash split as
+    ab_conversion (user_id md5 parity); "conversion" = the user's purchase
+    count exceeds the GLOBAL median purchase count (a data-derived
+    threshold — an absolute flag degenerates to all-1s at some scale
+    factor, and a degenerate split zeroes the pooled variance).
+
+    All counts exact from one user-grain aggregate + a 1-row
+    PERCENTILE_DISC broadcast; the z formula runs once on identical
+    doubles and snaps. |z| > 1.96 is the two-sided 5% flag — the CDF
+    itself needs no special function.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases")
+    )
+    med = per_user.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_purchases)").alias(
+            "med"
+        )
+    )
+    users = per_user.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        (F.col("n_purchases") > F.col("med")).cast("int").alias("converted"),
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    wide = users.withColumn("arm", arm).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("xa"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("xb"),
+    )
+    na, xa = F.col("na").cast("double"), F.col("xa").cast("double")
+    nb, xb = F.col("nb").cast("double"), F.col("xb").cast("double")
+    pooled = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("xa").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("xb").cast("long").alias("conv_b"),
+        snap_round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_5pct"),
+    )
+
+
+AB_ZTEST_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM events GROUP BY user_id
+),
+med AS (
+    SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_purchases) AS med
+    FROM per_user
+),
+users AS (
+    SELECT user_id,
+           CASE WHEN n_purchases > med THEN 1 ELSE 0 END AS converted
+    FROM per_user CROSS JOIN med
+),
+arms AS (
+    SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+             AS arm,
+           converted
+    FROM users
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+    FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(ROUND(CAST(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / SQRT(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / n_a + 1.0 / n_b))
+         AS DECIMAL(28,8)), 6) AS DOUBLE) AS z_stat,
+       CAST(CASE WHEN ABS(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / SQRT(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / n_a + 1.0 / n_b))) > 1.96
+         THEN 1 ELSE 0 END AS INTEGER) AS significant_5pct
+FROM agg
+"""
+
+
+REGISTRY["distribution_distance"] = QuerySpec(
+    q_distribution_distance, DISTRIBUTION_DISTANCE_SQL
+)
+REGISTRY["ab_ztest"] = QuerySpec(q_ab_ztest, AB_ZTEST_SQL)
