@@ -149,6 +149,7 @@ HEADLINE = [
     "perplexity_filter",
     "distribution_distance",
     "ab_ztest",
+    "mask_customers",
 ]
 
 

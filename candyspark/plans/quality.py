@@ -578,3 +578,46 @@ REGISTRY["distribution_distance"] = QuerySpec(
     q_distribution_distance, DISTRIBUTION_DISTANCE_SQL
 )
 REGISTRY["ab_ztest"] = QuerySpec(q_ab_ztest, AB_ZTEST_SQL)
+
+
+def q_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance masking: the customer dimension published for
+    analytics with its direct identifier REDACTED (Spark's ``mask()`` —
+    upper→X, lower→x, digit→n, punctuation preserved) and replaced by a
+    deterministic md5 surrogate key, plus account balances generalized to
+    $1000 bands — the classic pseudonymization triple (redact, tokenize,
+    generalize). The surrogate is a pure function of the identifier, so
+    joins still line up across separately-masked extracts (the same
+    property every md5-derived key in this engine leans on).
+
+    All scan-stage expressions, zero shuffles; DuckDB mirrors mask() with
+    three character-class regexp_replace passes.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.md5(F.col("c_name")).alias("customer_token"),
+            F.mask(F.col("c_name")).alias("name_masked"),
+            "c_nationkey",
+            "c_mktsegment",
+            (F.floor(F.col("c_acctbal") / 1000) * 1000)
+            .cast("double")
+            .alias("acctbal_band"),
+        )
+        .orderBy("customer_token")
+    )
+
+
+MASK_CUSTOMERS_SQL = """
+SELECT md5(c_name) AS customer_token,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS name_masked,
+       c_nationkey,
+       c_mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band
+FROM customer
+ORDER BY customer_token
+"""
+
+REGISTRY["mask_customers"] = QuerySpec(q_mask_customers, MASK_CUSTOMERS_SQL)

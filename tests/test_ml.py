@@ -64,3 +64,83 @@ def test_naive_bayes_learns_injected_signal(spark):
     correct = sum(r["n_docs"] for r in m if r["true_lang"] == r["pred_lang"])
     assert total > 0
     assert correct / total >= 0.9, (correct, total, m)
+
+
+def test_kaplan_meier_matches_brute_force(spark):
+    """KM invariants recomputed independently: at-risk bookkeeping and the
+    survival product from the same per-user (lag, event) relation, via a
+    plain single-threaded product — no exp/ln reformulation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from candyspark.plans.extensions import q_kaplan_meier
+
+    got = {r["day"]: r for r in q_kaplan_meier(spark, SF).collect()}
+
+    e = load_table(spark, SF, "events").select("user_id", "ts", "event_type").collect()
+    end_ts = max(r["ts"] for r in e)
+    signups, purchases = {}, {}
+    for r in e:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in signups or r["ts"] < signups[u]:
+                signups[u] = r["ts"]
+    for r in e:
+        if r["event_type"] == "purchase":
+            purchases.setdefault(r["user_id"], []).append(r["ts"])
+    per_user = []
+    for u, s_ts in signups.items():
+        convs = [t for t in purchases.get(u, []) if t >= s_ts]
+        if convs:
+            lag = (min(convs) - s_ts) // __import__("datetime").timedelta(microseconds=1)
+            per_user.append((lag // 86400000000, 1))
+        else:
+            lag = (end_ts - s_ts) // __import__("datetime").timedelta(microseconds=1)
+            per_user.append((lag // 86400000000, 0))
+    days = {}
+    for t, ev in per_user:
+        d, c = days.get(t, (0, 0))
+        days[t] = (d + ev, c + (1 - ev))
+    n_risk = len(per_user)
+    surv = 1.0
+    for t in sorted(days):
+        d, c = days[t]
+        row = got[int(t)]
+        assert row["n_risk"] == n_risk and row["n_events"] == d and row["n_censored"] == c
+        surv *= 1.0 - d / n_risk
+        assert abs(row["survival"] - surv) < 1e-4, (t, row["survival"], surv)
+        n_risk -= d + c
+
+
+def test_adamic_adar_matches_brute_force(spark):
+    """AA scores recomputed from a python adjacency map over the same
+    thresholded edge set — including the non-edge filter and hub weights."""
+    import math
+
+    from candyspark.plans.graph import _copurchase_edges, q_link_prediction_aa
+
+    edges = {(r["u"], r["v"]) for r in _copurchase_edges(spark, SF).collect()}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    scores = {}
+    for c, nbrs in adj.items():
+        w = 1.0 / math.log(len(nbrs)) if len(nbrs) > 1 else None
+        snaps = round(w, 9) if w else None
+        for a in nbrs:
+            for b in nbrs:
+                if a < b:
+                    scores[(a, b)] = scores.get((a, b), 0.0) + (snaps or 0.0)
+    want = {
+        k: round(v, 6)
+        for k, v in scores.items()
+        if k not in edges and v > 0
+    }
+    got = {
+        (r["u"], r["v"]): r["adamic_adar"]
+        for r in q_link_prediction_aa(spark, SF).collect()
+    }
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert got == dict(top), (got, dict(top))
