@@ -150,6 +150,7 @@ HEADLINE = [
     "distribution_distance",
     "ab_ztest",
     "mask_customers",
+    "fuzzy_qgram_join",
 ]
 
 

@@ -997,3 +997,92 @@ ORDER BY part, rank
 """
 
 REGISTRY["item_jaccard_topk"] = QuerySpec(q_item_jaccard_topk, ITEM_JACCARD_TOPK_SQL)
+
+
+def q_fuzzy_qgram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus fuzzy self-join WITHOUT a blocking key: part-name
+    pairs within edit distance 1, found by PREFIX-FILTERED q-gram
+    candidate generation (PPJoin-lite) — the scale path when no natural
+    block like q_fuzzy_part_pairs' brand exists.
+
+    Completeness chain (each step provable, so the oracle can be the
+    plain brute-force definition): one edit changes ≤ q distinct
+    q-grams, so a distance-≤1 pair overlaps in ≥ max(|Dₐ|,|D_b|) − 2
+    grams; by the prefix-filter theorem any such pair must then share
+    one of each side's 3 RAREST grams (global (df, gram) order — rare
+    grams have short posting lists, which is the entire point: joining
+    on all grams of short names detonates on 'wi'/'id'-style common
+    bigrams). Candidates verify with one exact levenshtein each.
+
+    Scale: the join runs at DISTINCT-NAME grain (entity resolution is
+    about strings, and duplicate names would square the pair space — at
+    sf0.1 the raw-part form measured 118 s from exactly that); gram df is
+    one aggregate over the deduplicated names; the prefix join's fan-out
+    is the rare-gram posting-list bound, not vocabulary²; verification is
+    one exact levenshtein per candidate. Occurrence counts ride along so
+    the result still quantifies merge impact.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts")).localCheckpoint()
+    grams = names.select(
+        "p_name",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("p_name") - 1),
+                    lambda i: F.col("p_name").substr(i, F.lit(2)),
+                )
+            )
+        ).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("p_name").orderBy("df", "g")
+    prefix = (
+        grams.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_name", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"))
+        .dropDuplicates()
+    )
+    ca = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    cb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        cands.join(F.broadcast(ca), "name_a")
+        .join(F.broadcast(cb), "name_b")
+        .filter(
+            (F.abs(F.length("name_a") - F.length("name_b")) <= 1)
+            & (F.levenshtein("name_a", "name_b") <= 1)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("distance"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_QGRAM_JOIN_SQL = """
+WITH names AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 1
+ AND levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+REGISTRY["fuzzy_qgram_join"] = QuerySpec(q_fuzzy_qgram_join, FUZZY_QGRAM_JOIN_SQL)
