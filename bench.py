@@ -151,6 +151,7 @@ HEADLINE = [
     "ab_ztest",
     "mask_customers",
     "fuzzy_qgram_join",
+    "fifo_allocation",
 ]
 
 

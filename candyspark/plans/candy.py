@@ -214,3 +214,135 @@ REGISTRY: dict[str, QuerySpec] = {
     "inventory_update": QuerySpec(inventory_update, INVENTORY_UPDATE_SQL),
     "forecast_linear": QuerySpec(forecast_linear, FORECAST_LINEAR_SQL),
 }
+
+
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the accounting/inventory costing operator: each
+    outgoing line consumes the oldest incoming lots of its part, expressed
+    RELATIONALLY as an overlap join of cumulative-quantity intervals (no
+    per-row loop, no state kernel — the set-based form of the same
+    matching the greedy allocator does chronologically). Inflows are the
+    part's 'F'-status lines, outflows its 'O'-status lines, both in
+    (shipdate, orderkey, linenumber) total order.
+
+    Each flow's cumulative sum turns quantity into an interval
+    [cum−qty, cum); a lot funds an outflow exactly where the intervals
+    overlap, and the allocated quantity is the overlap length — integer
+    arithmetic end to end. The TRUE pair count is linear (an outflow of
+    size q touches ≤ q/min_lot + 1 lots), but the equi-join key here is
+    only partkey, so Spark evaluates each part's inflow×outflow grid
+    before the overlap filter — fine at per-part line counts like these;
+    at 100 TB band the cumulative axis exactly like
+    operators/temporal.range_join_banded bands time (join key becomes
+    (part, cum_band), pairs dedup on the interval ids). Both windows and
+    the join hash on partkey. Rolled up per part: matched quantity,
+    unmatched demand (outflows beyond total inflow), and allocation count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_linestatus",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+
+    def flow(status: str, prefix: str) -> DataFrame:
+        f = li.filter(F.col("l_linestatus") == status).withColumn(
+            "cum", F.sum("qty").over(w)
+        )
+        return f.select(
+            F.col("l_partkey").alias(f"{prefix}_part"),
+            F.col("l_orderkey").alias(f"{prefix}_order"),
+            F.col("l_linenumber").alias(f"{prefix}_line"),
+            (F.col("cum") - F.col("qty")).alias(f"{prefix}_start"),
+            F.col("cum").alias(f"{prefix}_end"),
+        )
+
+    inflow, outflow = flow("F", "in"), flow("O", "out")
+    pairs = inflow.join(
+        outflow,
+        (F.col("in_part") == F.col("out_part"))
+        & (F.col("out_start") < F.col("in_end"))
+        & (F.col("in_start") < F.col("out_end")),
+    ).select(
+        F.col("in_part").alias("l_partkey"),
+        (
+            F.least(F.col("in_end"), F.col("out_end"))
+            - F.greatest(F.col("in_start"), F.col("out_start"))
+        ).alias("allocated"),
+        F.col("out_end").alias("out_end"),
+    )
+    demand = outflow.groupBy(F.col("out_part").alias("l_partkey")).agg(
+        F.max("out_end").alias("total_demand")
+    )
+    matched = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_allocations"),
+        F.sum("allocated").cast("long").alias("matched_qty"),
+    )
+    return (
+        demand.join(matched, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            F.coalesce("n_allocations", F.lit(0)).cast("long").alias("n_allocations"),
+            F.coalesce("matched_qty", F.lit(0)).cast("long").alias("matched_qty"),
+            (F.col("total_demand") - F.coalesce("matched_qty", F.lit(0)))
+            .cast("long")
+            .alias("unmatched_qty"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+FIFO_ALLOCATION_SQL = """
+WITH base AS (
+    SELECT l_partkey, l_orderkey, l_linenumber, l_linestatus, l_shipdate,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+inflow AS (
+    SELECT l_partkey AS in_part,
+           SUM(qty) OVER w - qty AS in_start,
+           SUM(qty) OVER w AS in_end
+    FROM base WHERE l_linestatus = 'F'
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING)
+),
+outflow AS (
+    SELECT l_partkey AS out_part,
+           SUM(qty) OVER w - qty AS out_start,
+           SUM(qty) OVER w AS out_end
+    FROM base WHERE l_linestatus = 'O'
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING)
+),
+pairs AS (
+    SELECT in_part AS l_partkey,
+           LEAST(in_end, out_end) - GREATEST(in_start, out_start) AS allocated
+    FROM inflow JOIN outflow
+      ON in_part = out_part
+     AND out_start < in_end AND in_start < out_end
+),
+demand AS (
+    SELECT out_part AS l_partkey, MAX(out_end) AS total_demand
+    FROM outflow GROUP BY out_part
+),
+matched AS (
+    SELECT l_partkey, COUNT(*) AS n_allocations,
+           CAST(SUM(allocated) AS BIGINT) AS matched_qty
+    FROM pairs GROUP BY l_partkey
+)
+SELECT d.l_partkey,
+       CAST(COALESCE(n_allocations, 0) AS BIGINT) AS n_allocations,
+       CAST(COALESCE(matched_qty, 0) AS BIGINT) AS matched_qty,
+       CAST(total_demand - COALESCE(matched_qty, 0) AS BIGINT) AS unmatched_qty
+FROM demand d LEFT JOIN matched m ON d.l_partkey = m.l_partkey
+ORDER BY d.l_partkey
+"""
+
+REGISTRY["fifo_allocation"] = QuerySpec(q_fifo_allocation, FIFO_ALLOCATION_SQL)
