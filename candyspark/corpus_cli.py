@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
     p.add_argument("--bin-tokens", type=int, default=4096)
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="also collapse MinHash-LSH near-duplicate clusters "
+        "(keep-lowest-doc_id survivor per cluster)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import Window
@@ -84,6 +90,24 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         .localCheckpoint()  # two consumers: the sink and the manifest
     )
 
+    n_near_dropped = 0
+    if args.near_dedup:
+        # near-dup stage: MinHash-LSH candidate pairs at Jaccard >= 0.5 ->
+        # connected components -> keep each cluster's lowest doc_id (the
+        # same operators the dedup_clusters/dedup_survivors queries check)
+        from candyspark.operators.components import dedup_clusters
+        from candyspark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            survivors, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5
+        )
+        clusters = dedup_clusters(pairs)
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+        n_near_dropped = drop.count()
+        survivors = survivors.join(drop, "doc_id", "left_anti").localCheckpoint()
+
     docs_out = os.path.join(args.output_dir, "documents")
     survivors.write.mode("overwrite").partitionBy("split").parquet(docs_out)
 
@@ -116,6 +140,7 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         json.dumps(
             {
                 "metric": "corpus_prepared",
+                "near_dup_dropped": n_near_dropped,
                 "splits": counts,
                 "output": args.output_dir,
                 "sec": round(time.time() - t0, 2),

@@ -49,3 +49,40 @@ def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
     # packing: a doc may straddle its bin boundary, never two whole bins)
     for r in manifest.collect():
         assert r["n_docs"] >= 1
+
+
+def test_corpus_cli_near_dedup_collapses_clusters(spark, tmp_path, capsys):
+    """--near-dedup must drop exactly the non-canonical members of the
+    MinHash-LSH duplicate clusters among the survivors, and the receipt
+    must account for them."""
+    import json
+
+    from candyspark import corpus_cli
+
+    out_plain = tmp_path / "plain"
+    corpus_cli.main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--output-dir", str(out_plain)],
+        stop_session=False,
+    )
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out_near = tmp_path / "near"
+    corpus_cli.main(
+        [
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--output-dir",
+            str(out_near),
+            "--near-dedup",
+        ],
+        stop_session=False,
+    )
+    near = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    n_plain = sum(v["docs"] for v in plain["splits"].values())
+    n_near = sum(v["docs"] for v in near["splits"].values())
+    assert plain["near_dup_dropped"] == 0
+    assert near["near_dup_dropped"] >= 0
+    assert n_plain - n_near == near["near_dup_dropped"]
+    docs = spark.read.parquet(str(out_near / "documents"))
+    assert docs.count() == n_near
