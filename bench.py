@@ -152,6 +152,8 @@ HEADLINE = [
     "mask_customers",
     "fuzzy_qgram_join",
     "fifo_allocation",
+    "centroid_similarity",
+    "markov_attribution",
 ]
 
 

@@ -2265,3 +2265,89 @@ ORDER BY day
 """
 
 REGISTRY["kaplan_meier"] = QuerySpec(q_kaplan_meier, KAPLAN_MEIER_SQL)
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix: pairwise similarity between the
+    per-label mean embeddings — the label-confusability map that decides
+    whether two classes should merge or an IVF coarse quantizer needs
+    more cells. Composes q_label_centroids' relational mean with the
+    exact-decimal dot-product discipline: centroids snap to DECIMAL(18,5)
+    (exactly the published centroid values), dots and norms are exact
+    decimal sums over the |labels|·dim frame, one sqrt/divide per pair
+    snapped at the edge.
+
+    Scale: everything after the one centroid aggregate runs on
+    |labels|·dim rows (bounded by schema, not data); the pair join is
+    |labels|² — a dim-table object.
+    """
+    cent = (
+        q_label_centroids(spark, sf_dir)
+        .select("label", "pos", F.col("centroid").cast("decimal(18,5)").alias("c"))
+        .localCheckpoint()  # three consumers: norms + both join sides
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("norm")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            X.snap_round(
+                F.col("dot").cast("double") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+CENTROID_SIMILARITY_SQL = """
+WITH ex AS (
+    SELECT label, pos - 1 AS pos,
+           CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) AS xd
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+),
+cent AS (
+    SELECT label, pos,
+           CAST(ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 5) AS DECIMAL(18,5)) AS c
+    FROM ex GROUP BY label, pos
+),
+norms AS (
+    SELECT label, SQRT(CAST(SUM(c * c) AS DOUBLE)) AS norm
+    FROM cent GROUP BY label
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       CAST(ROUND(CAST(CAST(dot AS DOUBLE) / (na.norm * nb.norm)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS cosine
+FROM dots
+JOIN norms na ON label_a = na.label
+JOIN norms nb ON label_b = nb.label
+ORDER BY label_a, label_b
+"""
+
+REGISTRY["centroid_similarity"] = QuerySpec(
+    q_centroid_similarity, CENTROID_SIMILARITY_SQL
+)

@@ -434,3 +434,120 @@ ORDER BY doc_id
 """
 
 REGISTRY["perplexity_filter"] = QuerySpec(q_perplexity_filter, PERPLEXITY_FILTER_SQL)
+
+
+_CHANNELS = ("click", "signup", "view")
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution: each channel's
+    credit is how much the overall conversion probability DROPS when that
+    channel is deleted from the first-order journey chain — the
+    industry's principled alternative to rule-based credit
+    (linear/U-shaped attribution in plans/sequences.py).
+
+    Journeys: per user, the view/click/signup events up to the FIRST
+    purchase in (ts, event_id) total order; START precedes the first
+    touch; purchase absorbs to CONV, journey end without purchase absorbs
+    to NULL. Transition COUNTS are one relational window+aggregate pass;
+    the absorbing-chain solve runs driver-side on the collected ≤4×6
+    matrix (schema-bounded — the PCA rule), with deterministic Gaussian
+    elimination; removal re-solves the same tiny system per channel.
+
+    Rows-only (linear solves have no SQL oracle); test_ml recomputes the
+    chain and the solves independently with numpy from raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    ev = (
+        e.filter(F.col("event_type").isin(*_CHANNELS, "purchase"))
+        .join(first_p, "user_id", "left")
+        .filter(F.col("p_ts").isNull() | (F.col("ts") <= F.col("p_ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("next_state"),
+    )
+    # START precedes the first event of EVERY journey (including the
+    # touchless START→purchase ones — dropping them skews the START row);
+    # interior transitions never leave the absorbing purchase state.
+    trans = seq.filter(F.col("state") != "purchase").select(
+        F.col("state").alias("src"),
+        F.coalesce(F.col("next_state"), F.lit("NULL")).alias("dst"),
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("state").alias("dst")
+    )
+    counts = (
+        trans.unionByName(starts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    states = ["START", *_CHANNELS]
+    absorb_conv = "purchase"
+    mat = {s: {} for s in states}
+    for r in counts:
+        if r["src"] in mat:
+            mat[r["src"]][r["dst"]] = r["n"]
+
+    def conv_prob(removed: str | None) -> float:
+        # P(absorb in CONV | start) with `removed`'s outgoing mass sent to
+        # NULL: solve (I - Q)x = b by deterministic Gaussian elimination.
+        n = len(states)
+        A = [[(1.0 if i == j else 0.0) for j in range(n)] for i in range(n)]
+        b = [0.0] * n
+        for i, s in enumerate(states):
+            if s == removed:
+                continue  # all mass to NULL: row stays x_i = 0
+            row = mat[s]
+            tot = sum(row.values())
+            if tot == 0:
+                continue
+            for dst, c in sorted(row.items()):
+                p = c / tot
+                if dst == absorb_conv:
+                    b[i] += p
+                elif dst in states and dst != removed:
+                    A[i][states.index(dst)] -= p
+        for col in range(n):  # elimination without pivg (diag dominant)
+            piv = A[col][col]
+            for r2 in range(n):
+                if r2 == col:
+                    continue
+                f = A[r2][col] / piv
+                if f == 0.0:
+                    continue
+                for c2 in range(n):
+                    A[r2][c2] -= f * A[col][c2]
+                b[r2] -= f * b[col]
+        return b[0] / A[0][0]
+
+    base = conv_prob(None)
+    effects = {ch: max(base - conv_prob(ch), 0.0) for ch in _CHANNELS}
+    total = sum(effects.values()) or 1.0
+    rows = [
+        (
+            ch,
+            round(base, 6),
+            round(effects[ch], 6),
+            round(effects[ch] / total, 6),
+        )
+        for ch in _CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conversion double, removal_effect double, "
+        "attribution_share double",
+    )
+
+
+REGISTRY["markov_attribution"] = QuerySpec(q_markov_attribution, None)  # linear solve

@@ -144,3 +144,69 @@ def test_adamic_adar_matches_brute_force(spark):
     }
     top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     assert got == dict(top), (got, dict(top))
+
+
+def test_markov_attribution_matches_numpy(spark):
+    """The transition chain, base conversion probability, and per-channel
+    removal effects recomputed independently: journeys rebuilt by a
+    python loop over raw events, absorbing-chain solved with numpy."""
+    from candyspark.plans.ml import _CHANNELS, q_markov_attribution
+
+    got = {r["channel"]: r for r in q_markov_attribution(spark, SF).collect()}
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        if r["event_type"] in (*_CHANNELS, "purchase"):
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    counts = {}
+    for evs in by_user.values():
+        evs.sort()
+        seq = []
+        for _, _, t in evs:
+            seq.append(t)
+            if t == "purchase":
+                break
+        if not seq or seq == ["purchase"]:
+            if seq:  # purchase with no prior touch: START -> purchase
+                counts[("START", "purchase")] = counts.get(("START", "purchase"), 0) + 1
+            continue
+        path = ["START"] + seq
+        if path[-1] != "purchase":
+            path.append("NULL")
+        for a, b in zip(path, path[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+
+    states = ["START", *_CHANNELS]
+
+    def solve(removed):
+        A = np.eye(len(states))
+        b = np.zeros(len(states))
+        for i, s in enumerate(states):
+            if s == removed:
+                continue
+            out = {d: c for (a, d), c in counts.items() if a == s}
+            tot = sum(out.values())
+            if tot == 0:
+                continue
+            for d, c in out.items():
+                p = c / tot
+                if d == "purchase":
+                    b[i] += p
+                elif d in states and d != removed:
+                    A[i, states.index(d)] -= p
+        return float(np.linalg.solve(A, b)[0])
+
+    base = solve(None)
+    effects = {ch: max(base - solve(ch), 0.0) for ch in _CHANNELS}
+    total = sum(effects.values()) or 1.0
+    for ch in _CHANNELS:
+        assert abs(got[ch]["base_conversion"] - base) < 1e-5
+        assert abs(got[ch]["removal_effect"] - effects[ch]) < 1e-5
+        assert abs(got[ch]["attribution_share"] - effects[ch] / total) < 1e-5
