@@ -154,6 +154,7 @@ HEADLINE = [
     "fifo_allocation",
     "centroid_similarity",
     "markov_attribution",
+    "isotonic_calibration",
 ]
 
 

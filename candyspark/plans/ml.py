@@ -551,3 +551,74 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["markov_attribution"] = QuerySpec(q_markov_attribution, None)  # linear solve
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the quality score per source: within each
+    source, the observed English rate by score bin is replaced by its
+    best MONOTONE fit (weighted least squares under a non-decreasing
+    constraint — the calibrator that turns a ranking score into usable
+    probabilities without assuming a parametric shape).
+
+    The pool-adjacent-violators algorithm is inherently sequential along
+    the bin axis, so it runs as a grouped-map pandas kernel
+    (applyInPandas) — the engine's sanctioned escape hatch, with the same
+    structure as the greedy allocator: state scoped to ONE group, groups
+    distributed freely, and the per-group frame schema-bounded (≤10 bins).
+    Binning/aggregation stay relational; only the ≤10-row monotone fit is
+    imperative. Rows-only (PAVA has no SQL form); test_ml re-runs PAVA
+    independently on the same aggregate.
+    """
+    import pandas as pd
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    score = X.quality_score("text")
+    binned = (
+        d.select(
+            "source",
+            F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_english"),
+        )
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        rates = (pdf["n_english"] / pdf["n_docs"]).tolist()
+        weights = pdf["n_docs"].tolist()
+        # pool-adjacent-violators: merge decreasing neighbors into
+        # weighted-average blocks until monotone
+        blocks = [[r, w, 1] for r, w in zip(rates, weights)]  # rate, weight, span
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                r1, w1, s1 = blocks[i]
+                r2, w2, s2 = blocks[i + 1]
+                blocks[i : i + 2] = [
+                    [(r1 * w1 + r2 * w2) / (w1 + w2), w1 + w2, s1 + s2]
+                ]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        iso = []
+        for r, _, span in blocks:
+            iso.extend([r] * span)
+        pdf["raw_rate"] = [round(x, 6) for x in rates]
+        pdf["iso_rate"] = [round(x, 6) for x in iso]
+        return pdf[["source", "bin", "n_docs", "raw_rate", "iso_rate"]]
+
+    return (
+        binned.groupBy("source")
+        .applyInPandas(
+            pava,
+            "source string, bin int, n_docs long, raw_rate double, iso_rate double",
+        )
+        .orderBy("source", "bin")
+    )
+
+
+REGISTRY["isotonic_calibration"] = QuerySpec(q_isotonic_calibration, None)  # PAVA

@@ -210,3 +210,41 @@ def test_markov_attribution_matches_numpy(spark):
         assert abs(got[ch]["base_conversion"] - base) < 1e-5
         assert abs(got[ch]["removal_effect"] - effects[ch]) < 1e-5
         assert abs(got[ch]["attribution_share"] - effects[ch] / total) < 1e-5
+
+
+def test_isotonic_calibration_properties(spark):
+    """The PAVA kernel's output must (a) be non-decreasing within each
+    source, (b) preserve the weighted mean (the PAVA invariant), and
+    (c) equal an independent single-threaded PAVA on the same aggregate."""
+    from candyspark.plans.ml import q_isotonic_calibration
+
+    rows = q_isotonic_calibration(spark, SF).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["bin"])
+        iso = [r["iso_rate"] for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:])), (source, iso)
+        w = [r["n_docs"] for r in rs]
+        raw = [r["raw_rate"] for r in rs]
+        assert abs(
+            sum(x * y for x, y in zip(iso, w)) - sum(x * y for x, y in zip(raw, w))
+        ) <= 1e-3 * sum(w)
+
+        # independent PAVA
+        blocks = [[r, ww, 1] for r, ww in zip(raw, w)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                r1, w1, s1 = blocks[i]
+                r2, w2, s2 = blocks[i + 1]
+                blocks[i : i + 2] = [[(r1 * w1 + r2 * w2) / (w1 + w2), w1 + w2, s1 + s2]]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        want = []
+        for r, _, span in blocks:
+            want.extend([r] * span)
+        assert all(abs(a - b) < 1e-5 for a, b in zip(iso, want)), (source, iso, want)

@@ -125,3 +125,55 @@ def test_skyline_matches_brute_force(spark, points):
             for r in A.skyline_parts(spark, "unused").collect()
         )
     assert got == brute_skyline(points)
+
+
+def test_fifo_allocation_matches_brute_force(spark):
+    """The cumulative-interval FIFO join vs an actual sequential FIFO
+    walk over the same flows: matched/unmatched totals and allocation
+    counts per part must be identical."""
+    from candyspark.plans.candy import q_fifo_allocation
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_partkey"]: (r["n_allocations"], r["matched_qty"], r["unmatched_qty"])
+        for r in q_fifo_allocation(spark, sf).collect()
+    }
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            "l_partkey", "l_orderkey", "l_linenumber", "l_linestatus",
+            "l_shipdate", "l_quantity",
+        )
+        .collect()
+    )
+    flows = {}
+    for r in rows:
+        if r["l_linestatus"] in ("F", "O"):
+            flows.setdefault(r["l_partkey"], {"F": [], "O": []})[
+                r["l_linestatus"]
+            ].append((r["l_shipdate"], r["l_orderkey"], r["l_linenumber"],
+                      int(r["l_quantity"])))
+    for part, f in flows.items():
+        if not f["O"]:
+            assert part not in got  # demand-less parts don't report
+            continue
+        lots = [q for *_ , q in sorted(f["F"])]
+        outs = [q for *_ , q in sorted(f["O"])]
+        li, remaining = 0, lots[0] if lots else 0
+        n_alloc = matched = 0
+        for q in outs:
+            need = q
+            while need > 0 and li < len(lots):
+                take = min(need, remaining)
+                if take > 0:
+                    n_alloc += 1
+                    matched += take
+                    need -= take
+                    remaining -= take
+                if remaining == 0:
+                    li += 1
+                    remaining = lots[li] if li < len(lots) else 0
+        unmatched = sum(outs) - matched
+        assert got[part] == (n_alloc, matched, unmatched), (
+            part, got[part], (n_alloc, matched, unmatched))
