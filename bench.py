@@ -155,6 +155,7 @@ HEADLINE = [
     "centroid_similarity",
     "markov_attribution",
     "isotonic_calibration",
+    "price_quantiles_distributed",
 ]
 
 

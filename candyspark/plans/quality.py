@@ -407,10 +407,13 @@ def q_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-grain global CDF scan, which exact W1 would need). Both engines
     interpolate identically; one snap per output.
     """
-    # single-GROUP exact percentile: the final merge concentrates every
-    # value in one task no matter how the scan is split (fan_out measured
-    # a wash here, unlike robust_stats' per-group case) — the cost is the
-    # holistic aggregate itself; approx_percentile is the 100-TB swap-in.
+    # single-GROUP exact percentile: one scan, holistic buffer — the FAST
+    # local form (at these SFs the scan is the cost and the holistic does
+    # ONE). The distributed order-statistic extractor
+    # (operators/quantiles.exact_quantiles, its own oracle-checked query
+    # price_quantiles_distributed) is the swap-in when shipping every
+    # value dominates — its 3 narrow passes per grid beat one
+    # everything-to-one-task merge as soon as data outweighs scan setup.
     li = load_table(spark, sf_dir, "lineitem")
     probs = F.array(*[F.lit(i / 100.0) for i in range(101)])
     grids = li.groupBy().agg(
@@ -621,3 +624,39 @@ ORDER BY customer_token
 """
 
 REGISTRY["mask_customers"] = QuerySpec(q_mask_customers, MASK_CUSTOMERS_SQL)
+
+
+def q_price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated deciles of lineitem price through the
+    DISTRIBUTED order-statistic extractor (operators/quantiles.
+    exact_quantiles) — value-monotone bucketing, tiny cumulative offsets,
+    per-needed-bucket ranking — against the same quantile_cont oracle the
+    holistic aggregate answers to. No task ever buffers more than one
+    bucket; the holistic form ships EVERY value to the final merge.
+    Locally the holistic's single scan wins (scan setup dominates);
+    this is the form that survives 100 TB, proven value-identical here.
+    """
+    from candyspark.operators.quantiles import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = [i / 10.0 for i in range(11)]
+    return exact_quantiles(
+        spark, li, "l_extendedprice", probs, out_prob="p", out_value="price"
+    ).select("p", snap_round(F.col("price"), 4).alias("price"))
+
+
+PRICE_QUANTILES_DISTRIBUTED_SQL = """
+WITH g AS (
+    SELECT quantile_cont(l_extendedprice,
+        [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
+    FROM lineitem
+)
+SELECT (i - 1) / 10.0 AS p,
+       CAST(ROUND(CAST(qs[i] AS DECIMAL(28,8)), 4) AS DOUBLE) AS price
+FROM g CROSS JOIN (SELECT unnest(range(1, 12)) AS i) idx
+ORDER BY p
+"""
+
+REGISTRY["price_quantiles_distributed"] = QuerySpec(
+    q_price_quantiles_distributed, PRICE_QUANTILES_DISTRIBUTED_SQL
+)

@@ -351,3 +351,27 @@ def test_apply_in_arrow_grouped_map(spark):
     for k in want:
         assert got[k][1] == want[k][1]
         assert abs(got[k][0] - want[k][0]) < 1e-6
+
+
+def test_exact_quantiles_matches_holistic_percentile(spark):
+    """operators/quantiles.exact_quantiles (distributed order-statistic
+    extraction) must return bit-equal interpolated quantiles to Spark's
+    holistic F.percentile across a dense prob grid — including p=0/p=1
+    and probs whose rank lands exactly on an integer."""
+    from pyspark.sql import functions as F
+
+    from candyspark.operators.quantiles import exact_quantiles
+    from candyspark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    probs = [i / 20.0 for i in range(21)]
+    mine = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(spark, li, "l_extendedprice", probs).collect()
+    }
+    ref = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in probs]))
+    ).collect()[0][0]
+    assert len(mine) == len(probs)
+    for i, p in enumerate(probs):
+        assert abs(mine[p] - ref[i]) < 1e-9, (p, mine[p], ref[i])
