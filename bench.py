@@ -156,6 +156,7 @@ HEADLINE = [
     "markov_attribution",
     "isotonic_calibration",
     "price_quantiles_distributed",
+    "quartiles_by_flag_distributed",
 ]
 
 

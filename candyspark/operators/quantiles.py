@@ -128,3 +128,108 @@ def exact_quantiles(
         )
         .orderBy(out_prob)
     )
+
+
+def exact_quantiles_grouped(
+    spark: SparkSession,
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 4096,
+    out_prob: str = "p",
+    out_value: str = "value",
+) -> DataFrame:
+    """Per-GROUP distributed exact quantiles: the grouped generalization of
+    ``exact_quantiles`` — every step gains the group key, nothing else
+    changes. Per-group bounds come from one aggregate; buckets key on
+    (group, bucket); offsets window PARTITIONED by group (the frame is
+    groups × occupied-buckets, never rows); ranks derive per group from
+    its own n; extraction ranks within (group, bucket). No task ever
+    buffers more than one (group, bucket) — the per-group holistic
+    ``percentile`` instead buffers each group's ENTIRE column in the task
+    that finalizes it (robust_stats' documented cost).
+
+    Returns (group, prob, value), equal per group to F.percentile /
+    quantile_cont.
+    """
+    g = F.col(group_col).alias("grp")
+    vals = df.select(g, F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    bounds = (
+        vals.groupBy("grp")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n"))
+        .localCheckpoint()
+    )
+    with_b = vals.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "v",
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_buckets + 1e-300)
+            ),
+            F.lit(n_buckets - 1),
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    counts = with_b.groupBy("grp", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "grp", "b", "cnt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    ).localCheckpoint()
+
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    ranks = probs_df.crossJoin(F.broadcast(bounds)).select(
+        "grp",
+        "p",
+        F.floor((F.col("n") - 1) * F.col("p")).cast("long").alias("k_lo"),
+        F.least(F.floor((F.col("n") - 1) * F.col("p")) + 1, F.col("n") - 1)
+        .cast("long")
+        .alias("k_hi"),
+        ((F.col("n") - 1) * F.col("p")).alias("h"),
+    )
+    needed = (
+        ranks.select("grp", F.col("k_lo").alias("k"))
+        .unionByName(ranks.select("grp", F.col("k_hi").alias("k")))
+        .distinct()
+    )
+    located = (
+        needed.join(
+            F.broadcast(offsets),
+            (needed["grp"] == offsets["grp"])
+            & (F.col("k") >= F.col("off"))
+            & (F.col("k") < F.col("off") + F.col("cnt")),
+        )
+        .select(needed["grp"], "k", "b", (F.col("k") - F.col("off")).alias("local_rank"))
+        .localCheckpoint()
+    )
+
+    needed_buckets = located.select("grp", "b").distinct()
+    w_in = Window.partitionBy("grp", "b").orderBy("v")
+    hits = (
+        with_b.join(F.broadcast(needed_buckets), ["grp", "b"])
+        .withColumn("local_rank", F.row_number().over(w_in) - 1)
+        .join(located, ["grp", "b", "local_rank"])
+        .select("grp", "k", "v")
+        .localCheckpoint()
+    )
+    kv_lo = hits.select("grp", F.col("k").alias("k_lo"), F.col("v").alias("v_lo"))
+    kv_hi = hits.select("grp", F.col("k").alias("k_hi"), F.col("v").alias("v_hi"))
+    return (
+        ranks.join(F.broadcast(kv_lo), ["grp", "k_lo"])
+        .join(F.broadcast(kv_hi), ["grp", "k_hi"])
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("p").alias(out_prob),
+            (
+                F.col("v_lo")
+                + (F.col("h") - F.col("k_lo")) * (F.col("v_hi") - F.col("v_lo"))
+            ).alias(out_value),
+        )
+        .orderBy(group_col, out_prob)
+    )

@@ -660,3 +660,42 @@ ORDER BY p
 REGISTRY["price_quantiles_distributed"] = QuerySpec(
     q_price_quantiles_distributed, PRICE_QUANTILES_DISTRIBUTED_SQL
 )
+
+
+def q_quartiles_by_flag_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quartiles through the GROUPED distributed
+    order-statistic extractor (operators/quantiles.exact_quantiles_grouped)
+    — the form that replaces robust_stats' per-group holistic percentile
+    at 100 TB: the holistic finalizer buffers each group's entire column
+    in one task, the extractor never holds more than one (group, bucket).
+    Value-identical to quantile_cont per group, proven here.
+    """
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles_grouped(
+        spark,
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [0.25, 0.5, 0.75],
+        out_value="price",
+    ).select("l_returnflag", "p", snap_round(F.col("price"), 4).alias("price"))
+
+
+QUARTILES_BY_FLAG_DISTRIBUTED_SQL = """
+WITH g AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       0.25 * i AS p,
+       CAST(ROUND(CAST(qs[i] AS DECIMAL(28,8)), 4) AS DOUBLE) AS price
+FROM g CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) idx
+ORDER BY l_returnflag, p
+"""
+
+REGISTRY["quartiles_by_flag_distributed"] = QuerySpec(
+    q_quartiles_by_flag_distributed, QUARTILES_BY_FLAG_DISTRIBUTED_SQL
+)
