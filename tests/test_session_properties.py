@@ -177,3 +177,34 @@ def test_fifo_allocation_matches_brute_force(spark):
         unmatched = sum(outs) - matched
         assert got[part] == (n_alloc, matched, unmatched), (
             part, got[part], (n_alloc, matched, unmatched))
+
+
+# --- distributed quantile fuzz -------------------------------------------------
+
+QVALS = st.lists(
+    st.integers(min_value=-5, max_value=5),  # heavy duplicates on purpose
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vals=QVALS)
+@_SETTINGS
+def test_exact_quantiles_matches_numpy(spark, vals):
+    """The distributed order-statistic extractor vs numpy's linear
+    interpolation on adversarial inputs: heavy duplicates, all-equal
+    values (zero bucket width), single elements, negative values."""
+    import numpy as np
+
+    from candyspark.operators.quantiles import exact_quantiles
+
+    probs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(spark, df, "x", probs, n_buckets=8).collect()
+    }
+    want = np.percentile(np.array(vals, dtype=float), [p * 100 for p in probs])
+    assert len(got) == len(probs)
+    for p, w in zip(probs, want):
+        assert abs(got[p] - w) < 1e-9, (vals, p, got[p], w)
