@@ -62,9 +62,36 @@ def ngram_jaccard_pairs(
     block_col: str,
     k: int = 3,
     threshold: float = 0.6,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Blocked exact near-dup: word-k-gram Jaccard over all pairs sharing
-    ``block_col``; emits pairs with similarity ≥ threshold."""
+    ``block_col``; emits pairs with similarity ≥ threshold.
+
+    CONTRACT — this is a candidates-only VERIFIER, not a corpus scrubber:
+    the self-join is O(rows²) inside each block, so the input must be a
+    pre-blocked candidate set (MinHash-LSH buckets, cluster ids, …) or
+    carry a high-cardinality block key. A low-cardinality key like a
+    language column is demo-grade — all-pairs within 'en' detonates on a
+    raw corpus. ``max_block_rows`` enforces this: the largest block is
+    measured up front (one tiny per-block count aggregate) and a block
+    beyond the cap raises instead of silently launching a quadratic job.
+    Pass ``None`` to skip the check (the one extra scan) on inputs already
+    known to be bounded."""
+    if max_block_rows is not None:
+        biggest = (
+            df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        if biggest is not None and biggest > max_block_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs: largest {block_col!r} block has "
+                f"{biggest} rows (cap {max_block_rows}) — the within-block "
+                "self-join is quadratic; use minhash_lsh_pairs to generate "
+                "candidates, or pass a higher-cardinality block key "
+                "(max_block_rows=None overrides)"
+            )
     df = fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("doc_a"),

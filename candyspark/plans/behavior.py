@@ -1012,7 +1012,11 @@ def q_fuzzy_qgram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one of each side's 3 RAREST grams (global (df, gram) order — rare
     grams have short posting lists, which is the entire point: joining
     on all grams of short names detonates on 'wi'/'id'-style common
-    bigrams). Candidates verify with one exact levenshtein each.
+    bigrams). Candidates verify with one exact levenshtein each. The
+    bound is vacuous for name pairs where BOTH sides have ≤ 2 distinct
+    q-grams (names of ~≤ 3 chars): those route through a separate
+    all-pairs branch over that (tiny) short-name set, restoring exact
+    completeness for any input.
 
     Scale: the join runs at DISTINCT-NAME grain (entity resolution is
     about strings, and duplicate names would square the pair space — at
@@ -1053,6 +1057,31 @@ def q_fuzzy_qgram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"))
         .dropDuplicates()
     )
+    # completeness guard: the prefix-filter bound max(|Dₐ|,|D_b|) − 2 is
+    # vacuous when BOTH names have ≤ 2 distinct q-grams (e.g. 'ab'/'ac' —
+    # distance-1 pairs sharing no gram), so that tiny set self-joins
+    # all-pairs. Any pair with one side at ≥ 3 grams keeps a ≥ 1 overlap
+    # bound and is covered by the prefix join above.
+    n_grams = F.size(
+        F.array_distinct(
+            F.when(
+                F.length("p_name") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("p_name") - 1),
+                    lambda i: F.col("p_name").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    )
+    shorts = names.filter(n_grams <= 2).select("p_name")
+    short_pairs = (
+        shorts.select(F.col("p_name").alias("name_a"))
+        .join(
+            F.broadcast(shorts.select(F.col("p_name").alias("name_b"))),
+            F.col("name_a") < F.col("name_b"),
+        )
+    )
+    cands = cands.unionByName(short_pairs).dropDuplicates()
     ca = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
     cb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
     return (

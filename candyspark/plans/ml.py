@@ -439,6 +439,58 @@ REGISTRY["perplexity_filter"] = QuerySpec(q_perplexity_filter, PERPLEXITY_FILTER
 _CHANNELS = ("click", "signup", "view")
 
 
+def _absorbing_conv_prob(
+    states: list[str],
+    mat: dict[str, dict[str, int]],
+    absorb_conv: str,
+    removed: str | None,
+) -> float:
+    """P(absorb in ``absorb_conv`` | start at states[0]) for a first-order
+    absorbing chain with transition COUNTS ``mat``, with ``removed``'s
+    outgoing mass sent to the null absorber: solve (I - Q)x = b by
+    deterministic Gaussian elimination with partial pivoting. A state whose
+    observed transitions are 100% self-loop yields a zero diagonal
+    (1 - p_self = 0); pivoting swaps in the largest |A[r][col]| among the
+    unpivoted rows, and if the whole column is (near-)zero the state has no
+    absorbing path — its x is pinned to 0 (the same contract as the
+    no-observed-transitions guard)."""
+    n = len(states)
+    A = [[(1.0 if i == j else 0.0) for j in range(n)] for i in range(n)]
+    b = [0.0] * n
+    for i, s in enumerate(states):
+        if s == removed:
+            continue  # all mass to NULL: row stays x_i = 0
+        row = mat[s]
+        tot = sum(row.values())
+        if tot == 0:
+            continue
+        for dst, c in sorted(row.items()):
+            p = c / tot
+            if dst == absorb_conv:
+                b[i] += p
+            elif dst in states and dst != removed:
+                A[i][states.index(dst)] -= p
+    for col in range(n):
+        r_max = max(range(col, n), key=lambda r: abs(A[r][col]))
+        if abs(A[r_max][col]) < 1e-12:
+            A[col] = [(1.0 if j == col else 0.0) for j in range(n)]
+            b[col] = 0.0
+        elif r_max != col:
+            A[col], A[r_max] = A[r_max], A[col]
+            b[col], b[r_max] = b[r_max], b[col]
+        piv = A[col][col]
+        for r2 in range(n):
+            if r2 == col:
+                continue
+            f = A[r2][col] / piv
+            if f == 0.0:
+                continue
+            for c2 in range(n):
+                A[r2][c2] -= f * A[col][c2]
+            b[r2] -= f * b[col]
+    return b[0] / A[0][0]
+
+
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven (Markov removal-effect) attribution: each channel's
     credit is how much the overall conversion probability DROPS when that
@@ -493,43 +545,13 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     states = ["START", *_CHANNELS]
-    absorb_conv = "purchase"
     mat = {s: {} for s in states}
     for r in counts:
         if r["src"] in mat:
             mat[r["src"]][r["dst"]] = r["n"]
 
     def conv_prob(removed: str | None) -> float:
-        # P(absorb in CONV | start) with `removed`'s outgoing mass sent to
-        # NULL: solve (I - Q)x = b by deterministic Gaussian elimination.
-        n = len(states)
-        A = [[(1.0 if i == j else 0.0) for j in range(n)] for i in range(n)]
-        b = [0.0] * n
-        for i, s in enumerate(states):
-            if s == removed:
-                continue  # all mass to NULL: row stays x_i = 0
-            row = mat[s]
-            tot = sum(row.values())
-            if tot == 0:
-                continue
-            for dst, c in sorted(row.items()):
-                p = c / tot
-                if dst == absorb_conv:
-                    b[i] += p
-                elif dst in states and dst != removed:
-                    A[i][states.index(dst)] -= p
-        for col in range(n):  # elimination without pivg (diag dominant)
-            piv = A[col][col]
-            for r2 in range(n):
-                if r2 == col:
-                    continue
-                f = A[r2][col] / piv
-                if f == 0.0:
-                    continue
-                for c2 in range(n):
-                    A[r2][c2] -= f * A[col][c2]
-                b[r2] -= f * b[col]
-        return b[0] / A[0][0]
+        return _absorbing_conv_prob(states, mat, "purchase", removed)
 
     base = conv_prob(None)
     effects = {ch: max(base - conv_prob(ch), 0.0) for ch in _CHANNELS}

@@ -68,7 +68,10 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     for c in a.columns:
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         numeric = {"i", "u", "f"}
-        if ka in numeric or kb in numeric:
+        # both sides must be numeric for float-ness to matter: an all-NULL
+        # column pandas reads as object ('O') on one side would otherwise
+        # trip this even though the CSV hashes agree (None prints the same)
+        if ka in numeric and kb in numeric:
             assert (ka == "f") == (kb == "f"), (
                 f"{name}.{c}: dtype kind mismatch spark={a[c].dtype} "
                 f"oracle={b[c].dtype} — the driver's CSV hash will differ "

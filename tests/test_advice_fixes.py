@@ -1,0 +1,153 @@
+"""Edge-case regressions from the round-1 advisor findings (ADVICE.md):
+
+- exact_quantiles / exact_quantiles_grouped must survive NaN doubles (a NaN
+  reaching the min/max bucket bounds turns every bucket id NULL and the
+  result silently empties);
+- fuzzy_qgram_join's prefix filter is vacuous when both names have ≤ 2
+  distinct q-grams — those pairs must come from the short-name all-pairs
+  branch;
+- markov_attribution's linear solve must tolerate a channel whose observed
+  transitions are 100% self-loop (zero diagonal without pivoting).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_exact_quantiles_ignores_nan(spark):
+    from candyspark.operators.quantiles import exact_quantiles
+
+    vals = [1.0, float("nan"), 2.0, 3.0, float("nan"), 4.0, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(spark, df, "x", probs, n_buckets=8).collect()
+    }
+    clean = np.array([v for v in vals if not math.isnan(v)])
+    for p in probs:
+        assert got[p] == pytest.approx(np.quantile(clean, p), abs=1e-12)
+
+
+def test_exact_quantiles_grouped_ignores_nan(spark):
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    rows = [("a", 1.0), ("a", float("nan")), ("a", 3.0), ("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = exact_quantiles_grouped(spark, df, "g", "x", [0.5], n_buckets=4).collect()
+    med = {r["g"]: r["value"] for r in out}
+    assert med == {"a": pytest.approx(2.0), "b": pytest.approx(15.0)}
+
+
+def test_exact_quantiles_discrete_matches_percentile_disc(spark):
+    """discrete=True must equal Spark's percentile_disc / DuckDB's
+    PERCENTILE_DISC (smallest value with cume_dist ≥ p) — including ties,
+    p=0 and p=1."""
+    from candyspark.operators.quantiles import exact_quantiles
+
+    vals = [5.0, 1.0, 3.0, 3.0, 2.0, 8.0, 13.0]
+    probs = [0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(
+            spark, df, "x", probs, n_buckets=4, discrete=True
+        ).collect()
+    }
+    s = sorted(vals)
+    for p in probs:
+        k = min(max(math.ceil(len(s) * p) - 1, 0), len(s) - 1)
+        want = s[k]
+        ref = df.selectExpr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY x) AS v"
+        ).collect()[0]["v"]
+        assert got[p] == want == ref, (p, got[p], want, ref)
+
+
+def test_fuzzy_qgram_short_names(spark, tmp_path):
+    """'ab'/'ac' are distance 1 but share no q-gram: only the short-name
+    all-pairs branch can find them."""
+    from candyspark.plans.behavior import q_fuzzy_qgram_join
+
+    names = ["ab", "ac", "almond aquamarine yellow", "almond aquamarine mellow"]
+    part = spark.createDataFrame(
+        [(i, n, "B", "T", 1, 1.0) for i, n in enumerate(names)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    part.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in q_fuzzy_qgram_join(spark, str(tmp_path)).collect()
+    }
+    assert ("ab", "ac") in got
+    assert ("almond aquamarine mellow", "almond aquamarine yellow") in got
+
+
+def test_ngram_jaccard_block_cap(spark):
+    """The quadratic-blowup guard: a block larger than max_block_rows must
+    raise up front instead of launching an all-pairs join."""
+    from candyspark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "en", "the quick brown fox jumps") for i in range(5)],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(df, "text", "doc_id", "lang", max_block_rows=3)
+    # under the cap (or with the check disabled) it runs
+    assert ngram_jaccard_pairs(df, "text", "doc_id", "lang").count() == 10
+    assert (
+        ngram_jaccard_pairs(
+            df, "text", "doc_id", "lang", max_block_rows=None
+        ).count()
+        == 10
+    )
+
+
+def test_markov_solver_pure_self_loop():
+    """A state whose observed transitions are 100% self-loop puts a hard 0
+    on the (I - Q) diagonal: the solve must pin that state's conversion
+    probability to 0 instead of dividing by zero."""
+    from candyspark.plans.ml import _absorbing_conv_prob
+
+    states = ["START", "click", "view"]
+    mat = {
+        "START": {"click": 1, "view": 1},
+        "click": {"click": 5},  # pure self-loop: 1 - p_self = 0
+        "view": {"purchase": 1},
+    }
+    base = _absorbing_conv_prob(states, mat, "purchase", None)
+    assert base == pytest.approx(0.5)  # view half converts, click half never
+    # removing the self-loop channel changes nothing (it never converted)
+    assert _absorbing_conv_prob(states, mat, "purchase", "click") == pytest.approx(0.5)
+
+
+def test_markov_query_end_to_end(spark, tmp_path):
+    """The registry query still runs against a tiny synthetic events table
+    with heavy self-loops and never-visited channels."""
+    from candyspark.plans.ml import q_markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for m in range(5):  # user 1: click self-loops 4x, then unconverted end
+        rows.append((m + 1, t0 + dt.timedelta(minutes=m), 1, "click", 1.0, "{}"))
+    rows.append((10, t0, 2, "view", 1.0, "{}"))
+    rows.append((11, t0 + dt.timedelta(minutes=1), 2, "purchase", 1.0, "{}"))
+    # 'signup' never appears: tot == 0 guard path
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    events.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["channel"]: r for r in q_markov_attribution(spark, str(tmp_path)).collect()}
+    assert out["click"]["removal_effect"] == pytest.approx(0.0)
+    assert out["view"]["removal_effect"] > 0
