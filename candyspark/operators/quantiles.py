@@ -33,6 +33,30 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _rank_exprs(discrete: bool) -> tuple:
+    """(k_lo, k_hi, h) expressions over columns n (count) and p (prob).
+
+    Continuous (default): the (n−1)·p interpolation convention of Spark's
+    ``percentile`` / DuckDB ``quantile_cont``. Discrete: the smallest value
+    whose cume_dist ≥ p — 0-based rank ceil(n·p)−1 — matching Spark's
+    ``percentile_disc`` / DuckDB ``PERCENTILE_DISC`` (k_lo = k_hi, so the
+    interpolation term vanishes and an ACTUAL data value survives the
+    engine boundary bit-for-bit)."""
+    if discrete:
+        k = F.greatest(F.ceil(F.col("n") * F.col("p")) - 1, F.lit(0)).cast("long")
+        k = F.least(k, F.col("n") - 1)
+        return k.alias("k_lo"), k.alias("k_hi"), k.cast("double").alias("h")
+    k_lo = F.floor((F.col("n") - 1) * F.col("p")).cast("long")
+    k_hi = F.least(
+        F.floor((F.col("n") - 1) * F.col("p")) + 1, F.col("n") - 1
+    ).cast("long")
+    return (
+        k_lo.alias("k_lo"),
+        k_hi.alias("k_hi"),
+        ((F.col("n") - 1) * F.col("p")).alias("h"),
+    )
+
+
 def exact_quantiles(
     spark: SparkSession,
     df: DataFrame,
@@ -41,15 +65,18 @@ def exact_quantiles(
     n_buckets: int = 4096,
     out_prob: str = "p",
     out_value: str = "value",
+    discrete: bool = False,
 ) -> DataFrame:
     """Interpolated exact quantiles of ``df[value_col]`` at ``probs``.
 
     Returns a DataFrame (prob double, value double) with one row per prob,
     equal to ``F.percentile(value_col, probs)`` / DuckDB ``quantile_cont``.
-    NULLs are excluded (both references do the same).
+    NULLs are excluded (both references do the same); NaNs are excluded too
+    (they would poison the min/max bucket bounds — callers that need
+    NaN-propagation semantics must pre-filter or pre-map them).
     """
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull()
+        F.col("v").isNotNull() & ~F.isnan("v")
     )
     # the tiny intermediates (1-row bounds, ≤n_buckets offsets, ≤2|probs|
     # locations) each feed several consumers — materialized once so the
@@ -78,19 +105,8 @@ def exact_quantiles(
 
     # the ≤2·|probs| integer ranks we actually need: floor((n−1)p), +1
     probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
-    ranks = (
-        probs_df.crossJoin(F.broadcast(bounds))
-        .select(
-            "p",
-            F.floor((F.col("n") - 1) * F.col("p")).cast("long").alias("k_lo"),
-            F.least(
-                F.floor((F.col("n") - 1) * F.col("p")) + 1, F.col("n") - 1
-            )
-            .cast("long")
-            .alias("k_hi"),
-            ((F.col("n") - 1) * F.col("p")).alias("h"),
-        )
-    )
+    k_lo_e, k_hi_e, h_e = _rank_exprs(discrete)
+    ranks = probs_df.crossJoin(F.broadcast(bounds)).select("p", k_lo_e, k_hi_e, h_e)
     needed = (
         ranks.select(F.col("k_lo").alias("k"))
         .unionByName(ranks.select(F.col("k_hi").alias("k")))
@@ -139,6 +155,7 @@ def exact_quantiles_grouped(
     n_buckets: int = 4096,
     out_prob: str = "p",
     out_value: str = "value",
+    discrete: bool = False,
 ) -> DataFrame:
     """Per-GROUP distributed exact quantiles: the grouped generalization of
     ``exact_quantiles`` — every step gains the group key, nothing else
@@ -155,7 +172,7 @@ def exact_quantiles_grouped(
     """
     g = F.col(group_col).alias("grp")
     vals = df.select(g, F.col(value_col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull()
+        F.col("v").isNotNull() & ~F.isnan("v")
     )
     bounds = (
         vals.groupBy("grp")
@@ -184,14 +201,9 @@ def exact_quantiles_grouped(
     ).localCheckpoint()
 
     probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    k_lo_e, k_hi_e, h_e = _rank_exprs(discrete)
     ranks = probs_df.crossJoin(F.broadcast(bounds)).select(
-        "grp",
-        "p",
-        F.floor((F.col("n") - 1) * F.col("p")).cast("long").alias("k_lo"),
-        F.least(F.floor((F.col("n") - 1) * F.col("p")) + 1, F.col("n") - 1)
-        .cast("long")
-        .alias("k_hi"),
-        ((F.col("n") - 1) * F.col("p")).alias("h"),
+        "grp", "p", k_lo_e, k_hi_e, h_e
     )
     needed = (
         ranks.select("grp", F.col("k_lo").alias("k"))

@@ -102,9 +102,26 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest centroids (L2):
     broadcast the (small) centroid table, score, keep rank ≤ n_probe.
     Output: (id_col, vec_col, cluster_id, crank). ``n_probe=1`` is index
-    build; >1 is query-time multi-probe."""
+    build; >1 is query-time multi-probe.
+
+    The n_probe=1 (index-build) path aggregates ``min(struct(d2, cluster))``
+    instead of ranking a window: lexicographic struct-min is the same
+    (distance, id-tiebreak) argmin but gets map-side partial aggregation —
+    at corpus scale the build shuffles one pre-combined row per vector
+    rather than window-sorting every (vector × centroid) pair."""
     scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
     scored = scored.withColumn("__d2", l2sq(F.col(vec_col), F.col("c_vec")))
+    if n_probe == 1:
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct(F.col("__d2"), F.col("cluster_id"))).alias("__m"),
+            F.any_value(F.col(vec_col)).alias(vec_col),  # 1:1 with id_col
+        )
+        return best.select(
+            id_col,
+            vec_col,
+            F.col("__m.cluster_id").alias("cluster_id"),
+            F.lit(1).alias("crank"),
+        )
     w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cluster_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))

@@ -208,11 +208,105 @@ FROM s
 """
 
 
+def forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample fit-quality metrics (MAE/MSE) of the linear daily-revenue
+    forecast — the relational analogue of the reference's
+    ``ProphetForecaster.get_metrics`` (/root/reference/src/time_series.py:45-67),
+    which predicts the training period back through the fitted model and
+    reports unrounded MAE/MSE. Here the model is the same closed-form OLS
+    as ``forecast_linear`` and the metrics are one aggregate over (y, ŷ).
+
+    Cross-engine determinism: the sufficient statistics are exact
+    (bigint/decimal) sums; slope/intercept/ŷ/residual are the same textual
+    double expressions in both engines, each per-day residual term is
+    snapped to DECIMAL before the exact (order-independent) sum, and only
+    the final mean division is double (mae snapped at 4 dp; mse at whole
+    units — see inline note on the mantissa bound). Scale: two scans
+    of the tiny daily aggregate (itself one map-side-combined pass over
+    orders); the 1-row stats broadcast — no window, no collect."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"), "y"
+    ).localCheckpoint()  # tiny (one row per day); feeds stats AND residuals
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    res = F.col("y").cast("double") - (intercept + slope * F.col("x"))
+    return (
+        xy.crossJoin(F.broadcast(s))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                (
+                    F.sum(F.round(F.abs(res).cast("decimal(28,9)"), 9)).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("decimal(28,8)"),
+                4,
+            )
+            .cast("double")
+            .alias("mae"),
+            # mse (~1e11 at sf0.01) snapped to WHOLE units as bigint: a
+            # DECIMAL(28,8) snap would scale the double by 1e8 past the
+            # 53-bit mantissa inside DuckDB's cast and flip the last digit;
+            # both engines derive the identical double (exact decimal sum →
+            # one division), so integer HALF_UP rounding agrees exactly.
+            F.round(
+                F.sum(F.round((res * res).cast("decimal(28,6)"), 6)).cast("double")
+                / F.count(F.lit(1)),
+                0,
+            )
+            .cast("long")
+            .alias("mse"),
+        )
+    )
+
+
+FORECAST_METRICS_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (SELECT date_diff('day', DATE '1970-01-01', d) AS x, y FROM daily),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM xy),
+r AS (
+    SELECT CAST(xy.y AS DOUBLE)
+           - (((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n)
+              + ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * x) AS res
+    FROM xy CROSS JOIN s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ROUND(CAST(CAST(SUM(ROUND(CAST(ABS(res) AS DECIMAL(28,9)), 9))
+                            AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS mae,
+       CAST(ROUND(CAST(SUM(ROUND(CAST(res * res AS DECIMAL(28,6)), 6))
+                       AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS mse
+FROM r
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "prefix_allocation": QuerySpec(prefix_allocation, PREFIX_ALLOCATION_SQL),
     "greedy_allocation": QuerySpec(greedy_allocation, None),  # sequential; rows-only
     "inventory_update": QuerySpec(inventory_update, INVENTORY_UPDATE_SQL),
     "forecast_linear": QuerySpec(forecast_linear, FORECAST_LINEAR_SQL),
+    # inside the driver's 50-query hash window on purpose (VERDICT r1 §9)
+    "forecast_metrics": QuerySpec(forecast_metrics, FORECAST_METRICS_SQL),
 }
 
 
@@ -229,15 +323,21 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     [cum−qty, cum); a lot funds an outflow exactly where the intervals
     overlap, and the allocated quantity is the overlap length — integer
     arithmetic end to end. The TRUE pair count is linear (an outflow of
-    size q touches ≤ q/min_lot + 1 lots), but the equi-join key here is
-    only partkey, so Spark evaluates each part's inflow×outflow grid
-    before the overlap filter — fine at per-part line counts like these;
-    at 100 TB band the cumulative axis exactly like
-    operators/temporal.range_join_banded bands time (join key becomes
-    (part, cum_band), pairs dedup on the interval ids). Both windows and
-    the join hash on partkey. Rolled up per part: matched quantity,
-    unmatched demand (outflows beyond total inflow), and allocation count.
+    size q touches ≤ q/min_lot + 1 lots), and the join realizes that
+    bound by BANDING the cumulative axis (the same trick
+    operators/temporal.range_join_banded applies to time): each interval
+    explodes to the width-``band`` buckets it covers (≤ qty/band + 1
+    rows — ~2 at TPC-H quantities), the equi-join key becomes
+    (part, cum_band), and each overlapping pair is emitted EXACTLY once
+    by keeping only the band containing the overlap's start (both
+    intervals contain that point, so they meet in that band; no
+    distinct needed). A partkey-only join would evaluate each part's
+    full inflow×outflow grid — per-part quadratic, a detonation on
+    high-volume parts at 100 TB. Rolled up per part: matched quantity,
+    unmatched demand (outflows beyond total inflow), and allocation
+    count.
     """
+    band = 64  # ≥ max TPC-H qty (50): each interval covers ≤ 2 bands
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_orderkey",
@@ -263,11 +363,26 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     inflow, outflow = flow("F", "in"), flow("O", "out")
-    pairs = inflow.join(
-        outflow,
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        s, e = F.col(f"{prefix}_start"), F.col(f"{prefix}_end")
+        bands = F.when(
+            e > s, F.sequence(F.floor(s / band), F.floor((e - 1) / band))
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.withColumn(f"{prefix}_cum_band", F.explode(bands))
+
+    pairs = banded(inflow, "in").join(
+        banded(outflow, "out"),
         (F.col("in_part") == F.col("out_part"))
+        & (F.col("in_cum_band") == F.col("out_cum_band"))
         & (F.col("out_start") < F.col("in_end"))
-        & (F.col("in_start") < F.col("out_end")),
+        & (F.col("in_start") < F.col("out_end"))
+        # emit each overlapping pair only in the band where its overlap
+        # starts — the one band both sides are guaranteed to share
+        & (
+            F.col("in_cum_band")
+            == F.floor(F.greatest(F.col("in_start"), F.col("out_start")) / band)
+        ),
     ).select(
         F.col("in_part").alias("l_partkey"),
         (

@@ -726,3 +726,144 @@ ORDER BY doc_id
 
 
 REGISTRY["dedup_paragraphs"] = QuerySpec(dedup_paragraphs, DEDUP_PARAGRAPHS_SQL)
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality filtering — the Gopher/C4-style scrub
+    stage every LLM pretraining pipeline runs before dedup (word-count
+    bounds, mean-word-length band, alphabetic-word fraction, stop-word
+    presence; Rae et al. 2021 §A1.1, public recipe). No reference analogue
+    (extension operator, SURVEY.md §2.13).
+
+    Per doc: n_words, mean word length, fraction of tokens containing an
+    alphabetic char, distinct-stop-word hits, and the combined ``passes``
+    verdict. Every signal is a JVM-side expression over ONE tokenize (the
+    engine's single tokenizer, operators/text.tokens) — integer sums and
+    counts stay exact, the two ratios snap through decimal. One scan, one
+    narrow projection, no shuffle at all (verdicts are per-row); at 100 TB
+    this runs at scan speed and the filter predicate pushes into the next
+    stage's scan when materialized partitioned."""
+    from candyspark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in", "a", "is")]),
+        )
+    )
+    mean_len = F.when(n > 0, char_sum.cast("double") / n).otherwise(F.lit(0.0))
+    frac_alpha = F.when(n > 0, alpha_cnt.cast("double") / n).otherwise(F.lit(0.0))
+    out = d.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        snap_round(mean_len, 4).alias("mean_word_len"),
+        snap_round(frac_alpha, 6).alias("frac_alpha"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes).orderBy("doc_id")
+
+
+GOPHER_QUALITY_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+sig AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_words,
+           CAST(ROUND(CAST(CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                     / len(toks) ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE)
+             AS mean_word_len,
+           CAST(ROUND(CAST(CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) / len(toks) ELSE 0.0 END
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS frac_alpha,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the', 'and', 'of', 'to', 'in', 'a', 'is'])) AS INTEGER)
+             AS stop_hits
+    FROM t
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND frac_alpha >= 0.8 AND stop_hits >= 2) AS passes
+FROM sig
+ORDER BY doc_id
+"""
+
+REGISTRY["gopher_quality_filter"] = QuerySpec(
+    gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL
+)
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration: corpus-weighted adjacent
+    symbol-pair counts — argmax(pair) is the next merge rule (Sennrich et
+    al. 2016, the public BPE recipe). Top-50 pairs by total weight.
+
+    Shape for scale: token frequencies first (the Zipfian collapse —
+    map-side combine shrinks the corpus to its vocabulary before anything
+    per-character happens), then pairs explode only over DISTINCT words
+    (vocab-bounded, not corpus-bounded) weighted by frequency. The real
+    iterated trainer would loop this plan with a merge table broadcast
+    back; one iteration is the representative (and oracle-checkable)
+    unit. Top-50 is TakeOrdered, no global sort."""
+    from candyspark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("weight"))
+    w = Window.orderBy(F.desc("weight"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select("pair", "weight", "rank")
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH t AS (SELECT {_TOKS_FRAGMENT} AS toks FROM documents),
+words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(toks) AS word FROM t)
+    GROUP BY word
+),
+pairs AS (
+    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+    FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+          FROM words WHERE length(word) >= 2)
+),
+agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight FROM pairs GROUP BY pair)
+SELECT pair, weight, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, pair) AS INTEGER) AS rank
+    FROM agg
+) WHERE rank <= 50
+"""
+
+REGISTRY["bpe_pair_counts"] = QuerySpec(bpe_pair_counts, BPE_PAIR_COUNTS_SQL)

@@ -293,19 +293,183 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM (
 
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (rows-only: the bucketing is Spark-side; its
-    recall vs. the brute-force baseline is pinned in tests)."""
+    """LSH-bucketed ANN top-10. Fully deterministic (md5-derived
+    hyperplanes, no shipped state), so the WHOLE pipeline — signatures,
+    multi-table candidate union, cosine, rank — is hash-checked against
+    the DuckDB oracle below; recall vs. the brute-force baseline is
+    additionally pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10, planes=5, tables=6)
 
 
+# plane component p·d for table t: pseudo-uniform in [-1, 1] from md5 —
+# the SQL twin of operators/similarity.hyperplane_signature
+_PLANE = (
+    "((CAST(concat('0x', substr(md5(concat(CAST({t} AS VARCHAR), ':', "
+    "CAST(p AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) "
+    "% 2001 - 1000) / 1000.0)"
+)
+_ANN_SIG = (
+    "CAST(list_sum(list_transform(range(0, 5), p -> "
+    "CASE WHEN list_reduce(list_transform(range(1, 65), "
+    f"i -> v[i] * {_PLANE.format(t='t.t')}), (a, b) -> a + b) > 0 "
+    "THEN (1 << p) ELSE 0 END)) AS INTEGER)"
+)
+
+SIMILARITY_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+    SELECT vec_id, v, t.t AS tbl, {_ANN_SIG} AS bucket
+    FROM e CROSS JOIN range(0, 6) t(t)
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 5),
+cand AS (
+    SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+    FROM buckets b JOIN qb USING (tbl, bucket)
+    WHERE b.vec_id != qb.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           {_COS_SQL.replace("q_vec", "q.v").replace("c_vec", "c.v")} AS cosine_sim
+    FROM cand
+    JOIN e q ON q.vec_id = cand.query_id
+    JOIN e c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-list) ANN top-10 — the coarse-quantizer scale path
-    (rows-only; recall vs. the exact baseline is pinned in tests)."""
+    """IVF (inverted-list) ANN top-10 — the coarse-quantizer scale path.
+    Deterministic (lowest-id seed centroids), so index build (nearest-list
+    assignment), query-time multi-probe, and the probed-lists-only scoring
+    are all hash-checked against the DuckDB oracle; recall vs. the exact
+    baseline is additionally pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4
     )
+
+
+# sequential-fold squared L2 — the SQL twin of operators/similarity.l2sq
+_L2SQ = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+)
+
+SIMILARITY_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 16),
+lists AS (
+    SELECT vec_id AS neighbor_id, v AS c_emb, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN cents c
+    ) WHERE crank <= 1
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS q_vec, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < 5
+    ) WHERE crank <= 4
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           {_COS_SQL.replace("c_vec", "c_emb")} AS cosine_sim
+    FROM lists JOIN probes USING (cluster_id)
+    WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    recipe): cluster the embedding space with a coarse quantizer, then
+    prune near-duplicates ONLY within each cluster — the trick that turns
+    the O(n²) cosine dedup into Σ O(|cluster|²), the same
+    candidates-then-verify shape as MinHash-LSH but in embedding space.
+    Keeps the lowest vec_id of each duplicate group (kept=false rows are
+    the prune list a pipeline would drop).
+
+    Deterministic: seed centroids are the lowest-id vectors (as
+    similarity_ivf), assignment is nearest-centroid L2 with id tiebreak,
+    and the verdict joins are id-ordered — so the WHOLE pipeline
+    hash-checks against DuckDB. Scale: assignment broadcasts the centroid
+    table (no shuffle of the corpus), the only shuffle keys on cluster_id,
+    and the within-cluster pair join is bounded by cluster size (grow
+    n_centroids with the corpus to hold that bound)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("c_vec")
+        )
+    )
+    # materialized once: three consumers (both pair sides + the verdict
+    # join) would otherwise re-derive the assignment shuffle each
+    assigned = (
+        S.ivf_assign(e, cents, "vec_id", "embedding", n_probe=1)
+        .select("vec_id", "embedding", "cluster_id")
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    dup_ids = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(S.cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 16),
+assigned AS (
+    SELECT vec_id, v, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN cents c
+    ) WHERE crank <= 1
+),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b USING (cluster_id)
+    WHERE a.vec_id < b.vec_id
+      AND {_COS_SQL.replace("q_vec", "a.v").replace("c_vec", "b.v")} >= 0.4
+)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,8 +1540,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),
     "simhash": QuerySpec(q_simhash, SIMHASH_SQL),
     "similarity_bruteforce": QuerySpec(q_similarity_bruteforce, SIMILARITY_BRUTEFORCE_SQL),
-    "similarity_ann": QuerySpec(q_similarity_ann, None),  # Spark-side LSH; rows-only
-    "similarity_ivf": QuerySpec(q_similarity_ivf, None),  # Spark-side IVF; rows-only
+    "similarity_ann": QuerySpec(q_similarity_ann, SIMILARITY_ANN_SQL),
+    "similarity_ivf": QuerySpec(q_similarity_ivf, SIMILARITY_IVF_SQL),
+    "semantic_dedup": QuerySpec(q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "multimodal_metadata": QuerySpec(q_multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "events_tumbling": QuerySpec(q_events_tumbling, EVENTS_TUMBLING_SQL),
     "events_sliding": QuerySpec(q_events_sliding, EVENTS_SLIDING_SQL),

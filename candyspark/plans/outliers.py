@@ -195,43 +195,36 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-scores when the distribution is heavy-tailed (mean/stddev are not
     robust; median/MAD are).
 
-    Exact percentiles are a SORT-based aggregate: Spark's ``percentile``
-    buffers each group's values, so the shape is one shuffle on the (tiny)
-    group key with large groups — fine while groups fit an executor; the
-    100-TB path swaps in ``approx_percentile`` (KLL-style mergeable sketch,
-    already covered by approx_aggregates) with no plan change. MAD needs a
-    second pass by definition (median of |x − median|): stats are broadcast
-    back so the fact table never shuffles for the re-join. Both engines use
-    linear interpolation at (n−1)·q; outputs are snapped to 4 dp."""
-    from candyspark.sources.readers import fan_out
+    Exact per-group percentiles run on the DISTRIBUTED order-statistic
+    extractor (``operators/quantiles.exact_quantiles_grouped``) — the
+    grouped holistic ``percentile`` buffers each group's ENTIRE column in
+    the task that finalizes it, which cannot scale when a group outgrows
+    an executor; the extractor never co-locates more than one
+    (group, bucket). MAD needs a second pass by definition (median of
+    |x − median|): medians broadcast back onto the fact, then the same
+    extractor runs on the deviations. Both engines use linear
+    interpolation at (n−1)·q; outputs are snapped to 4 dp."""
+    from candyspark.operators.quantiles import exact_quantiles_grouped
 
-    # fan_out: a single-split scan would make ONE task buffer every group's
-    # values in the partial percentile; spread, partials buffer 1/32 each.
-    # The ARRAY percentile form buffers each group's values once for all
-    # three quantiles (three scalar calls buffer three copies) — together
-    # 7.1 s → ~2 s at sf0.1.
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     )
-    qs = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-            "qs"
-        )
+    qg = exact_quantiles_grouped(
+        spark, li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75]
     )
-    quartiles = qs.select(
-        "l_returnflag",
-        F.col("qs")[0].alias("q1"),
-        F.col("qs")[1].alias("med"),
-        F.col("qs")[2].alias("q3"),
+    quartiles = qg.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("med"),
+        F.max(F.when(F.col("p") == 0.75, F.col("value"))).alias("q3"),
+    )
+    devs = li.join(
+        F.broadcast(quartiles.select("l_returnflag", "med")), "l_returnflag"
+    ).select(
+        "l_returnflag", F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev")
     )
     mad = (
-        li.join(F.broadcast(quartiles.select("l_returnflag", "med")), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5).alias(
-                "mad_raw"
-            )
-        )
+        exact_quantiles_grouped(spark, devs, "l_returnflag", "dev", [0.5])
+        .select("l_returnflag", F.col("value").alias("mad_raw"))
     )
     return (
         quartiles.join(mad, "l_returnflag")
@@ -323,18 +316,27 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean (tail-insensitive). Clamped values snap to DECIMAL before the
     exact sum; only the final mean division touches doubles.
 
-    Scale: the percentile aggregate is the only holistic step (same
-    buffer bound and approx_percentile swap-in as robust_stats); the
-    2-row cutoff dim broadcasts back onto the fact, so the clamp+mean is
-    one partial-agg'd pass — no second sort."""
+    Scale: the cutoffs come from the distributed order-statistic extractor
+    in DISCRETE mode (``exact_quantiles_grouped(discrete=True)`` — rank
+    ceil(n·p)−1, no interpolation, so an actual data value crosses the
+    engine boundary bit-for-bit, exactly PERCENTILE_DISC); the holistic
+    ``percentile_disc`` it replaces buffered each group's entire column in
+    one task. The 2-row cutoff dim broadcasts back onto the fact, so the
+    clamp+mean is one partial-agg'd pass — no second sort."""
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
     li = load_table(spark, sf_dir, "lineitem")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p05"),
-        F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p95"),
+    cq = exact_quantiles_grouped(
+        spark,
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.05, 0.95],
+        discrete=True,
+    )
+    cuts = cq.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("p") == 0.05, F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("p") == 0.95, F.col("value"))).alias("p95"),
     )
     clamped = li.join(F.broadcast(cuts), "l_returnflag").select(
         "l_returnflag",

@@ -403,26 +403,43 @@ def q_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1-D W1 distance equals the integral of |Q_A − Q_B| over quantile
     levels; on a fixed 101-point grid that's the mean absolute gap
     between the two quantile vectors — the standard sketch-friendly
-    estimator (two buffered percentile aggregates, a 101-term fold, no
-    row-grain global CDF scan, which exact W1 would need). Both engines
-    interpolate identically; one snap per output.
+    estimator. Both engines interpolate identically; one snap per output.
+
+    Both grids come from the DISTRIBUTED order-statistic extractor
+    (operators/quantiles.exact_quantiles_grouped, grouped on the
+    returned/kept flag) — no holistic percentile: Spark's exact
+    ``percentile`` merges EVERY value into one task, which was this
+    suite's slowest query (9.4 s at sf0.1) and a structural scale-killer
+    at 100 TB. The extractor's passes are narrow (bucket counts, then
+    only the ≤2·|probs| needed buckets rank), so no task ever buffers
+    more than one bucket. The per-p gap fold is a 101-row aggregate in
+    exact DECIMAL (order-independent), same rounding ladder as before.
     """
-    # single-GROUP exact percentile: one scan, holistic buffer — the FAST
-    # local form (at these SFs the scan is the cost and the holistic does
-    # ONE). The distributed order-statistic extractor
-    # (operators/quantiles.exact_quantiles, its own oracle-checked query
-    # price_quantiles_distributed) is the swap-in when shipping every
-    # value dominates — its 3 narrow passes per grid beat one
-    # everything-to-one-task merge as soon as data outweighs scan setup.
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
     li = load_table(spark, sf_dir, "lineitem")
-    probs = F.array(*[F.lit(i / 100.0) for i in range(101)])
-    grids = li.groupBy().agg(
-        F.percentile(
-            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")), probs
-        ).alias("qa"),
-        F.percentile(
-            F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")), probs
-        ).alias("qb"),
+    flagged = li.select(
+        F.when(F.col("l_returnflag") == "R", F.lit("R"))
+        .otherwise(F.lit("K"))
+        .alias("side"),
+        "l_extendedprice",
+    )
+    grid = exact_quantiles_grouped(
+        spark, flagged, "side", "l_extendedprice", [i / 100.0 for i in range(101)]
+    )
+    paired = grid.groupBy("p").agg(
+        F.max(F.when(F.col("side") == "R", F.col("value"))).alias("qa"),
+        F.max(F.when(F.col("side") == "K", F.col("value"))).alias("qb"),
+    )
+    gap = F.abs(F.col("qa") - F.col("qb"))
+    dists = paired.agg(
+        (
+            F.sum(F.round(gap.cast("decimal(28,9)"), 9)).cast("double")
+            / F.lit(101.0)
+        ).alias("w1"),
+        F.max(gap).alias("ks"),
+    )
+    counts = li.agg(
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
         .cast("long")
         .alias("n_returned"),
@@ -430,18 +447,11 @@ def q_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
-    gaps = F.zip_with("qa", "qb", lambda a, b: F.abs(a - b))
-    w1 = F.aggregate(
-        F.transform(gaps, lambda g: F.round(g.cast("decimal(28,9)"), 9)),
-        F.lit(0).cast("decimal(38,9)"),
-        lambda acc, g: (acc + g).cast("decimal(38,9)"),
-    ).cast("double") / F.lit(101.0)
-    ks = F.array_max(gaps)
-    return grids.select(
+    return counts.crossJoin(dists).select(
         "n_returned",
         "n_kept",
-        snap_round(w1, 4).alias("wasserstein_grid"),
-        snap_round(ks, 4).alias("max_quantile_gap"),
+        snap_round(F.col("w1"), 4).alias("wasserstein_grid"),
+        snap_round(F.col("ks"), 4).alias("max_quantile_gap"),
     )
 
 

@@ -153,6 +153,55 @@ def save_mongodb(
     )
 
 
+def initialize_databases(
+    spark,
+    data_dir: str,
+    jdbc_cfg: dict | None = None,
+    mongo_cfg: dict | None = None,
+) -> dict[str, int]:
+    """DB bootstrap (S8 — reference ``initialize_databases``,
+    src/data_processor.py:257-293): CSV dims → JDBC tables, one Mongo
+    collection per transactions_YYYYMMDD.json file (collection name = file
+    stem, exactly the reference's convention).
+
+    ``jdbc_cfg``: {url, user, password, driver?, customers_table?,
+    products_table?} — driver defaults to MySQL like the reference; any
+    JDBC backend works (tests round-trip through embedded Derby, the one
+    JDBC engine shipped with Spark itself). ``mongo_cfg``: {uri, database}.
+    Pass None to skip a half (e.g. bootstrap only the relational side).
+    Returns {target_name: rows_written} so callers can reconcile counts
+    without re-scanning (the reference re-reads each table and count()s —
+    SURVEY.md §4.2's count-as-control-flow anti-pattern)."""
+    from candyspark.schemas import CUSTOMERS, PRODUCTS, TRANSACTIONS_RAW
+    from candyspark.sources.readers import load_csv, load_json_array_files
+
+    written: dict[str, int] = {}
+    if jdbc_cfg is not None:
+        driver = jdbc_cfg.get("driver", "com.mysql.cj.jdbc.Driver")
+        for fname, schema, key in (
+            ("customers.csv", CUSTOMERS, "customers_table"),
+            ("products.csv", PRODUCTS, "products_table"),
+        ):
+            table = jdbc_cfg.get(key, key.removesuffix("_table"))
+            df = load_csv(spark, os.path.join(data_dir, fname), schema)
+            save_jdbc(
+                df,
+                jdbc_cfg["url"],
+                table,
+                jdbc_cfg.get("user", ""),
+                jdbc_cfg.get("password", ""),
+                driver=driver,
+            )
+            written[f"jdbc:{table}"] = df.count()
+    if mongo_cfg is not None:
+        for path in sorted(glob.glob(os.path.join(data_dir, "transactions_*.json"))):
+            coll = os.path.splitext(os.path.basename(path))[0]
+            df = load_json_array_files(spark, path, TRANSACTIONS_RAW)
+            save_mongodb(df, mongo_cfg["uri"], mongo_cfg["database"], coll)
+            written[f"mongo:{coll}"] = df.count()
+    return written
+
+
 def save_orc(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
