@@ -157,12 +157,33 @@ HEADLINE = [
     "isotonic_calibration",
     "price_quantiles_distributed",
     "quartiles_by_flag_distributed",
+    "forecast_metrics",
+    "similarity_ann",
+    "semantic_dedup",
+    "gopher_quality_filter",
+    "bpe_pair_counts",
 ]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+#: the driver records only the last ~2000 chars of stdout; the FINAL line
+#: must be one complete JSON object inside that window or the round's
+#: BENCH_r{N}.json ends up "parsed": null (round-1 lesson)
+TAIL_BUDGET = 1900
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # this host swings ±30-100% between identical runs (BASELINE.md):
+    # report per-query MEDIANS over as many passes as the budget allows
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "420"))
+    max_passes = int(os.environ.get("BENCH_REPEATS", "3"))
     spark = get_spark(app_name="candyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = collect_registry()
@@ -173,29 +194,63 @@ def main() -> None:
     # Warm up the JVM/codegen path once so per-query times measure the plans.
     registry[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    t_start = time.perf_counter()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    passes = 0
+    for _ in range(max_passes):
+        pass_cost = 0.0
+        for name in names:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            pass_cost += dt
+        passes += 1
+        if time.perf_counter() - t_start + pass_cost > budget:
+            break  # another full pass would blow the time budget
 
+    times = {n: round(_median(samples[n]), 3) for n in names}
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # the headline set grows every round (BASELINE.md records each
-                # step); the per-query mean is the suite-size-normalized
-                # number to compare across rounds.
-                "n_queries": len(times),
-                "sec_per_query": round(total / len(times), 3),
-            }
-        )
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        # the headline set grows every round (BASELINE.md records each
+        # step); the per-query (median-of-passes) mean is the
+        # suite-size-normalized number to compare across rounds.
+        "n_queries": len(times),
+        "sec_per_query": round(total / len(times), 3),
+        "passes": passes,
+    }
+    # full per-query result: first line (humans, logs) + optional file
+    print(json.dumps(result))
+    out_path = os.environ.get("BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+
+    # LAST line: the same object with "queries" truncated (in HEADLINE
+    # priority order) so one complete parseable JSON line fits the
+    # driver's tail window
+    head = {k: v for k, v in result.items() if k != "queries"}
+    shown: dict[str, float] = {}
+    used = len(json.dumps({**head, "queries_omitted": len(times)})) + len(
+        '"queries":{},'
     )
+    for name in names:
+        entry_len = len(f'"{name}":{times[name]},')
+        if used + entry_len > TAIL_BUDGET:
+            break
+        shown[name] = times[name]
+        used += entry_len
+    compact = {**head, "queries": shown, "queries_omitted": len(times) - len(shown)}
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= TAIL_BUDGET + 100, len(line)
+    print(line)
     spark.stop()
 
 
