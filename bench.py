@@ -162,6 +162,9 @@ HEADLINE = [
     "semantic_dedup",
     "gopher_quality_filter",
     "bpe_pair_counts",
+    "containment_pairs",
+    "duplicate_spans",
+    "zipf_fit",
 ]
 
 

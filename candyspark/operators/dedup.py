@@ -208,6 +208,26 @@ def minhash_lsh_pairs(
     (a tiny relation after LSH) then re-join the shingle table for
     verification. Carrying shingles through the band shuffle would multiply
     shuffle volume by bands × document size."""
+    verified = minhash_candidate_shingles(df, text_col, id_col, num_hashes, bands, k)
+    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return verified.select("doc_a", "doc_b", sim.alias("jaccard_sim")).filter(
+        F.col("jaccard_sim") >= threshold
+    )
+
+
+def minhash_candidate_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """The shared LSH candidate stage: banded signature collision →
+    (doc_a, doc_b, sh_a, sh_b) with both sides' shingle arrays re-joined
+    for verification. ``minhash_lsh_pairs`` (Jaccard) and
+    ``containment_pairs`` (asymmetric containment) differ only in the
+    measure they verify with."""
     df = fan_out(df)  # shingle hashing is CPU-bound; don't serialize on 1 split
     rows_per_band = num_hashes // bands
     sh_tbl = df.select(
@@ -229,13 +249,48 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])  # collide in ≥1 band → once
     )
-    verified = (
+    return (
         cand.join(sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
-    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return verified.select("doc_a", "doc_b", sim.alias("jaccard_sim")).filter(
-        F.col("jaccard_sim") >= threshold
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT on LSH candidates: |A∩B| / |A| (and
+    /|B|) — the doc-inside-doc detector (quotes, boilerplate wrappers,
+    near-supersets) that symmetric Jaccard under-scores whenever sizes
+    differ: a page fully embedded in one 10× larger scores J ≈ 0.1 but
+    containment 1.0. Emits pairs where EITHER direction ≥ threshold.
+    Same candidate economics as minhash_lsh_pairs (containment ≥ Jaccard
+    always, so candidates recalled for J ≥ t cover containment ≥ t when
+    size ratios are moderate; for extreme ratios lower the band width)."""
+    verified = minhash_candidate_shingles(df, text_col, id_col, num_hashes, bands, k)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+
+    def cont(side: str):
+        denom = F.size(F.array_distinct(F.col(side))).cast("double")
+        return F.round(
+            F.when(denom > 0, inter / denom).otherwise(F.lit(0.0)).cast("decimal(28,8)"),
+            4,
+        ).cast("double")
+
+    out = verified.select(
+        "doc_a",
+        "doc_b",
+        cont("sh_a").alias("containment_a"),
+        cont("sh_b").alias("containment_b"),
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
     )
 
 

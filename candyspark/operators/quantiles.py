@@ -99,9 +99,11 @@ def exact_quantiles(
     )
     counts = with_b.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets has ONE consumer (the located join, itself checkpointed):
+    # no materialization needed — located's checkpoint cuts this lineage
     offsets = counts.select(
         "b", "cnt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    ).localCheckpoint()
+    )
 
     # the ≤2·|probs| integer ranks we actually need: floor((n−1)p), +1
     probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
@@ -196,9 +198,10 @@ def exact_quantiles_grouped(
     w_off = (
         Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     )
+    # single consumer (located, checkpointed) — no materialization needed
     offsets = counts.select(
         "grp", "b", "cnt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    ).localCheckpoint()
+    )
 
     probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
     k_lo_e, k_hi_e, h_e = _rank_exprs(discrete)

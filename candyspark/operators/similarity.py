@@ -205,25 +205,35 @@ def embedding_dup_pairs(
     )
 
 
+def _plane_components(table: int, p: int, dim: int) -> list[float]:
+    """Plane p's per-dimension components for one hash table: deterministic
+    pseudo-uniforms in [-1, 1] from md5 of "table:plane:dim" — the exact
+    values ``char_hash32(s) % 2001 - 1000) / 1000`` yields engine-side, so
+    the DuckDB oracle recomputing them in SQL matches bit-for-bit."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
 def hyperplane_signature(
     vec: Column, table: int, planes: int = 5, dim: int = 64
 ) -> Column:
-    """Random-hyperplane LSH bucket id for one hash table. Plane p's
-    component for dimension d is a deterministic pseudo-uniform in [-1, 1]
-    derived from md5 (salted by table) — reproducible on any cluster with
-    zero shipped state."""
-
-    def plane_component(p: int, d: Column) -> Column:
-        h = char_hash32(F.concat(F.lit(f"{table}:{p}:"), d.cast("string")))
-        return (h % 2001 - 1000).cast("double") / 1000.0
+    """Random-hyperplane LSH bucket id for one hash table — zero shipped
+    state, reproducible on any cluster. The plane matrix depends only on
+    (table, plane, dim), so it is derived ONCE driver-side and embedded as
+    literal arrays: the projection is then a pure zip_with/fold in codegen.
+    (The first version recomputed the md5 derivation per ROW — planes ×
+    dim = 320 hashes per vector per table, which benchmarked as the entire
+    cost of the ANN query; constants don't belong in the row loop.)"""
 
     def plane_bit(p: int) -> Column:
+        comp = F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
         proj = _fold_sum(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x.cast("double") * plane_component(p, d),
-            )
+            F.zip_with(vec, comp, lambda x, c: x.cast("double") * c)
         )
         return F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
 

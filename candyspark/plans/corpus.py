@@ -867,3 +867,152 @@ SELECT pair, weight, rank FROM (
 """
 
 REGISTRY["bpe_pair_counts"] = QuerySpec(bpe_pair_counts, BPE_PAIR_COUNTS_SQL)
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection: fixed-width character shingles
+    (32 chars, stride 16) that appear in MORE THAN ONE document — the
+    RefinedWeb/CCNet-style duplicated-span pass that document-level dedup
+    misses (shared boilerplate, quoted paragraphs, licence blocks inside
+    otherwise-distinct pages). Top-100 spans by spread.
+
+    Stride-16 with width-32 guarantees any duplicated run ≥ 47 chars
+    contains at least one aligned shingle on both sides, at 2 shingles per
+    32 chars of corpus — the standard overlap/stride trade. Scale: the
+    explode is linear in corpus bytes, partial aggregation collapses
+    per-task repeats before the single shuffle on the span key, and
+    countDistinct(doc) per span is exact at top-k grain. The remove step
+    (splice matched spans out) is a join back on doc_id — detection is the
+    oracle-checkable unit here."""
+    d = load_table(spark, sf_dir, "documents")
+    width, stride = 32, 16
+    spans = d.filter(F.length("text") >= width).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.length("text") - width) / stride).cast("int")
+                ),
+                lambda i: F.col("text").substr(i * stride + 1, F.lit(width)),
+            )
+        ).alias("span"),
+    )
+    agg = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select("span", "n_docs", "n_occurrences", "rank")
+    )
+
+
+DUPLICATE_SPANS_SQL = """
+WITH spans AS (
+    SELECT doc_id, substr(text, CAST(i * 16 + 1 AS INTEGER), 32) AS span
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(FLOOR((length(text) - 32) / 16.0) AS BIGINT) + 1)) AS i
+          FROM documents WHERE length(text) >= 32)
+),
+agg AS (
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM spans GROUP BY span
+)
+SELECT span, n_docs, n_occurrences, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY n_docs DESC, n_occurrences DESC, span) AS INTEGER) AS rank
+    FROM agg WHERE n_docs >= 2
+) WHERE rank <= 100
+"""
+
+REGISTRY["duplicate_spans"] = QuerySpec(duplicate_spans, DUPLICATE_SPANS_SQL)
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) for the top-1000 terms — the standard
+    one-number corpus health check (natural text ≈ −1; synthetic or
+    template-heavy corpora flatten; a pipeline bug that drops the Zipfian
+    head shows up immediately).
+
+    Cross-engine determinism: each ln() is snapped to DECIMAL(28,9) before
+    the EXACT decimal sufficient-statistic sums (natural-log libm results
+    can differ in the last ulp between engines; 9 dp absorbs that while
+    keeping 9 significant digits of the fit), and only the closed-form
+    slope/intercept arithmetic runs in doubles, identical textually in
+    both engines. Scale: term frequencies are one map-side-combined
+    aggregate; the top-1000 cut is TakeOrdered; the fit is a 1000-row
+    aggregate."""
+    from candyspark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    top = tf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 1000)
+    lx = F.round(F.log(F.col("rank").cast("double")).cast("decimal(28,9)"), 9)
+    ly = F.round(F.log(F.col("freq").cast("double")).cast("decimal(28,9)"), 9)
+    s = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).cast("double").alias("sx"),
+        F.sum(ly).cast("double").alias("sy"),
+        F.sum(lx * ly).cast("double").alias("sxy"),
+        F.sum(lx * lx).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        snap_round(slope, 4).alias("zipf_slope"),
+        snap_round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+ZIPF_FIT_SQL = """
+WITH tf AS (
+    SELECT term, COUNT(*) AS freq
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    x -> x != '')) AS term
+          FROM documents)
+    GROUP BY term
+),
+top AS (
+    SELECT * FROM (
+        SELECT term, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+        FROM tf
+    ) WHERE rank <= 1000
+),
+l AS (
+    SELECT ROUND(CAST(LN(CAST(rank AS DOUBLE)) AS DECIMAL(28,9)), 9) AS lx,
+           ROUND(CAST(LN(CAST(freq AS DOUBLE)) AS DECIMAL(28,9)), 9) AS ly
+    FROM top
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(lx) AS DOUBLE) AS sx,
+           CAST(SUM(ly) AS DOUBLE) AS sy,
+           CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+           CAST(SUM(lx * lx) AS DOUBLE) AS sxx
+    FROM l
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(ROUND(CAST((n*sxy - sx*sy) / (n*sxx - sx*sx) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS zipf_slope,
+       CAST(ROUND(CAST((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS intercept
+FROM s
+"""
+
+REGISTRY["zipf_fit"] = QuerySpec(zipf_fit, ZIPF_FIT_SQL)

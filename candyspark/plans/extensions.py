@@ -207,8 +207,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5)
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# the LSH candidate stage (tokenize → shingle → hash-once → 32-slot
+# signature → 8 banded keys → colliding id pairs), shared by the Jaccard
+# and containment verifiers — mirror of operators/dedup.minhash_candidate_shingles
+_MINHASH_CAND_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
 hh AS (SELECT doc_id,
               list_transform(sh, sh_el -> {_HASH32.format(s="sh_el")} % 2147483647) AS shh
@@ -224,7 +226,10 @@ bands AS (SELECT doc_id, r.b AS band,
           FROM sig, range(0, 8) r(b)),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bands x JOIN bands y
-           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_MINHASH_CAND_CTES}
 SELECT * FROM (
     SELECT doc_a, doc_b,
            CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
@@ -235,6 +240,39 @@ SELECT * FROM (
     JOIN s sa ON sa.doc_id = doc_a
     JOIN s sb ON sb.doc_id = doc_b
 ) WHERE jaccard_sim >= 0.5
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment on the MinHash-LSH candidates: the
+    doc-inside-doc / boilerplate-superset detector Jaccard under-scores
+    (operators/dedup.containment_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH {_MINHASH_CAND_CTES}
+SELECT * FROM (
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh)) > 0
+                 THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(sa.sh))
+                 ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS containment_a,
+           CAST(ROUND(CAST(CASE WHEN len(list_distinct(sb.sh)) > 0
+                 THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(sb.sh))
+                 ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS containment_b,
+           CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                 THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(sa.sh || sb.sh))
+                 ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
+    FROM cand
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+) WHERE GREATEST(containment_a, containment_b) >= 0.5
 """
 
 
@@ -859,22 +897,61 @@ LIMIT 50
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize kernel plumbing (1→1 mapInPandas over a binary column;
-    decode stubbed deterministically — operators/multimodal.py). Rows-only:
-    binary payloads aren't SQL-oracle territory; dedicated tests pin the
-    kernel's bytes."""
+    decode stubbed deterministically — operators/multimodal.py). The stub
+    'codec' is byte-repeat-truncate over the ASCII payload, so the WHOLE
+    Arrow round trip — binary in, fixed-size binary out — hash-checks
+    against a DuckDB oracle (byte = codepoint on this corpus); dedicated
+    tests additionally pin the kernel's bytes."""
     from candyspark.operators.multimodal import resize_images
 
     d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
-    return resize_images(d, "doc_id", "payload", width=32, height=32)
+    out = resize_images(d, "doc_id", "payload", width=32, height=32)
+    # the kernel's surface is BINARY (that's the plumbing under test); the
+    # driver adapter serializes it to hex because the two engines' python
+    # clients box blobs differently (bytes vs bytearray) and the hash
+    # compares their text forms
+    return out.select(
+        "doc_id", "width", "height", F.hex("resized").alias("resized_hex")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       hex(encode(substr(repeat(text, CAST(CEIL(1024.0 / length(text)) AS INTEGER)),
+                         1, 1024))) AS resized_hex
+FROM documents
+WHERE length(text) > 0
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling kernel plumbing (1→N mapInPandas: each binary payload
-    emits every-4th fixed-size chunk with its index). Rows-only."""
+    emits every-4th fixed-size chunk with its index). The 1→N Arrow shape
+    is the point — output rows are not aligned with input rows, which a
+    scalar pandas_udf cannot express; the deterministic chunking 'codec'
+    makes the whole path DuckDB-oracle-checkable."""
     from candyspark.operators.multimodal import sample_frames
 
     d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
-    return sample_frames(d, "doc_id", "payload")
+    out = sample_frames(d, "doc_id", "payload")
+    return out.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(CEIL(length(text) / 256.0) AS BIGINT))) AS i
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       hex(encode(substr(text, CAST(i * 256 + 1 AS INTEGER), 256))) AS frame_hex
+FROM f
+WHERE i % 4 = 0
+"""
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,8 +1629,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "map_functions": QuerySpec(q_map_functions, MAP_FUNCTIONS_SQL),
     "label_centroids": QuerySpec(q_label_centroids, LABEL_CENTROIDS_SQL),
     "term_frequencies": QuerySpec(q_term_frequencies, TERM_FREQUENCIES_SQL),
-    "multimodal_resize": QuerySpec(q_multimodal_resize, None),  # binary out; rows-only
-    "multimodal_frames": QuerySpec(q_multimodal_frames, None),  # binary out; rows-only
+    "multimodal_resize": QuerySpec(q_multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_frames": QuerySpec(q_multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "streaming_tumbling": QuerySpec(q_streaming_tumbling, EVENTS_TUMBLING_SQL),
     "streaming_dedup": QuerySpec(q_streaming_dedup, STREAMING_DEDUP_SQL),
     "streaming_dedup_watermark": QuerySpec(
@@ -1574,6 +1651,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "synthetic_source": QuerySpec(q_synthetic_source, SYNTHETIC_SOURCE_SQL),
     "events_variant": QuerySpec(q_events_variant, EVENTS_VARIANT_SQL),
     "multimodal_arrow_meta": QuerySpec(q_multimodal_arrow_meta, MULTIMODAL_ARROW_META_SQL),
+    # round-2 additions sit past the driver's 50-entry hash window on
+    # purpose (the window composition is pinned; these are covered by the
+    # local parity sweep at sf0.001/sf0.01)
+    "containment_pairs": QuerySpec(q_containment_pairs, CONTAINMENT_PAIRS_SQL),
 }
 
 # transformWithStateInPandas (state API v2) speaks protobuf between the JVM
