@@ -1,0 +1,185 @@
+"""Brute-force and boundary tests for the round-2 operators: containment,
+duplicated spans, semantic dedup, Gopher rules, BPE pair counts, Zipf fit.
+Each checks the operator against an independent single-threaded
+recomputation on small synthetic inputs (the oracle-parity suite covers the
+engine-vs-DuckDB contract; these pin the SEMANTICS on adversarial data)."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, tmp_path, texts, langs=None):
+    rows = [
+        (i, t, (langs[i] if langs else "en"), f"src{i}", len(t))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _shingles(text, k=3):
+    toks = [t for t in "".join(c.lower() if c.isalnum() else " " for c in text).split() if t]
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_containment_detects_doc_inside_doc(spark, tmp_path):
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    other = "totally different content about candy inventory and spark plans"
+    sf = _docs(spark, tmp_path, [small, big, other])
+    from candyspark.operators.dedup import containment_pairs
+    from candyspark.sources.readers import load_table
+
+    d = load_table(spark, sf, "documents")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        # 32 bands of 1 row: collision prob 1-(1-J)^32, so even the low
+        # symmetric Jaccard of a small-doc-in-big-doc pair gets recalled
+        # (the operator docstring's "lower the band width" knob)
+        for r in containment_pairs(
+            d, "text", "doc_id", num_hashes=32, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in out, "embedded doc must surface as a containment pair"
+    r = out[(0, 1)]
+    sa, sb = _shingles(small), _shingles(big)
+    want_a = len(sa & sb) / len(sa)
+    assert r["containment_a"] == pytest.approx(want_a, abs=1e-4)
+    assert r["containment_a"] == pytest.approx(1.0, abs=1e-9)  # fully contained
+    assert r["jaccard_sim"] < 0.5  # the case Jaccard alone would miss
+    assert r["containment_b"] == pytest.approx(len(sa & sb) / len(sb), abs=1e-4)
+
+
+def test_duplicate_spans_finds_boilerplate(spark, tmp_path):
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED LICENSE TEXT HERE PLEASE"
+    texts = [f"unique document body number {i} with its own words. {boiler}" for i in range(4)]
+    texts.append("a completely unrelated page with no shared content at all whatsoever")
+    sf = _docs(spark, tmp_path, texts)
+    from candyspark.plans.corpus import duplicate_spans
+
+    out = duplicate_spans(spark, sf).collect()
+    assert out, "shared boilerplate must produce duplicated spans"
+    # every reported span must truly occur in >= n_docs distinct docs
+    for r in out:
+        n = sum(1 for t in texts if r["span"] in t)
+        assert n == r["n_docs"] >= 2, (r["span"], n, r["n_docs"])
+    # at least one span comes from the boilerplate tail shared by 4 docs
+    assert any(r["n_docs"] == 4 for r in out)
+
+
+def test_semantic_dedup_kept_property(spark):
+    """Against sf0.001: kept == false iff a LOWER-id vector in the SAME
+    cluster has cosine >= 0.4 (single-threaded recomputation)."""
+    import numpy as np
+
+    from candyspark.plans.extensions import q_semantic_dedup
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf).collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    clusters = collections.defaultdict(list)
+    for vid, r in out.items():
+        clusters[r["cluster_id"]].append(vid)
+    checked_dups = 0
+    for cid, members in clusters.items():
+        members.sort()
+        for i, b in enumerate(members):
+            has_lower_dup = False
+            for a in members[:i]:
+                va, vb = vecs[a], vecs[b]
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                # mirror the engine's 6-dp snap before thresholding
+                if round(cos, 6) >= 0.4:
+                    has_lower_dup = True
+                    break
+            assert out[b]["kept"] == (not has_lower_dup), (cid, b)
+            checked_dups += int(has_lower_dup)
+    assert checked_dups > 0, "test corpus must contain at least one semantic dup"
+
+
+def test_gopher_rule_boundaries(spark, tmp_path):
+    texts = [
+        "the quick brown foxes jumped over their lazy sleeping dogs in a very sunny meadow today and it was nice outside",  # passes
+        "tiny doc",  # fails n_words
+        "the " + " ".join("supercalifragilistic" for _ in range(30)),  # mean len
+        " ".join("123" for _ in range(40)) + " the and of",  # frac_alpha
+        " ".join(f"word{i} thing{i}" for i in range(30)),  # stop_hits < 2
+    ]
+    sf = _docs(spark, tmp_path, texts)
+    from candyspark.plans.corpus import gopher_quality_filter
+
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(spark, sf).collect()}
+    assert rows[0]["passes"] is True
+    assert rows[1]["passes"] is False and rows[1]["n_words"] < 10
+    assert rows[2]["passes"] is False and rows[2]["mean_word_len"] > 10
+    assert rows[3]["passes"] is False and rows[3]["frac_alpha"] < 0.8
+    assert rows[4]["passes"] is False and rows[4]["stop_hits"] < 2
+
+
+def test_bpe_pair_counts_brute_force(spark, tmp_path):
+    texts = ["low lower lowest", "new newer newest wide wider", "low low new"]
+    sf = _docs(spark, tmp_path, texts)
+    from candyspark.plans.corpus import bpe_pair_counts
+
+    got = {r["pair"]: r["weight"] for r in bpe_pair_counts(spark, sf).collect()}
+    freq = collections.Counter(
+        tok for t in texts for tok in t.lower().split()
+    )
+    want = collections.Counter()
+    for word, f in freq.items():
+        for i in range(len(word) - 1):
+            want[word[i : i + 2]] += f
+    for pair, w in want.items():
+        assert got.get(pair) == w, (pair, w, got.get(pair))
+
+
+def test_zipf_fit_recovers_unit_slope(spark, tmp_path):
+    """A corpus built with exact freq = C / rank must fit slope ~ -1."""
+    vocab = [f"tok{i:03d}" for i in range(60)]
+    words = []
+    for rank, tok in enumerate(vocab, start=1):
+        words += [tok] * max(1, round(600 / rank))
+    # one doc per 50 words to keep rows realistic
+    texts = [" ".join(words[i : i + 50]) for i in range(0, len(words), 50)]
+    sf = _docs(spark, tmp_path, texts)
+    from candyspark.plans.corpus import zipf_fit
+
+    row = zipf_fit(spark, sf).collect()[0]
+    assert row["n_terms"] == len(vocab)
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+
+
+def test_minhash_accuracy_well_formed(spark):
+    """At sf0.001 every candidate pair's estimate is a valid multiple of
+    1/32 in [0,1], the true Jaccard is in [0,1], and the reported abs_err
+    matches |est - true| (the estimator's error magnitude is data-dependent
+    and covered by statistics, not asserted here)."""
+    from candyspark.plans.extensions import q_minhash_accuracy
+
+    rows = q_minhash_accuracy(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 must yield at least one LSH candidate pair"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        est32 = r["est_jaccard"] * 32
+        # est is snapped to 4 dp, so x32 can be off a grid point by <= 0.0016
+        assert abs(est32 - round(est32)) < 0.02
+        assert 0.0 <= r["true_jaccard"] <= 1.0
+        assert r["abs_err"] == pytest.approx(
+            abs(r["est_jaccard"] - r["true_jaccard"]), abs=1e-4
+        )
