@@ -165,6 +165,8 @@ HEADLINE = [
     "containment_pairs",
     "duplicate_spans",
     "zipf_fit",
+    "minhash_accuracy",
+    "ivf_cluster_stats",
 ]
 
 

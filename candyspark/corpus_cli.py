@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         help="also collapse MinHash-LSH near-duplicate clusters "
         "(keep-lowest-doc_id survivor per cluster)",
     )
+    p.add_argument(
+        "--gopher-rules",
+        action="store_true",
+        help="also apply the Gopher/C4 rule gates (word-count band, mean "
+        "word length, alpha fraction, stop-word presence — the same rules "
+        "the gopher_quality_filter query reports)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import Window
@@ -59,6 +66,15 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     d = fan_out(load_table(spark, args.sf_dir, "documents"))
+    n_gopher_dropped = 0
+    if args.gopher_rules:
+        from candyspark.plans.corpus import gopher_passes_expr, gopher_signal_exprs
+
+        n_w, mean_len, frac_alpha, stop_hits = gopher_signal_exprs()
+        gated = d.filter(gopher_passes_expr(n_w, mean_len, frac_alpha, stop_hits))
+        # one observe-free count pair: acceptable at CLI receipt grain
+        n_gopher_dropped = d.count() - gated.count()
+        d = gated
     scored = d.select(
         "doc_id",
         "text",
@@ -141,6 +157,7 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
             {
                 "metric": "corpus_prepared",
                 "near_dup_dropped": n_near_dropped,
+                "gopher_dropped": n_gopher_dropped,
                 "splits": counts,
                 "output": args.output_dir,
                 "sec": round(time.time() - t0, 2),

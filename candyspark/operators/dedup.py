@@ -118,12 +118,26 @@ MINHASH_PRIME = 2147483647
 
 def perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) multiplier/offset pairs for the universal
-    hash family h_i(x) = (a_i*x + b_i) mod p — Knuth/xxhash mixing constants,
-    reproducible verbatim in the DuckDB oracle (no shipped state)."""
+    hash family h_i(x) = (a_i*x + b_i) mod p, derived per-slot from md5 —
+    no shipped state, and the oracle embeds the same literals.
+
+    Independence matters here and the first version got it wrong: with
+    a_i = a₁·(i+1), b_i = b₁·(i+1) every slot is the scalar multiple
+    h_i(x) = (i+1)·h₁(x) mod p of ONE hash — 32 correlated permutations,
+    not 32 permutations. Correlated slots wreck the match-fraction
+    estimator's variance (measured: 0/32 slots matching on a J≈0.09 pair
+    where ~3 are expected, i.e. LSH recall collapses exactly on the
+    low-J/containment pairs banding is supposed to catch). md5 of the slot
+    index gives pairwise-unrelated constants; `a` is forced nonzero."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
     return [
         (
-            (2654435761 * (i + 1)) % MINHASH_PRIME,
-            (2246822519 * (i + 1)) % MINHASH_PRIME,
+            (h32(f"minhash:a:{i}") % MINHASH_PRIME) or 1,
+            h32(f"minhash:b:{i}") % MINHASH_PRIME,
         )
         for i in range(num_hashes)
     ]

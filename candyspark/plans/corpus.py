@@ -728,6 +728,42 @@ ORDER BY doc_id
 REGISTRY["dedup_paragraphs"] = QuerySpec(dedup_paragraphs, DEDUP_PARAGRAPHS_SQL)
 
 
+def gopher_signal_exprs():
+    """The Gopher rule signals as reusable Column expressions over a `text`
+    column: (n_words, mean_word_len, frac_alpha, stop_hits) — shared by the
+    registry query and the corpus CLI's --gopher-rules gate."""
+    from candyspark.operators.text import tokens
+
+    toks = tokens("text")
+    n = F.size(toks)
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in", "a", "is")]),
+        )
+    )
+    mean_len = F.when(n > 0, char_sum.cast("double") / n).otherwise(F.lit(0.0))
+    frac_alpha = F.when(n > 0, alpha_cnt.cast("double") / n).otherwise(F.lit(0.0))
+    return n, mean_len, frac_alpha, stop_hits
+
+
+def gopher_passes_expr(n_words, mean_word_len, frac_alpha, stop_hits):
+    """The combined Gopher verdict over (already-materialized) signal
+    columns — rule constants in ONE place."""
+    return (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (stop_hits >= 2)
+    )
+
+
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based document quality filtering — the Gopher/C4-style scrub
     stage every LLM pretraining pipeline runs before dedup (word-count
@@ -743,23 +779,8 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projection, no shuffle at all (verdicts are per-row); at 100 TB
     this runs at scan speed and the filter predicate pushes into the next
     stage's scan when materialized partitioned."""
-    from candyspark.operators.text import tokens
-
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n = F.size(toks)
-    char_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in", "a", "is")]),
-        )
-    )
-    mean_len = F.when(n > 0, char_sum.cast("double") / n).otherwise(F.lit(0.0))
-    frac_alpha = F.when(n > 0, alpha_cnt.cast("double") / n).otherwise(F.lit(0.0))
+    n, mean_len, frac_alpha, stop_hits = gopher_signal_exprs()
     out = d.select(
         "doc_id",
         n.cast("int").alias("n_words"),
@@ -767,13 +788,11 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_round(frac_alpha, 6).alias("frac_alpha"),
         stop_hits.cast("int").alias("stop_hits"),
     )
-    passes = (
-        (F.col("n_words") >= 10)
-        & (F.col("n_words") <= 100000)
-        & (F.col("mean_word_len") >= 3.0)
-        & (F.col("mean_word_len") <= 10.0)
-        & (F.col("frac_alpha") >= 0.8)
-        & (F.col("stop_hits") >= 2)
+    passes = gopher_passes_expr(
+        F.col("n_words"),
+        F.col("mean_word_len"),
+        F.col("frac_alpha"),
+        F.col("stop_hits"),
     )
     return out.withColumn("passes", passes).orderBy("doc_id")
 

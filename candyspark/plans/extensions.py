@@ -207,6 +207,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5)
 
 
+from candyspark.operators.dedup import perm_consts as _perm_consts  # noqa: E402
+
+# the md5-derived (a_i, b_i) constants as SQL list literals — the oracle
+# uses the exact integers the engine embeds (operators/dedup.perm_consts)
+_MINHASH_A = "[" + ", ".join(str(a) for a, _ in _perm_consts(32)) + "]"
+_MINHASH_B = "[" + ", ".join(str(b) for _, b in _perm_consts(32)) + "]"
+
 # the LSH candidate stage (tokenize → shingle → hash-once → 32-slot
 # signature → 8 banded keys → colliding id pairs), shared by the Jaccard
 # and containment verifiers — mirror of operators/dedup.minhash_candidate_shingles
@@ -217,8 +224,8 @@ hh AS (SELECT doc_id,
        FROM s),
 sig AS (SELECT doc_id,
                list_transform(range(0, 32), i -> list_min(list_transform(shh,
-                   h -> (((2654435761 * (i + 1)) % 2147483647) * h
-                         + ((2246822519 * (i + 1)) % 2147483647)) % 2147483647))) AS sig
+                   h -> ({_MINHASH_A}[CAST(i + 1 AS INTEGER)] * h
+                         + {_MINHASH_B}[CAST(i + 1 AS INTEGER)]) % 2147483647))) AS sig
         FROM hh),
 bands AS (SELECT doc_id, r.b AS band,
                  md5(array_to_string(list_transform(list_slice(sig, r.b * 4 + 1, r.b * 4 + 4),
@@ -507,6 +514,125 @@ dups AS (
 SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS kept
 FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 ORDER BY a.vec_id
+"""
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy measurement: on every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of matching signature slots — the unbiased
+    estimator the LSH banding is built on) next to the TRUE shingle Jaccard
+    and the absolute error. This is the query an operator of the pipeline
+    runs to tune (num_hashes, bands) before trusting the sketch at corpus
+    scale — estimator quality is data-dependent (shingle-set sizes), so it
+    must be measured, not assumed. Candidates only: the estimate is already
+    computed for free there, and the tiny candidate relation makes the true
+    Jaccard affordable."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cand = D.minhash_candidate_shingles(d, "text", "doc_id", 32, 8, 3)
+    sigs = d.select(
+        F.col("doc_id"), D.shingle_hashes("text", 3).alias("shh")
+    ).select("doc_id", D.minhash_signature(F.col("shh"), 32).alias("sig"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda m: m,
+            )
+        ).cast("double")
+        / 32.0
+    )
+    out = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est.cast("decimal(28,8)"), 4).cast("double").alias("est_jaccard"),
+            D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("true_jaccard"),
+        )
+    )
+    return out.withColumn(
+        "abs_err",
+        F.round(
+            F.abs(F.col("est_jaccard") - F.col("true_jaccard")).cast("decimal(28,8)"),
+            4,
+        ).cast("double"),
+    ).orderBy("doc_a", "doc_b")
+
+
+MINHASH_ACCURACY_SQL = f"""
+WITH {_MINHASH_CAND_CTES}
+SELECT doc_a, doc_b, est_jaccard, true_jaccard,
+       CAST(ROUND(CAST(ABS(est_jaccard - true_jaccard) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS abs_err
+FROM (
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(CAST(len(list_filter(
+                 range(1, 33), i -> ga.sig[CAST(i AS INTEGER)] = gb.sig[CAST(i AS INTEGER)]))
+                 AS DOUBLE) / 32.0
+                 AS DECIMAL(28,8)), 4) AS DOUBLE) AS est_jaccard,
+           CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                 THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(sa.sh || sb.sh))
+                 ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS true_jaccard
+    FROM cand
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+    JOIN sig ga ON ga.doc_id = doc_a
+    JOIN sig gb ON gb.doc_id = doc_b
+)
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build diagnostics: inverted-list sizes per cluster — the
+    balance check that decides whether the coarse quantizer needs more/
+    better centroids before query traffic hits it (one hot list degrades
+    ANN to brute force over that list). One broadcast-assign pass + a
+    16-row aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("c_vec")
+        )
+    )
+    lists = S.ivf_assign(e, cents, "vec_id", "embedding", n_probe=1)
+    return (
+        lists.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+IVF_CLUSTER_STATS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 16),
+lists AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN cents c
+    ) WHERE crank <= 1
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+FROM lists
+GROUP BY cluster_id
+ORDER BY cluster_id
 """
 
 
@@ -1655,6 +1781,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # purpose (the window composition is pinned; these are covered by the
     # local parity sweep at sf0.001/sf0.01)
     "containment_pairs": QuerySpec(q_containment_pairs, CONTAINMENT_PAIRS_SQL),
+    "minhash_accuracy": QuerySpec(q_minhash_accuracy, MINHASH_ACCURACY_SQL),
+    "ivf_cluster_stats": QuerySpec(q_ivf_cluster_stats, IVF_CLUSTER_STATS_SQL),
 }
 
 # transformWithStateInPandas (state API v2) speaks protobuf between the JVM

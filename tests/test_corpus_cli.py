@@ -86,3 +86,38 @@ def test_corpus_cli_near_dedup_collapses_clusters(spark, tmp_path, capsys):
     assert n_plain - n_near == near["near_dup_dropped"]
     docs = spark.read.parquet(str(out_near / "documents"))
     assert docs.count() == n_near
+
+
+def test_corpus_cli_gopher_rules_gate(spark, tmp_path, capsys):
+    """--gopher-rules drops rule-failing docs before the clean/dedup stages
+    and reports the drop count; the gated run's survivors are a subset of
+    the ungated run's."""
+    from candyspark import corpus_cli
+
+    base_out, gated_out = tmp_path / "base", tmp_path / "gated"
+    corpus_cli.main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--output-dir", str(base_out)],
+        stop_session=False,
+    )
+    base_receipt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    corpus_cli.main(
+        [
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--output-dir",
+            str(gated_out),
+            "--gopher-rules",
+        ],
+        stop_session=False,
+    )
+    receipt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert receipt["gopher_dropped"] >= 0
+    assert base_receipt["gopher_dropped"] == 0
+    base_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(base_out / "documents")).collect()
+    }
+    gated_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(gated_out / "documents")).collect()
+    }
+    assert gated_ids <= base_ids
+    assert len(base_ids) - len(gated_ids) <= receipt["gopher_dropped"]
