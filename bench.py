@@ -167,6 +167,8 @@ HEADLINE = [
     "zipf_fit",
     "minhash_accuracy",
     "ivf_cluster_stats",
+    "hard_negatives",
+    "referential_integrity",
 ]
 
 

@@ -636,6 +636,65 @@ ORDER BY cluster_id
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 20), the most-similar vector with a DIFFERENT label — the
+    negatives that actually move a metric-learning loss, versus the random
+    negatives q_triplet_sampling draws (random pairs are trivially easy in
+    high dimensions; hard-negative quality is what separates retrieval
+    models). Deterministic tiebreak (sim desc, id asc); at corpus scale the
+    candidate set comes from the ANN bucketing instead of the full cross
+    join — the anchor set broadcast and the top-1 rank window are the
+    shape either way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("label").alias("a_label"),
+    )
+    cands = fan_out(e).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(anchors))
+        .filter(F.col("n_label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "negative_id",
+            F.col("n_label").alias("negative_label"),
+            S.cosine(F.col("a_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "a_label", "negative_id", "negative_label", "cosine_sim")
+        .orderBy("anchor_id")
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, v AS q_vec, label AS a_label FROM e WHERE vec_id < 20),
+scored AS (
+    SELECT anchor_id, a_label, e.vec_id AS negative_id, e.label AS negative_label,
+           {_COS_SQL.replace("c_vec", "e.v")} AS cosine_sim
+    FROM e CROSS JOIN a
+    WHERE e.label != a.a_label
+)
+SELECT anchor_id, a_label, negative_id, negative_label, cosine_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cosine_sim DESC, negative_id) AS rn
+    FROM scored
+) WHERE rn = 1
+ORDER BY anchor_id
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at τ=0.4 (exact all-pairs verifier;
     see operators/similarity.embedding_dup_pairs for the LSH scale path)."""
@@ -1783,6 +1842,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "containment_pairs": QuerySpec(q_containment_pairs, CONTAINMENT_PAIRS_SQL),
     "minhash_accuracy": QuerySpec(q_minhash_accuracy, MINHASH_ACCURACY_SQL),
     "ivf_cluster_stats": QuerySpec(q_ivf_cluster_stats, IVF_CLUSTER_STATS_SQL),
+    "hard_negatives": QuerySpec(q_hard_negatives, HARD_NEGATIVES_SQL),
 }
 
 # transformWithStateInPandas (state API v2) speaks protobuf between the JVM

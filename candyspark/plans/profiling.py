@@ -281,3 +281,129 @@ FROM pred CROSS JOIN actual
 """
 
 REGISTRY["join_size_profile"] = QuerySpec(q_join_size_profile, JOIN_SIZE_PROFILE_SQL)
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the schema's declared FK edges:
+    for each (child.fk → parent.pk) pair, distinct child keys, how many are
+    orphaned (absent from the parent), and the orphaned ROW count — the
+    data-quality gate every warehouse load runs before trusting joins
+    (an orphan rate > 0 silently turns inner joins into row-droppers).
+
+    Shape for scale: each edge reduces the child to its DISTINCT keys
+    first (map-side combined, fixed-width key shuffle), LEFT-ANTI joins
+    the parent's key set, and only the (tiny) orphan key set re-joins the
+    child for the row count. No edge ever shuffles fact-table payload
+    columns. Edges are unioned into one result relation."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        child_keys = (
+            c.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("__fk"))
+            .agg(F.count(F.lit(1)).alias("__rows"))
+        )
+        orphans = child_keys.join(
+            p, child_keys["__fk"] == p["__pk"], "left_anti"
+        )
+        parts.append(
+            child_keys.agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+            ).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("orphan_keys"),
+                    F.coalesce(F.sum("__rows"), F.lit(0))
+                    .cast("long")
+                    .alias("orphan_rows"),
+                )
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("fk_edge")
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+WITH edge AS (
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge, k.n AS distinct_keys,
+           o.nk AS orphan_keys, o.nr AS orphan_rows
+    FROM (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+          FROM lineitem WHERE l_orderkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem
+                WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = ck.l_orderkey)) o
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part.p_partkey', k.n, o.nk, o.nr
+    FROM (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n
+          FROM lineitem WHERE l_partkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT l_partkey, COUNT(*) AS c FROM lineitem
+                WHERE l_partkey IS NOT NULL GROUP BY l_partkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = ck.l_partkey)) o
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier.s_suppkey', k.n, o.nk, o.nr
+    FROM (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n
+          FROM lineitem WHERE l_suppkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT l_suppkey, COUNT(*) AS c FROM lineitem
+                WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = ck.l_suppkey)) o
+    UNION ALL
+    SELECT 'orders.o_custkey->customer.c_custkey', k.n, o.nk, o.nr
+    FROM (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n
+          FROM orders WHERE o_custkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT o_custkey, COUNT(*) AS c FROM orders
+                WHERE o_custkey IS NOT NULL GROUP BY o_custkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = ck.o_custkey)) o
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation.n_nationkey', k.n, o.nk, o.nr
+    FROM (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n
+          FROM customer WHERE c_nationkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT c_nationkey, COUNT(*) AS c FROM customer
+                WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = ck.c_nationkey)) o
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation.n_nationkey', k.n, o.nk, o.nr
+    FROM (SELECT CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n
+          FROM supplier WHERE s_nationkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT s_nationkey, COUNT(*) AS c FROM supplier
+                WHERE s_nationkey IS NOT NULL GROUP BY s_nationkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = ck.s_nationkey)) o
+    UNION ALL
+    SELECT 'nation.n_regionkey->region.r_regionkey', k.n, o.nk, o.nr
+    FROM (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n
+          FROM nation WHERE n_regionkey IS NOT NULL) k,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nr
+          FROM (SELECT n_regionkey, COUNT(*) AS c FROM nation
+                WHERE n_regionkey IS NOT NULL GROUP BY n_regionkey) ck
+          WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = ck.n_regionkey)) o
+)
+SELECT * FROM edge ORDER BY fk_edge
+"""
+
+REGISTRY["referential_integrity"] = QuerySpec(
+    q_referential_integrity, REFERENTIAL_INTEGRITY_SQL
+)
