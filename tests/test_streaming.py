@@ -372,3 +372,54 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     emitted2 = {r["ws"]: r["n"] for r in spark.read.parquet(out).collect()}
     # the closed window's count did NOT change and was not re-emitted higher
     assert emitted2[dt.datetime(2024, 3, 1, 0, 0, 0)] == 1
+
+
+def test_foreach_batch_merge_upsert_and_replay_fence(spark, tmp_path):
+    """The idempotent foreachBatch UPSERT sink: keyed merge keeps the
+    latest version per key across restarts of the same checkpoint, and a
+    replayed batchId (crash between sink commit and checkpoint commit) is
+    fenced — running the sink body again with an already-committed id must
+    change nothing."""
+    import glob as _glob
+    import os as _os
+
+    from candyspark.streaming.stream import run_foreach_batch_merge
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, tag):
+        stage = str(tmp_path / f"stage_{tag}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(part, str(src / f"{tag}.parquet"))
+
+    ts0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    ts1 = dt.datetime(2024, 3, 1, 13, 0, 0)
+    # batch 0: users 10, 11
+    land([(1, ts0, 10, "click", 1.0, "{}"), (2, ts0, 11, "view", 2.0, "{}")], "b0")
+    stream = spark.readStream.schema(EVENTS).parquet(str(src))
+    run_foreach_batch_merge(stream, out, ["user_id"], "ts", ckpt)
+    t = {r["user_id"]: r for r in spark.read.parquet(out + "/data").collect()}
+    assert set(t) == {10, 11} and t[10]["event_id"] == 1
+
+    # batch 1 (same checkpoint): newer row for user 10, new user 12
+    land([(3, ts1, 10, "purchase", 5.0, "{}"), (4, ts0, 12, "view", 1.0, "{}")], "b1")
+    stream = spark.readStream.schema(EVENTS).parquet(str(src))
+    run_foreach_batch_merge(stream, out, ["user_id"], "ts", ckpt)
+    t = {r["user_id"]: r for r in spark.read.parquet(out + "/data").collect()}
+    assert set(t) == {10, 11, 12}
+    assert t[10]["event_id"] == 3 and t[10]["event_type"] == "purchase"  # upserted
+
+    # replay fence: re-running an availableNow drain on the SAME checkpoint
+    # with no new files must leave the fence and the table untouched
+    with open(out + "/_last_committed_batch") as f:
+        fence_before = f.read()
+    stream = spark.readStream.schema(EVENTS).parquet(str(src))
+    run_foreach_batch_merge(stream, out, ["user_id"], "ts", ckpt)
+    with open(out + "/_last_committed_batch") as f:
+        assert f.read() == fence_before
+    t2 = {r["user_id"]: r["event_id"] for r in spark.read.parquet(out + "/data").collect()}
+    assert t2 == {u: r["event_id"] for u, r in t.items()}
