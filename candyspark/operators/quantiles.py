@@ -158,6 +158,7 @@ def exact_quantiles_grouped(
     out_prob: str = "p",
     out_value: str = "value",
     discrete: bool = False,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-GROUP distributed exact quantiles: the grouped generalization of
     ``exact_quantiles`` — every step gains the group key, nothing else
@@ -176,11 +177,25 @@ def exact_quantiles_grouped(
     vals = df.select(g, F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
-    bounds = (
-        vals.groupBy("grp")
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n"))
-        .localCheckpoint()
-    )
+    if bounds_df is not None:
+        # caller-supplied (group, lo, hi, n): skips this function's bounds
+        # scan entirely. lo/hi may over-cover ([lo, hi] ⊇ the true value
+        # range keeps the bucket key monotone, just coarser); n MUST equal
+        # the exact non-null count — ranks derive from it.
+        bounds = bounds_df.select(
+            F.col(group_col).alias("grp"),
+            F.col("lo").cast("double"),
+            F.col("hi").cast("double"),
+            F.col("n").cast("long"),
+        )
+    else:
+        bounds = (
+            vals.groupBy("grp")
+            .agg(
+                F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+            )
+            .localCheckpoint()
+        )
     with_b = vals.join(F.broadcast(bounds), "grp").select(
         "grp",
         "v",

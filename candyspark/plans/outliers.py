@@ -209,21 +209,45 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # one bounds scan feeds BOTH extractions: the deviation pass's bounds
+    # derive algebraically (|x − med| spans [0, max(hi−med, med−lo)]) and
+    # its count equals the price count — no second bounds scan of the fact
+    bounds = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
     qg = exact_quantiles_grouped(
-        spark, li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75]
+        spark, li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75],
+        bounds_df=bounds,
     )
     quartiles = qg.groupBy("l_returnflag").agg(
         F.max(F.when(F.col("p") == 0.25, F.col("value"))).alias("q1"),
         F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("med"),
         F.max(F.when(F.col("p") == 0.75, F.col("value"))).alias("q3"),
-    )
+    ).localCheckpoint()  # feeds devs, dev_bounds, and the final select
     devs = li.join(
         F.broadcast(quartiles.select("l_returnflag", "med")), "l_returnflag"
     ).select(
         "l_returnflag", F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev")
     )
+    dev_bounds = bounds.join(
+        quartiles.select("l_returnflag", "med"), "l_returnflag"
+    ).select(
+        "l_returnflag",
+        F.lit(0.0).alias("lo"),
+        F.greatest(F.col("hi") - F.col("med"), F.col("med") - F.col("lo")).alias("hi"),
+        "n",
+    )
     mad = (
-        exact_quantiles_grouped(spark, devs, "l_returnflag", "dev", [0.5])
+        exact_quantiles_grouped(
+            spark, devs, "l_returnflag", "dev", [0.5], bounds_df=dev_bounds
+        )
         .select("l_returnflag", F.col("value").alias("mad_raw"))
     )
     return (

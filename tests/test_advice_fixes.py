@@ -151,3 +151,31 @@ def test_markov_query_end_to_end(spark, tmp_path):
     out = {r["channel"]: r for r in q_markov_attribution(spark, str(tmp_path)).collect()}
     assert out["click"]["removal_effect"] == pytest.approx(0.0)
     assert out["view"]["removal_effect"] > 0
+
+
+def test_exact_quantiles_grouped_caller_bounds(spark):
+    """Supplying bounds_df (even OVER-covering lo/hi) must give identical
+    quantiles to the self-computed-bounds path — the contract robust_stats'
+    shared-bounds optimization leans on (its dev pass derives [0, max-dev]
+    algebraically instead of re-scanning)."""
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    rows = [("a", float(v)) for v in [3, 1, 4, 1, 5, 9, 2, 6]] + [
+        ("b", float(v)) for v in [10, 30, 20]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.0, 0.25, 0.5, 1.0]
+    base = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles_grouped(spark, df, "g", "x", probs, n_buckets=8).collect()
+    }
+    wide = spark.createDataFrame(
+        [("a", -100.0, 100.0, 8), ("b", 0.0, 1000.0, 3)], "g string, lo double, hi double, n long"
+    )
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles_grouped(
+            spark, df, "g", "x", probs, n_buckets=8, bounds_df=wide
+        ).collect()
+    }
+    assert got == base
