@@ -169,6 +169,7 @@ HEADLINE = [
     "ivf_cluster_stats",
     "hard_negatives",
     "referential_integrity",
+    "streaming_upsert",
 ]
 
 

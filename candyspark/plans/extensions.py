@@ -1185,6 +1185,55 @@ def _land_once(spark: SparkSession, df: DataFrame) -> str:
     return src
 
 
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotent foreachBatch UPSERT sink driven end to end: events
+    stream in TWO micro-batches (maxFilesPerTrigger=1 over a 2-file
+    landing) through run_foreach_batch_merge keyed on user_id with
+    event_id as the version, and the resulting parquet-backed table must
+    equal the batch latest-row-per-user oracle — the streaming CDC-style
+    keyed materialization every operational pipeline maintains.
+    Batch-order independence is the point: whichever file lands first, the
+    merged table converges to the same latest-per-key rows."""
+    import tempfile
+    import uuid
+
+    from candyspark.schemas import EVENTS
+    from candyspark.streaming.stream import run_foreach_batch_merge
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="candyspark_stream_src_")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    out = tempfile.mkdtemp(prefix=f"candyspark_upsert_{uuid.uuid4().hex[:8]}_")
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch_merge(stream, out, ["user_id"], "event_id", ckpt)
+    import os
+
+    if not os.path.exists(out + "/data"):  # empty source → no batch committed
+        return spark.createDataFrame([], EVENTS).select(
+            "user_id", "event_id", "event_type", "value"
+        )
+    return (
+        spark.read.parquet(out + "/data")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+STREAMING_UPSERT_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming deduplication: the events table landed TWICE
     into the stream source (every row an exact duplicate), drained through
@@ -1843,6 +1892,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_accuracy": QuerySpec(q_minhash_accuracy, MINHASH_ACCURACY_SQL),
     "ivf_cluster_stats": QuerySpec(q_ivf_cluster_stats, IVF_CLUSTER_STATS_SQL),
     "hard_negatives": QuerySpec(q_hard_negatives, HARD_NEGATIVES_SQL),
+    "streaming_upsert": QuerySpec(q_streaming_upsert, STREAMING_UPSERT_SQL),
 }
 
 # transformWithStateInPandas (state API v2) speaks protobuf between the JVM

@@ -23,6 +23,12 @@ NAMES = [
     "greedy_allocation",
     "basket_pairs",
     "scalar_functions",
+    # round-2 kernels: the quantile extractor's localCheckpoints and the
+    # LSH candidate join must also be re-entrant
+    "robust_stats",
+    "semantic_dedup",
+    "containment_pairs",
+    "gopher_quality_filter",
 ]
 
 
