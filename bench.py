@@ -170,6 +170,9 @@ HEADLINE = [
     "hard_negatives",
     "referential_integrity",
     "streaming_upsert",
+    "readability_scores",
+    "robust_outliers",
+    "dataset_card",
 ]
 
 

@@ -1035,3 +1035,136 @@ FROM s
 """
 
 REGISTRY["zipf_fit"] = QuerySpec(zipf_fit, ZIPF_FIT_SQL)
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability (Flesch-Kincaid grade): words/sentences and
+    syllables/words ratios through the standard 0.39/11.8/−15.59 formula —
+    the classic text-quality signal next to the Gopher rule gates, and the
+    engine's SCALAR pandas-UDF surface (functions/scalar_udf.py): the three
+    counters run as Arrow-vectorized Series kernels, deliberately chosen
+    regex-countable so the whole Python round trip sits under the DuckDB
+    hash (same discipline as the multimodal stub codecs). Scale: per-row
+    expressions, zero shuffle; the Arrow transfer is the only cost over the
+    pure-Column form, and swapping these three UDFs for builtin
+    regexp_count is a one-line change per counter when that matters."""
+    from candyspark.functions.scalar_udf import (
+        sentence_count,
+        syllable_count,
+        word_count_udf,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        word_count_udf("text").alias("n_words"),
+        sentence_count("text").alias("n_sentences"),
+        syllable_count("text").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.when(
+        F.col("n_words") > 0,
+        F.col("n_syllables").cast("double") / F.col("n_words"),
+    ).otherwise(F.lit(0.0))
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        snap_round(grade, 4).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+READABILITY_SCORES_SQL = r"""
+WITH c AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(ROUND(CAST(
+           0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+           + 11.8 * (CASE WHEN n_words > 0
+                          THEN CAST(n_syllables AS DOUBLE) / n_words
+                          ELSE 0.0 END)
+           - 15.59
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS fk_grade
+FROM c
+ORDER BY doc_id
+"""
+
+REGISTRY["readability_scores"] = QuerySpec(readability_scores, READABILITY_SCORES_SQL)
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-page summary every corpus release
+    ships (docs, token total, language spread, exact-duplicate rate, mean
+    quality) — the aggregate a mixture designer reads before weighting
+    sources in a training run.
+
+    One scan, one source-keyed aggregate: tokens/quality are scan-stage
+    expressions, the dup rate divides distinct content digests by docs
+    (both exact counts — COUNT(DISTINCT md5) carries a fixed-width key),
+    and the mean quality snaps each per-doc score to DECIMAL before the
+    order-independent exact sum (a raw double AVG hashes differently per
+    partitioning)."""
+    from candyspark.operators.text import fingerprint_md5, quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        token_count("text").cast("long").alias("n_toks"),
+        fingerprint_md5("text").alias("content_key"),
+        F.round(quality_score("text").cast("decimal(18,6)"), 6).alias("q"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("content_key").cast("long").alias("n_unique"),
+        F.sum("q").alias("q_sum"),
+    )
+    dup_rate = (
+        F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        snap_round(dup_rate, 6).alias("dup_rate"),
+        snap_round(F.col("q_sum").cast("double") / F.col("n_docs"), 4).alias(
+            "mean_quality"
+        ),
+    ).orderBy("source")
+
+
+DATASET_CARD_SQL = f"""
+WITH t AS (SELECT source, lang, text, {_AN_TOKS} AS toks FROM documents),
+per_doc AS (
+    SELECT source, lang,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           md5(array_to_string(toks, ' ')) AS content_key,
+           CAST(ROUND(CAST({_AN_QUALITY} AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS q
+    FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(ROUND(CAST(1.0 - CAST(COUNT(DISTINCT content_key) AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS dup_rate,
+       CAST(ROUND(CAST(CAST(SUM(q) AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_quality
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+REGISTRY["dataset_card"] = QuerySpec(dataset_card, DATASET_CARD_SQL)

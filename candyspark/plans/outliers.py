@@ -794,3 +794,91 @@ FROM point CROSS JOIN ci
 """
 
 REGISTRY["bootstrap_ci_mean"] = QuerySpec(q_bootstrap_ci_mean, BOOTSTRAP_CI_MEAN_SQL)
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (modified z-score) outlier detection: lines whose
+    |0.6745·(x − median)/MAD| exceeds 3.5 within their return-flag cohort —
+    Iglewicz-Hoban's rule, the heavy-tail-safe replacement for the plain
+    z-score cut (q_zscore_outliers): one extreme value inflates a stddev
+    but not a MAD, so classic z misses exactly the outliers it should flag.
+
+    Median and MAD come from the distributed order-statistic extractor
+    (same shared-bounds discipline as q_robust_stats — one bounds scan, the
+    deviation pass's bounds derived algebraically); the 2-row stats dim
+    broadcasts back onto the fact, so flagging is one scan-stage predicate.
+    Returns the flagged lines with their modified z."""
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    vals = li.select("l_returnflag", "l_extendedprice")
+    bounds = (
+        vals.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    med = (
+        exact_quantiles_grouped(
+            spark, vals, "l_returnflag", "l_extendedprice", [0.5], bounds_df=bounds
+        )
+        .select("l_returnflag", F.col("value").alias("med"))
+        .localCheckpoint()
+    )
+    devs = vals.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev")
+    )
+    dev_bounds = bounds.join(med, "l_returnflag").select(
+        "l_returnflag",
+        F.lit(0.0).alias("lo"),
+        F.greatest(F.col("hi") - F.col("med"), F.col("med") - F.col("lo")).alias("hi"),
+        "n",
+    )
+    mad = exact_quantiles_grouped(
+        spark, devs, "l_returnflag", "dev", [0.5], bounds_df=dev_bounds
+    ).select("l_returnflag", F.col("value").alias("mad"))
+    stats = med.join(mad, "l_returnflag")
+    mz = F.lit(0.6745) * (F.col("l_extendedprice") - F.col("med")) / F.col("mad")
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .withColumn("modified_z", snap_round(mz, 4))
+        .filter(F.abs(F.col("modified_z")) > 3.5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            "modified_z",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+    FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+    SELECT l.l_returnflag, quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+       CAST(ROUND(CAST(0.6745 * (l_extendedprice - med) / mad
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS modified_z
+FROM lineitem l
+JOIN med USING (l_returnflag)
+JOIN mad USING (l_returnflag)
+WHERE ABS(CAST(ROUND(CAST(0.6745 * (l_extendedprice - med) / mad
+                          AS DECIMAL(28,8)), 4) AS DOUBLE)) > 3.5
+ORDER BY l_orderkey, l_linenumber
+"""
+
+REGISTRY["robust_outliers"] = QuerySpec(q_robust_outliers, ROBUST_OUTLIERS_SQL)
