@@ -23,17 +23,17 @@ from pyspark.sql.functions import pandas_udf
 def syllable_count(text: pd.Series) -> pd.Series:
     """Maximal vowel-group runs per text (the classic syllable estimate) —
     vectorized ``Series.str.count`` over one Arrow batch."""
-    return text.str.lower().str.count(r"[aeiouy]+").astype("int64")
+    return text.fillna("").str.lower().str.count(r"[aeiouy]+").astype("int64")
 
 
 @pandas_udf("long")
 def sentence_count(text: pd.Series) -> pd.Series:
     """Sentence-terminator runs, clamped to ≥ 1 (prose without terminal
     punctuation is one sentence)."""
-    return text.str.count(r"[.!?]+").clip(lower=1).astype("int64")
+    return text.fillna("").str.count(r"[.!?]+").clip(lower=1).astype("int64")
 
 
 @pandas_udf("long")
 def word_count_udf(text: pd.Series) -> pd.Series:
     """Whitespace-delimited word count (vectorized split-free form)."""
-    return (text.str.count(r"\S+")).astype("int64")
+    return text.fillna("").str.count(r"\S+").astype("int64")

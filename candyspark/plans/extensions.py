@@ -182,9 +182,16 @@ GROUP BY 1
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked (by lang) word-3-gram Jaccard pairs ≥ 0.6."""
+    """Blocked (by lang) word-3-gram Jaccard pairs ≥ 0.6. The lang key is
+    DEMO-grade blocking (operators/dedup.ngram_jaccard_pairs' contract is
+    candidates-only); the block-cap guard is disabled here because the
+    driver testdata's largest lang block is known-bounded (~2k at sf0.1)
+    and the guard's extra scan would bill every bench run — real corpora
+    keep the cap on."""
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "text", "doc_id", "lang", k=3, threshold=0.6)
+    return D.ngram_jaccard_pairs(
+        d, "text", "doc_id", "lang", k=3, threshold=0.6, max_block_rows=None
+    )
 
 
 DEDUP_NGRAM_SQL = f"""

@@ -220,8 +220,10 @@ def run_foreach_batch_merge(
        only after the data move — a reader never sees a half-written table
        and a crash between the two steps re-runs an idempotent merge.
 
-    Merge semantics: latest row per ``key_cols`` by ``version_col``
-    (ties: arbitrary-but-deterministic via the key sort). At cluster scale
+    Merge semantics: latest row per ``key_cols`` by ``version_col``.
+    Determinism is the caller's contract: pick a ``version_col`` UNIQUE
+    within each key (an event id, an offset — not a wall clock that can
+    tie); on a tie the surviving row is arbitrary. At cluster scale
     the same sink body targets a table format (Delta/Iceberg MERGE) whose
     commit protocol replaces the rename; the fencing logic is identical —
     this is the shape, runnable on plain parquet.
