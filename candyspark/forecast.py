@@ -58,22 +58,18 @@ def _prophet_forecast(
     return model.predict(future)["yhat"].to_numpy()
 
 
-def _seasonal_forecast(
-    dates: pd.Series, values: np.ndarray, horizon: int
-) -> np.ndarray:
-    """Deterministic day-of-week seasonal model: OLS linear trend on the
-    CALENDAR day index (gap-aware), plus each weekday's mean residual as
-    an additive offset — the weekday seasonality that is the reference's
-    entire Prophet rationale (/root/reference/src/time_series.py:21),
-    without Prophet's run-date anchoring bug. Weekdays never observed get
-    offset 0 (pure trend)."""
+def _seasonal_fit(
+    dates: pd.Series, values: np.ndarray
+) -> tuple[float, float, np.ndarray, pd.Series]:
+    """Shared fit for the day-of-week seasonal model: OLS linear trend on
+    the CALENDAR day index (gap-aware) plus each weekday's mean residual
+    as an additive offset. Returns (intercept, slope, offsets[7], parsed
+    dates) — used by both the forecaster and the in-sample metrics so the
+    two can never drift apart. Callers guard the n == 0 case."""
     values = np.asarray(values, dtype=float)
     d = pd.to_datetime(pd.Series(dates).reset_index(drop=True))
-    n = len(values)
-    if n == 0:
-        return np.zeros(horizon)
     x = (d - d.iloc[0]).dt.days.to_numpy(dtype=float)
-    if n == 1:
+    if len(values) == 1:
         slope, intercept = 0.0, values[0]
     else:
         slope, intercept = np.polyfit(x, values, 1)
@@ -84,6 +80,19 @@ def _seasonal_forecast(
         mask = dow == w
         if mask.any():
             offsets[w] = resid[mask].mean()
+    return float(intercept), float(slope), offsets, d
+
+
+def _seasonal_forecast(
+    dates: pd.Series, values: np.ndarray, horizon: int
+) -> np.ndarray:
+    """Deterministic day-of-week seasonal model — the weekday seasonality
+    that is the reference's entire Prophet rationale
+    (/root/reference/src/time_series.py:21), without Prophet's run-date
+    anchoring bug. Weekdays never observed get offset 0 (pure trend)."""
+    if len(values) == 0:
+        return np.zeros(horizon)
+    intercept, slope, offsets, d = _seasonal_fit(dates, values)
     last = d.iloc[-1]
     future = [last + pd.Timedelta(days=i + 1) for i in range(horizon)]
     fx = np.array([(f - d.iloc[0]).days for f in future], dtype=float)
@@ -193,15 +202,11 @@ def _in_sample_predictions(
             pd.DataFrame({"ds": pd.to_datetime(dates)})
         )["yhat"].to_numpy()
     if method == "seasonal":
-        d = pd.to_datetime(pd.Series(dates).reset_index(drop=True))
+        if n == 0:
+            return values.copy()
+        intercept, slope, offsets, d = _seasonal_fit(dates, values)
         x = (d - d.iloc[0]).dt.days.to_numpy(dtype=float)
-        slope, intercept = (0.0, values[0]) if n == 1 else np.polyfit(x, values, 1)
-        resid = values - (intercept + slope * x)
         dow = d.dt.dayofweek.to_numpy()
-        offsets = np.zeros(7)
-        for w in range(7):
-            if (dow == w).any():
-                offsets[w] = resid[dow == w].mean()
         return intercept + slope * x + offsets[dow]
     if method in ("linear", "auto"):
         if n < 2:

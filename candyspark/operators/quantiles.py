@@ -38,10 +38,15 @@ def _rank_exprs(discrete: bool) -> tuple:
 
     Continuous (default): the (n−1)·p interpolation convention of Spark's
     ``percentile`` / DuckDB ``quantile_cont``. Discrete: the smallest value
-    whose cume_dist ≥ p — 0-based rank ceil(n·p)−1 — matching Spark's
-    ``percentile_disc`` / DuckDB ``PERCENTILE_DISC`` (k_lo = k_hi, so the
-    interpolation term vanishes and an ACTUAL data value survives the
-    engine boundary bit-for-bit)."""
+    whose cume_dist ≥ p — 0-based rank ceil(n·p)−1 computed in DOUBLE,
+    which matches Spark's ``percentile_disc`` exactly (k_lo = k_hi, so the
+    interpolation term vanishes and an ACTUAL data value crosses the
+    engine boundary). CAVEAT: at float-boundary probs the two reference
+    engines themselves disagree — e.g. n=100, p=0.07: double math gives
+    ceil(7.000000000000001)=8 (Spark and this extractor) while DuckDB's
+    PERCENTILE_DISC returns the 7th value — so pair discrete mode with a
+    DuckDB oracle only at probs whose n·p stays float-exact (the
+    registry's 0.05/0.95 uses are verified at both driver SFs)."""
     if discrete:
         k = F.greatest(F.ceil(F.col("n") * F.col("p")) - 1, F.lit(0)).cast("long")
         k = F.least(k, F.col("n") - 1)

@@ -338,13 +338,20 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.
     """
     band = 64  # ≥ max TPC-H qty (50): each interval covers ≤ 2 bands
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        "l_linestatus",
-        "l_shipdate",
-        F.col("l_quantity").cast("long").alias("qty"),
+    # qty = 0 lines are FIFO no-ops (zero-width intervals can never fund
+    # anything) — filtered on BOTH sides so engine and oracle agree on the
+    # degenerate rows the banded join would drop anyway
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_linestatus",
+            "l_shipdate",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
     )
     w = Window.partitionBy("l_partkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
@@ -417,6 +424,7 @@ WITH base AS (
     SELECT l_partkey, l_orderkey, l_linenumber, l_linestatus, l_shipdate,
            CAST(l_quantity AS BIGINT) AS qty
     FROM lineitem
+    WHERE CAST(l_quantity AS BIGINT) > 0
 ),
 inflow AS (
     SELECT l_partkey AS in_part,

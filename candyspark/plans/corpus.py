@@ -998,11 +998,10 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ZIPF_FIT_SQL = """
+ZIPF_FIT_SQL = f"""
 WITH tf AS (
     SELECT term, COUNT(*) AS freq
-    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
-                                    x -> x != '')) AS term
+    FROM (SELECT unnest({_TOKS_FRAGMENT}) AS term
           FROM documents)
     GROUP BY term
 ),

@@ -1096,7 +1096,12 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests additionally pin the kernel's bytes."""
     from candyspark.operators.multimodal import resize_images
 
-    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    # empty payloads are excluded on BOTH sides (the oracle's WHERE and this
+    # filter): the stub codec's empty-input convention (all-zero bytes) has
+    # no SQL twin, and decoding nothing is degenerate anyway
+    d = with_binary_payload(
+        fan_out(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
+    )
     out = resize_images(d, "doc_id", "payload", width=32, height=32)
     # the kernel's surface is BINARY (that's the plumbing under test); the
     # driver adapter serializes it to hex because the two engines' python
@@ -1126,7 +1131,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the whole path DuckDB-oracle-checkable."""
     from candyspark.operators.multimodal import sample_frames
 
-    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    d = with_binary_payload(
+        fan_out(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
+    )
     out = sample_frames(d, "doc_id", "payload")
     return out.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
@@ -1201,11 +1208,12 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed materialization every operational pipeline maintains.
     Batch-order independence is the point: whichever file lands first, the
     merged table converges to the same latest-per-key rows."""
+    import shutil
     import tempfile
     import uuid
 
     from candyspark.schemas import EVENTS
-    from candyspark.streaming.stream import run_foreach_batch_merge
+    from candyspark.streaming.stream import merged_table_path, run_foreach_batch_merge
 
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="candyspark_stream_src_")
@@ -1218,14 +1226,15 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     run_foreach_batch_merge(stream, out, ["user_id"], "event_id", ckpt)
-    import os
-
-    if not os.path.exists(out + "/data"):  # empty source → no batch committed
+    shutil.rmtree(src, ignore_errors=True)  # the landed copy + checkpoint are
+    shutil.rmtree(ckpt, ignore_errors=True)  # per-invocation scratch
+    table = merged_table_path(out)
+    if table is None:  # empty source → no batch committed
         return spark.createDataFrame([], EVENTS).select(
             "user_id", "event_id", "event_type", "value"
         )
     return (
-        spark.read.parquet(out + "/data")
+        spark.read.parquet(table)
         .select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")
     )

@@ -418,7 +418,10 @@ def q_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from candyspark.operators.quantiles import exact_quantiles_grouped
 
     li = load_table(spark, sf_dir, "lineitem")
-    flagged = li.select(
+    # NULL flags are excluded from BOTH grids, matching the oracle's
+    # CASE WHEN (a NULL flag satisfies neither side there) and the counts
+    # aggregate below (whose when()/otherwise(0) also skips NULL)
+    flagged = li.filter(F.col("l_returnflag").isNotNull()).select(
         F.when(F.col("l_returnflag") == "R", F.lit("R"))
         .otherwise(F.lit("K"))
         .alias("side"),

@@ -197,6 +197,23 @@ def run_append(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> No
     q.awaitTermination()
 
 
+def merged_table_path(out_dir: str) -> str | None:
+    """Resolve the CURRENT committed version of a ``run_foreach_batch_merge``
+    table: the fence names the live version directory. None before the
+    first commit."""
+    import os
+
+    fence = os.path.join(out_dir, "_last_committed_batch")
+    if not os.path.exists(fence):
+        return None
+    with open(fence) as f:
+        content = f.read().strip()
+    if not content:
+        return None
+    path = os.path.join(out_dir, f"data_v{int(content)}")
+    return path if os.path.exists(path) else None
+
+
 def run_foreach_batch_merge(
     stream_df: DataFrame,
     out_dir: str,
@@ -215,25 +232,30 @@ def run_foreach_batch_merge(
     1. **batchId fencing**: the sink persists the last committed batchId
        next to the data; a replayed batch (same id after a restart that
        crashed between sink commit and checkpoint commit) is skipped.
-    2. **atomic publish**: the merged table is written to a staging dir and
-       moved over the live dir in one rename, with the fence marker updated
-       only after the data move — a reader never sees a half-written table
-       and a crash between the two steps re-runs an idempotent merge.
+    2. **versioned publish**: each commit writes a NEW ``data_v{batchId}``
+       directory and then atomically rewrites the fence (temp file +
+       rename) to point at it — readers resolve the table through
+       ``merged_table_path`` so they only ever see a fully-written
+       version, and a crash anywhere mid-commit leaves the fence on the
+       previous intact version, whose replay re-runs an idempotent merge.
+       (The naive delete-live-dir-then-rename-staging scheme has a crash
+       window that loses the whole table; versions + a pointer don't.)
+       Superseded versions are pruned only after the fence moves on.
 
     Merge semantics: latest row per ``key_cols`` by ``version_col``.
     Determinism is the caller's contract: pick a ``version_col`` UNIQUE
     within each key (an event id, an offset — not a wall clock that can
     tie); on a tie the surviving row is arbitrary. At cluster scale
     the same sink body targets a table format (Delta/Iceberg MERGE) whose
-    commit protocol replaces the rename; the fencing logic is identical —
-    this is the shape, runnable on plain parquet.
+    commit protocol replaces the version-pointer dance; the fencing logic
+    is identical — this is the shape, runnable on plain parquet.
     """
+    import glob as _glob
     import os
     import shutil
 
     from pyspark.sql import Window as W
 
-    data_dir = os.path.join(out_dir, "data")
     fence = os.path.join(out_dir, "_last_committed_batch")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -244,26 +266,27 @@ def run_foreach_batch_merge(
         if batch_id <= last:  # replay after restart: already committed
             return
         spark = batch_df.sparkSession
-        if os.path.exists(data_dir):
-            current = spark.read.parquet(data_dir)
-            merged = current.unionByName(batch_df)
+        current = merged_table_path(out_dir)
+        if current is not None:
+            merged = spark.read.parquet(current).unionByName(batch_df)
         else:
             merged = batch_df
-        w = W.partitionBy(*key_cols).orderBy(
-            F.desc(version_col), *[F.desc(k) for k in key_cols]
-        )
+        w = W.partitionBy(*key_cols).orderBy(F.desc(version_col))
         latest = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        staging = os.path.join(out_dir, f"_staging_{batch_id}")
-        latest.write.mode("overwrite").parquet(staging)
-        if os.path.exists(data_dir):
-            shutil.rmtree(data_dir)
-        os.replace(staging, data_dir)
-        with open(fence, "w") as f:
+        new_version = os.path.join(out_dir, f"data_v{batch_id}")
+        latest.write.mode("overwrite").parquet(new_version)
+        # atomic fence flip: temp file + rename, THEN prune old versions
+        tmp_fence = fence + ".tmp"
+        with open(tmp_fence, "w") as f:
             f.write(str(batch_id))
+        os.replace(tmp_fence, fence)
+        for old in _glob.glob(os.path.join(out_dir, "data_v*")):
+            if old != new_version:
+                shutil.rmtree(old, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

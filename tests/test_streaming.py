@@ -383,7 +383,7 @@ def test_foreach_batch_merge_upsert_and_replay_fence(spark, tmp_path):
     import glob as _glob
     import os as _os
 
-    from candyspark.streaming.stream import run_foreach_batch_merge
+    from candyspark.streaming.stream import merged_table_path, run_foreach_batch_merge
 
     src = tmp_path / "src"
     src.mkdir()
@@ -402,14 +402,14 @@ def test_foreach_batch_merge_upsert_and_replay_fence(spark, tmp_path):
     land([(1, ts0, 10, "click", 1.0, "{}"), (2, ts0, 11, "view", 2.0, "{}")], "b0")
     stream = spark.readStream.schema(EVENTS).parquet(str(src))
     run_foreach_batch_merge(stream, out, ["user_id"], "ts", ckpt)
-    t = {r["user_id"]: r for r in spark.read.parquet(out + "/data").collect()}
+    t = {r["user_id"]: r for r in spark.read.parquet(merged_table_path(out)).collect()}
     assert set(t) == {10, 11} and t[10]["event_id"] == 1
 
     # batch 1 (same checkpoint): newer row for user 10, new user 12
     land([(3, ts1, 10, "purchase", 5.0, "{}"), (4, ts0, 12, "view", 1.0, "{}")], "b1")
     stream = spark.readStream.schema(EVENTS).parquet(str(src))
     run_foreach_batch_merge(stream, out, ["user_id"], "ts", ckpt)
-    t = {r["user_id"]: r for r in spark.read.parquet(out + "/data").collect()}
+    t = {r["user_id"]: r for r in spark.read.parquet(merged_table_path(out)).collect()}
     assert set(t) == {10, 11, 12}
     assert t[10]["event_id"] == 3 and t[10]["event_type"] == "purchase"  # upserted
 
@@ -421,5 +421,12 @@ def test_foreach_batch_merge_upsert_and_replay_fence(spark, tmp_path):
     run_foreach_batch_merge(stream, out, ["user_id"], "ts", ckpt)
     with open(out + "/_last_committed_batch") as f:
         assert f.read() == fence_before
-    t2 = {r["user_id"]: r["event_id"] for r in spark.read.parquet(out + "/data").collect()}
+    t2 = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(merged_table_path(out)).collect()
+    }
     assert t2 == {u: r["event_id"] for u, r in t.items()}
+    # versioned publish: exactly one live version remains after pruning
+    import glob as _g
+
+    assert len(_g.glob(out + "/data_v*")) == 1
