@@ -189,6 +189,57 @@ ORDER BY event_type
 """
 
 
+def _grouped_median_mad(
+    spark: SparkSession,
+    vals: DataFrame,
+    group_col: str,
+    value_col: str,
+    extra_probs: tuple[float, ...] = (),
+) -> DataFrame:
+    """Shared median+MAD kernel for the robust family (q_robust_stats,
+    q_robust_outliers): distributed order-statistic extraction with ONE
+    bounds scan feeding both rounds — the deviation pass's bounds derive
+    algebraically (|x − med| spans [0, max(hi−med, med−lo)]) with the same
+    exact count, so MAD costs no second bounds scan of the fact. Returns
+    one row per group: (group, med, mad, p{NN} for each extra prob)."""
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    probs = sorted({0.5, *extra_probs})
+    bounds = (
+        vals.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).cast("double").alias("lo"),
+            F.max(value_col).cast("double").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    qg = exact_quantiles_grouped(
+        spark, vals, group_col, value_col, probs, bounds_df=bounds
+    )
+    pivots = [
+        F.max(F.when(F.col("p") == pr, F.col("value"))).alias(
+            "med" if pr == 0.5 else f"p{int(round(pr * 100)):02d}"
+        )
+        for pr in probs
+    ]
+    stats = qg.groupBy(group_col).agg(*pivots).localCheckpoint()
+    devs = vals.join(F.broadcast(stats.select(group_col, "med")), group_col).select(
+        group_col, F.abs(F.col(value_col) - F.col("med")).alias("dev")
+    )
+    dev_bounds = bounds.join(stats.select(group_col, "med"), group_col).select(
+        group_col,
+        F.lit(0.0).alias("lo"),
+        F.greatest(F.col("hi") - F.col("med"), F.col("med") - F.col("lo")).alias("hi"),
+        "n",
+    )
+    mad = exact_quantiles_grouped(
+        spark, devs, group_col, "dev", [0.5], bounds_df=dev_bounds
+    ).select(group_col, F.col("value").alias("mad"))
+    return stats.join(mad, group_col)
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group dispersion: median, quartiles, IQR, and MAD of
     l_extendedprice per return flag — the outlier-detection companion to
@@ -204,64 +255,20 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x − median|): medians broadcast back onto the fact, then the same
     extractor runs on the deviations. Both engines use linear
     interpolation at (n−1)·q; outputs are snapped to 4 dp."""
-    from candyspark.operators.quantiles import exact_quantiles_grouped
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # one bounds scan feeds BOTH extractions: the deviation pass's bounds
-    # derive algebraically (|x − med| spans [0, max(hi−med, med−lo)]) and
-    # its count equals the price count — no second bounds scan of the fact
-    bounds = (
-        li.filter(F.col("l_extendedprice").isNotNull())
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").cast("double").alias("lo"),
-            F.max("l_extendedprice").cast("double").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint()
+    stats = _grouped_median_mad(
+        spark, li, "l_returnflag", "l_extendedprice", extra_probs=(0.25, 0.75)
     )
-    qg = exact_quantiles_grouped(
-        spark, li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75],
-        bounds_df=bounds,
-    )
-    quartiles = qg.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("p") == 0.25, F.col("value"))).alias("q1"),
-        F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("med"),
-        F.max(F.when(F.col("p") == 0.75, F.col("value"))).alias("q3"),
-    ).localCheckpoint()  # feeds devs, dev_bounds, and the final select
-    devs = li.join(
-        F.broadcast(quartiles.select("l_returnflag", "med")), "l_returnflag"
-    ).select(
-        "l_returnflag", F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev")
-    )
-    dev_bounds = bounds.join(
-        quartiles.select("l_returnflag", "med"), "l_returnflag"
-    ).select(
+    return stats.select(
         "l_returnflag",
-        F.lit(0.0).alias("lo"),
-        F.greatest(F.col("hi") - F.col("med"), F.col("med") - F.col("lo")).alias("hi"),
-        "n",
-    )
-    mad = (
-        exact_quantiles_grouped(
-            spark, devs, "l_returnflag", "dev", [0.5], bounds_df=dev_bounds
-        )
-        .select("l_returnflag", F.col("value").alias("mad_raw"))
-    )
-    return (
-        quartiles.join(mad, "l_returnflag")
-        .select(
-            "l_returnflag",
-            snap_round(F.col("med"), 4).alias("median_price"),
-            snap_round(F.col("q1"), 4).alias("q1"),
-            snap_round(F.col("q3"), 4).alias("q3"),
-            snap_round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
-            snap_round(F.col("mad_raw"), 4).alias("mad"),
-        )
-        .orderBy("l_returnflag")
-    )
+        snap_round(F.col("med"), 4).alias("median_price"),
+        snap_round(F.col("p25"), 4).alias("q1"),
+        snap_round(F.col("p75"), 4).alias("q3"),
+        snap_round(F.col("p75") - F.col("p25"), 4).alias("iqr"),
+        snap_round(F.col("mad"), 4).alias("mad"),
+    ).orderBy("l_returnflag")
 
 
 ROBUST_STATS_SQL = """
@@ -808,42 +815,13 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation pass's bounds derived algebraically); the 2-row stats dim
     broadcasts back onto the fact, so flagging is one scan-stage predicate.
     Returns the flagged lines with their modified z."""
-    from candyspark.operators.quantiles import exact_quantiles_grouped
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
-    vals = li.select("l_returnflag", "l_extendedprice")
-    bounds = (
-        vals.filter(F.col("l_extendedprice").isNotNull())
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").cast("double").alias("lo"),
-            F.max("l_extendedprice").cast("double").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint()
+    stats = _grouped_median_mad(
+        spark, li.select("l_returnflag", "l_extendedprice"), "l_returnflag",
+        "l_extendedprice",
     )
-    med = (
-        exact_quantiles_grouped(
-            spark, vals, "l_returnflag", "l_extendedprice", [0.5], bounds_df=bounds
-        )
-        .select("l_returnflag", F.col("value").alias("med"))
-        .localCheckpoint()
-    )
-    devs = vals.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag", F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev")
-    )
-    dev_bounds = bounds.join(med, "l_returnflag").select(
-        "l_returnflag",
-        F.lit(0.0).alias("lo"),
-        F.greatest(F.col("hi") - F.col("med"), F.col("med") - F.col("lo")).alias("hi"),
-        "n",
-    )
-    mad = exact_quantiles_grouped(
-        spark, devs, "l_returnflag", "dev", [0.5], bounds_df=dev_bounds
-    ).select("l_returnflag", F.col("value").alias("mad"))
-    stats = med.join(mad, "l_returnflag")
     mz = F.lit(0.6745) * (F.col("l_extendedprice") - F.col("med")) / F.col("mad")
     return (
         li.join(F.broadcast(stats), "l_returnflag")
