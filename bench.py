@@ -173,6 +173,9 @@ HEADLINE = [
     "readability_scores",
     "robust_outliers",
     "dataset_card",
+    "bm25_topk",
+    "source_caps",
+    "interval_merge",
 ]
 
 

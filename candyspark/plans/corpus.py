@@ -1167,3 +1167,47 @@ ORDER BY source
 """
 
 REGISTRY["dataset_card"] = QuerySpec(dataset_card, DATASET_CARD_SQL)
+
+
+def source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-source document cap: keep at most 15 documents per
+    source, chosen by a deterministic content-hash rank (md5(text),
+    doc_id) so the survivor set is reproducible across runs, engines and
+    partitionings — never rand(). Emits the survivors with their rank plus
+    the per-source population, so drop accounting (n_source - kept) rides
+    in the result. This is the corpus-mixture de-domination knob (a hot
+    domain cannot swamp the training mix); no reference counterpart.
+
+    Scale: one shuffle on source; the window ranks within each source
+    partition. A pathological mega-domain concentrates its partition — the
+    100-TB mitigation is a two-phase cap: per-partition partial top-CAP
+    (cap is small and fixed) before the source shuffle, exactly the
+    TakeOrdered shape, or a pre-filter on a per-source md5 threshold from
+    a count sketch. At bench SFs sources are uniform and the single
+    window is the right plan.
+    """
+    cap = 15
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_source"),
+    )
+    return ranked.filter(F.col("rk") <= cap).orderBy("source", "rk")
+
+
+SOURCE_CAPS_SQL = """
+SELECT doc_id, source, rk, n_source FROM (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n_source
+    FROM documents
+) WHERE rk <= 15
+ORDER BY source, rk
+"""
+
+
+REGISTRY["source_caps"] = QuerySpec(source_caps, SOURCE_CAPS_SQL)

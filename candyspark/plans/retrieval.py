@@ -467,3 +467,123 @@ LIMIT 50
 
 
 REGISTRY["doc_cosine_pairs"] = QuerySpec(q_doc_cosine_pairs, DOC_COSINE_PAIRS_SQL)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75): score every document against a
+    fixed 4-term query and return the top 20. The missing classic next to
+    the TF-IDF rankers above; no reference counterpart (extension surface,
+    SURVEY.md §2.13).
+
+    Exactness across engines: with k1=1.2, b=0.75 the per-term score
+    idf·tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)) rescales (multiply num/denom by
+    10·Σdl) to idf · 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N) — every
+    factor an exact int64 at bench SFs (Σdl < 2^53/22; re-scale per-shard
+    at 100 TB). The one transcendental (idf's ln) is snapped through
+    decimal once per TERM, and each per-term contribution is snapped to
+    DECIMAL(18,6) BEFORE the per-doc sum, so totals are partial-order
+    independent and engine-exact.
+
+    Scale: tf explodes tokens but filters to the query's terms BEFORE the
+    (doc, term) aggregate — the shuffle carries only query-term hits, not
+    the vocabulary. The text is tokenized ONCE: the narrow (doc_id, dl)
+    and (doc_id, term, tf) relations are materialized (localCheckpoint)
+    for their two consumers each, so the corpus never rescans. N, Σdl and
+    the ≤|query| idf rows ride in on broadcasts. Top-20 is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    query_terms = ("hash", "join", "stream", "spark")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    # tokenize once: dl feeds totals + contrib, tf feeds idf + contrib
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint()
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            snap_round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            snap_round(
+                F.col("idf")
+                * (22 * F.col("tf") * F.col("sumdl")).cast("double")
+                / (
+                    10 * F.col("tf") * F.col("sumdl")
+                    + 3 * F.col("sumdl")
+                    + 9 * F.col("dl") * F.col("n_docs")
+                ).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM dl),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY doc_id, term
+),
+idf AS (
+    SELECT term,
+           CAST(ROUND(CAST(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS idf
+    FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    CROSS JOIN totals
+),
+contrib AS (
+    SELECT doc_id,
+           CAST(ROUND(CAST(
+                idf * CAST(22 * tf * sumdl AS DOUBLE)
+                    / CAST(10 * tf * sumdl + 3 * sumdl + 9 * dl * n_docs
+                           AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS c
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN totals JOIN idf USING (term)
+)
+SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+REGISTRY["bm25_topk"] = QuerySpec(q_bm25_topk, BM25_TOPK_SQL)

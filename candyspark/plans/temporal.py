@@ -563,3 +563,97 @@ ORDER BY lag_days
 REGISTRY["leadlag_correlation"] = QuerySpec(
     q_leadlag_correlation, LEADLAG_CORRELATION_SQL
 )
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (each event opens a
+    30-minute busy window) and report per-user coverage: merged-interval
+    count, total covered time, and the longest merged span. The classic
+    interval-union op (uptime/SLA coverage, session stitching with
+    explicit ends) — distinct from gap-based sessionization, which works
+    on point events; no reference counterpart.
+
+    Formulation: island detection over a pinned (start, event_id) total
+    order — a row starts a new island iff its start exceeds the running
+    max of all PRECEDING ends (rows-between window, never range); a
+    cumulative sum of those flags is the island id; min(start)/max(end)
+    per island are the merged bounds. Exact integer microseconds end to
+    end — both engines aggregate int64, so the hash compare is exact.
+
+    Scale: everything partitions by user_id; the two window passes and
+    the island aggregate share that one exchange. No self-join — the
+    sweep is O(n log n) per user via the sort the window already pays.
+    """
+    win_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + win_us).alias("e"),
+        "event_id",
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+            F.max(F.col("me") - F.col("ms")).alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERVAL_MERGE_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + 1800000000 AS e, event_id
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                 OR s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS new_island,
+           event_id
+    FROM ev
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+),
+merged AS (
+    SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_merged,
+       CAST(SUM(me - ms) AS BIGINT) AS covered_us, MAX(me - ms) AS longest_us
+FROM merged GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+REGISTRY["interval_merge"] = QuerySpec(q_interval_merge, INTERVAL_MERGE_SQL)
