@@ -176,6 +176,9 @@ HEADLINE = [
     "bm25_topk",
     "source_caps",
     "interval_merge",
+    "cms_heavy_hitters",
+    "bloom_membership",
+    "similarity_mmr",
 ]
 
 

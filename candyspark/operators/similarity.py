@@ -301,3 +301,75 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    lam: float = 0.7,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's candidate
+    set, greedily select ``k`` results maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_selected`` — the
+    diversity-selection step a retrieval pipeline runs AFTER top-k
+    (brute-force or ANN) so near-duplicate neighbours don't crowd the
+    result list.
+
+    Input: one row per (query_id, neighbor_id) with ``cosine_sim`` (the
+    relevance from the upstream ranker) and the candidate vector ``c_vec``.
+    Output: (query_id, neighbor_id, mmr_rank, relevance, mmr_score).
+
+    The selection is inherently sequential (each pick changes the next
+    pick's penalty term) but over a BOUNDED set — the upstream top-k
+    already cut candidates to tens of rows per query — so it runs as a
+    per-query ``applyInPandas`` kernel (Arrow batch, numpy math), the
+    allocator's escape-hatch structure (operators/allocation.py): at any
+    corpus scale the kernel's working set is O(candidates²) per query,
+    never O(corpus). Determinism: candidates pre-sorted by (relevance
+    desc, neighbor_id); ties in the MMR objective resolve to the earlier
+    candidate in that order. Scores are rounded to 6 dp at the boundary.
+    Non-SQL-expressible (sequential argmax chain) → rows-only driver
+    check; tests recompute the chain independently and pin invariants.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.stack(pdf["c_vec"].map(np.asarray).to_list()).astype("float64")
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cosine_sim"].to_numpy(dtype="float64")
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            if not selected:
+                best = remaining[0]  # max relevance under the presort
+                best_score = lam * rel[best]
+            else:
+                sel_mat = unit[selected]
+                best, best_score = -1, -np.inf
+                for i in remaining:
+                    penalty = float(np.max(sel_mat @ unit[i]))
+                    s = lam * rel[i] - (1.0 - lam) * penalty
+                    if s > best_score:  # strict: ties keep the earlier row
+                        best, best_score = i, s
+            selected.append(best)
+            scores.append(float(best_score))
+            remaining.remove(best)
+        out = pdf.iloc[selected][["query_id", "neighbor_id"]].copy()
+        out["mmr_rank"] = np.arange(1, len(selected) + 1, dtype="int32")
+        out["relevance"] = rel[selected]
+        out["mmr_score"] = np.round(scores, 6)
+        return out
+
+    schema = (
+        "query_id long, neighbor_id long, mmr_rank int, "
+        "relevance double, mmr_score double"
+    )
+    return candidates.groupBy("query_id").applyInPandas(kernel, schema)

@@ -2856,3 +2856,24 @@ ORDER BY label_a, label_b
 REGISTRY["centroid_similarity"] = QuerySpec(
     q_centroid_similarity, CENTROID_SIMILARITY_SQL
 )
+
+
+def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: exact cosine top-20 candidates for query
+    vectors vec_id < 5 (same ground-truth ranker as similarity_bruteforce),
+    re-ranked to 5 diverse picks per query with λ=0.7 — the post-retrieval
+    diversity stage (operators/similarity.mmr_rerank). Sequential argmax
+    chain → rows-only driver check; tests/test_round2_ops.py recomputes
+    the chain independently from the same candidates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cands = S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=20)
+    with_vec = cands.join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine_sim", "c_vec")
+    return S.mmr_rerank(with_vec, lam=0.7, k=5).orderBy("query_id", "mmr_rank")
+
+
+REGISTRY["similarity_mmr"] = QuerySpec(q_similarity_mmr, None)  # sequential chain

@@ -14,9 +14,12 @@ bound vs exact is pinned in tests/test_sketches.py.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from candyspark.operators.text import char_hash32
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -335,3 +338,218 @@ def q_sliding_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["sliding_hll_wau"] = QuerySpec(q_sliding_hll_wau, None)  # approximate
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation: build a d=4 × w=256 CMS over
+    lineitem part keys, then probe it for the exact top-15 parts and
+    report estimate vs truth (overestimate ≥ 0 is the CMS contract — min
+    over rows can only collide upward, never undercount). Unlike the HLL
+    family above this sketch is EXACTLY reproducible — the d row-hashes
+    derive from md5, which both engines share bit-for-bit — so it gets a
+    full DuckDB oracle, not a rows-only check.
+
+    Scale: the sketch is a fixed d·w = 1,024-cell aggregate no matter the
+    input size — cells partial-aggregate map-side, the exchange carries
+    ≤1,024 rows, and per-day sketches merge by cell-wise sum without
+    rescanning (the same incremental-rollup property as the HLL rollup).
+    The probe side broadcasts the tiny sketch; exact top-15 is a
+    TakeOrdered over the one part-keyed aggregate.
+    """
+    d_rows, width = 4, 256
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def row_hash(i: int) -> F.Column:
+        return (
+            char_hash32(F.concat(F.lit(f"{i}:"), F.col("l_partkey").cast("string")))
+            % width
+        ).cast("int")
+
+    cells = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"), row_hash(i).alias("b")
+                        )
+                        for i in range(d_rows)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "l_partkey").limit(15)
+    probes = top.select(
+        "l_partkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), row_hash(i).alias("b"))
+                    for i in range(d_rows)
+                ]
+            )
+        ).alias("rb"),
+    ).select("l_partkey", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+    )
+
+
+_CMS_H = (
+    "CAST(CAST(concat('0x', substr(md5(concat(r, ':', CAST(l_partkey AS VARCHAR)))"
+    ", 1, 8)) AS BIGINT) % 256 AS INT)"
+)
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH keys AS (SELECT l_partkey FROM lineitem),
+cells AS (
+    SELECT r, {_CMS_H} AS b, COUNT(*) AS cnt
+    FROM keys CROSS JOIN (SELECT unnest([0,1,2,3]) AS r)
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT l_partkey, COUNT(*) AS exact_cnt FROM keys GROUP BY 1
+),
+top AS (
+    SELECT l_partkey, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, l_partkey LIMIT 15
+),
+probes AS (
+    SELECT l_partkey, exact_cnt, r, {_CMS_H} AS b
+    FROM top CROSS JOIN (SELECT unnest([0,1,2,3]) AS r)
+)
+SELECT l_partkey, exact_cnt, MIN(cnt) AS cms_est,
+       MIN(cnt) - exact_cnt AS overestimate
+FROM probes JOIN cells USING (r, b)
+GROUP BY l_partkey, exact_cnt
+ORDER BY exact_cnt DESC, l_partkey
+"""
+
+
+REGISTRY["cms_heavy_hitters"] = QuerySpec(q_cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL)
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join pruning, made checkable: build an
+    m=4096-bit, k=3 Bloom filter over the distinct customers with any
+    order over $400k, probe EVERY customer through it, and report per
+    market segment how many probe positive, how many truly belong, and
+    the false positives — the filter's no-false-negative contract is
+    enforced by construction (true_members ≤ bloom_positive per group).
+    The k hashes derive from md5, so the filter — and therefore the FP
+    set — is bit-for-bit reproducible in DuckDB: a sketch with a FULL
+    value oracle. This is the same mechanism as Spark's runtime
+    bloomFilter join pruning (exercised as posture in test_plans), here
+    surfaced as a first-class, verifiable operator.
+
+    Scale: the filter collapses to ONE row carrying the sorted array of
+    set bit positions (≤m elements regardless of the build side's size;
+    bit positions partial-aggregate map-side before the collect_set).
+    That row broadcasts to the probe side, where membership is k
+    array_contains expressions — pure scan-stage, the probe side never
+    shuffles and never explodes. The only exchanges are the build side's
+    distinct and the final ≤|segments| aggregate.
+    """
+    m_bits, k = 4096, 3
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()  # build side reused: filter bits + truth join
+    )
+
+    def bit(i: int, key: F.Column) -> F.Column:
+        return (
+            char_hash32(F.concat(F.lit(f"{i}:"), key.cast("string"))) % m_bits
+        ).cast("int")
+
+    bloom = members.select(
+        F.explode(F.array(*[bit(i, F.col("o_custkey")) for i in range(k)])).alias(
+            "pos"
+        )
+    ).agg(F.array_sort(F.collect_set("pos")).alias("bitset"))
+    probe = cust.select("c_custkey", "c_mktsegment").crossJoin(F.broadcast(bloom))
+    hits = probe.select(
+        "c_custkey",
+        "c_mktsegment",
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.array_contains("bitset", bit(i, F.col("c_custkey"))) for i in range(k)],
+        ).alias("positive"),
+    )
+    truth = members.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+        "is_member", F.lit(1)
+    )
+    return (
+        hits.join(F.broadcast(truth), "c_custkey", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(F.col("positive").cast("int")).alias("bloom_positive"),
+            F.sum(F.coalesce(F.col("is_member"), F.lit(0))).alias("true_members"),
+            F.sum(
+                F.when(F.col("positive") & F.col("is_member").isNull(), 1).otherwise(0)
+            ).alias("false_positives"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BLOOM_H_AT = (
+    "CAST(CAST(concat('0x', substr(md5(concat('{i}:', CAST({key} AS VARCHAR)))"
+    ", 1, 8)) AS BIGINT) % 4096 AS INT)"
+)
+
+_BLOOM_H = (
+    "CAST(CAST(concat('0x', substr(md5(concat(i, ':', CAST({key} AS VARCHAR)))"
+    ", 1, 8)) AS BIGINT) % 4096 AS INT)"
+)
+
+BLOOM_MEMBERSHIP_SQL = f"""
+WITH members AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+),
+bloom AS (
+    SELECT list_sort(list(DISTINCT pos)) AS bitset FROM (
+        SELECT {_BLOOM_H.format(key="o_custkey")} AS pos
+        FROM members CROSS JOIN (SELECT unnest([0,1,2]) AS i)
+    )
+),
+hits AS (
+    SELECT c_custkey, c_mktsegment,
+           list_contains(bitset, {_BLOOM_H_AT.format(key="c_custkey", i=0)})
+       AND list_contains(bitset, {_BLOOM_H_AT.format(key="c_custkey", i=1)})
+       AND list_contains(bitset, {_BLOOM_H_AT.format(key="c_custkey", i=2)})
+           AS positive
+    FROM customer CROSS JOIN bloom
+)
+SELECT c_mktsegment,
+       COUNT(*) AS customers,
+       CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT) AS bloom_positive,
+       CAST(SUM(CASE WHEN m.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS true_members,
+       CAST(SUM(CASE WHEN positive AND m.o_custkey IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS false_positives
+FROM hits LEFT JOIN members m ON hits.c_custkey = m.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+REGISTRY["bloom_membership"] = QuerySpec(q_bloom_membership, BLOOM_MEMBERSHIP_SQL)

@@ -183,3 +183,64 @@ def test_minhash_accuracy_well_formed(spark):
         assert r["abs_err"] == pytest.approx(
             abs(r["est_jaccard"] - r["true_jaccard"]), abs=1e-4
         )
+
+
+def test_mmr_rerank_matches_independent_chain(spark):
+    """The MMR kernel's greedy chain recomputed independently (pure
+    numpy over the collected candidate set) must match pick-for-pick,
+    and the structural invariants must hold: first pick = max relevance,
+    k unique picks per query, ranks 1..k."""
+    import numpy as np
+
+    from candyspark.operators.similarity import brute_force_topk, mmr_rerank
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lam, k = 0.7, 5
+    e = load_table(spark, sf, "embeddings")
+    cands = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=20).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine_sim", "c_vec")
+    got = (
+        mmr_rerank(cands, lam=lam, k=k)
+        .orderBy("query_id", "mmr_rank")
+        .toPandas()
+    )
+    raw = cands.toPandas()
+
+    for qid, grp in raw.groupby("query_id"):
+        grp = grp.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.stack(grp["c_vec"].map(np.asarray).to_list()).astype("float64")
+        unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+        rel = grp["cosine_sim"].to_numpy()
+        selected, remaining = [], list(range(len(grp)))
+        expect = []
+        while remaining and len(selected) < k:
+            if not selected:
+                best, best_score = remaining[0], lam * rel[remaining[0]]
+            else:
+                best, best_score = -1, -np.inf
+                for i in remaining:
+                    s = lam * rel[i] - (1 - lam) * float(
+                        np.max(unit[selected] @ unit[i])
+                    )
+                    if s > best_score:
+                        best, best_score = i, s
+            selected.append(best)
+            remaining.remove(best)
+            expect.append((int(grp["neighbor_id"][best]), round(best_score, 6)))
+
+        g = got[got["query_id"] == qid].sort_values("mmr_rank")
+        assert list(g["neighbor_id"]) == [n for n, _ in expect]
+        assert list(g["mmr_score"]) == pytest.approx(
+            [s for _, s in expect], abs=1e-9
+        )
+        assert list(g["mmr_rank"]) == list(range(1, len(expect) + 1))
+        assert g["neighbor_id"].is_unique
+        # first pick is the pure-relevance argmax
+        assert g.iloc[0]["relevance"] == rel.max()
