@@ -179,6 +179,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_membership",
     "similarity_mmr",
+    "bpe_train_merges",
+    "theilsen_trend",
 ]
 
 

@@ -228,40 +228,83 @@ def hyperplane_signature(
     literal arrays: the projection is then a pure zip_with/fold in codegen.
     (The first version recomputed the md5 derivation per ROW — planes ×
     dim = 320 hashes per vector per table, which benchmarked as the entire
-    cost of the ANN query; constants don't belong in the row loop.)"""
-
-    def plane_bit(p: int) -> Column:
-        comp = F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
-        proj = _fold_sum(
-            F.zip_with(vec, comp, lambda x, c: x.cast("double") * c)
-        )
-        return F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-
-    sig = F.lit(0)
-    for p in range(planes):
-        sig = sig + plane_bit(p)
-    return sig.cast("int")
+    cost of the ANN query; constants don't belong in the row loop. The
+    second version emitted one fold expression PER PLANE — 30 compiled
+    fold loops across the 6 tables, whose whole-stage codegen compile
+    dominated the local query; this form indexes ONE transform lambda
+    over the plane matrix literal, so each table compiles a single loop.
+    The per-plane float math — zip_with then sequential fold — is
+    unchanged, so bucket ids and the DuckDB oracle hash are identical.)"""
+    matrix = F.array(
+        *[
+            F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
+            for p in range(planes)
+        ]
+    )
+    bits = F.transform(
+        matrix,
+        lambda comp: F.when(
+            _fold_sum(F.zip_with(vec, comp, lambda x, c: x.cast("double") * c))
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    weights = F.array(*[F.lit(2**p) for p in range(planes)])
+    return F.aggregate(
+        F.zip_with(bits, weights, lambda b, w: b * w),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
 
 
 def _with_buckets(
     df: DataFrame, id_alias: str, vec_alias: str, id_col: str, vec_col: str,
     tables: int, planes: int, dim: int,
 ) -> DataFrame:
-    """One row per (vector, table) with that table's bucket id."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col(vec_col), t, planes, dim).alias("bucket"),
-            )
+    """One row per (vector, table) with that table's bucket id.
+
+    The plane matrices ride in as a ``tables``-row broadcast DataFrame
+    rather than literal arrays inside the expression: an inlined form
+    (tables × planes × dim ≈ 2k literal nodes, duplicated on both the
+    corpus and query sides) made Catalyst analysis + codegen the dominant
+    cost of the whole ANN query on small inputs — the signature math
+    (same zip_with → sequential fold per plane, same integer bit-weights)
+    is unchanged, so bucket ids and the oracle hash are identical."""
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (t, [_plane_components(t, p, dim) for p in range(planes)])
             for t in range(tables)
-        ]
+        ],
+        "tbl int, matrix array<array<double>>",
     )
-    return df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias(vec_alias),
-        F.explode(buckets).alias("tb"),
-    ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    weights = F.array(*[F.lit(2**p) for p in range(planes)])
+    bits = F.transform(
+        F.col("matrix"),
+        lambda comp: F.when(
+            _fold_sum(
+                F.zip_with(
+                    F.col(vec_col), comp, lambda x, c: x.cast("double") * c
+                )
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    bucket = F.aggregate(
+        F.zip_with(bits, weights, lambda b, w: b * w),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            "tbl",
+            bucket.alias("bucket"),
+        )
+    )
 
 
 def lsh_bucketed_topk(

@@ -1211,3 +1211,87 @@ ORDER BY source, rk
 
 
 REGISTRY["source_caps"] = QuerySpec(source_caps, SOURCE_CAPS_SQL)
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, four merge rounds in-engine: start from the
+    character-level vocabulary, repeatedly (a) count corpus-weighted
+    adjacent symbol pairs, (b) take the argmax as the next merge rule,
+    (c) apply it greedily left-to-right to every word. Extends
+    ``bpe_pair_counts`` (one counting iteration, oracle-checked) to the
+    actual learned merge table (Sennrich et al. 2016).
+
+    Scale shape: everything after the first aggregate is VOCAB-bounded —
+    the corpus collapses to (word, freq) once, map-side combined, and each
+    round's pair count + merge application runs over distinct words only.
+    Per round the argmax is a 1-row driver scalar (the schema-bounded
+    collect pattern, like the Markov solve); the merge applies as a pure
+    codegen fold (``F.aggregate`` with an array accumulator — a new symbol
+    merges with the accumulated tail iff tail==left ∧ x==right, which is
+    exactly greedy leftmost because a just-merged tail equals left+right
+    and can never re-trigger). Rounds chain through localCheckpoint so
+    lineage stays flat. A production trainer runs thousands of rounds —
+    there you batch non-overlapping merges per round; four rounds is the
+    demonstrative unit. Sequential argmax chain → rows-only driver check;
+    tests recompute the merge table with an independent Counter-based
+    trainer.
+    """
+    from candyspark.operators.text import tokens
+
+    rounds = 4
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        pairs = words.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((r, best["l"], best["r"], best["l"] + best["r"], best["weight"]))
+        a, b = F.lit(best["l"]), F.lit(best["r"])
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select("freq", fold.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, weight long"
+    ).orderBy("merge_rank")
+
+
+REGISTRY["bpe_train_merges"] = QuerySpec(q_bpe_train_merges, None)  # iterative

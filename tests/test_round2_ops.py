@@ -244,3 +244,50 @@ def test_mmr_rerank_matches_independent_chain(spark):
         assert g["neighbor_id"].is_unique
         # first pick is the pure-relevance argmax
         assert g.iloc[0]["relevance"] == rel.max()
+
+
+def test_bpe_train_merges_matches_reference_trainer(spark):
+    """The 4-round in-engine BPE trainer must produce the same merge table
+    as an independent Counter-based reference trainer (greedy leftmost
+    application, (weight desc, pair asc) argmax) over the same word
+    frequencies."""
+    from candyspark.operators.text import tokens
+    from candyspark.plans.corpus import q_bpe_train_merges
+    from candyspark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_train_merges(spark, sf).toPandas()
+
+    freqs = collections.Counter()
+    d = load_table(spark, sf, "documents")
+    for row in d.select(F.explode(tokens("text")).alias("w")).collect():
+        freqs[row["w"]] += 1
+    vocab = {tuple(w): f for w, f in ((tuple(word), n) for word, n in freqs.items())}
+
+    expect = []
+    for r in range(1, 5):
+        counts = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (l, rr), w = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((r, l, rr, l + rr, w))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+
+    assert [tuple(x) for x in got.itertuples(index=False)] == expect
