@@ -181,6 +181,9 @@ HEADLINE = [
     "similarity_mmr",
     "bpe_train_merges",
     "theilsen_trend",
+    "threshold_sweep",
+    "class_balance",
+    "streaming_cms",
 ]
 
 

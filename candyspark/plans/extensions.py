@@ -2877,3 +2877,190 @@ def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["similarity_mmr"] = QuerySpec(q_similarity_mmr, None)  # sequential chain
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating-point sweep: precision/recall/F1 of the
+    "is-English" detector (en-stopword hit RATIO as the score) at 20
+    thresholds θ = i/20 — the curve behind choosing a quality-gate cutoff,
+    companion to the single-point confusion matrix (langid_confusion) and
+    the threshold-free AUC (auc_quality_langid).
+
+    Exactness: the predicate never compares float score to float
+    threshold — prediction at θ=i/20 is the INTEGER cross-multiplication
+    20·hits > i·n_toks, so bucket membership is engine-exact by
+    construction and only the final P/R/F1 ratios of exact longs get one
+    snap each. Scale: ONE scan computes (hits, n_toks, label) per doc;
+    the 20 thresholds ride an explode of a literal sequence (bounded
+    ×20 row inflation of a 3-int relation, map-side combined into ≤20
+    groups); no shuffle carries text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    per_doc = d.select(
+        X._count_in(toks, X.STOPWORDS["en"]).alias("hits"),
+        F.size(toks).alias("n_toks"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    swept = per_doc.select(
+        "hits",
+        "n_toks",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"),
+    ).select(
+        "i",
+        "label",
+        (20 * F.col("hits") > F.col("i") * F.col("n_toks")).cast("int").alias("pred"),
+    )
+    agg = swept.groupBy("i").agg(
+        F.sum(F.col("label") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("label")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("label") * (1 - F.col("pred"))).alias("fn"),
+    )
+    snap = X.snap_round
+    return agg.select(
+        (F.col("i") / 20.0).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            snap(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            snap(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            snap(
+                2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+            ),
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+THRESHOLD_SWEEP_SQL = f"""
+WITH per_doc AS (
+    SELECT {_count_in_sql(_EN)} AS hits,
+           len(toks) AS n_toks,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM (SELECT lang, {_TOKS} AS toks FROM documents)
+),
+swept AS (
+    SELECT i, label,
+           CASE WHEN 20 * hits > i * n_toks THEN 1 ELSE 0 END AS pred
+    FROM per_doc CROSS JOIN (SELECT unnest(range(0, 20)) AS i)
+),
+agg AS (
+    SELECT i,
+           CAST(SUM(label * pred) AS BIGINT) AS tp,
+           CAST(SUM((1 - label) * pred) AS BIGINT) AS fp,
+           CAST(SUM(label * (1 - pred)) AS BIGINT) AS fn
+    FROM swept GROUP BY i
+)
+SELECT i / 20.0 AS threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN
+            CAST(ROUND(CAST(tp / (tp + fp) AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS precision,
+       CASE WHEN tp + fn > 0 THEN
+            CAST(ROUND(CAST(tp / (tp + fn) AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+            CAST(ROUND(CAST(2 * tp / (2 * tp + fp + fn)
+                 AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS f1
+FROM agg ORDER BY threshold
+"""
+
+
+REGISTRY["threshold_sweep"] = QuerySpec(q_threshold_sweep, THRESHOLD_SWEEP_SQL)
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every language at the MINORITY
+    class's size, selecting survivors by deterministic content-hash rank —
+    the label-balancing step before training a classifier, companion to
+    the fixed-rate sample_stratified (rates known up front) and the
+    fixed-cap source_caps (cap known up front): here the cap is
+    DATA-DRIVEN (min class count), computed in one tiny aggregate and
+    broadcast back.
+
+    Scale: one shuffle on lang for the rank window; the class-count
+    aggregate is map-side combined to ≤|langs| rows and its min is a
+    1-row broadcast. Same hot-partition note as source_caps — a dominant
+    class concentrates its partition; the two-phase partial top-cap is
+    the mitigation once the cap is known.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    min_n = d.groupBy("lang").count().agg(F.min("count").alias("cap"))
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("int").alias("rk")
+    ).crossJoin(F.broadcast(min_n))
+    return (
+        ranked.filter(F.col("rk") <= F.col("cap"))
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+CLASS_BALANCE_SQL = """
+WITH cap AS (
+    SELECT MIN(n) AS cap FROM (
+        SELECT COUNT(*) AS n FROM documents GROUP BY lang
+    )
+),
+ranked AS (
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(text), doc_id) AS INT) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, rk
+FROM ranked CROSS JOIN cap
+WHERE rk <= cap
+ORDER BY lang, rk
+"""
+
+
+REGISTRY["class_balance"] = QuerySpec(q_class_balance, CLASS_BALANCE_SQL)
+
+
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch built BY A STREAM: events drain through an
+    availableNow run whose running aggregate IS the d=4×w=256 cell grid
+    (fixed-size state — the sketch's mergeability is what Structured
+    Streaming exploits across micro-batches), checked against the same
+    batch DuckDB oracle as any exact aggregate. Companion to the batch
+    cms_heavy_hitters (lineitem part keys): this one sketches event
+    user-id frequencies live."""
+    import uuid
+
+    from candyspark.streaming.stream import read_events_stream, run_available_now
+    from candyspark.streaming.stream import streaming_cms_cells
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_available_now(
+        streaming_cms_cells(read_events_stream(spark, src)), ckpt, query_name=name
+    )
+    return spark.table(name).orderBy("r", "b")
+
+
+STREAMING_CMS_SQL = """
+SELECT r,
+       CAST(CAST(concat('0x', substr(md5(concat(r, ':', CAST(user_id AS VARCHAR))), 1, 8))
+            AS BIGINT) % 256 AS INT) AS b,
+       COUNT(*) AS cnt
+FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS r)
+GROUP BY 1, 2
+ORDER BY r, b
+"""
+
+
+REGISTRY["streaming_cms"] = QuerySpec(q_streaming_cms, STREAMING_CMS_SQL)

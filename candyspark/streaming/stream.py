@@ -295,3 +295,38 @@ def run_foreach_batch_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_cms_cells(
+    events: DataFrame, d_rows: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min Sketch cells maintained AS STREAMING STATE: the d×w cell
+    grid is a running aggregate whose state size is fixed (≤ d·w rows)
+    no matter how long the stream runs — the live form of the mergeability
+    argument in plans/sketches.q_cms_heavy_hitters (per-batch partials
+    merge by cell-wise sum, which is exactly what the streaming aggregate
+    does across micro-batches). No watermark needed: the state is the
+    sketch itself, already bounded. Same md5-derived row hashes as the
+    batch form, so the drained cells hash-match a batch DuckDB oracle."""
+    from candyspark.operators.text import char_hash32
+
+    def row_hash(i: int):
+        return (
+            char_hash32(F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string")))
+            % width
+        ).cast("int")
+
+    return (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("r"), row_hash(i).alias("b"))
+                        for i in range(d_rows)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
