@@ -184,6 +184,9 @@ HEADLINE = [
     "threshold_sweep",
     "class_balance",
     "streaming_cms",
+    "topk_salted",
+    "explode_outer_tokens",
+    "rolling_median_value",
 ]
 
 

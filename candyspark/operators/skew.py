@@ -24,7 +24,7 @@ results change under failure replay).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,3 +92,39 @@ def salted_broadcast_left(
         .drop("__salts", "__hot")
     )
     return lsalted.join(rsalted, key_cols + ["__salt"], how).drop("__salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    unique_col: str,
+    k: int,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase per-key top-k for skewed keys: rank within (key, salt)
+    and keep k per bucket, then rank the ≤ k·buckets survivors within key
+    and keep k. Semantically invisible: every true global top-k row is in
+    its own bucket's top-k (removing other rows can only IMPROVE its
+    bucket rank), so phase 1 never drops an answer — the property the
+    docstring mitigations in source_caps/class_balance appeal to, here as
+    tested code. ``order_cols`` must be a TOTAL order (tie-broken) for
+    cross-engine determinism.
+
+    At 100 TB this is the shape when one key owns a double-digit share of
+    the table: the single-window form sorts the hot key's entire
+    partition in one task; here the first exchange spreads it over
+    ``buckets`` reducers and the second sorts ≤ k·buckets rows per key.
+    """
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__salt", det_salt(unique_col, buckets))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

@@ -813,3 +813,102 @@ ORDER BY p_retailprice, p_partkey
 """
 
 REGISTRY["skyline_parts"] = QuerySpec(skyline_parts, SKYLINE_PARTS_SQL)
+
+
+def topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k under key skew, two-phase (operators/skew.salted_topk):
+    top-3 orders by price per order priority — only 5 priorities, so every
+    key IS hot and the single-window form would sort 1/5 of the table per
+    task. The oracle is the PLAIN one-window top-k: the salted split must
+    be semantically invisible (every true top-k row survives its bucket's
+    phase-1 cut — dropping other rows only improves its bucket rank)."""
+    from candyspark.operators.skew import salted_topk
+
+    o = load_table(spark, sf_dir, "orders")
+    out = salted_topk(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        key_cols=["o_orderpriority"],
+        order_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        unique_col="o_orderkey",
+        k=3,
+        buckets=16,
+    )
+    return out.select("o_orderpriority", "rk", "o_orderkey", "o_totalprice").orderBy(
+        "o_orderpriority", "rk"
+    )
+
+
+TOPK_SALTED_SQL = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+    FROM orders
+) WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+"""
+
+
+REGISTRY["topk_salted"] = QuerySpec(topk_salted, TOPK_SALTED_SQL)
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN smoothing: per event_type daily totals with the
+    centered 7-day (±3) median — the robust twin of rolling_weekly_value's
+    sum (one outlier day saturates a rolling mean/sum; the median shrugs
+    it off, which is why robust smoothers front anomaly detectors). RANGE
+    frame on epoch days so calendar gaps SHRINK the window rather than a
+    ROWS frame silently stretching across them.
+
+    Exactness: the median interpolates between per-day DECIMAL sums cast
+    to double once (exactly representable), so both engines see identical
+    frame contents and interpolate identically — one snap at the output.
+    Scale: the window runs over the per-(type, day) AGGREGATE (calendar-
+    bounded), never raw events; one event_type exchange serves the rollup
+    and the window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(money("value")).alias("day_value"))
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-3, 3)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        round2(F.col("day_value")).alias("day_value"),
+        X.snap_round(
+            F.percentile(F.col("day_value").cast("double"), F.lit(0.5)).over(w), 4
+        ).alias("median_7d"),
+    ).orderBy("event_type", "day")
+
+
+ROLLING_MEDIAN_VALUE_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(12,2))) AS day_value,
+           DATEDIFF('day', DATE '1970-01-01', CAST(DATE_TRUNC('day', ts) AS DATE)) AS epoch_day
+    FROM events
+    GROUP BY event_type, CAST(DATE_TRUNC('day', ts) AS DATE)
+)
+SELECT event_type, day,
+       CAST(ROUND(day_value, 2) AS DOUBLE) AS day_value,
+       CAST(ROUND(CAST(quantile_cont(CAST(day_value AS DOUBLE), 0.5) OVER w
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS median_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+ORDER BY event_type, day
+"""
+
+
+REGISTRY["rolling_median_value"] = QuerySpec(
+    rolling_median_value, ROLLING_MEDIAN_VALUE_SQL
+)

@@ -1295,3 +1295,49 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["bpe_train_merges"] = QuerySpec(q_bpe_train_merges, None)  # iterative
+
+
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving flatten: ``posexplode_outer`` keeps a row for
+    documents whose token array is EMPTY (null pos/term) — the semantic
+    edge the plain explode family silently loses rows on, and the same
+    hazard class as the reference's ``na.drop()`` dropping 154 item-less
+    orders (/root/reference/src/data_processor.py:508, SURVEY.md §1.2).
+    A corpus pipeline that inner-explodes chunks loses empty documents
+    from every downstream accounting join; the outer form keeps the
+    document spine intact. Output: first two token positions per doc plus
+    the null row for token-less docs — every doc_id present by
+    construction.
+
+    Scale: scan-stage only (explode + filter, no shuffle); the oracle
+    states the same semantics via LEFT JOIN LATERAL over the position
+    range.
+    """
+    from candyspark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode_outer(tokens("text")).alias("pos", "term"),
+        )
+        .filter(F.col("pos").isNull() | (F.col("pos") <= 1))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "term")
+        .orderBy("doc_id", "pos")
+    )
+
+
+EXPLODE_OUTER_TOKENS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents)
+SELECT doc_id, CAST(u.pos AS INT) AS pos, toks[u.pos + 1] AS term
+FROM t LEFT JOIN LATERAL (
+    SELECT unnest(range(len(toks))) AS pos
+) u ON TRUE
+WHERE u.pos IS NULL OR u.pos <= 1
+ORDER BY doc_id, pos
+"""
+
+
+REGISTRY["explode_outer_tokens"] = QuerySpec(
+    explode_outer_tokens, EXPLODE_OUTER_TOKENS_SQL
+)

@@ -29,6 +29,13 @@ NAMES = [
     "semantic_dedup",
     "containment_pairs",
     "gopher_quality_filter",
+    # session-2 kernels: the MMR Arrow kernel, the BPE argmax/fold rounds
+    # (driver-side collect per round), bm25's materialized relations, and
+    # the salted two-phase top-k must all be re-entrant
+    "similarity_mmr",
+    "bpe_train_merges",
+    "bm25_topk",
+    "topk_salted",
 ]
 
 

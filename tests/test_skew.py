@@ -63,3 +63,41 @@ def test_salt_is_deterministic(spark):
     s2 = li.select(det_salt("l_orderkey", 16).alias("s")).toPandas()
     assert s1.equals(s2)
     assert s1.s.between(0, 15).all()
+
+
+def test_salted_topk_equals_single_window(spark):
+    """salted_topk must equal the one-window per-key top-k for every
+    bucket count — including buckets=1 (degenerate: phases collapse) and
+    buckets > rows-per-key (each bucket holds ≤1 row). Duplicate order
+    values exercise the tie-break path."""
+    from pyspark.sql import Window
+
+    from candyspark.operators.skew import salted_topk
+
+    rows = [
+        (key, i, float(val))
+        for key in ("a", "b")
+        for i, val in enumerate([5, 5, 5, 3, 9, 9, 1, 7, 7, 7])
+    ]
+    df = spark.createDataFrame(
+        [(k, k + str(i), i, v) for (k, i, v) in rows],
+        "key string, uid string, seq int, val double",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("val"), F.asc("uid"))
+    expect = (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 4)
+        .select("key", "rk", "uid", "val")
+    )
+    for buckets in (1, 3, 16, 64):
+        got = salted_topk(
+            df,
+            key_cols=["key"],
+            order_cols=[F.desc("val"), F.asc("uid")],
+            unique_col="uid",
+            k=4,
+            buckets=buckets,
+        ).select("key", "rk", "uid", "val")
+        assert _sorted_pdf(got, ["key", "rk"]).equals(
+            _sorted_pdf(expect, ["key", "rk"])
+        ), f"buckets={buckets}"
