@@ -187,6 +187,7 @@ HEADLINE = [
     "topk_salted",
     "explode_outer_tokens",
     "rolling_median_value",
+    "mix_weights_temperature",
 ]
 
 

@@ -52,6 +52,21 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         "word length, alpha fraction, stop-word presence — the same rules "
         "the gopher_quality_filter query reports)",
     )
+    p.add_argument(
+        "--source-cap",
+        type=int,
+        default=0,
+        help="cap every source at N surviving documents (C4-style "
+        "de-domination; deterministic md5-content rank — the same "
+        "selection the source_caps query checks). 0 disables.",
+    )
+    p.add_argument(
+        "--balance-langs",
+        action="store_true",
+        help="cap every language at the minority class's size "
+        "(data-driven cap, md5-content rank — the class_balance query's "
+        "selection)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import Window
@@ -124,6 +139,30 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         n_near_dropped = drop.count()
         survivors = survivors.join(drop, "doc_id", "left_anti").localCheckpoint()
 
+    n_source_capped = 0
+    if args.source_cap:
+        cap_w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+        capped = (
+            survivors.withColumn("src_rk", F.row_number().over(cap_w))
+            .filter(F.col("src_rk") <= args.source_cap)
+            .drop("src_rk")
+        )
+        n_source_capped = survivors.count() - capped.count()
+        survivors = capped.localCheckpoint()
+
+    n_balance_dropped = 0
+    if args.balance_langs:
+        min_n = survivors.groupBy("lang").count().agg(F.min("count").alias("cap"))
+        bal_w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+        balanced = (
+            survivors.withColumn("lang_rk", F.row_number().over(bal_w))
+            .crossJoin(F.broadcast(min_n))
+            .filter(F.col("lang_rk") <= F.col("cap"))
+            .drop("lang_rk", "cap")
+        )
+        n_balance_dropped = survivors.count() - balanced.count()
+        survivors = balanced.localCheckpoint()
+
     docs_out = os.path.join(args.output_dir, "documents")
     survivors.write.mode("overwrite").partitionBy("split").parquet(docs_out)
 
@@ -158,6 +197,8 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
                 "metric": "corpus_prepared",
                 "near_dup_dropped": n_near_dropped,
                 "gopher_dropped": n_gopher_dropped,
+                "source_capped": n_source_capped,
+                "balance_dropped": n_balance_dropped,
                 "splits": counts,
                 "output": args.output_dir,
                 "sec": round(time.time() - t0, 2),

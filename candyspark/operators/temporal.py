@@ -211,3 +211,39 @@ def asof_join_cogrouped(
         .cogroup(mangled.groupBy(bucket))
         .applyInPandas(merge, out_schema)
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Merge overlapping per-key intervals (the interval-union sweep behind
+    plans/temporal.q_interval_merge, factored for direct fuzzing): island
+    detection over the pinned (start, seq) total order — a row opens a new
+    island iff its start exceeds the running max of all PRECEDING ends
+    (rows-between frame, never range) — then min(start)/max(end) per
+    island. Returns (key, island, ms, me). Touching intervals
+    (start == previous end) MERGE: the predicate is strict ``>``.
+
+    One exchange on the key serves both window passes and the island
+    aggregate; integer inputs stay exact end to end."""
+    order = Window.partitionBy(key_col).orderBy(start_col, seq_col)
+    prev_max_end = F.max(end_col).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("ms"), F.max(end_col).alias("me")
+    )

@@ -1341,3 +1341,75 @@ ORDER BY doc_id, pos
 REGISTRY["explode_outer_tokens"] = QuerySpec(
     explode_outer_tokens, EXPLODE_OUTER_TOKENS_SQL
 )
+
+
+def mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights: per-source sampling share
+    w_i = n_i^α / Σ n_j^α at α = 0.7 — the standard pretraining-mixture
+    flattening (α=1 is proportional, α→0 uniform; 0.7 upweights small
+    sources without drowning big ones). Reports each source's raw share,
+    its temperature share, and the boost factor the temperature applies.
+
+    Exactness: one transcendental per SOURCE (POWER(n, 0.7)), snapped to
+    6 dp and then fixed as DECIMAL(18,6) so the normalizing sum is exact
+    and partial-order independent; ratios snap once at the output. Scale:
+    the corpus collapses to ≤|sources| count rows map-side; everything
+    after is arithmetic on that tiny relation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.select(
+        "source",
+        "n_docs",
+        snap_round(F.pow(F.col("n_docs").cast("double"), F.lit(0.7)), 6)
+        .cast("decimal(18,6)")
+        .alias("npow"),
+    )
+    totals = powed.agg(
+        F.sum("npow").alias("sum_pow"), F.sum("n_docs").alias("n_total")
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            snap_round(F.col("n_docs") / F.col("n_total"), 6).alias("raw_share"),
+            snap_round(
+                F.col("npow").cast("double") / F.col("sum_pow").cast("double"), 6
+            ).alias("temp_share"),
+            snap_round(
+                (F.col("npow").cast("double") / F.col("sum_pow").cast("double"))
+                / (F.col("n_docs") / F.col("n_total")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_WEIGHTS_TEMPERATURE_SQL = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+powed AS (
+    SELECT source, n_docs,
+           CAST(ROUND(CAST(POWER(CAST(n_docs AS DOUBLE), 0.7)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS npow
+    FROM counts
+),
+totals AS (SELECT SUM(npow) AS sum_pow, SUM(n_docs) AS n_total FROM powed)
+SELECT source, n_docs,
+       CAST(ROUND(CAST(n_docs / n_total AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS raw_share,
+       CAST(ROUND(CAST(CAST(npow AS DOUBLE) / CAST(sum_pow AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS temp_share,
+       CAST(ROUND(CAST((CAST(npow AS DOUBLE) / CAST(sum_pow AS DOUBLE))
+            / (n_docs / n_total) AS DECIMAL(28,8)), 6) AS DOUBLE) AS boost
+FROM powed CROSS JOIN totals
+ORDER BY source
+"""
+
+
+REGISTRY["mix_weights_temperature"] = QuerySpec(
+    mix_weights_temperature, MIX_WEIGHTS_TEMPERATURE_SQL
+)

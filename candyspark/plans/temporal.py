@@ -584,6 +584,8 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the island aggregate share that one exchange. No self-join — the
     sweep is O(n log n) per user via the sort the window already pays.
     """
+    from candyspark.operators.temporal import merge_intervals
+
     win_us = 30 * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -591,23 +593,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") + win_us).alias("e"),
         "event_id",
     )
-    order = Window.partitionBy("user_id").orderBy("s", "event_id")
-    prev_max_end = F.max("e").over(
-        order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = ev.withColumn(
-        "new_island",
-        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
-    )
-    islands = flagged.withColumn(
-        "island",
-        F.sum("new_island").over(
-            order.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    merged = islands.groupBy("user_id", "island").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
+    merged = merge_intervals(ev)
     return (
         merged.groupBy("user_id")
         .agg(

@@ -121,3 +121,47 @@ def test_corpus_cli_gopher_rules_gate(spark, tmp_path, capsys):
     }
     assert gated_ids <= base_ids
     assert len(base_ids) - len(gated_ids) <= receipt["gopher_dropped"]
+
+
+def test_corpus_cli_source_cap_and_balance(spark, tmp_path, capsys):
+    """--source-cap caps every source at N survivors; --balance-langs
+    equalizes language counts at the minority size; the receipt's drop
+    counts reconcile with the landed files."""
+    import pyspark.sql.functions as F
+
+    from candyspark import corpus_cli
+
+    out = tmp_path / "capped"
+    corpus_cli.main(
+        [
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--output-dir",
+            str(out),
+            "--source-cap",
+            "3",
+            "--balance-langs",
+        ],
+        stop_session=False,
+    )
+    receipt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet(str(out / "documents"))
+    per_source = docs.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per_source)
+    per_lang = [r["count"] for r in docs.groupBy("lang").count().collect()]
+    assert len(set(per_lang)) == 1  # balanced: every language at the min
+    total = docs.count()
+    landed_plus_drops = (
+        total + receipt["source_capped"] + receipt["balance_dropped"]
+    )
+    assert receipt["source_capped"] >= 0
+    assert receipt["balance_dropped"] >= 0
+    # drops happened after dedup: survivors before caps = landed + drops
+    base_out = tmp_path / "base"
+    corpus_cli.main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--output-dir", str(base_out)],
+        stop_session=False,
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_base = spark.read.parquet(str(base_out / "documents")).count()
+    assert landed_plus_drops == n_base

@@ -208,3 +208,46 @@ def test_exact_quantiles_matches_numpy(spark, vals):
     assert len(got) == len(probs)
     for p, w in zip(probs, want):
         assert abs(got[p] - w) < 1e-9, (vals, p, got[p], w)
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=50),   # start (dups allowed)
+        st.integers(min_value=0, max_value=20),   # length (0 = point)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def brute_merge(rows):
+    """rows: (key, s, e) → {key: sorted [(ms, me)]} — textbook sweep."""
+    out = {}
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        out[k] = sorted(merged)
+    return out
+
+
+@given(intervals=INTERVALS)
+@_SETTINGS
+def test_merge_intervals_matches_brute_force(spark, intervals):
+    from candyspark.operators.temporal import merge_intervals
+
+    rows = [(k, s, s + ln, i) for i, (k, s, ln) in enumerate(intervals)]
+    df = spark.createDataFrame(rows, "user_id long, s long, e long, event_id long")
+    got = {}
+    for r in merge_intervals(df).collect():
+        got.setdefault(r["user_id"], []).append((r["ms"], r["me"]))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == brute_merge([(k, s, e) for k, s, e, _ in rows])
