@@ -188,6 +188,9 @@ HEADLINE = [
     "explode_outer_tokens",
     "rolling_median_value",
     "mix_weights_temperature",
+    "cep_no_error_between",
+    "anova_oneway",
+    "spearman_orders_revenue",
 ]
 
 

@@ -712,3 +712,169 @@ ORDER BY l_returnflag, p
 REGISTRY["quartiles_by_flag_distributed"] = QuerySpec(
     q_quartiles_by_flag_distributed, QUARTILES_BY_FLAG_DISTRIBUTED_SQL
 )
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event value differ across event types?
+    F = (SSB/(k−1)) / (SSW/(N−k)) from exact per-group DECIMAL power sums
+    (Σx, Σx², n per group; grand sums derive from the group sums — no
+    second scan). Completes the hypothesis-test family: ab_ztest (two
+    proportions), chi2_independence (categorical), auc_quality_langid
+    (Mann–Whitney), distribution_distance (Wasserstein) — this is the
+    k-group means test. Output: one row (k, n, ssb, ssw, f_stat).
+
+    Exactness: SSB and SSW assemble from the exact decimal sums with the
+    closed-form double formula applied once (the stats_moments
+    discipline); order-independent, one snap each. Scale: one map-side
+    combined aggregate to ≤k rows; everything after is arithmetic on k
+    rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(12,2)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(x).alias("sx"), F.sum(x * x).alias("sxx")
+    )
+    # group-level: contribution to SSW = Σx² − (Σx)²/n ; to SSB via grand sums
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sx").alias("gx"),
+        F.sum("sxx").alias("gxx"),
+        F.sum(
+            F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sum_sq_over_n"),
+    )
+    k = F.col("k").cast("double")
+    nn = F.col("nn").cast("double")
+    gx = F.col("gx").cast("double")
+    gxx = F.col("gxx").cast("double")
+    ssb = F.col("sum_sq_over_n") - gx * gx / nn
+    ssw = gxx - F.col("sum_sq_over_n")
+    return tot.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("nn").alias("n"),
+        snap_round(ssb, 4).alias("ssb"),
+        snap_round(ssw, 4).alias("ssw"),
+        snap_round((ssb / (k - 1)) / (ssw / (nn - k)), 6).alias("f_stat"),
+    )
+
+
+ANOVA_ONEWAY_SQL = """
+WITH g AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(12,2))) AS sx,
+           SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx
+    FROM events GROUP BY event_type
+),
+tot AS (
+    SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+           SUM(sx) AS gx, SUM(sxx) AS gxx,
+           SUM(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               AS sum_sq_over_n
+    FROM g
+)
+SELECT CAST(k AS INT) AS k, nn AS n,
+       CAST(ROUND(CAST(sum_sq_over_n - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE)
+            / CAST(nn AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS ssb,
+       CAST(ROUND(CAST(CAST(gxx AS DOUBLE) - sum_sq_over_n
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS ssw,
+       CAST(ROUND(CAST(
+            ((sum_sq_over_n - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE) / CAST(nn AS DOUBLE)) / (k - 1))
+            / ((CAST(gxx AS DOUBLE) - sum_sq_over_n) / (nn - k))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS f_stat
+FROM tot
+"""
+
+
+REGISTRY["anova_oneway"] = QuerySpec(q_anova_oneway, ANOVA_ONEWAY_SQL)
+
+
+def q_spearman_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a day's order COUNT and its
+    revenue — the robust (monotonic, outlier-insensitive) companion to
+    stats_moments' Pearson. Tie-aware: fractional average ranks
+    (rank_min + (ties−1)/2), DOUBLED to exact integers (ties come in
+    halves), so the Pearson-on-ranks power sums are exact int64 algebra
+    with ONE snapped division at the end — engine-exact by construction.
+
+    Scale: the corpus collapses to the calendar-bounded per-day aggregate
+    before ranking; the two rank windows are global sorts over ≤days-in-
+    range rows (trivial at any SF — same posture as histogram_equidepth's
+    documented bound).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    days = o.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+    )
+
+    def ranks2(col: str) -> F.Column:
+        # doubled average rank: 2*rank_min + (ties - 1)  — exact integer
+        w_rank = Window.orderBy(col)
+        w_ties = Window.partitionBy(col)
+        return (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1).cast(
+            "long"
+        )
+
+    ranked = days.select(
+        ranks2("cnt").alias("ra"), ranks2("rev").alias("rb")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    return sums.select(
+        F.col("n").alias("n_days"),
+        snap_round(
+            (n * sab - sa * sb)
+            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_ORDERS_REVENUE_SQL = """
+WITH days AS (
+    SELECT o_orderdate, COUNT(*) AS cnt,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY o_orderdate
+),
+ranked AS (
+    SELECT CAST(2 * RANK() OVER (ORDER BY cnt)
+                + COUNT(*) OVER (PARTITION BY cnt) - 1 AS BIGINT) AS ra,
+           CAST(2 * RANK() OVER (ORDER BY rev)
+                + COUNT(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS rb
+    FROM days
+),
+sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+           CAST(SUM(ra * ra) AS BIGINT) AS saa,
+           CAST(SUM(rb * rb) AS BIGINT) AS sbb,
+           CAST(SUM(ra * rb) AS BIGINT) AS sab
+    FROM ranked
+)
+SELECT n AS n_days,
+       CAST(ROUND(CAST(
+            (n * sab - CAST(sa AS DOUBLE) * sb)
+            / (SQRT(n * saa - CAST(sa AS DOUBLE) * sa)
+               * SQRT(n * sbb - CAST(sb AS DOUBLE) * sb))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS spearman_rho
+FROM sums
+"""
+
+
+REGISTRY["spearman_orders_revenue"] = QuerySpec(
+    q_spearman_orders_revenue, SPEARMAN_ORDERS_REVENUE_SQL
+)

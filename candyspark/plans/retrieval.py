@@ -488,7 +488,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) aggregate — the shuffle carries only query-term hits, not
     the vocabulary. The text is tokenized ONCE: the narrow (doc_id, dl)
     and (doc_id, term, tf) relations are materialized (localCheckpoint)
-    for their two consumers each, so the corpus never rescans. N, Σdl and
+    for their two consumers each, so the corpus never rescans — dl is
+    16 bytes/doc (at petabyte corpora swap the checkpoint for
+    persist(DISK_ONLY) or re-derive; tf is query-bounded either way). N, Σdl and
     the ≤|query| idf rows ride in on broadcasts. Top-20 is a
     TakeOrderedAndProject, never a global sort.
     """

@@ -643,3 +643,118 @@ ORDER BY user_id
 
 
 REGISTRY["interval_merge"] = QuerySpec(q_interval_merge, INTERVAL_MERGE_SQL)
+
+
+def q_cep_no_error_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern with NEGATION: view → purchase (same user, view is the
+    most recent one at-or-before the purchase) with NO error event between
+    them — the "A then B without C" shape regex funnels can't express
+    scalably (event_path_match's per-user path strings concatenate a
+    user's whole history; this form never materializes paths). Per user:
+    total purchases, view-attributed purchases, and clean conversions
+    (no intervening error).
+
+    Composition: the backward as-of join (operators/temporal.asof_join,
+    the same kernel as asof_click_attribution) pins the (view, purchase)
+    pair; the negation is a LEFT ANTI join against errors on the OPEN
+    interval (view_ts, purchase_ts) — equi-keyed on user_id, so the
+    interval predicate evaluates only within each user's co-partitioned
+    rows, never a cross join. Exact µs integer comparisons end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.unix_micros("ts").alias("e_us")
+    )
+    paired = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["event_id"],
+        seq_col="event_id",
+        prefix="view_",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("view_event_id").alias("view_id"),
+        F.unix_micros("view_ts").alias("v_us"),
+    ).localCheckpoint()  # |purchases| rows; feeds the anti-join AND totals
+    attributed = paired.filter(F.col("view_id").isNotNull())
+    clean = attributed.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_us") > F.col("v_us"))
+        & (F.col("e_us") < F.col("p_us")),
+        "left_anti",
+    )
+    totals = paired.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.sum(F.col("view_id").isNotNull().cast("int")).alias("view_attributed"),
+    )
+    cleans = clean.groupBy("user_id").agg(F.count(F.lit(1)).alias("clean_conversions"))
+    return (
+        totals.join(cleans, "user_id", "left")
+        .select(
+            "user_id",
+            "purchases",
+            "view_attributed",
+            F.coalesce(F.col("clean_conversions"), F.lit(0)).alias(
+                "clean_conversions"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+CEP_NO_ERROR_BETWEEN_SQL = """
+WITH p AS (
+    SELECT event_id, ts, user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT event_id, ts, user_id, epoch_us(ts) AS v_us
+    FROM events WHERE event_type = 'view'
+),
+x AS (
+    SELECT user_id AS e_user, epoch_us(ts) AS e_us
+    FROM events WHERE event_type = 'error'
+),
+paired AS (
+    SELECT p.user_id, p.event_id AS purchase_id, p.p_us,
+           (SELECT v.event_id FROM v
+            WHERE v.user_id = p.user_id AND v.ts <= p.ts
+            ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id,
+           (SELECT v.v_us FROM v
+            WHERE v.user_id = p.user_id AND v.ts <= p.ts
+            ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS v_us
+    FROM p
+),
+clean AS (
+    SELECT * FROM paired a
+    WHERE view_id IS NOT NULL AND NOT EXISTS (
+        SELECT 1 FROM x
+        WHERE x.e_user = a.user_id AND x.e_us > a.v_us AND x.e_us < a.p_us
+    )
+)
+SELECT user_id,
+       (SELECT COUNT(*) FROM paired q WHERE q.user_id = t.user_id) AS purchases,
+       (SELECT COUNT(*) FROM paired q
+        WHERE q.user_id = t.user_id AND q.view_id IS NOT NULL) AS view_attributed,
+       (SELECT COUNT(*) FROM clean c WHERE c.user_id = t.user_id)
+           AS clean_conversions
+FROM (SELECT DISTINCT user_id FROM paired) t
+ORDER BY user_id
+"""
+
+
+REGISTRY["cep_no_error_between"] = QuerySpec(
+    q_cep_no_error_between, CEP_NO_ERROR_BETWEEN_SQL
+)

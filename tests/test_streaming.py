@@ -430,3 +430,43 @@ def test_foreach_batch_merge_upsert_and_replay_fence(spark, tmp_path):
     import glob as _g
 
     assert len(_g.glob(out + "/data_v*")) == 1
+
+
+def test_streaming_cms_merges_across_batches(spark, tmp_path):
+    """The CMS cell grid must accumulate across micro-batches (complete
+    mode: per-batch partials merge by cell-wise sum — the sketch's
+    mergeability, actually exercised over TWO batches) and equal the batch
+    aggregate over the union."""
+    import glob as _glob
+    import os as _os
+
+    from candyspark.streaming.stream import run_available_now, streaming_cms_cells
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    batch1 = [(i, ts, i % 5, "click", 1.0, "{}") for i in range(20)]
+    batch2 = [(100 + i, ts, i % 3, "view", 1.0, "{}") for i in range(15)]
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        dest = str(src / f"b{i}.parquet")
+        _os.rename(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = streaming_cms_cells(
+        spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ckpt"), query_name="cms_stream")
+    got = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    # batch twin: the same expressions run on a batch frame over the union
+    both = spark.createDataFrame(batch1 + batch2, EVENTS)
+    expect = {
+        (r["r"], r["b"]): r["cnt"] for r in streaming_cms_cells(both).collect()
+    }
+    assert got == expect
