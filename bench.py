@@ -191,6 +191,7 @@ HEADLINE = [
     "cep_no_error_between",
     "anova_oneway",
     "spearman_orders_revenue",
+    "cohens_kappa",
 ]
 
 

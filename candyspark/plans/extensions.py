@@ -3064,3 +3064,80 @@ ORDER BY r, b
 
 
 REGISTRY["streaming_cms"] = QuerySpec(q_streaming_cms, STREAMING_CMS_SQL)
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language guesser vs the labeled lang —
+    agreement corrected for chance: κ = (p_o − p_e) / (1 − p_e) with
+    p_o = observed agreement and p_e = Σ (row_marginal · col_marginal)/N².
+    Raw accuracy (the confusion matrix's diagonal share) flatters any
+    classifier on an imbalanced corpus; κ is the honest single number —
+    the companion scalar to q_langid_confusion's full matrix.
+
+    Exactness: all counts exact longs; p_e assembles from the ≤(langs+1)
+    marginal pairs as exact integer products; the two divisions snap
+    once each. Scale: one scan to the (lang, guess) aggregate (map-side
+    combined, ≤(langs+1)² rows); marginals derive from that relation.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cells = (
+        d.select(F.col("lang").alias("truth"), X.lang_guess("text").alias("guess"))
+        .groupBy("truth", "guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # ≤(langs+1)² rows; feeds diag, marginals, N
+    )
+    n = cells.agg(F.sum("cnt").alias("n"))
+    diag = cells.filter(F.col("truth") == F.col("guess")).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("agree")
+    )
+    rows = cells.groupBy("truth").agg(F.sum("cnt").alias("row_n"))
+    cols = cells.groupBy("guess").agg(F.sum("cnt").alias("col_n"))
+    pe_num = (
+        rows.join(cols, rows["truth"] == cols["guess"])
+        .agg(F.coalesce(F.sum(F.col("row_n") * F.col("col_n")), F.lit(0)).alias("pe_num"))
+    )
+    out = n.crossJoin(diag).crossJoin(pe_num)
+    po = F.col("agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("agreements"),
+        X.snap_round(po, 6).alias("p_observed"),
+        X.snap_round(pe, 6).alias("p_expected"),
+        X.snap_round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+COHENS_KAPPA_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+cells AS (
+    SELECT lang AS truth, lang_guess AS guess, COUNT(*) AS cnt
+    FROM pred GROUP BY 1, 2
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+diag AS (
+    SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS agree
+    FROM cells WHERE truth = guess
+),
+marg AS (
+    SELECT CAST(COALESCE(SUM(r.row_n * c.col_n), 0) AS BIGINT) AS pe_num
+    FROM (SELECT truth, SUM(cnt) AS row_n FROM cells GROUP BY truth) r
+    JOIN (SELECT guess, SUM(cnt) AS col_n FROM cells GROUP BY guess) c
+      ON r.truth = c.guess
+)
+SELECT n AS n_docs, agree AS agreements,
+       CAST(ROUND(CAST(CAST(agree AS DOUBLE) / n AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS p_observed,
+       CAST(ROUND(CAST(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_expected,
+       CAST(ROUND(CAST(
+            (CAST(agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+            / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS kappa
+FROM n CROSS JOIN diag CROSS JOIN marg
+"""
+
+
+REGISTRY["cohens_kappa"] = QuerySpec(q_cohens_kappa, COHENS_KAPPA_SQL)

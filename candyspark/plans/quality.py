@@ -735,15 +735,23 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum(x).alias("sx"), F.sum(x * x).alias("sxx")
     )
     # group-level: contribution to SSW = Σx² − (Σx)²/n ; to SSB via grand sums
+    # each group's (Σx)²/n snaps to decimal BEFORE the cross-group sum so
+    # the total is partial-order independent (the stats_moments discipline;
+    # a raw double sum over groups could differ in the last ulp per engine)
     tot = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("nn"),
         F.sum("sx").alias("gx"),
         F.sum("sxx").alias("gxx"),
         F.sum(
-            F.col("sx").cast("double") * F.col("sx").cast("double")
-            / F.col("n").cast("double")
-        ).alias("sum_sq_over_n"),
+            (
+                F.col("sx").cast("double")
+                * F.col("sx").cast("double")
+                / F.col("n").cast("double")
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
     )
     k = F.col("k").cast("double")
     nn = F.col("nn").cast("double")
@@ -770,7 +778,8 @@ WITH g AS (
 tot AS (
     SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
            SUM(sx) AS gx, SUM(sxx) AS gxx,
-           SUM(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           CAST(SUM(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
                AS sum_sq_over_n
     FROM g
 )

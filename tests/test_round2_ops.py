@@ -291,3 +291,31 @@ def test_bpe_train_merges_matches_reference_trainer(spark):
         vocab = new_vocab
 
     assert [tuple(x) for x in got.itertuples(index=False)] == expect
+
+
+def test_mmr_rerank_with_fewer_candidates_than_k(spark):
+    """A query with fewer candidates than k must return all of them, in
+    MMR order, rather than erroring or padding."""
+    from candyspark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 10, 0.9, [1.0, 0.0]),
+        (1, 11, 0.8, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine_sim double, c_vec array<double>"
+    )
+    got = mmr_rerank(df, lam=0.7, k=5).orderBy("mmr_rank").collect()
+    assert [r["neighbor_id"] for r in got] == [10, 11]
+    assert [r["mmr_rank"] for r in got] == [1, 2]
+
+
+def test_bpe_trainer_tie_break_is_lexicographic(spark, tmp_path):
+    """Equal-weight pairs must resolve (weight desc, left asc, right asc) —
+    'zz bb' gives (b,b) and (z,z) equal weight; (b,b) must win round 1."""
+    from candyspark.plans.corpus import q_bpe_train_merges
+
+    sf = _docs(spark, tmp_path, ["zz bb", "zz bb"])
+    got = q_bpe_train_merges(spark, sf).collect()
+    assert (got[0]["left"], got[0]["right"]) == ("b", "b")
+    assert got[0]["weight"] == 2
