@@ -205,8 +205,18 @@ def _grouped_median_mad(
     from candyspark.operators.quantiles import exact_quantiles_grouped
 
     probs = sorted({0.5, *extra_probs})
+    aliases = [
+        "med" if pr == 0.5 else f"p{int(round(pr * 100)):02d}" for pr in probs
+    ]
+    # percent-grain aliases collide for probs within half a percent of each
+    # other — fail loudly at plan time, not with AMBIGUOUS_REFERENCE later
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(f"extra_probs too close: aliases collide: {aliases}")
     bounds = (
-        vals.filter(F.col(value_col).isNotNull())
+        # same filter as exact_quantiles_grouped's internal pass: a NaN
+        # would inflate n and poison hi (NaN ranks above every double),
+        # making the top rank unlocatable and med/mad silently NULL
+        vals.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
         .groupBy(group_col)
         .agg(
             F.min(value_col).cast("double").alias("lo"),
