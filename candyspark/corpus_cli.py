@@ -52,9 +52,18 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         "word length, alpha fraction, stop-word presence — the same rules "
         "the gopher_quality_filter query reports)",
     )
+    def _nonneg(v: str) -> int:
+        n = int(v)
+        if n < 0:
+            raise argparse.ArgumentTypeError(
+                f"--source-cap must be >= 0 (0 disables), got {n} — a negative "
+                "cap would silently drop every document"
+            )
+        return n
+
     p.add_argument(
         "--source-cap",
-        type=int,
+        type=_nonneg,
         default=0,
         help="cap every source at N surviving documents (C4-style "
         "de-domination; deterministic md5-content rank — the same "
@@ -142,13 +151,16 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
     n_source_capped = 0
     if args.source_cap:
         cap_w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+        # checkpoint FIRST: the count would otherwise execute the window
+        # plan once for the receipt and again for the materialization
         capped = (
             survivors.withColumn("src_rk", F.row_number().over(cap_w))
             .filter(F.col("src_rk") <= args.source_cap)
             .drop("src_rk")
+            .localCheckpoint()
         )
         n_source_capped = survivors.count() - capped.count()
-        survivors = capped.localCheckpoint()
+        survivors = capped
 
     n_balance_dropped = 0
     if args.balance_langs:
@@ -159,9 +171,10 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
             .crossJoin(F.broadcast(min_n))
             .filter(F.col("lang_rk") <= F.col("cap"))
             .drop("lang_rk", "cap")
+            .localCheckpoint()
         )
         n_balance_dropped = survivors.count() - balanced.count()
-        survivors = balanced.localCheckpoint()
+        survivors = balanced
 
     docs_out = os.path.join(args.output_dir, "documents")
     survivors.write.mode("overwrite").partitionBy("split").parquet(docs_out)

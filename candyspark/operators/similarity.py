@@ -219,28 +219,14 @@ def _plane_components(table: int, p: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_signature(
-    vec: Column, table: int, planes: int = 5, dim: int = 64
-) -> Column:
-    """Random-hyperplane LSH bucket id for one hash table — zero shipped
-    state, reproducible on any cluster. The plane matrix depends only on
-    (table, plane, dim), so it is derived ONCE driver-side and embedded as
-    literal arrays: the projection is then a pure zip_with/fold in codegen.
-    (The first version recomputed the md5 derivation per ROW — planes ×
-    dim = 320 hashes per vector per table, which benchmarked as the entire
-    cost of the ANN query; constants don't belong in the row loop. The
-    second version emitted one fold expression PER PLANE — 30 compiled
-    fold loops across the 6 tables, whose whole-stage codegen compile
-    dominated the local query; this form indexes ONE transform lambda
-    over the plane matrix literal, so each table compiles a single loop.
-    The per-plane float math — zip_with then sequential fold — is
-    unchanged, so bucket ids and the DuckDB oracle hash are identical.)"""
-    matrix = F.array(
-        *[
-            F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
-            for p in range(planes)
-        ]
-    )
+def signature_from_matrix(vec: Column, matrix: Column, planes: int) -> Column:
+    """Hyperplane-LSH bucket id of ``vec`` against a planes×dim ``matrix``
+    column: per-plane projection (zip_with then SEQUENTIAL fold — the
+    order the DuckDB oracle's list_reduce mirrors), sign bit, powers-of-two
+    fold to one int. The ONE copy of the signature float math — both the
+    literal-matrix form (hyperplane_signature) and the broadcast-matrix
+    form (_with_buckets) delegate here, so the oracle-critical expression
+    cannot silently fork."""
     bits = F.transform(
         matrix,
         lambda comp: F.when(
@@ -255,6 +241,29 @@ def hyperplane_signature(
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("int")
+
+
+def hyperplane_signature(
+    vec: Column, table: int, planes: int = 5, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH bucket id for one hash table — zero shipped
+    state, reproducible on any cluster. The plane matrix depends only on
+    (table, plane, dim), so it is derived ONCE driver-side; the signature
+    math itself lives in ``signature_from_matrix``. NB the literal-matrix
+    form here is the API-surface convenience: at 2k literal nodes per
+    table Catalyst analysis+codegen dominates small queries, which is why
+    the engine's own ANN path (_with_buckets) ships the matrices as a
+    broadcast DataFrame instead — same expression, matrices as DATA.
+    (History: v1 recomputed the md5 derivation per ROW — 320 hashes per
+    vector per table; v2 emitted one fold PER PLANE — 30 compiled loops
+    whose codegen dominated; v3 is the single indexed-transform lambda.)"""
+    matrix = F.array(
+        *[
+            F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
+            for p in range(planes)
+        ]
+    )
+    return signature_from_matrix(vec, matrix, planes)
 
 
 def _with_buckets(
@@ -278,24 +287,7 @@ def _with_buckets(
         ],
         "tbl int, matrix array<array<double>>",
     )
-    weights = F.array(*[F.lit(2**p) for p in range(planes)])
-    bits = F.transform(
-        F.col("matrix"),
-        lambda comp: F.when(
-            _fold_sum(
-                F.zip_with(
-                    F.col(vec_col), comp, lambda x, c: x.cast("double") * c
-                )
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    bucket = F.aggregate(
-        F.zip_with(bits, weights, lambda b, w: b * w),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("int")
+    bucket = signature_from_matrix(F.col(vec_col), F.col("matrix"), planes)
     return (
         df.crossJoin(F.broadcast(planes_df))
         .select(

@@ -3058,6 +3058,7 @@ SELECT r,
             AS BIGINT) % 256 AS INT) AS b,
        COUNT(*) AS cnt
 FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS r)
+WHERE user_id IS NOT NULL
 GROUP BY 1, 2
 ORDER BY r, b
 """

@@ -347,7 +347,9 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over rows can only collide upward, never undercount). Unlike the HLL
     family above this sketch is EXACTLY reproducible — the d row-hashes
     derive from md5, which both engines share bit-for-bit — so it gets a
-    full DuckDB oracle, not a rows-only check.
+    full DuckDB oracle, not a rows-only check. Build, probe, and the
+    streaming form all share ONE cell definition
+    (operators/sketch.cms_cells / cms_hash_pairs).
 
     Scale: the sketch is a fixed d·w = 1,024-cell aggregate no matter the
     input size — cells partial-aggregate map-side, the exchange carries
@@ -356,44 +358,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side broadcasts the tiny sketch; exact top-15 is a
     TakeOrdered over the one part-keyed aggregate.
     """
+    from candyspark.operators.sketch import cms_cells, cms_hash_pairs
+
     d_rows, width = 4, 256
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-
-    def row_hash(i: int) -> F.Column:
-        return (
-            char_hash32(F.concat(F.lit(f"{i}:"), F.col("l_partkey").cast("string")))
-            % width
-        ).cast("int")
-
-    cells = (
-        li.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("r"), row_hash(i).alias("b")
-                        )
-                        for i in range(d_rows)
-                    ]
-                )
-            ).alias("rb")
-        )
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(li, "l_partkey", d_rows, width)
     exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), "l_partkey").limit(15)
     probes = top.select(
         "l_partkey",
         "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("r"), row_hash(i).alias("b"))
-                    for i in range(d_rows)
-                ]
-            )
-        ).alias("rb"),
+        F.explode(cms_hash_pairs(F.col("l_partkey"), d_rows, width)).alias("rb"),
     ).select("l_partkey", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     return (
         probes.join(F.broadcast(cells), ["r", "b"])

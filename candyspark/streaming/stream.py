@@ -306,27 +306,10 @@ def streaming_cms_cells(
     argument in plans/sketches.q_cms_heavy_hitters (per-batch partials
     merge by cell-wise sum, which is exactly what the streaming aggregate
     does across micro-batches). No watermark needed: the state is the
-    sketch itself, already bounded. Same md5-derived row hashes as the
-    batch form, so the drained cells hash-match a batch DuckDB oracle."""
-    from candyspark.operators.text import char_hash32
+    sketch itself, already bounded. ONE cell definition shared with the
+    batch build/probe (operators/sketch.cms_cells — same md5 row hashes,
+    NULL keys excluded on both engines), so the drained cells hash-match
+    a batch DuckDB oracle."""
+    from candyspark.operators.sketch import cms_cells
 
-    def row_hash(i: int):
-        return (
-            char_hash32(F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string")))
-            % width
-        ).cast("int")
-
-    return (
-        events.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("r"), row_hash(i).alias("b"))
-                        for i in range(d_rows)
-                    ]
-                )
-            ).alias("rb")
-        )
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return cms_cells(events.select("user_id"), "user_id", d_rows, width)
