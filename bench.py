@@ -192,6 +192,7 @@ HEADLINE = [
     "anova_oneway",
     "spearman_orders_revenue",
     "cohens_kappa",
+    "kcore_parts",
 ]
 
 

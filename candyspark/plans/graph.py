@@ -417,3 +417,60 @@ LIMIT 25
 REGISTRY["link_prediction_aa"] = QuerySpec(
     q_link_prediction_aa, LINK_PREDICTION_AA_SQL
 )
+
+
+def kcore_decompose(
+    edges: DataFrame, k: int, max_rounds: int = 20
+) -> DataFrame:
+    """The k-core of an undirected edge set ``(u, v)``: iteratively peel
+    vertices of degree < k until a fixpoint; returns the surviving
+    vertices with their within-core degree. The density filter graph
+    curation runs before expensive per-vertex work (a vertex outside the
+    2-core can't be in any triangle; outside the k-core it can't be in
+    any (k+1)-clique).
+
+    Iteration discipline (the components/pagerank pattern): each round is
+    degree-aggregate → semi-join both endpoints → localCheckpoint (flat
+    lineage); the driver reads ONE scalar (the surviving edge count) per
+    round and stops at the fixpoint — peeling converges in ≤ rounds the
+    depth of the degeneracy ordering, and ``max_rounds`` bounds the
+    pathological chain. Rows-only driver check (iterative); fuzzed
+    against a single-threaded peeling reference in test_components.
+    """
+    und = edges.select("u", "v").localCheckpoint()
+    prev_edges = und.count()
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("u").alias("x"))
+            .unionByName(und.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("x")
+        und = (
+            und.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n = und.count()
+        if n == prev_edges:
+            break
+        prev_edges = n
+    return (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy(F.desc("core_degree"), "vertex")
+    )
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph: parts that survive iterative
+    peeling of degree-<3 vertices — the dense backbone the triangle and
+    link-prediction analytics actually operate on."""
+    return kcore_decompose(_copurchase_edges(spark, sf_dir), k=3)
+
+
+REGISTRY["kcore_parts"] = QuerySpec(q_kcore_parts, None)  # iterative fixpoint

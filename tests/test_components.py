@@ -114,3 +114,40 @@ def test_triangle_counts_match_brute_force_on_random_graphs(spark):
             for r in triangles_per_vertex(und).collect()
         }
         assert got == expect, (trial, edges, got, expect)
+
+
+def test_kcore_matches_bruteforce_peeling(spark):
+    """kcore_decompose ≡ single-threaded peeling on random graphs with
+    hubs, chains, and isolated pairs — survivors AND within-core degrees."""
+    import itertools
+    import random
+
+    from candyspark.plans.graph import kcore_decompose
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(4, 14)
+        all_pairs = list(itertools.combinations(range(n), 2))
+        edges = sorted(rng.sample(all_pairs, rng.randint(3, len(all_pairs))))
+        k = rng.randint(2, 4)
+
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for x in list(adj):
+                if len(adj[x]) < k:
+                    for y in adj.pop(x):
+                        adj[y].discard(x)
+                    changed = True
+        expect = {x: len(nbrs) for x, nbrs in adj.items() if nbrs}
+
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r["vertex"]: r["core_degree"]
+            for r in kcore_decompose(df, k=k).collect()
+        }
+        assert got == expect, f"trial={trial} k={k} edges={edges}"
