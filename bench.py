@@ -193,6 +193,7 @@ HEADLINE = [
     "spearman_orders_revenue",
     "cohens_kappa",
     "kcore_parts",
+    "ab_cuped",
 ]
 
 

@@ -887,3 +887,174 @@ FROM sums
 REGISTRY["spearman_orders_revenue"] = QuerySpec(
     q_spearman_orders_revenue, SPEARMAN_ORDERS_REVENUE_SQL
 )
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B experiment: adjust each
+    user's outcome (Jan-16-onward event value) by their PRE-period covariate
+    (first-half-of-January value), y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x) —
+    the standard experimentation-platform trick that shrinks metric
+    variance without biasing the treatment difference (the pre-period is
+    causally untouched by assignment). Output: one row with θ, the
+    variance-reduction ratio 1 − var(y_adj)/var(y), and raw vs adjusted
+    arm means — everything the z-test family (ab_ztest) needs to run on
+    the tighter metric.
+
+    Exactness: per-user pre/post sums are exact decimals; ALL covariance
+    and per-arm terms assemble from exact decimal power sums (Σx, Σy,
+    Σxy, Σxx, Σyy per arm — decimal(18,2)² products stay inside the
+    38-digit envelope at bench SFs; re-scale per-shard beyond) with the
+    closed-form double algebra applied once and snapped. The adjusted-arm
+    means need NO second pass: mean_a(y_adj) = ȳ_a − θ(x̄_a − x̄), and
+    var(y_adj) = var(y) − cov²/var(x) at the optimal θ. Scale: one
+    user-grain aggregate, one ≤2-row arm aggregate, pure arithmetic after.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+                F.col("value").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+                F.col("value").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("y"),
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    xd = F.col("x").cast("decimal(18,2)")
+    yd = F.col("y").cast("decimal(18,2)")
+    arms = (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+        )
+    )
+    tot = arms.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").cast("double").alias("sx"),
+        F.sum("sy").cast("double").alias("sy"),
+        F.sum("sxy").cast("double").alias("sxy"),
+        F.sum("sxx").cast("double").alias("sxx"),
+        F.sum("syy").cast("double").alias("syy"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sx"))).cast("double").alias("sxa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sy"))).cast("double").alias("sya"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("sx"))).cast("double").alias("sxb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("sy"))).cast("double").alias("syb"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    varx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vary = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    # degenerate guards (constant covariate / outcome, empty arm): NULL out
+    # rather than divide by zero — Spark ANSI raises where DuckDB's double
+    # division yields inf, so an unguarded degenerate input would diverge
+    theta = F.when(varx > 0, cov / varx)
+    xbar = F.col("sx") / n
+    mean_a = F.try_divide(F.col("sya"), F.col("na").cast("double"))
+    mean_b = F.try_divide(F.col("syb"), F.col("nb").cast("double"))
+    adj_a = mean_a - theta * (
+        F.try_divide(F.col("sxa"), F.col("na").cast("double")) - xbar
+    )
+    adj_b = mean_b - theta * (
+        F.try_divide(F.col("sxb"), F.col("nb").cast("double")) - xbar
+    )
+    return tot.select(
+        F.col("n").alias("n_users"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        snap_round(theta, 6).alias("theta"),
+        snap_round(
+            F.when(
+                (varx > 0) & (vary > 0), 1.0 - (vary - cov * cov / varx) / vary
+            ),
+            6,
+        ).alias("var_reduction"),
+        snap_round(mean_a, 4).alias("mean_a"),
+        snap_round(mean_b, 4).alias("mean_b"),
+        snap_round(adj_a, 4).alias("adj_mean_a"),
+        snap_round(adj_b, 4).alias("adj_mean_b"),
+        snap_round(adj_a - adj_b, 4).alias("adj_diff"),
+    )
+
+
+AB_CUPED_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS x,
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS y
+    FROM events GROUP BY user_id
+),
+armed AS (
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS INT) AS arm,
+           CAST(x AS DECIMAL(18,2)) AS x, CAST(y AS DECIMAL(18,2)) AS y
+    FROM per_user
+),
+arms AS (
+    SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM armed GROUP BY arm
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sx) AS DOUBLE) AS sx, CAST(SUM(sy) AS DOUBLE) AS sy,
+           CAST(SUM(sxy) AS DOUBLE) AS sxy, CAST(SUM(sxx) AS DOUBLE) AS sxx,
+           CAST(SUM(syy) AS DOUBLE) AS syy,
+           CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sxa,
+           CAST(SUM(CASE WHEN arm = 0 THEN sy END) AS DOUBLE) AS sya,
+           CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sxb,
+           CAST(SUM(CASE WHEN arm = 1 THEN sy END) AS DOUBLE) AS syb
+    FROM arms
+),
+derived AS (
+    SELECT *,
+           sxy / n - (sx / n) * (sy / n) AS cov,
+           sxx / n - (sx / n) * (sx / n) AS varx,
+           syy / n - (sy / n) * (sy / n) AS vary,
+           CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                THEN (sxy / n - (sx / n) * (sy / n))
+                     / (sxx / n - (sx / n) * (sx / n)) END AS theta,
+           CASE WHEN na > 0 THEN sya / na END AS mean_a,
+           CASE WHEN nb > 0 THEN syb / nb END AS mean_b
+    FROM tot
+)
+SELECT n AS n_users, na AS n_a, nb AS n_b,
+       CAST(ROUND(CAST(theta AS DECIMAL(28,8)), 6) AS DOUBLE) AS theta,
+       CAST(ROUND(CAST(CASE WHEN varx > 0 AND vary > 0
+                 THEN 1.0 - (vary - cov * cov / varx) / vary END
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS var_reduction,
+       CAST(ROUND(CAST(mean_a AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_a,
+       CAST(ROUND(CAST(mean_b AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_b,
+       CAST(ROUND(CAST(mean_a - theta * (sxa / na - sx / n)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS adj_mean_a,
+       CAST(ROUND(CAST(mean_b - theta * (sxb / nb - sx / n)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS adj_mean_b,
+       CAST(ROUND(CAST(
+            (mean_a - theta * (sxa / na - sx / n))
+          - (mean_b - theta * (sxb / nb - sx / n))
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS adj_diff
+FROM derived
+"""
+
+
+REGISTRY["ab_cuped"] = QuerySpec(q_ab_cuped, AB_CUPED_SQL)
