@@ -194,6 +194,9 @@ HEADLINE = [
     "cohens_kappa",
     "kcore_parts",
     "ab_cuped",
+    "graph_modularity",
+    "graph_assortativity",
+    "quantile_treatment_effect",
 ]
 
 

@@ -474,3 +474,203 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["kcore_parts"] = QuerySpec(q_kcore_parts, None)  # iterative fixpoint
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the brand partition over the co-purchase graph —
+    does "same brand" explain the edge structure? Q = Σ_c (e_c/m −
+    (d_c/2m)²), assembled EXACTLY: with integer e_c (within-community
+    edges), d_c (community degree sums) and m (edges), each community's
+    term is (4m·e_c − d_c²)/(4m²) — the sum of integer numerators divides
+    once, snapped. The community-quality yardstick the clustering family
+    (kmeans, dedup clusters) reports against a labeled partition.
+
+    Scale: edges + their endpoint brands via two broadcast joins of the
+    part dim; e_c and d_c are ≤|brands|-row aggregates; Q is arithmetic
+    on those rows.
+    """
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    brands = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    labeled = (
+        und.join(brands.withColumnRenamed("p_partkey", "u"), "u")
+        .withColumnRenamed("p_brand", "brand_u")
+        .join(
+            brands.withColumnRenamed("p_partkey", "v").withColumnRenamed(
+                "p_brand", "brand_v"
+            ),
+            "v",
+        )
+        .localCheckpoint()  # feeds m, e_c, and d_c
+    )
+    m = labeled.agg(F.count(F.lit(1)).alias("m"))
+    e_c = (
+        labeled.filter(F.col("brand_u") == F.col("brand_v"))
+        .groupBy(F.col("brand_u").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    d_c = (
+        labeled.select(F.col("brand_u").alias("brand"))
+        .unionByName(labeled.select(F.col("brand_v").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per_c = d_c.join(e_c, "brand", "left").select(
+        "brand",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    num = per_c.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")).alias(
+            "q_num"
+        ),
+        F.first("m").alias("m"),
+    )
+    from candyspark.functions.numeric import snap_round
+
+    return num.select(
+        "m",
+        "n_communities",
+        snap_round(
+            F.col("q_num").cast("double")
+            / (4.0 * F.col("m").cast("double") * F.col("m").cast("double")),
+            6,
+        ).alias("modularity"),
+    )
+
+
+GRAPH_MODULARITY_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+labeled AS (
+    SELECT e.u, e.v, pu.p_brand AS brand_u, pv.p_brand AS brand_v
+    FROM e JOIN part pu ON e.u = pu.p_partkey
+           JOIN part pv ON e.v = pv.p_partkey
+),
+m AS (SELECT COUNT(*) AS m FROM labeled),
+ec AS (
+    SELECT brand_u AS brand, COUNT(*) AS e_c
+    FROM labeled WHERE brand_u = brand_v GROUP BY 1
+),
+dc AS (
+    SELECT brand, COUNT(*) AS d_c FROM (
+        SELECT brand_u AS brand FROM labeled
+        UNION ALL SELECT brand_v FROM labeled
+    ) GROUP BY 1
+),
+per_c AS (
+    SELECT dc.brand, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+    FROM dc LEFT JOIN ec ON dc.brand = ec.brand
+)
+SELECT CAST(m AS BIGINT) AS m,
+       COUNT(*) AS n_communities,
+       CAST(ROUND(CAST(
+            CAST(SUM(4 * m * e_c - d_c * d_c) AS DOUBLE)
+            / (4.0 * m * m) AS DECIMAL(28,8)), 6) AS DOUBLE) AS modularity
+FROM per_c CROSS JOIN m
+GROUP BY m
+"""
+
+
+REGISTRY["graph_modularity"] = QuerySpec(q_graph_modularity, GRAPH_MODULARITY_SQL)
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list (each
+    undirected edge contributes both (deg_u, deg_v) and (deg_v, deg_u) —
+    Newman's convention, which makes the two marginals identical).
+    Negative r = hubs attach to leaves (disassortative, typical of
+    co-occurrence graphs); the one-number structure summary next to the
+    triangle and k-core views.
+
+    Exactness: degrees are exact integers, all five power sums are exact
+    int64, the correlation formula runs once and snaps. Scale: one degree
+    aggregate, two broadcast joins onto the ~|E| edge relation, one
+    5-sum aggregate.
+    """
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg.select(F.col("x").alias("u"), F.col("deg").alias("dg_u")))
+    dv = F.broadcast(deg.select(F.col("x").alias("v"), F.col("deg").alias("dg_v")))
+    pairs = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(F.col("dg_u").alias("j"), F.col("dg_v").alias("k"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("k").alias("j"), F.col("j").alias("k"))
+    )
+    sums = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("j").alias("sj"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    from candyspark.functions.numeric import snap_round
+
+    n = F.col("n").cast("double")
+    sj = F.col("sj").cast("double")
+    sk = F.col("sk").cast("double")
+    sjk = F.col("sjk").cast("double")
+    sjj = F.col("sjj").cast("double")
+    skk = F.col("skk").cast("double")
+    return sums.select(
+        (F.col("n") / 2).cast("long").alias("m_edges"),
+        snap_round(
+            (n * sjk - sj * sk)
+            / (F.sqrt(n * sjj - sj * sj) * F.sqrt(n * skk - sk * sk)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+GRAPH_ASSORTATIVITY_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (
+    SELECT x, COUNT(*) AS deg FROM (
+        SELECT u AS x FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY x
+),
+pairs AS (
+    SELECT du.deg AS j, dv.deg AS k
+    FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+),
+sym AS (SELECT j, k FROM pairs UNION ALL SELECT k AS j, j AS k FROM pairs),
+sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+           CAST(SUM(j * k) AS BIGINT) AS sjk,
+           CAST(SUM(j * j) AS BIGINT) AS sjj,
+           CAST(SUM(k * k) AS BIGINT) AS skk
+    FROM sym
+)
+SELECT CAST(n / 2 AS BIGINT) AS m_edges,
+       CAST(ROUND(CAST(
+            (n * sjk - CAST(sj AS DOUBLE) * sk)
+            / (SQRT(n * sjj - CAST(sj AS DOUBLE) * sj)
+               * SQRT(n * skk - CAST(sk AS DOUBLE) * sk))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS assortativity
+FROM sums
+"""
+
+
+REGISTRY["graph_assortativity"] = QuerySpec(
+    q_graph_assortativity, GRAPH_ASSORTATIVITY_SQL
+)

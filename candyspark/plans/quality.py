@@ -1058,3 +1058,80 @@ FROM derived
 
 
 REGISTRY["ab_cuped"] = QuerySpec(q_ab_cuped, AB_CUPED_SQL)
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-decile gap between the A and B
+    arms' user-outcome distributions — where in the distribution the
+    treatment moves mass, which the mean difference (ab_cuped) averages
+    away. Deciles come from the DISTRIBUTED grouped order-statistic
+    extractor (operators/quantiles.exact_quantiles_grouped, arm as the
+    group key — the per-group holistic percentile would buffer each arm's
+    entire user column in one task); the QTE is the per-prob difference
+    of the two arms' pivoted quantiles.
+
+    Output: (p, q_a, q_b, qte) for the 11 deciles, each value snapped
+    once. Same deterministic md5 arm split as the rest of the A/B family.
+    """
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("outcome")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    ).cast("int")
+    users = per_user.select(arm.alias("arm"), F.col("outcome").cast("double"))
+    probs = [i / 10.0 for i in range(11)]
+    q = exact_quantiles_grouped(spark, users, "arm", "outcome", probs)
+    pivoted = q.groupBy("p").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("value"))).alias("qa"),
+        F.max(F.when(F.col("arm") == 1, F.col("value"))).alias("qb"),
+    )
+    return pivoted.select(
+        "p",
+        snap_round(F.col("qa"), 4).alias("q_a"),
+        snap_round(F.col("qb"), 4).alias("q_b"),
+        snap_round(F.col("qa") - F.col("qb"), 4).alias("qte"),
+    ).orderBy("p")
+
+
+QUANTILE_TREATMENT_EFFECT_SQL = """
+WITH per_user AS (
+    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS outcome
+    FROM events GROUP BY user_id
+),
+armed AS (
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS INT) AS arm, outcome
+    FROM per_user
+),
+g AS (
+    SELECT arm, quantile_cont(outcome,
+        [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
+    FROM armed GROUP BY arm
+),
+expanded AS (
+    SELECT arm, (i - 1) / 10.0 AS p, qs[i] AS value
+    FROM g CROSS JOIN (SELECT unnest(range(1, 12)) AS i) idx
+),
+pivoted AS (
+    SELECT p,
+           MAX(CASE WHEN arm = 0 THEN value END) AS qa,
+           MAX(CASE WHEN arm = 1 THEN value END) AS qb
+    FROM expanded GROUP BY p
+)
+SELECT p,
+       CAST(ROUND(CAST(qa AS DECIMAL(28,8)), 4) AS DOUBLE) AS q_a,
+       CAST(ROUND(CAST(qb AS DECIMAL(28,8)), 4) AS DOUBLE) AS q_b,
+       CAST(ROUND(CAST(qa - qb AS DECIMAL(28,8)), 4) AS DOUBLE) AS qte
+FROM pivoted ORDER BY p
+"""
+
+
+REGISTRY["quantile_treatment_effect"] = QuerySpec(
+    q_quantile_treatment_effect, QUANTILE_TREATMENT_EFFECT_SQL
+)
