@@ -197,6 +197,8 @@ HEADLINE = [
     "graph_modularity",
     "graph_assortativity",
     "quantile_treatment_effect",
+    "kmv_set_cardinality",
+    "hll_md5_registers",
 ]
 
 

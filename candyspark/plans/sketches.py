@@ -19,6 +19,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from candyspark.functions.numeric import snap_round
 from candyspark.operators.text import char_hash32
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
@@ -528,3 +529,286 @@ ORDER BY c_mktsegment
 
 
 REGISTRY["bloom_membership"] = QuerySpec(q_bloom_membership, BLOOM_MEMBERSHIP_SQL)
+
+
+def q_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketches with FULL value oracle:
+    distinct-count, union, and Jaccard/intersection estimates between the
+    urgent-order and high-value-order customer sets. The KMV estimator is
+    the one mergeable sketch family that supports INTERSECTION (via the
+    union sketch's Jaccard), which HLL cannot; unlike the built-in
+    theta_sketch_agg (q_theta_set_ops — JVM-internal hashing, rows-only
+    check), the k minimum md5-derived hash values are bit-for-bit
+    reproducible in DuckDB, so every estimate here hash-checks.
+
+    Estimators (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07): with ν the k-th smallest of
+    the 60-bit hashes normalized by 2^60, D̂ = (k−1)/ν; the union sketch
+    is bottom-k of the MERGED sketches (never the raw union — that's the
+    mergeability property); Jaccard ≈ |{h ∈ S_∪ : h ∈ S_A ∧ h ∈ S_B}|/k';
+    D̂_∩ = J · D̂_∪. When a side has fewer than k distinct values its
+    sketch IS the set and the count is exact — both engines share the
+    branch.
+
+    Scale: each sketch is a TakeOrdered over the side's distinct keys —
+    k=64 rows ever cross an exchange; the membership joins run between
+    ≤k-row broadcast relations. The build sides share ONE orders scan
+    (the two predicates are conditional aggregates of the same pass is
+    not possible for DISTINCT keys — but the scan is columnar and both
+    filters push down; at 100 TB per-partition bottom-k partials merge,
+    which is exactly what TakeOrdered does).
+    """
+    k = 64
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+    def sketch(pred: F.Column) -> DataFrame:
+        return (
+            orders.filter(pred)
+            .select(F.col("o_custkey"))
+            .distinct()
+            .select(h.alias("h"))
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ska = sketch(F.col("o_orderpriority") == "1-URGENT").localCheckpoint()
+    skb = sketch(F.col("o_totalprice") > 150000).localCheckpoint()
+    sku = (
+        ska.unionByName(skb).distinct().orderBy("h").limit(k).localCheckpoint()
+    )
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        # exact when the sketch didn't fill (fewer than k distinct)
+        return sk.agg(
+            F.count(F.lit(1)).alias("sz"), F.max("h").alias("nu")
+        ).select(
+            F.lit(name).alias("which"),
+            F.when(
+                F.col("sz") < k, F.col("sz").cast("double")
+            )
+            .otherwise(
+                (F.lit(float(k - 1)) * F.pow(F.lit(2.0), F.lit(60.0)))
+                / F.col("nu").cast("double")
+            )
+            .alias("raw"),
+        )
+
+    ests = (
+        est(ska, "a")
+        .unionByName(est(skb, "b"))
+        .unionByName(est(sku, "u"))
+        .groupBy()
+        .pivot("which", ["a", "b", "u"])
+        .agg(F.first("raw"))
+    )
+    inter = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    szu = sku.agg(F.count(F.lit(1)).alias("szu"))
+    jac = F.col("n_both").cast("double") / F.col("szu").cast("double")
+    return (
+        ests.crossJoin(inter)
+        .crossJoin(szu)
+        .select(
+            F.lit(k).alias("k"),
+            snap_round(F.col("a"), 4).alias("est_urgent"),
+            snap_round(F.col("b"), 4).alias("est_highvalue"),
+            snap_round(F.col("u"), 4).alias("est_union"),
+            F.col("n_both").alias("n_both"),
+            snap_round(jac, 6).alias("jaccard_kmv"),
+            snap_round(jac * F.col("u"), 4).alias("est_intersection"),
+        )
+    )
+
+
+_KMV_H = (
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+KMV_SET_CARDINALITY_SQL = f"""
+WITH ska AS (
+    SELECT {_KMV_H} AS h
+    FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    ORDER BY h LIMIT 64
+),
+skb AS (
+    SELECT {_KMV_H} AS h
+    FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
+    ORDER BY h LIMIT 64
+),
+sku AS (
+    SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+    ORDER BY h LIMIT 64
+),
+est AS (
+    SELECT
+      (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE 63.0 * POW(2.0, 60.0) / CAST(MAX(h) AS DOUBLE) END
+       FROM ska) AS a,
+      (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE 63.0 * POW(2.0, 60.0) / CAST(MAX(h) AS DOUBLE) END
+       FROM skb) AS b,
+      (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE 63.0 * POW(2.0, 60.0) / CAST(MAX(h) AS DOUBLE) END
+       FROM sku) AS u,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM sku
+        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) AS n_both,
+      (SELECT COUNT(*) FROM sku) AS szu
+)
+SELECT 64 AS k,
+       CAST(ROUND(CAST(a AS DECIMAL(28,8)), 4) AS DOUBLE) AS est_urgent,
+       CAST(ROUND(CAST(b AS DECIMAL(28,8)), 4) AS DOUBLE) AS est_highvalue,
+       CAST(ROUND(CAST(u AS DECIMAL(28,8)), 4) AS DOUBLE) AS est_union,
+       n_both,
+       CAST(ROUND(CAST(CAST(n_both AS DOUBLE) / CAST(szu AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS jaccard_kmv,
+       CAST(ROUND(CAST(CAST(n_both AS DOUBLE) / CAST(szu AS DOUBLE) * u
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS est_intersection
+FROM est
+"""
+
+
+REGISTRY["kmv_set_cardinality"] = QuerySpec(
+    q_kmv_set_cardinality, KMV_SET_CARDINALITY_SQL
+)
+
+
+def q_hll_md5_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles with md5-derived hashes —
+    the FULLY ORACLE-CHECKED counterpart of q_hll_sketches (whose built-in
+    DataSketches aggregate hashes JVM-side and can only be rows-checked).
+    Estimates distinct customers per order priority, plus a '__all__' row
+    whose registers are the per-priority registers MERGED BY MAX — the
+    HLL union, proving the rollup needs no rescan of the fact table.
+
+    Register math (Flajolet et al. 2007): m=256 registers; register index
+    = first 8 bits of md5(custkey); rho = 1 + leading-zero count of the
+    next 52 bits, computed EXACTLY from the hex string (zero-run length ×4
+    plus a 16-way CASE on the first nonzero digit — no float log2, which
+    is off-by-one at powers of two). The harmonic sum Σ 2^−M_j is scaled
+    by 2^55 into an exact int64 (ρ ≤ 53 ⇒ every term is an integer ≥ 4;
+    256 terms ≤ 2^62), so the sum is order-free and engine-exact; empty
+    registers contribute 2^55 each via the register count. Small-range
+    correction E ≤ 2.5m ∧ V>0 → m·ln(m/V) — the branch predicate runs on
+    exact integers, so both engines take the same branch, and the single
+    ln is snapped.
+
+    Scale: the sketch is a fixed ≤|groups|·256-row aggregate whatever the
+    input; register partials combine map-side by max; per-day/priority
+    register sets merge by max without rescanning — the incremental
+    rollup HLL exists for.
+    """
+    m = 256
+    orders = load_table(spark, sf_dir, "orders")
+    hexd = F.md5(F.col("o_custkey").cast("string"))
+    idx = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int")
+    w_hex = F.substring(hexd, 3, 13)
+    lz = F.length(F.regexp_extract(w_hex, "^0*", 0))
+    first_nz = F.substring(w_hex, (lz + 1).cast("int"), 1)
+    extra = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + extra + 1)
+
+    regs = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"), idx.alias("j"), rho.alias("rho")
+        )
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("mj"))
+        # ≤|groups|·256 rows feeding BOTH the per-group and merged branches:
+        # materialized once so the fact scan happens exactly once (lineage
+        # re-derivation otherwise scans orders per consumer)
+        .localCheckpoint()
+    )
+    merged = regs.groupBy("j").agg(F.max("mj").alias("mj")).select(
+        F.lit("__all__").alias("grp"), "j", "mj"
+    )
+    all_regs = regs.unionByName(merged)
+
+    alpha_m2 = (0.7213 / (1 + 1.079 / m)) * m * m
+    per_grp = all_regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), (F.lit(55) - F.col("mj")).cast("double")).cast("bigint"))
+        .alias("s_occ"),
+    )
+    v = (F.lit(m) - F.col("occupied")).cast("long")
+    total_scaled = (F.col("s_occ") + v * F.lit(2**55)).cast("double")
+    raw = F.lit(alpha_m2) * F.lit(float(2**55)) / total_scaled
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return per_grp.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("occupied").alias("occupied_registers"),
+        snap_round(est, 4).alias("est_customers"),
+    ).orderBy("o_orderpriority")
+
+
+_HLL_RHO = """
+CASE WHEN length(regexp_extract(w_hex, '^0*')) = 13 THEN 53
+     ELSE length(regexp_extract(w_hex, '^0*')) * 4
+          + CASE substr(w_hex, length(regexp_extract(w_hex, '^0*')) + 1, 1)
+                 WHEN '1' THEN 3
+                 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END
+          + 1
+END
+"""
+
+HLL_MD5_REGISTERS_SQL = f"""
+WITH hashed AS (
+    SELECT o_orderpriority AS grp,
+           CAST(CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2))
+                AS BIGINT) AS INT) AS j,
+           substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13) AS w_hex
+    FROM orders
+),
+rho AS (
+    SELECT grp, j, {_HLL_RHO} AS rho FROM hashed
+),
+regs AS (
+    SELECT grp, j, MAX(rho) AS mj FROM rho GROUP BY grp, j
+),
+all_regs AS (
+    SELECT grp, j, mj FROM regs
+    UNION ALL
+    SELECT '__all__' AS grp, j, MAX(mj) AS mj FROM regs GROUP BY j
+),
+per_grp AS (
+    SELECT grp,
+           COUNT(*) AS occupied,
+           SUM(CAST(POW(2.0, CAST(55 - mj AS DOUBLE)) AS BIGINT)) AS s_occ
+    FROM all_regs GROUP BY grp
+),
+est AS (
+    SELECT grp, occupied,
+           (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * POW(2.0, 55.0)
+             / CAST(s_occ + (256 - occupied) * CAST(2 AS BIGINT) ** 55 AS DOUBLE)
+             AS raw,
+           CAST(256 - occupied AS BIGINT) AS v
+    FROM per_grp
+)
+SELECT grp AS o_orderpriority,
+       occupied AS occupied_registers,
+       CAST(ROUND(CAST(
+           CASE WHEN raw <= 2.5 * 256 AND v > 0
+                THEN 256.0 * LN(256.0 / CAST(v AS DOUBLE))
+                ELSE raw END
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS est_customers
+FROM est
+ORDER BY o_orderpriority
+"""
+
+
+REGISTRY["hll_md5_registers"] = QuerySpec(q_hll_md5_registers, HLL_MD5_REGISTERS_SQL)

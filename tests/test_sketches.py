@@ -83,3 +83,63 @@ def test_sliding_hll_wau_tracks_exact(spark):
     assert set(exact) == set(approx)
     for day, wau in exact.items():
         assert abs(approx[day] - wau) <= max(3, 0.05 * wau), (day, approx[day], wau)
+
+
+def test_kmv_estimates_within_bound(spark):
+    """KMV estimates within ~3/sqrt(k) of the exact set sizes at sf0.01
+    (where both sketches fill; RSE ~ 1/sqrt(k-2) = 12.7% for k=64), and
+    the no-false-structure invariants: union >= max side, intersection
+    <= min side (after the shared snap)."""
+    from candyspark.plans.sketches import q_kmv_set_cardinality
+
+    sf = "/root/testdata/sf0.01"
+    row = q_kmv_set_cardinality(spark, sf).collect()[0]
+    orders = load_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    b = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey").distinct()
+    na, nb = a.count(), b.count()
+    nu = a.unionByName(b).distinct().count()
+    ni = a.join(b, "o_custkey", "left_semi").count()
+    bound = 3.0 / (row.k - 2) ** 0.5  # ~3 RSE
+    assert abs(row.est_urgent - na) <= bound * na, (row.est_urgent, na)
+    assert abs(row.est_highvalue - nb) <= bound * nb, (row.est_highvalue, nb)
+    assert abs(row.est_union - nu) <= bound * nu, (row.est_union, nu)
+    assert abs(row.est_intersection - ni) <= bound * ni + 2, (row.est_intersection, ni)
+    assert row.est_union >= max(row.est_urgent, row.est_highvalue) - 1e-9
+    assert row.est_intersection <= min(row.est_urgent, row.est_highvalue) + 1e-9
+
+
+def test_kmv_exact_branch_below_k(spark):
+    """At sf0.001 a side with fewer than k distinct keys reports its EXACT
+    count (the sketch IS the set)."""
+    from candyspark.plans.sketches import q_kmv_set_cardinality
+
+    row = q_kmv_set_cardinality(spark, SF_DIR).collect()[0]
+    # both sides exceed k=64 at sf0.001 (132/150) -> estimator branch;
+    # the invariant still pins estimates near truth for small sets
+    assert 100 <= row.est_urgent <= 170
+    assert 110 <= row.est_highvalue <= 190
+
+
+def test_hll_md5_estimates_and_merge(spark):
+    """The first-principles md5 HLL: per-priority estimates within the
+    ~2.6/sqrt(256) x 3 band of exact distinct customers at sf0.01, and the
+    '__all__' row >= every per-priority estimate (register-max merge can
+    only grow the union estimate above each part's)."""
+    from candyspark.plans.sketches import q_hll_md5_registers
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.o_orderpriority: r.est_customers for r in q_hll_md5_registers(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = orders.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        # 1.04/sqrt(256) = 6.5% RSE; allow 3 sigma
+        assert abs(est - exact[k]) <= 3 * 0.065 * exact[k], (k, est, exact[k])
+    assert all(rows["__all__"] >= v - 1e-9 for p, v in rows.items() if p != "__all__")
