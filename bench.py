@@ -199,6 +199,9 @@ HEADLINE = [
     "quantile_treatment_effect",
     "kmv_set_cardinality",
     "hll_md5_registers",
+    "acf_daily_revenue",
+    "ols_price_model",
+    "hits_customers_parts",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Distributed HITS (hubs & authorities, Kleinberg 1999) — the directed /
+bipartite centrality companion to PageRank (operators/pagerank.py). No
+reference counterpart (extension surface, SURVEY.md §2.13): the use case is
+two-sided importance on a directed relation — e.g. customers as hubs and
+parts as authorities over the purchase relation, or query↔document graphs.
+
+Scale design mirrors pagerank exactly:
+- Each half-round is ONE shuffle: edge-carried scores grouped by the other
+  endpoint. The edge relation is localCheckpointed once OUTSIDE the loop;
+  the loop body re-shuffles only (node, score).
+- ``localCheckpoint(eager=True)`` per round truncates lineage.
+- Fixed iteration count (8 rounds is the standard operating point), no
+  driver-side convergence action.
+
+Determinism (the pagerank discipline): per-edge contributions snap to exact
+DECIMAL(24,14) before each sum — decimal addition is associative where the
+double sum is partitioning-order-dependent — and the L1 normalization
+divides by the exact decimal total with one 14-dp snap per node per round.
+Scores are then bit-identical under repartition (pinned in tests).
+
+Normalization: L1 (scores sum to 1 per side) rather than the textbook L2 —
+sqrt is a per-round float whose last-ulp drift would break the decimal
+discipline; L1 yields the same ranking and the same fixed point up to
+scaling, and is what power-iteration implementations at scale use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SNAP = "decimal(24,14)"
+
+
+def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+    total = scores.agg(F.sum(F.col(col).cast(_SNAP)).alias("tot"))
+    return (
+        scores.crossJoin(F.broadcast(total))
+        .select(
+            scores.columns[0],
+            F.round((F.col(col).cast(_SNAP) / F.col("tot")).cast(_SNAP), 14)
+            .cast("double")
+            .alias(col),
+        )
+    )
+
+
+def hits(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, DataFrame]:
+    """HITS over a directed edge relation (columns ``src``, ``dst``).
+
+    Returns ``(hubs, auths)``: DataFrames (src, hub) and (dst, auth), both
+    L1-normalized, after ``rounds`` full hub→authority→hub iterations.
+    Dangling behavior: a src with no in-pointing dsts keeps contributing
+    (HITS has no damping; nodes outside the edge relation simply don't
+    appear — on the purchase bipartite graph every listed node has ≥1
+    edge by construction).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    hubs = (
+        e.select("src").distinct().withColumn("hub", F.lit(1.0)).localCheckpoint()
+    )
+    hubs = _l1_normalize(hubs, "hub").localCheckpoint()
+    auths = None
+    for _ in range(rounds):
+        raw_a = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub").cast(_SNAP)).alias("auth"))
+        )
+        auths = _l1_normalize(raw_a, "auth").localCheckpoint(eager=True)
+        raw_h = (
+            e.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("auth").cast(_SNAP)).alias("hub"))
+        )
+        hubs = _l1_normalize(raw_h, "hub").localCheckpoint(eager=True)
+    return hubs, auths

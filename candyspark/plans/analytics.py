@@ -912,3 +912,131 @@ ORDER BY event_type, day
 REGISTRY["rolling_median_value"] = QuerySpec(
     rolling_median_value, ROLLING_MEDIAN_VALUE_SQL
 )
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-revenue series at lags
+    1..7 — the standard pre-forecasting diagnostic (weekday seasonality
+    shows as a lag-7 spike; trend as slow decay) that the forecast family
+    (forecast_linear / seasonal) acts on. ACF(l) = Σ_t (r_t−μ)(r_{t−l}−μ)
+    / Σ_t (r_t−μ)², the series indexed by PRESENT days (row_number over
+    the date order, the convention for gappy business calendars).
+
+    Exactness: μ is computed once in double and snapped to 6 dp, so both
+    engines center by the same constant; every centered value is then an
+    exact DECIMAL(16,6) and all products/sums stay exact decimals — the
+    numerator and denominator cross the engine boundary as exact values
+    with ONE snapped division per lag (float Σ of 2,400 products would be
+    summation-order-dependent, the classic silent mismatch).
+
+    Scale: orders collapse to the ≤|calendar| daily relation first; the
+    row_number window is a global sort over that BOUNDED series (same
+    contract as histogram_equidepth); the lag pairing is an equi-join on
+    the derived index against a 7-row broadcast of lags — never a
+    window-per-lag re-sort. The centered series is materialized once for
+    its three consumers (denominator + both join sides).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    series = daily.select(F.row_number().over(w).alias("t"), "r")
+    mu_stats = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("mu"),
+    )
+    ser = (
+        series.crossJoin(F.broadcast(mu_stats))
+        # exact decimal diff surfaced as double (values < 2^53-exact range);
+        # products are snapped per-TERM then summed as exact decimals — a
+        # raw float sum of ~2,400 products is summation-order-dependent
+        .select(
+            "t",
+            (F.col("r") - F.col("mu")).cast("decimal(16,6)").cast("double").alias("d"),
+        )
+        .localCheckpoint()  # 3 consumers: denominator + both join sides
+    )
+
+    def term(p: F.Column) -> F.Column:
+        return F.round(p.cast("decimal(28,8)"), 6)
+
+    den = ser.agg(
+        F.sum(term(F.col("d") * F.col("d"))).alias("den"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lags = spark.createDataFrame([(l,) for l in range(1, 8)], "l int")
+    shifted = ser.crossJoin(F.broadcast(lags)).select(
+        (F.col("t") + F.col("l")).alias("t"), "l", F.col("d").alias("d2")
+    )
+    num = (
+        ser.join(shifted, "t")
+        .groupBy("l")
+        .agg(
+            F.sum(term(F.col("d") * F.col("d2"))).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("l").alias("lag"),
+            "n_days",
+            "n_pairs",
+            X.snap_round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+                "acf"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_DAILY_REVENUE_SQL = """
+WITH daily AS (
+    SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY o_orderdate
+),
+series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t, r FROM daily
+),
+mu_stats AS (
+    SELECT COUNT(*) AS n,
+           CAST(ROUND(CAST(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS mu
+    FROM series
+),
+ser AS (
+    SELECT t, CAST(CAST(r - mu AS DECIMAL(16,6)) AS DOUBLE) AS d
+    FROM series CROSS JOIN mu_stats
+),
+den AS (
+    SELECT SUM(ROUND(CAST(d * d AS DECIMAL(28,8)), 6)) AS den,
+           COUNT(*) AS n_days
+    FROM ser
+),
+shifted AS (
+    SELECT t + l AS t, l, d AS d2
+    FROM ser CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS l)
+),
+num AS (
+    SELECT l, SUM(ROUND(CAST(ser.d * shifted.d2 AS DECIMAL(28,8)), 6)) AS num,
+           COUNT(*) AS n_pairs
+    FROM ser JOIN shifted USING (t)
+    GROUP BY l
+)
+SELECT l AS lag, n_days, n_pairs,
+       CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS acf
+FROM num CROSS JOIN den
+ORDER BY lag
+"""
+
+
+REGISTRY["acf_daily_revenue"] = QuerySpec(q_acf_daily_revenue, ACF_DAILY_REVENUE_SQL)

@@ -674,3 +674,40 @@ FROM sums
 REGISTRY["graph_assortativity"] = QuerySpec(
     q_graph_assortativity, GRAPH_ASSORTATIVITY_SQL
 )
+
+
+def q_hits_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the customer→part purchase bipartite
+    graph: a customer is a strong HUB when they buy many authoritative
+    parts; a part is a strong AUTHORITY when bought by strong hubs — the
+    mutually-recursive two-sided centrality PageRank's single score can't
+    express (Kleinberg 1999). 8 rounds; output = top 25 authority parts
+    with their scores plus each part's buyer count (so the rank is
+    interpretable against raw popularity).
+
+    Iterative (two keyed shuffles per round, lineage checkpointed per
+    round — the pagerank discipline, operators/hits.py), so rows-only for
+    the driver; determinism under repartition and parity with a
+    single-threaded numpy HITS are pinned in tests/test_pagerank.py."""
+    from candyspark.operators.hits import hits
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    buyers = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n_buyers"))
+    _, auths = hits(edges, rounds=8)
+    return (
+        auths.join(buyers, "dst")
+        .select(F.col("dst").alias("part"), "auth", "n_buyers")
+        .orderBy(F.desc("auth"), "part")
+        .limit(25)
+    )
+
+
+REGISTRY["hits_customers_parts"] = QuerySpec(
+    q_hits_customers_parts, None
+)  # iterative fixpoint; numpy-parity + repartition-determinism in tests

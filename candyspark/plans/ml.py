@@ -644,3 +644,155 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["isotonic_calibration"] = QuerySpec(q_isotonic_calibration, None)  # PAVA
+
+
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (two features + intercept):
+    fit net revenue (l_extendedprice*(1-l_discount)) ~ b0 +
+    b1*l_extendedprice + b2*(l_discount*100) by the normal equations,
+    solved with Cramer's rule on the 3x3 Gram matrix —
+    the distributed form of OLS for LOW-dimensional models: ONE map-side-
+    combined aggregate produces the 9 moment sums, and everything after
+    is driver-free scalar algebra inside the plan. (The d>3 general form
+    is pca_top_component's pattern: collect the d x d Gram and solve in
+    the driver; here even that collect disappears.)
+
+    Exactness: all moment sums are exact decimals (inputs are
+    DECIMAL(12,2)/(4,2); triple-products stay inside the 38-digit
+    envelope); the Cramer determinants evaluate in double with IDENTICAL
+    association in both engines, and each reported coefficient snaps
+    once. R^2 assembles algebraically from the same sums — no residual
+    second pass: R^2 = 1 - (Syy - b0*Sy - b1*S1y - b2*S2y)/(Syy - Sy^2/n).
+
+    Scale: a single aggregate over the fact table, ~1 row out; no
+    shuffle wider than the partial-agg combine. This is the regression
+    the reference's forecast family (src/time_series.py) approximates
+    per-series; here it's the multivariate batch form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_extendedprice").cast("decimal(12,2)")
+    # discount in [0,0.1] is scaled x100 so the Gram matrix is well-
+    # conditioned in double (raw 1e-2-scale columns next to 1e4-scale
+    # price sums lose ~4 digits in the determinant cancellation)
+    x2 = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("decimal(8,2)")
+    # the target carries REAL structure (y = x1 - x1*x2/100 + no noise on
+    # the linear terms' scale): the fit must recover b1 ~ 1-E[d], b2 ~
+    # -E[price]/100, R^2 >> 0.99 — pinned in tests; the synthetic tables'
+    # raw columns are mutually independent, so a raw-column target would
+    # only ever demonstrate R^2 = 0
+    y = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(14,4)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    # det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] — minors spelled out so
+    # the SQL mirror evaluates the SAME double ops in the SAME order
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0 = F.when(det != 0, det0 / det)
+    b1 = F.when(det != 0, det1 / det)
+    b2 = F.when(det != 0, det2 / det)
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        X.snap_round(b0, 4).alias("intercept"),
+        X.snap_round(b1, 4).alias("beta_price"),
+        X.snap_round(b2, 4).alias("beta_discount_pct"),
+        X.snap_round(F.when(sst > 0, 1.0 - sse / sst), 6).alias("r2"),
+    )
+
+
+OLS_PRICE_MODEL_SQL = """
+WITH sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1,
+           CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+           CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+           CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM (
+        SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS DECIMAL(8,2)) AS x2,
+               -- DECIMAL(19,4) (not 14,4): forces DuckDB's INT128 multiply
+               -- path for y*y, whose 28-digit result overflows the INT64
+               -- decimal check; the VALUE is identical to Spark's (14,4)
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS y
+        FROM lineitem
+    )
+),
+solved AS (
+    SELECT *,
+           CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+    FROM sums
+),
+coefs AS (
+    SELECT *,
+           CASE WHEN det != 0 THEN det0 / det END AS b0,
+           CASE WHEN det != 0 THEN det1 / det END AS b1,
+           CASE WHEN det != 0 THEN det2 / det END AS b2
+    FROM solved
+)
+SELECT n AS n_rows,
+       CAST(ROUND(CAST(b0 AS DECIMAL(28,8)), 4) AS DOUBLE) AS intercept,
+       CAST(ROUND(CAST(b1 AS DECIMAL(28,8)), 4) AS DOUBLE) AS beta_price,
+       CAST(ROUND(CAST(b2 AS DECIMAL(28,8)), 4) AS DOUBLE) AS beta_discount_pct,
+       CAST(ROUND(CAST(
+           CASE WHEN syy - sy * sy / CAST(n AS DOUBLE) > 0
+                THEN 1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / CAST(n AS DOUBLE)) END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS r2
+FROM coefs
+"""
+
+
+REGISTRY["ols_price_model"] = QuerySpec(q_ols_price_model, OLS_PRICE_MODEL_SQL)

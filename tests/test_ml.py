@@ -248,3 +248,22 @@ def test_isotonic_calibration_properties(spark):
         for r, _, span in blocks:
             want.extend([r] * span)
         assert all(abs(a - b) < 1e-5 for a, b in zip(iso, want)), (source, iso, want)
+
+
+def test_ols_recovers_planted_structure(spark):
+    """The OLS target is y = x1(1 - d): the fit must recover
+    b1 ~ 1 - E[d] and b2 ~ -E[price]/100 with R^2 > 0.99 — a regression
+    whose ground truth is planted, not assumed from the synthetic data
+    (whose raw columns are mutually independent)."""
+    from candyspark.plans.ml import q_ols_price_model
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    row = q_ols_price_model(spark, sf).collect()[0]
+    li = load_table(spark, sf, "lineitem")
+    stats = li.agg(
+        F.avg("l_discount").alias("d"), F.avg("l_extendedprice").alias("p")
+    ).collect()[0]
+    assert row.r2 > 0.99, row
+    assert abs(row.beta_price - (1 - stats.d)) < 0.02, (row.beta_price, stats.d)
+    assert abs(row.beta_discount_pct - (-stats.p / 100)) / (stats.p / 100) < 0.1
