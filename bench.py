@@ -202,6 +202,9 @@ HEADLINE = [
     "acf_daily_revenue",
     "ols_price_model",
     "hits_customers_parts",
+    "zorder_layout",
+    "dp_noisy_counts",
+    "geo_supplier_distance",
 ]
 
 

@@ -30,6 +30,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         candy,
         corpus,
         extensions,
+        geo,
         graph,
         ml,
         mutation,
@@ -57,6 +58,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         mutation,
+        geo,
         ml,
         quality,
         graph,

@@ -407,3 +407,135 @@ SELECT * FROM edge ORDER BY fk_edge
 REGISTRY["referential_integrity"] = QuerySpec(
     q_referential_integrity, REFERENTIAL_INTEGRITY_SQL
 )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day) and the
+    layout-quality audit that justifies it: interleave the two dims'
+    8-bit range-normalized coordinates into a 16-bit z-value, split the
+    z-sorted relation into 64 equal z-range 'files', and report how
+    tightly EACH dimension's min/max span is bounded per file. A 1-D sort
+    bounds only its own column (the other column's per-file span stays
+    ~the full range); z-order bounds BOTH — which is what makes min/max
+    zone-map skipping work for predicates on either column at 100 TB
+    (the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, done here as
+    pure integer algebra, no engine extension needed).
+
+    Exactness: range normalization, bit interleave (8 shifted-AND terms
+    per dim), file split (z >> 10), and the span accounting are all
+    integer ops — identical in both engines by construction; the two
+    summary ratios snap once.
+
+    Scale: one bounds aggregate (1 row, broadcast back) + one scan that
+    computes z in the scan stage + one 64-group aggregate. The z-value
+    is exactly what a writer would range-partition on before writing
+    parquet (sources/sinks' sortWithinPartitions pattern); file count 64
+    stands in for the real file grain.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    base = orders.select(
+        F.col("o_custkey").alias("ck"), day.alias("dy")
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    ).localCheckpoint()
+
+    def norm8(c: F.Column, lo: F.Column, hi: F.Column) -> F.Column:
+        # 0..255, monotone in c; integer-exact in both engines
+        return F.least(
+            (((c - lo).cast("bigint") * 256) / (hi - lo + 1).cast("bigint")).cast(
+                "bigint"
+            ),
+            F.lit(255).cast("bigint"),
+        ).cast("int")
+
+    withxy = base.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "dy",
+        norm8(F.col("ck"), F.col("ck_lo"), F.col("ck_hi")).alias("x"),
+        norm8(F.col("dy"), F.col("dy_lo"), F.col("dy_hi")).alias("y"),
+    )
+    z = None
+    for i in range(8):
+        xb = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        bit = xb + yb
+        z = bit if z is None else z + bit
+    filed = withxy.select("ck", "dy", F.shiftright(z, 10).alias("zfile"))
+    per_file = filed.groupBy("zfile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("ck") - F.min("ck")).alias("ck_span"),
+        (F.max("dy") - F.min("dy")).alias("dy_span"),
+    )
+    # span ratio vs the full range: how much of each dim a file's zone map
+    # covers — lower = better skipping for predicates on that dim
+    return (
+        per_file.crossJoin(F.broadcast(bounds))
+        .select(
+            "zfile",
+            "n_rows",
+            "ck_span",
+            "dy_span",
+            snap_round(
+                F.col("ck_span").cast("double")
+                / (F.col("ck_hi") - F.col("ck_lo")).cast("double"),
+                6,
+            ).alias("ck_span_ratio"),
+            snap_round(
+                F.col("dy_span").cast("double")
+                / (F.col("dy_hi") - F.col("dy_lo")).cast("double"),
+                6,
+            ).alias("dy_span_ratio"),
+        )
+        .orderBy("zfile")
+    )
+
+
+_Z_BITS = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+ZORDER_LAYOUT_SQL = f"""
+WITH base AS (
+    SELECT o_custkey AS ck,
+           DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS dy
+    FROM orders
+),
+bounds AS (
+    SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+           MIN(dy) AS dy_lo, MAX(dy) AS dy_hi
+    FROM base
+),
+withxy AS (
+    SELECT ck, dy,
+           CAST(LEAST(CAST(CAST(ck - ck_lo AS BIGINT) * 256 AS BIGINT)
+                      // CAST(ck_hi - ck_lo + 1 AS BIGINT), 255) AS INT) AS x,
+           CAST(LEAST(CAST(CAST(dy - dy_lo AS BIGINT) * 256 AS BIGINT)
+                      // CAST(dy_hi - dy_lo + 1 AS BIGINT), 255) AS INT) AS y
+    FROM base CROSS JOIN bounds
+),
+filed AS (
+    SELECT ck, dy, ({_Z_BITS}) >> 10 AS zfile FROM withxy
+),
+per_file AS (
+    SELECT zfile, COUNT(*) AS n_rows,
+           MAX(ck) - MIN(ck) AS ck_span,
+           MAX(dy) - MIN(dy) AS dy_span
+    FROM filed GROUP BY zfile
+)
+SELECT zfile, n_rows, ck_span, dy_span,
+       CAST(ROUND(CAST(CAST(ck_span AS DOUBLE) / CAST(ck_hi - ck_lo AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS ck_span_ratio,
+       CAST(ROUND(CAST(CAST(dy_span AS DOUBLE) / CAST(dy_hi - dy_lo AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS dy_span_ratio
+FROM per_file CROSS JOIN bounds
+ORDER BY zfile
+"""
+
+
+REGISTRY["zorder_layout"] = QuerySpec(q_zorder_layout, ZORDER_LAYOUT_SQL)

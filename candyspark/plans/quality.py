@@ -1135,3 +1135,76 @@ FROM pivoted ORDER BY p
 REGISTRY["quantile_treatment_effect"] = QuerySpec(
     q_quantile_treatment_effect, QUANTILE_TREATMENT_EFFECT_SQL
 )
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the Laplace mechanism, with
+    DETERMINISTIC noise: per-nation customer counts + Laplace(1/eps)
+    noise (eps=1, sensitivity 1 for a count). The uniform draw is
+    md5-derived from the nation key + a fixed release tag — the
+    inverse-CDF transform u -> -(1/eps)*sign(u)*ln(1-2|u|) then yields
+    the exact Laplace sample. Seeded noise is how production DP releases
+    make publication idempotent (re-running the release must NOT spend
+    extra privacy budget by drawing fresh noise); it is also what makes
+    the mechanism fully oracle-checkable. The governance companion to
+    mask_customers: masking protects identifiers, DP protects aggregates.
+
+    NOTE: this is the verification surface for the MECHANISM — a real
+    release would emit only the noisy column (and never alongside the
+    true count), and the release tag would be budget-accounted.
+
+    Scale: one ≤|nations| aggregate; noise is a scan-stage expression on
+    the 25-row result. The single ln per group is snapped (the BM25
+    discipline) so both engines' libm agree after rounding.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    counts = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("release-2026-08:"), F.col("n_name"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    # u in [-0.5, 0.5); greatest(h,1) guards the measure-zero h=0 edge
+    # where 1-2|u| would hit ln(0)
+    u = F.greatest(h, F.lit(1)).cast("double") / F.lit(float(2**60)) - F.lit(0.5)
+    sgn = F.when(u >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -sgn * F.log(1.0 - 2.0 * F.abs(u))  # scale b = 1/eps = 1
+    return counts.select(
+        F.col("n_name").alias("nation"),
+        F.col("true_count"),
+        snap_round(noise, 4).alias("noise"),
+        snap_round(F.col("true_count") + noise, 4).alias("noisy_count"),
+    ).orderBy("nation")
+
+
+DP_NOISY_COUNTS_SQL = """
+WITH counts AS (
+    SELECT n.n_name AS nation, COUNT(*) AS true_count
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+),
+draw AS (
+    SELECT nation, true_count,
+           CAST(GREATEST(CAST(concat('0x', substr(md5(concat('release-2026-08:', nation)), 1, 15))
+                AS BIGINT), 1) AS DOUBLE) / POW(2.0, 60.0) - 0.5 AS u
+    FROM counts
+),
+noised AS (
+    SELECT nation, true_count,
+           -(CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END) * LN(1.0 - 2.0 * ABS(u)) AS noise
+    FROM draw
+)
+SELECT nation, true_count,
+       CAST(ROUND(CAST(noise AS DECIMAL(28,8)), 4) AS DOUBLE) AS noise,
+       CAST(ROUND(CAST(true_count + noise AS DECIMAL(28,8)), 4) AS DOUBLE) AS noisy_count
+FROM noised
+ORDER BY nation
+"""
+
+
+REGISTRY["dp_noisy_counts"] = QuerySpec(q_dp_noisy_counts, DP_NOISY_COUNTS_SQL)
