@@ -205,6 +205,9 @@ HEADLINE = [
     "zorder_layout",
     "dp_noisy_counts",
     "geo_supplier_distance",
+    "correlation_matrix",
+    "kneser_ney_bigram",
+    "fd_violations",
 ]
 
 

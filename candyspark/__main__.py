@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--forecast-method",
         default="auto",
-        choices=["auto", "linear", "seasonal"],
+        choices=["auto", "linear", "seasonal", "holt"],
         help="deterministic forecaster (the reference's Prophet fit is "
         "run-date-anchored and unreproducible — SURVEY.md §2.12)",
     )

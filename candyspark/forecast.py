@@ -100,21 +100,62 @@ def _seasonal_forecast(
     return intercept + slope * fx + offsets[fdow]
 
 
+def _holt_fit(
+    values: np.ndarray, alpha: float = 0.5, beta: float = 0.3
+) -> tuple[float, float, np.ndarray]:
+    """Holt's linear-trend (double exponential) smoothing:
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = b*(l_t - l_{t-1}) + (1-b)*b_{t-1}
+
+    Returns (final level, final trend, in-sample one-step-ahead
+    predictions yhat_t = l_{t-1} + b_{t-1}, with yhat_0 = y_0). The
+    recurrence is inherently sequential (each state feeds the next), so
+    like the greedy allocator it runs as a per-series kernel — driver-side
+    for the single daily series, inside forecast_many's applyInPandas for
+    millions of series. Initialization: l_0 = y_0, b_0 = y_1 - y_0
+    (0 for a 1-point series) — the standard textbook start, deterministic.
+    """
+    values = np.asarray(values, dtype=float)
+    n = len(values)
+    if n == 0:
+        return 0.0, 0.0, values.copy()
+    level = values[0]
+    trend = values[1] - values[0] if n > 1 else 0.0
+    preds = np.empty(n)
+    preds[0] = values[0]
+    for t in range(1, n):
+        preds[t] = level + trend
+        prev_level = level
+        level = alpha * values[t] + (1.0 - alpha) * (level + trend)
+        trend = beta * (level - prev_level) + (1.0 - beta) * trend
+    return float(level), float(trend), preds
+
+
+def _holt_forecast(values: np.ndarray, horizon: int) -> np.ndarray:
+    if len(values) == 0:
+        return np.zeros(horizon)
+    level, trend, _ = _holt_fit(values)
+    return level + trend * np.arange(1, horizon + 1, dtype=float)
+
+
 def forecast_series(
     dates: pd.Series, values: np.ndarray, horizon: int, method: str = "auto"
 ) -> np.ndarray:
-    """Dispatch on method: 'linear' | 'seasonal' | 'prophet' | 'auto'
-    (prophet when importable, else linear). Unknown methods raise — a
-    silent fallback would hand a user wrong-model output (round-1 judge
+    """Dispatch on method: 'linear' | 'seasonal' | 'holt' | 'prophet' |
+    'auto' (prophet when importable, else linear). Unknown methods raise —
+    a silent fallback would hand a user wrong-model output (round-1 judge
     finding on --forecast-method seasonal)."""
     if method == "prophet" or (method == "auto" and HAVE_PROPHET):
         return _prophet_forecast(dates, values, horizon)
     if method == "seasonal":
         return _seasonal_forecast(dates, np.asarray(values, dtype=float), horizon)
+    if method == "holt":
+        return _holt_forecast(np.asarray(values, dtype=float), horizon)
     if method in ("linear", "auto"):
         return _linear_forecast(np.asarray(values, dtype=float), horizon)
     raise ValueError(
-        f"unknown forecast method {method!r}: use linear|seasonal|prophet|auto"
+        f"unknown forecast method {method!r}: use linear|seasonal|holt|prophet|auto"
     )
 
 
@@ -208,6 +249,8 @@ def _in_sample_predictions(
         x = (d - d.iloc[0]).dt.days.to_numpy(dtype=float)
         dow = d.dt.dayofweek.to_numpy()
         return intercept + slope * x + offsets[dow]
+    if method == "holt":
+        return _holt_fit(values)[2]
     if method in ("linear", "auto"):
         if n < 2:
             return values.copy()
@@ -215,7 +258,7 @@ def _in_sample_predictions(
         slope, intercept = np.polyfit(x, values, 1)
         return intercept + slope * x
     raise ValueError(
-        f"unknown forecast method {method!r}: use linear|seasonal|prophet|auto"
+        f"unknown forecast method {method!r}: use linear|seasonal|holt|prophet|auto"
     )
 
 
@@ -234,7 +277,7 @@ def forecast_metrics(
     )
     model_type = (
         "prophet" if (method == "prophet" or (method == "auto" and HAVE_PROPHET))
-        else ("seasonal" if method == "seasonal" else "linear")
+        else (method if method in ("seasonal", "holt") else "linear")
     )
     out: dict[str, dict[str, float]] = {}
     for series in ("total_sales", "total_profit"):

@@ -1413,3 +1413,119 @@ ORDER BY source
 REGISTRY["mix_weights_temperature"] = QuerySpec(
     mix_weights_temperature, MIX_WEIGHTS_TEMPERATURE_SQL
 )
+
+
+# --- Kneser-Ney smoothed bigram language model --------------------------------
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (fixed discount
+    D=0.75) — the n-gram language-model smoothing under KenLM-style
+    corpus scoring, built entirely from the DISTINCT-bigram relation:
+
+        P(w2|w1) = (c(w1,w2) - D)/c(w1.)
+                   + (D * N1+(w1,.)/c(w1.)) * (N1+(.,w2)/T)
+
+    where c(w1.) is the left-context total, N1+(w1,.) the context fanout
+    (distinct continuations of w1), N1+(.,w2) the continuation count
+    (distinct contexts preceding w2 — KN's signature: how PROMISCUOUS a
+    word is, not how frequent), and T the number of distinct bigram types.
+
+    Scale: the bigram count relation is materialized ONCE
+    (localCheckpoint) and every marginal — left totals, continuation
+    counts, the 1-row type total — derives from it by aggregation, never
+    a corpus re-scan; marginals are vocabulary-sized dims broadcast back
+    onto the pair relation. Contexts with c(w1.) < 50 are dropped (rare
+    contexts put P≈1 on noise continuations) and top-30 is TakeOrdered.
+
+    Exactness: every input is an exact long count; D=0.75 is exact in
+    binary; the two-term sum evaluates in double with IDENTICAL
+    association in both engines and snaps once at 8 dp.
+    """
+    from candyspark.operators import text as X
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = X.tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bc = (
+        d.select(F.explode(pairs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    left = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tot = bc.agg(F.count(F.lit(1)).alias("t"))
+    c1d = F.col("c1").cast("double")
+    p_kn = (F.col("c").cast("double") - 0.75) / c1d + (
+        0.75 * F.col("n1f") / c1d
+    ) * (F.col("n1p") / F.col("t").cast("double"))
+    return (
+        bc.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c1") >= 50)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_bigram"),
+            F.col("c1").alias("n_context"),
+            F.col("n1f").alias("context_fanout"),
+            F.col("n1p").alias("continuation"),
+            snap_round(p_kn, 8).alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(30)
+    )
+
+
+KNESER_NEY_BIGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+b AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+),
+bc AS (
+    SELECT split_part(bigram, ' ', 1) AS w1,
+           split_part(bigram, ' ', 2) AS w2,
+           COUNT(*) AS c
+    FROM b
+    GROUP BY 1, 2
+),
+lft AS (
+    SELECT w1, CAST(SUM(c) AS BIGINT) AS c1, COUNT(*) AS n1f
+    FROM bc GROUP BY w1
+),
+rgt AS (SELECT w2, COUNT(*) AS n1p FROM bc GROUP BY w2),
+tot AS (SELECT COUNT(*) AS t FROM bc)
+SELECT w1, w2, c AS n_bigram, c1 AS n_context,
+       n1f AS context_fanout, n1p AS continuation,
+       CAST(ROUND(CAST(
+           (CAST(c AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+           + (0.75 * n1f / CAST(c1 AS DOUBLE)) * (n1p / CAST(t AS DOUBLE))
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS p_kn
+FROM bc
+JOIN lft USING (w1)
+JOIN rgt USING (w2)
+CROSS JOIN tot
+WHERE c1 >= 50
+ORDER BY p_kn DESC, w1, w2
+LIMIT 30
+"""
+
+
+REGISTRY["kneser_ney_bigram"] = QuerySpec(
+    q_kneser_ney_bigram, KNESER_NEY_BIGRAM_SQL
+)

@@ -796,3 +796,113 @@ FROM coefs
 
 
 REGISTRY["ols_price_model"] = QuerySpec(q_ols_price_model, OLS_PRICE_MODEL_SQL)
+
+
+# --- pairwise feature correlation matrix -------------------------------------
+
+_CORR_FEATS: list[tuple[str, str, str]] = [
+    # (short name, source column, exact decimal cast both engines share)
+    ("disc", "l_discount", "decimal(4,2)"),
+    ("price", "l_extendedprice", "decimal(12,2)"),
+    ("qty", "l_quantity", "decimal(12,2)"),
+    ("tax", "l_tax", "decimal(4,2)"),
+]
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    features, from ONE map-side-combined aggregate: the d(d+3)/2+1 moment
+    sums (count, d sums, d(d+1)/2 cross sums) are the sufficient
+    statistic, and every pairwise r assembles from them driver-free:
+
+        r = (n*s_ab - s_a*s_b) / sqrt((n*s_aa - s_a^2)(n*s_bb - s_b^2))
+
+    This is the feature-screening pass an ML pipeline runs before model
+    fitting (the ols_price_model / pca_top_component family): ONE scan,
+    zero keyed shuffles — the single-row moment aggregate is the only
+    exchange, and the d^2 fan-out is a bounded literal-array explode of
+    that one row, never a self-join of the fact table.
+
+    Exactness: moment sums are exact decimals (the ols_price_model
+    discipline); each r evaluates in double with IDENTICAL association in
+    both engines and snaps once at 6 dp. Degenerate (zero-variance)
+    features yield NULL r via the same > 0 guard in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = {s: F.col(c).cast(t) for s, c, t in _CORR_FEATS}
+    names = [s for s, _, _ in _CORR_FEATS]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(F.sum(feats[a]).cast("double").alias(f"s_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(feats[a] * feats[b]).cast("double").alias(f"s_{a}_{b}")
+            )
+    sums = li.agg(*aggs)
+    n = F.col("n").cast("double")
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            da = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            db = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("feat_a"),
+                    F.lit(b).alias("feat_b"),
+                    X.snap_round(
+                        F.when((da > 0) & (db > 0), num / F.sqrt(da * db)), 6
+                    ).alias("corr"),
+                )
+            )
+    return (
+        sums.select(F.col("n").alias("n_rows"), F.explode(F.array(*pairs)).alias("p"))
+        .select("n_rows", "p.feat_a", "p.feat_b", "p.corr")
+        .orderBy("feat_a", "feat_b")
+    )
+
+
+def _corr_sql() -> str:
+    names = [s for s, _, _ in _CORR_FEATS]
+    casts = ",\n               ".join(
+        f"CAST({c} AS {t.upper().replace('DECIMAL', 'DECIMAL')}) AS {s}"
+        for s, c, t in _CORR_FEATS
+    )
+    sums = ["COUNT(*) AS n"]
+    sums += [f"CAST(SUM({a}) AS DOUBLE) AS s_{a}" for a in names]
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            sums.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS s_{a}_{b}")
+    branches = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = f"CAST(n AS DOUBLE) * s_{a}_{b} - s_{a} * s_{b}"
+            da = f"CAST(n AS DOUBLE) * s_{a}_{a} - s_{a} * s_{a}"
+            db = f"CAST(n AS DOUBLE) * s_{b}_{b} - s_{b} * s_{b}"
+            branches.append(
+                f"SELECT n AS n_rows, '{a}' AS feat_a, '{b}' AS feat_b,\n"
+                f"       CAST(ROUND(CAST(CASE WHEN ({da}) > 0 AND ({db}) > 0\n"
+                f"            THEN ({num}) / SQRT(({da}) * ({db})) END\n"
+                f"            AS DECIMAL(28,8)), 6) AS DOUBLE) AS corr\n"
+                f"FROM sums"
+            )
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        "WITH src AS (\n"
+        f"    SELECT {casts}\n"
+        "    FROM lineitem\n"
+        "),\n"
+        "sums AS (\n"
+        "    SELECT " + ",\n           ".join(sums) + "\n"
+        "    FROM src\n"
+        ")\n" + union
+    )
+
+
+CORRELATION_MATRIX_SQL = _corr_sql()
+
+
+REGISTRY["correlation_matrix"] = QuerySpec(
+    q_correlation_matrix, CORRELATION_MATRIX_SQL
+)

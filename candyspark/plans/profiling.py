@@ -539,3 +539,97 @@ ORDER BY zfile
 
 
 REGISTRY["zorder_layout"] = QuerySpec(q_zorder_layout, ZORDER_LAYOUT_SQL)
+
+
+# --- functional-dependency audit ---------------------------------------------
+
+_FD_CANDIDATES: list[tuple[str, str, str]] = [
+    # (table, determinant, dependent) — a mix that HOLDS (name -> nation:
+    # names are unique) and that VIOLATES at several magnitudes, so the
+    # report exercises both verdicts.
+    ("customer", "c_name", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD ``lhs -> rhs``,
+    does the determinant fix the dependent? The data-profiling pass under
+    schema discovery, key detection, and denormalization safety checks
+    (the join_size_profile / referential_integrity family): before trusting
+    ``lhs`` as a grouping grain or dedup key at 100 TB, MEASURE whether it
+    determines the columns the rollup will carry along.
+
+    Per FD: one map-side-combined two-level aggregate — group by the
+    determinant counting distinct dependents (vocabulary-sized, never
+    row-sized output), then collapse to ONE summary row (distinct
+    determinants, violating determinants, worst fan-out, violation rate).
+    The per-FD relations are unioned; each branch is its own scan+shuffle
+    of a dim/fact table, all bounded by the determinant cardinality.
+    Violation rate is a ratio of exact longs snapped at 6 dp.
+    """
+    out = None
+    for table, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        per_lhs = t.groupBy(F.col(lhs).alias("k")).agg(
+            F.countDistinct(F.col(rhs)).alias("n_rhs")
+        )
+        summary = per_lhs.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(f"{lhs} -> {rhs}").alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                "n_violating"
+            ),
+            F.max("n_rhs").alias("max_rhs_per_lhs"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out.select(
+        "table_name",
+        "fd",
+        "n_lhs",
+        "n_violating",
+        "max_rhs_per_lhs",
+        F.round(
+            (F.col("n_violating").cast("double") / F.col("n_lhs").cast("double"))
+            .cast("decimal(28,8)"),
+            6,
+        )
+        .cast("double")
+        .alias("violation_rate"),
+        (F.col("n_violating") == 0).alias("holds"),
+    ).orderBy("table_name", "fd")
+
+
+def _fd_sql() -> str:
+    branches = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        branches.append(
+            f"SELECT '{table}' AS table_name, '{lhs} -> {rhs}' AS fd,\n"
+            f"       COUNT(*) AS n_lhs,\n"
+            f"       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_violating,\n"
+            f"       MAX(n_rhs) AS max_rhs_per_lhs\n"
+            f"FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs\n"
+            f"      FROM {table} GROUP BY {lhs})"
+        )
+        branches[-1] = f"({branches[-1]})"
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        "WITH per_fd AS (\n" + union + "\n)\n"
+        "SELECT table_name, fd, n_lhs, n_violating, max_rhs_per_lhs,\n"
+        "       CAST(ROUND(CAST(CAST(n_violating AS DOUBLE) /"
+        " CAST(n_lhs AS DOUBLE)\n"
+        "            AS DECIMAL(28,8)), 6) AS DOUBLE) AS violation_rate,\n"
+        "       n_violating = 0 AS holds\n"
+        "FROM per_fd\n"
+        "ORDER BY table_name, fd"
+    )
+
+
+FD_VIOLATIONS_SQL = _fd_sql()
+
+
+REGISTRY["fd_violations"] = QuerySpec(q_fd_violations, FD_VIOLATIONS_SQL)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import numpy as np
+import pytest
 
 from candyspark.forecast import (
     _linear_forecast,
@@ -161,3 +162,65 @@ def pd_series(dates):
     import pandas as pd
 
     return pd.Series(dates)
+
+
+def test_holt_exact_on_linear_series():
+    """On exactly linear data with b_0 = y_1 - y_0 the Holt recurrence is
+    exact at every step (l_t = y_t, b_t = slope), so the forecast continues
+    the line — the analytic fixed point, independent of alpha/beta."""
+    from candyspark.forecast import _holt_fit, _holt_forecast
+
+    vals = np.array([1.0, 3.0, 5.0, 7.0, 9.0])
+    level, trend, preds = _holt_fit(vals)
+    assert level == pytest.approx(9.0, abs=1e-12)
+    assert trend == pytest.approx(2.0, abs=1e-12)
+    np.testing.assert_allclose(preds, vals, atol=1e-12)
+    np.testing.assert_allclose(_holt_forecast(vals, 3), [11.0, 13.0, 15.0], atol=1e-12)
+
+
+def test_holt_matches_independent_recurrence():
+    from candyspark.forecast import _holt_fit
+
+    rng = np.random.default_rng(3)
+    y = np.cumsum(rng.normal(1.0, 2.0, size=40)) + 10
+    a, b = 0.5, 0.3
+    lvl, tr = y[0], y[1] - y[0]
+    want_preds = [y[0]]
+    for t in range(1, len(y)):
+        want_preds.append(lvl + tr)
+        new_lvl = a * y[t] + (1 - a) * (lvl + tr)
+        tr = b * (new_lvl - lvl) + (1 - b) * tr
+        lvl = new_lvl
+    level, trend, preds = _holt_fit(y)
+    assert level == pytest.approx(lvl, abs=1e-12)
+    assert trend == pytest.approx(tr, abs=1e-12)
+    np.testing.assert_allclose(preds, want_preds, atol=1e-12)
+
+
+def test_holt_degenerate_and_dispatch():
+    from candyspark.forecast import _holt_forecast, forecast_series
+
+    assert list(_holt_forecast(np.array([]), 2)) == [0.0, 0.0]
+    np.testing.assert_allclose(_holt_forecast(np.array([4.0]), 2), [4.0, 4.0])
+    import pandas as pd
+
+    dates = pd.Series(pd.date_range("2024-02-01", periods=4))
+    out = forecast_series(dates, np.array([1.0, 3.0, 5.0, 7.0]), 2, method="holt")
+    np.testing.assert_allclose(out, [9.0, 11.0], atol=1e-12)
+
+
+def test_forecast_metrics_holt(spark):
+    import datetime as dt
+
+    from candyspark.forecast import forecast_metrics
+
+    rows = [
+        (dt.date(2024, 2, d), 100.0 + 10 * d, 50.0 + 5 * d) for d in range(1, 11)
+    ]
+    daily = spark.createDataFrame(
+        rows, "date date, total_sales double, total_profit double"
+    )
+    m = forecast_metrics(daily, method="holt")
+    # linear series → Holt in-sample predictions are exact → zero error
+    assert m["total_sales"]["mae"] == pytest.approx(0.0, abs=1e-9)
+    assert m["total_sales"]["model_type"] == "holt"
