@@ -208,6 +208,8 @@ HEADLINE = [
     "correlation_matrix",
     "kneser_ney_bigram",
     "fd_violations",
+    "entity_match_scores",
+    "bpe_encode",
 ]
 
 

@@ -1115,3 +1115,144 @@ ORDER BY name_a, name_b
 """
 
 REGISTRY["fuzzy_qgram_join"] = QuerySpec(q_fuzzy_qgram_join, FUZZY_QGRAM_JOIN_SQL)
+
+
+# --- Fellegi-Sunter entity-match scoring -------------------------------------
+
+# Configured (m, u) agreement probabilities per comparison field — the
+# unsupervised operating mode of Fellegi-Sunter (1969): m = P(agree | match),
+# u = P(agree | non-match) set from domain judgment, weights precomputed in
+# Python at full precision so BOTH engines consume identical double literals
+# (the shared-definition rule, SCALE.md).
+import math as _math
+
+_FS_FIELDS: list[tuple[str, float, float]] = [
+    ("name", 0.9, 0.05),
+    ("type", 0.8, 0.15),
+    ("size", 0.85, 0.10),
+    ("price", 0.7, 0.20),
+]
+_FS_WEIGHTS: dict[str, tuple[float, float]] = {
+    f: (_math.log(m / u), _math.log((1.0 - m) / (1.0 - u)))
+    for f, m, u in _FS_FIELDS
+}
+
+
+def q_entity_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring over blocked candidate pairs:
+    the probabilistic layer ABOVE the candidate generators (fuzzy_part_pairs
+    / fuzzy_qgram_join produce pairs; this ranks them). Per candidate pair
+    the four field comparisons (name edit-distance <= 3, same type, same
+    size, retail price within 50.00) each contribute their log-likelihood
+    weight ln(m/u) on agreement or ln((1-m)/(1-u)) on disagreement, and the
+    total is the classic match score an ER pipeline thresholds into
+    link / review / non-link.
+
+    Scale: candidates come from the SAME blocking discipline as
+    fuzzy_part_pairs — brand block + length band + thresholded banded
+    levenshtein(.., 6) — so the quadratic comparison never leaves the
+    block; scoring is pure scan-stage arithmetic on the surviving pairs
+    (all weights are baked literals, no model table join). Top-30 by score
+    is TakeOrdered.
+
+    Exactness: weights are Python-precomputed double literals identical in
+    both engines; agreement predicates compare exact ints/strings/decimals
+    (price through DECIMAL(12,2)); the 4-term sum is left-associated
+    identically and snaps once at 6 dp.
+    """
+    from candyspark.sources.readers import fan_out
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        F.length("p_name").alias("len"),
+    )
+    a, b = fan_out(p).alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 6)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 6),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+    )
+
+    def w(field: str, cond):
+        agree, disagree = _FS_WEIGHTS[field]
+        return F.when(cond, F.lit(agree)).otherwise(F.lit(disagree))
+
+    name_w = w("name", F.col("dist") <= 3)
+    type_w = w("type", F.col("a.p_type") == F.col("b.p_type"))
+    size_w = w("size", F.col("a.p_size") == F.col("b.p_size"))
+    price_w = w(
+        "price", F.abs(F.col("a.price") - F.col("b.price")) <= F.lit(50).cast("decimal(12,2)")
+    )
+    score = name_w + type_w + size_w + price_w
+    return (
+        cand.select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_brand").alias("brand"),
+            (F.col("dist") <= 3).alias("name_agree"),
+            (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
+            (F.col("a.p_size") == F.col("b.p_size")).alias("size_agree"),
+            (F.abs(F.col("a.price") - F.col("b.price")) <= F.lit(50).cast("decimal(12,2)")).alias(
+                "price_agree"
+            ),
+            snap_round(score, 6).alias("match_score"),
+        )
+        .orderBy(F.desc("match_score"), "partkey_a", "partkey_b")
+        .limit(30)
+    )
+
+
+def _fs_sql() -> str:
+    wn, wt, ws, wp = (_FS_WEIGHTS[f] for f in ("name", "type", "size", "price"))
+
+    def case(cond: str, w: tuple[float, float]) -> str:
+        return f"CASE WHEN {cond} THEN {w[0]!r} ELSE {w[1]!r} END"
+
+    name_c = "levenshtein(a.p_name, b.p_name) <= 3"
+    type_c = "a.p_type = b.p_type"
+    size_c = "a.p_size = b.p_size"
+    price_c = (
+        "ABS(CAST(a.p_retailprice AS DECIMAL(12,2))"
+        " - CAST(b.p_retailprice AS DECIMAL(12,2)))"
+        " <= CAST(50 AS DECIMAL(12,2))"
+    )
+    score = " + ".join(
+        [case(name_c, wn), case(type_c, wt), case(size_c, ws), case(price_c, wp)]
+    )
+    return f"""
+SELECT a.p_partkey AS partkey_a,
+       b.p_partkey AS partkey_b,
+       a.p_brand AS brand,
+       {name_c} AS name_agree,
+       {type_c} AS type_agree,
+       {size_c} AS size_agree,
+       {price_c} AS price_agree,
+       CAST(ROUND(CAST({score} AS DECIMAL(28,8)), 6) AS DOUBLE) AS match_score
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 6
+ AND levenshtein(a.p_name, b.p_name) <= 6
+ORDER BY match_score DESC, partkey_a, partkey_b
+LIMIT 30
+"""
+
+
+ENTITY_MATCH_SCORES_SQL = _fs_sql()
+
+
+REGISTRY["entity_match_scores"] = QuerySpec(
+    q_entity_match_scores, ENTITY_MATCH_SCORES_SQL
+)

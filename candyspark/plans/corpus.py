@@ -1236,21 +1236,56 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests recompute the merge table with an independent Counter-based
     trainer.
     """
+    merges = _bpe_train(spark, sf_dir, rounds=4)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, weight long"
+    ).orderBy("merge_rank")
+
+
+def _bpe_chars(word_col) -> "F.Column":
+    """Word → character-symbol array (the BPE base vocabulary)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+
+
+def _bpe_fold(left: str, right: str) -> "F.Column":
+    """One merge rule applied greedy-leftmost as a pure codegen fold over
+    ``syms``: a new symbol merges with the accumulated tail iff
+    tail == left ∧ x == right — exactly greedy leftmost, because a
+    just-merged tail equals left+right and can never re-trigger. The ONE
+    definition both the trainer and the encoder use (shared-definition
+    rule, SCALE.md)."""
+    a, b = F.lit(left), F.lit(right)
+    return F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a)
+            & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a, b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 4) -> list[tuple]:
+    """The training loop shared by q_bpe_train_merges (which reports the
+    merge table) and q_bpe_encode (which applies it): per round one
+    vocab-bounded pair count, a 1-row argmax collect, and the greedy fold.
+    Returns [(rank, left, right, merged, weight), ...]."""
     from candyspark.operators.text import tokens
 
-    rounds = 4
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "freq",
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.col("word").substr(i, F.lit(1)),
-            ).alias("syms"),
-        )
+        .select("freq", _bpe_chars(F.col("word")).alias("syms"))
         .localCheckpoint()
     )
     merges: list[tuple] = []
@@ -1274,27 +1309,85 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if best is None:
             break
         merges.append((r, best["l"], best["r"], best["l"] + best["r"], best["weight"]))
-        a, b = F.lit(best["l"]), F.lit(best["r"])
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == a)
-                & (x == b),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(a, b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = words.select("freq", fold.alias("syms")).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, merged string, weight long"
-    ).orderBy("merge_rank")
+        words = words.select("freq", _bpe_fold(best["l"], best["r"]).alias("syms")).localCheckpoint()
+    return merges
 
 
 REGISTRY["bpe_train_merges"] = QuerySpec(q_bpe_train_merges, None)  # iterative
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merge table — the inference half of
+    the tokenizer (q_bpe_train_merges is the training half): apply the
+    ranked merges in order to every word and report per-source token
+    economics (chars per word before, BPE symbols per word after, the
+    compression the merge table buys).
+
+    Scale shape: encoding runs over the DISTINCT-word vocabulary, never
+    the corpus — each word's symbol array chains through the (bounded,
+    trained) merge folds as pure codegen, and per-source totals come from
+    joining the vocabulary's (word → n_syms) map back onto the
+    vocab-bounded (source, word, freq) counts via broadcast. A corpus of
+    any size pays |vocab| fold evaluations + one (source, word) aggregate.
+    Rows-only: the trained merges come from the iterative argmax chain
+    (no SQL oracle), so the encode report inherits that status; tests pin
+    the fold against an independent Python encoder and the
+    concat-invariance property (joining syms reproduces the word).
+    """
+    from candyspark.operators.text import tokens
+
+    merges = _bpe_train(spark, sf_dir, rounds=4)
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_ignored"))
+        .select("word", _bpe_chars(F.col("word")).alias("syms"))
+    )
+    for _, left, right, _, _ in merges:
+        vocab = vocab.select("word", _bpe_fold(left, right).alias("syms"))
+    encoded = vocab.select(
+        "word",
+        F.length("word").alias("n_chars"),
+        F.size("syms").alias("n_syms"),
+    )
+    per_source_word = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from candyspark.operators.text import snap_round
+
+    return (
+        per_source_word.join(F.broadcast(encoded), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("total_chars"),
+            F.sum(F.col("freq") * F.col("n_syms")).cast("long").alias("total_syms"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "total_chars",
+            "total_syms",
+            snap_round(
+                F.col("total_chars").cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("chars_per_token"),
+            snap_round(
+                F.col("total_syms").cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("syms_per_token"),
+            snap_round(
+                F.col("total_syms").cast("double") / F.col("total_chars").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+REGISTRY["bpe_encode"] = QuerySpec(q_bpe_encode, None)  # trained merges: iterative
 
 
 def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -319,3 +319,84 @@ def test_bpe_trainer_tie_break_is_lexicographic(spark, tmp_path):
     got = q_bpe_train_merges(spark, sf).collect()
     assert (got[0]["left"], got[0]["right"]) == ("b", "b")
     assert got[0]["weight"] == 2
+
+
+def test_bpe_encode_matches_independent_encoder(spark, tmp_path):
+    """q_bpe_encode's per-source symbol totals must equal an independent
+    Python pipeline: train merges with the Counter trainer's greedy-leftmost
+    application, encode every token, sum per source."""
+    from candyspark.plans.corpus import q_bpe_encode, q_bpe_train_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat",
+        "a cat and a hat chat",
+        "mats hats bats cats",
+    ]
+    sf = _docs(spark, tmp_path, texts)
+    merges = [
+        (r["left"], r["right"]) for r in q_bpe_train_merges(spark, sf).collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for l, rr in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        src = f"src{i}"
+        want[src] = {
+            "n_tokens": len(toks),
+            "total_chars": sum(len(w) for w in toks),
+            "total_syms": sum(len(encode(w)) for w in toks),
+        }
+
+    got = {r["source"]: r for r in q_bpe_encode(spark, sf).collect()}
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert (g["n_tokens"], g["total_chars"], g["total_syms"]) == (
+            w["n_tokens"],
+            w["total_chars"],
+            w["total_syms"],
+        ), src
+        # encoding never grows a word and concatenation is invariant
+        assert g["total_syms"] <= g["total_chars"]
+
+
+def test_bpe_fold_concat_invariance(spark):
+    """Applying any merge fold preserves the concatenated word (no symbol
+    lost or duplicated) — the structural invariant of BPE encoding."""
+    from candyspark.plans.corpus import _bpe_chars, _bpe_fold
+
+    df = spark.createDataFrame(
+        [("banana",), ("aaaa",), ("ab",), ("",)], "word string"
+    )
+    out = (
+        df.select("word", _bpe_chars(F.col("word")).alias("syms"))
+        .select("word", _bpe_fold("a", "n").alias("syms"))
+        .select("word", _bpe_fold("an", "an").alias("syms"))
+        .select(
+            "word",
+            F.concat_ws("", "syms").alias("rejoined"),
+            F.size("syms").alias("n"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["rejoined"] == r["word"]
+    by_word = {r["word"]: r["n"] for r in out}
+    # banana -> b,an,an,a -> b,anan,a
+    assert by_word["banana"] == 3
+    assert by_word["aaaa"] == 4  # no 'an' pairs — untouched
