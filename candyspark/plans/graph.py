@@ -711,3 +711,90 @@ def q_hits_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["hits_customers_parts"] = QuerySpec(
     q_hits_customers_parts, None
 )  # iterative fixpoint; numpy-parity + repartition-determinism in tests
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the co-purchase graph:
+    cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how close each part's
+    neighborhood is to a clique, the per-node structure summary that sits
+    between the global triangle census (q_triangle_count) and the
+    one-number assortativity/modularity row. High-cc parts are
+    bundle-cores (their co-purchase partners also co-purchase each other);
+    the top-k by cc is the bundle-mining shortlist.
+
+    Scale: REUSES triangles_per_vertex's degree-oriented wedge join
+    (O(|E|^1.5) bounded regardless of hub skew) and the shared
+    thresholded edge relation; the degree relation is the same ~|E|-row
+    aggregate, and the final assembly is a vertex-sized left join
+    (triangle-less vertices keep cc = 0 — a LEFT join, not inner, or the
+    zero class silently vanishes). Only vertices with deg >= 2 have a
+    defined coefficient. cc is a ratio of exact longs, snapped at 6 dp;
+    top-30 is TakeOrdered.
+    """
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        und.select(F.col("u").alias("l_partkey"))
+        .unionByName(und.select(F.col("v").alias("l_partkey")))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangles_per_vertex(und, "l_partkey")
+    cc = (
+        F.lit(2.0)
+        * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0))
+    )
+    from candyspark.operators.text import snap_round
+
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            snap_round(cc, 6).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), F.desc("deg"), "l_partkey")
+        .limit(30)
+    )
+
+
+CLUSTERING_COEFFICIENT_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT l_partkey, COUNT(*) AS deg
+        FROM (SELECT u AS l_partkey FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tpv AS (SELECT l_partkey, COUNT(*) AS n_triangles
+        FROM (SELECT a AS l_partkey FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY 1)
+SELECT deg.l_partkey,
+       deg.deg,
+       CAST(COALESCE(tpv.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(ROUND(CAST(
+           2.0 * CAST(COALESCE(tpv.n_triangles, 0) AS DOUBLE)
+           / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS clustering_coeff
+FROM deg
+LEFT JOIN tpv ON deg.l_partkey = tpv.l_partkey
+WHERE deg.deg >= 2
+ORDER BY clustering_coeff DESC, deg DESC, deg.l_partkey
+LIMIT 30
+"""
+
+
+REGISTRY["clustering_coefficient"] = QuerySpec(
+    q_clustering_coefficient, CLUSTERING_COEFFICIENT_SQL
+)

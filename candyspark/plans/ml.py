@@ -906,3 +906,146 @@ CORRELATION_MATRIX_SQL = _corr_sql()
 REGISTRY["correlation_matrix"] = QuerySpec(
     q_correlation_matrix, CORRELATION_MATRIX_SQL
 )
+
+
+def q_ols_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form OLS — one regression PER BRAND from a single
+    map-side-combined aggregate: the many-models shape (per-segment price
+    models, per-region elasticities, per-series trend fits) that at 100 TB
+    must never become a per-group loop. Same normal-equations/Cramer
+    algebra as q_ols_price_model, but the 10 moment sums carry a GROUP BY
+    key: |brands| model fits cost exactly one shuffle of |brands| moment
+    rows — a million models is a million-row aggregate, not a million
+    jobs. (The applyInPandas per-group fit — forecast_many's path — is for
+    models with no closed form; when sufficient statistics exist,
+    aggregate them.)
+
+    The brand dim rides a broadcast join onto lineitem. Target and
+    exactness identical to q_ols_price_model (planted structure, exact
+    decimal sums, identical double association, one snap per coefficient).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x1 = F.col("l_extendedprice").cast("decimal(12,2)")
+    x2 = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("decimal(8,2)")
+    y = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(14,4)")
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x1).cast("double").alias("s1"),
+            F.sum(x2).cast("double").alias("s2"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x1 * x1).cast("double").alias("s11"),
+            F.sum(x2 * x2).cast("double").alias("s22"),
+            F.sum(x1 * x2).cast("double").alias("s12"),
+            F.sum(x1 * y).cast("double").alias("s1y"),
+            F.sum(x2 * y).cast("double").alias("s2y"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0 = F.when(det != 0, det0 / det)
+    b1 = F.when(det != 0, det1 / det)
+    b2 = F.when(det != 0, det2 / det)
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return sums.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").alias("n_rows"),
+        X.snap_round(b0, 4).alias("intercept"),
+        X.snap_round(b1, 4).alias("beta_price"),
+        X.snap_round(b2, 4).alias("beta_discount_pct"),
+        X.snap_round(F.when(sst > 0, 1.0 - sse / sst), 6).alias("r2"),
+    ).orderBy("brand")
+
+
+OLS_BY_BRAND_SQL = """
+WITH sums AS (
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1,
+           CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+           CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+           CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM (
+        SELECT p.p_brand,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS DECIMAL(8,2)) AS x2,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    GROUP BY p_brand
+),
+solved AS (
+    SELECT *,
+           CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+    FROM sums
+),
+coefs AS (
+    SELECT *,
+           CASE WHEN det != 0 THEN det0 / det END AS b0,
+           CASE WHEN det != 0 THEN det1 / det END AS b1,
+           CASE WHEN det != 0 THEN det2 / det END AS b2
+    FROM solved
+)
+SELECT p_brand AS brand,
+       n AS n_rows,
+       CAST(ROUND(CAST(b0 AS DECIMAL(28,8)), 4) AS DOUBLE) AS intercept,
+       CAST(ROUND(CAST(b1 AS DECIMAL(28,8)), 4) AS DOUBLE) AS beta_price,
+       CAST(ROUND(CAST(b2 AS DECIMAL(28,8)), 4) AS DOUBLE) AS beta_discount_pct,
+       CAST(ROUND(CAST(
+           CASE WHEN syy - sy * sy / CAST(n AS DOUBLE) > 0
+                THEN 1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / CAST(n AS DOUBLE)) END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS r2
+FROM coefs
+ORDER BY brand
+"""
+
+
+REGISTRY["ols_by_brand"] = QuerySpec(q_ols_by_brand, OLS_BY_BRAND_SQL)

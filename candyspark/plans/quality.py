@@ -1208,3 +1208,99 @@ ORDER BY nation
 
 
 REGISTRY["dp_noisy_counts"] = QuerySpec(q_dp_noisy_counts, DP_NOISY_COUNTS_SQL)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit — the privacy check that
+    runs BEFORE masking (mask_customers) or noising (dp_noisy_counts):
+    group the table by its quasi-identifiers (nation, account-balance
+    thousand-bucket), measure every equivalence class, and report whether
+    the release satisfies k=5 anonymity and l=2 diversity of the sensitive
+    attribute (market segment).
+
+    Shape: two-level aggregate — per-class (size, distinct sensitive)
+    is bounded by QI cardinality, then ONE summary row (classes, minimum
+    class size, unsafe classes, rows re-identifiable at k<5, classes whose
+    sensitive attribute is constant, suppression rate). At 100 TB this is
+    one map-side-combined shuffle of QI-cardinality rows; nothing
+    row-sized leaves the scan stage.
+
+    Exactness: the bucket is FLOOR(balance/1000) on an exact DECIMAL(12,2)
+    input — both engines divide the same correctly-rounded double (2-dp
+    values hit an integer quotient only at exact thousands); all audit
+    numbers are exact longs, the one rate snaps at 6 dp.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 1000.0
+    ).cast("long")
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            bucket.alias("bal_bucket"),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .groupBy("nation", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("sensitive").alias("n_sensitive"),
+        )
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0)).alias(
+            "n_unsafe_classes"
+        ),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.sum(F.when(F.col("n_sensitive") < 2, 1).otherwise(0)).alias(
+            "n_low_diversity_classes"
+        ),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    ).select(
+        "n_classes",
+        "min_class_size",
+        "n_unsafe_classes",
+        "n_rows_at_risk",
+        "n_low_diversity_classes",
+        snap_round(
+            F.col("n_rows_at_risk").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("suppression_rate"),
+        (F.col("n_unsafe_classes") == 0).alias("k5_anonymous"),
+        (F.col("n_low_diversity_classes") == 0).alias("l2_diverse"),
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH classes AS (
+    SELECT c_nationkey AS nation,
+           CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+                      / 1000.0) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT c_mktsegment) AS n_sensitive
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_classes,
+       MIN(class_size) AS min_class_size,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unsafe_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+       CAST(SUM(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_diversity_classes,
+       CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM(class_size) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS suppression_rate,
+       SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) = 0 AS k5_anonymous,
+       SUM(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) = 0 AS l2_diverse
+FROM classes
+"""
+
+
+REGISTRY["k_anonymity"] = QuerySpec(q_k_anonymity, K_ANONYMITY_SQL)
