@@ -1304,3 +1304,390 @@ FROM classes
 
 
 REGISTRY["k_anonymity"] = QuerySpec(q_k_anonymity, K_ANONYMITY_SQL)
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: are returned ('R') line
+    items drawn from the same quantity distribution as kept ones? The
+    nonparametric member of the hypothesis-test family (z-test → ANOVA →
+    χ² → CUPED) — no normality assumption, which is exactly what heavy-
+    tailed pipeline metrics violate.
+
+    Rank math without a global sort: l_quantity has BOUNDED integral
+    support (TPC-H: 1..50), so the corpus collapses to one ≤50-row
+    per-value aggregate (map-side combined) and every rank statistic is a
+    window over that tiny relation. DOUBLED midranks stay exact int64
+    (R2(v) = 2·|{x < v}| + n(v) + 1 — the halves vanish, the
+    spearman_orders_revenue trick), so 2·U = Σ n_a(v)·R2(v) − n_a(n_a+1)
+    is exact integer algebra end to end. The tie-correction Σ(t³−t) runs
+    in DECIMAL(38,0) (t³ overflows int64 past ~2M rows per value; decimal
+    sums stay exact and order-free).
+
+    The normal approximation (valid at any bench SF: min(n_a, n_b) ≫ 20)
+    assembles in double with ONE association, identical in both engines,
+    and z snaps at 6 dp. At 100 TB this is one shuffle of ≤50 rows past
+    the scan stage — the distributed-sort rank computation a naive
+    implementation would pay is gone by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "na_v",
+        "nb_v",
+        (F.col("na_v") + F.col("nb_v")).alias("n_v"),
+        F.coalesce(
+            F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)
+        ).alias("cum_before"),
+    ).select(
+        "na_v",
+        "nb_v",
+        "n_v",
+        (2 * F.col("cum_before") + F.col("n_v") + 1).alias("r2"),
+    )
+    sums = ranked.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(F.col("na_v") * F.col("r2")).cast("long").alias("sum_r2a"),
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)")
+            * F.col("n_v").cast("decimal(38,0)")
+            * F.col("n_v").cast("decimal(38,0)")
+            - F.col("n_v").cast("decimal(38,0)")
+        ).alias("t_sum"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u2 = F.col("sum_r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    u = u2.cast("double") / 2.0
+    mu = (F.col("n_a") * F.col("n_b")).cast("double") / 2.0
+    var = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / 12.0
+        * (
+            (n + 1.0)
+            - F.col("t_sum").cast("double")
+            / (n * (n - 1.0))
+        )
+    )
+    z = (u - mu) / F.sqrt(var)
+    return sums.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        snap_round(z, 6).alias("z"),
+        (F.abs(snap_round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH per_v AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM lineitem
+    GROUP BY 1
+),
+ranked AS (
+    SELECT na_v, nb_v, na_v + nb_v AS n_v,
+           2 * COALESCE(SUM(na_v + nb_v) OVER
+               (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (na_v + nb_v) + 1 AS r2
+    FROM per_v
+),
+sums AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+           CAST(SUM(nb_v) AS BIGINT) AS n_b,
+           CAST(SUM(na_v * r2) AS BIGINT) AS sum_r2a,
+           SUM(CAST(n_v AS DECIMAL(38,0)) * CAST(n_v AS DECIMAL(38,0))
+               * CAST(n_v AS DECIMAL(38,0)) - CAST(n_v AS DECIMAL(38,0))) AS t_sum
+    FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(sum_r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
+       CAST(ROUND(CAST(
+           (CAST(sum_r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+            - CAST(n_a * n_b AS DOUBLE) / 2.0)
+           / SQRT(CAST(n_a * n_b AS DOUBLE) / 12.0
+                  * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                     - CAST(t_sum AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS z,
+       ABS(CAST(ROUND(CAST(
+           (CAST(sum_r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+            - CAST(n_a * n_b AS DOUBLE) / 2.0)
+           / SQRT(CAST(n_a * n_b AS DOUBLE) / 12.0
+                  * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                     - CAST(t_sum AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+           AS DECIMAL(28,8)), 6) AS DOUBLE)) > 1.96 AS significant
+FROM sums
+"""
+
+
+REGISTRY["mann_whitney"] = QuerySpec(q_mann_whitney, MANN_WHITNEY_SQL)
+
+
+def q_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's language mix against the
+    corpus-wide mix — the bounded (0..ln 2), symmetric drift score that
+    completes the shift-detection family: PSI (drift_psi) for categorical
+    monitoring, W1/KS (distribution_distance) for continuous columns, JSD
+    for comparing CORPUS MIXTURES (the number a pretraining-data curator
+    tracks per source per drop).
+
+    Laplace smoothing (+1 per language cell) keeps every ln finite even
+    when a source never emits a language; the (source × lang) grid is an
+    explicit cross join of two tiny aggregates so absent cells are PRESENT
+    with count 0 (left-join-then-coalesce — otherwise missing cells
+    silently shrink the sum). Each cell's term
+    0.5·p·ln(p/m) + 0.5·q·ln(q/m) runs on doubles built from exact integer
+    ratios with ONE association, snaps to DECIMAL(20,8), and per-source
+    totals are exact decimal sums (order-free); the final per-source JSD
+    snaps once at 6 dp.
+
+    Scale: the corpus collapses to a ≤|sources|·|langs| aggregate in one
+    map-side-combined shuffle; marginals derive from that relation (never
+    a rescan) and ride back on broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c_sl"))
+        .localCheckpoint()
+    )
+    langs = cells.groupBy("lang").agg(F.sum("c_sl").cast("long").alias("c_l"))
+    sources = cells.groupBy("source").agg(
+        F.sum("c_sl").cast("long").alias("n_s")
+    )
+    totals = langs.agg(
+        F.sum("c_l").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    grid = (
+        sources.crossJoin(F.broadcast(langs))
+        .join(cells, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_s",
+            (F.coalesce(F.col("c_sl"), F.lit(0)) + 1).cast("double").alias("cp"),
+            (F.col("n_s") + F.col("k")).cast("double").alias("dp"),
+            (F.col("c_l") + 1).cast("double").alias("cq"),
+            (F.col("n_tot") + F.col("k")).cast("double").alias("dq"),
+        )
+    )
+    p = F.col("cp") / F.col("dp")
+    q = F.col("cq") / F.col("dq")
+    m = (p + q) / 2.0
+    term = 0.5 * (p * F.log(p / m)) + 0.5 * (q * F.log(q / m))
+    return (
+        grid.select(
+            "source",
+            "n_s",
+            F.round(term.cast("decimal(28,10)"), 8)
+            .cast("decimal(20,8)")
+            .alias("t"),
+        )
+        .groupBy("source", "n_s")
+        .agg(snap_round(F.sum("t").cast("double"), 6).alias("jsd"))
+        .select("source", F.col("n_s").alias("n_docs"), "jsd")
+        .orderBy(F.desc("jsd"), "source")
+    )
+
+
+JSD_SOURCE_DRIFT_SQL = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS c_sl FROM documents GROUP BY 1, 2
+),
+langs AS (SELECT lang, CAST(SUM(c_sl) AS BIGINT) AS c_l FROM cells GROUP BY 1),
+sources AS (SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+totals AS (SELECT CAST(SUM(c_l) AS BIGINT) AS n_tot,
+                  CAST(COUNT(*) AS BIGINT) AS k FROM langs),
+grid AS (
+    SELECT s.source, s.n_s,
+           CAST(COALESCE(c.c_sl, 0) + 1 AS DOUBLE) AS cp,
+           CAST(s.n_s + t.k AS DOUBLE) AS dp,
+           CAST(l.c_l + 1 AS DOUBLE) AS cq,
+           CAST(t.n_tot + t.k AS DOUBLE) AS dq
+    FROM sources s
+    CROSS JOIN langs l
+    LEFT JOIN cells c ON c.source = s.source AND c.lang = l.lang
+    CROSS JOIN totals t
+),
+terms AS (
+    SELECT source, n_s,
+           CAST(ROUND(CAST(
+               0.5 * ((cp / dp) * LN((cp / dp) / (((cp / dp) + (cq / dq)) / 2.0)))
+               + 0.5 * ((cq / dq) * LN((cq / dq) / (((cp / dp) + (cq / dq)) / 2.0)))
+               AS DECIMAL(28,10)), 8) AS DECIMAL(20,8)) AS t
+    FROM grid
+)
+SELECT source, n_s AS n_docs,
+       CAST(ROUND(CAST(CAST(SUM(t) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS jsd
+FROM terms
+GROUP BY source, n_s
+ORDER BY jsd DESC, source
+"""
+
+
+REGISTRY["jsd_source_drift"] = QuerySpec(q_jsd_source_drift, JSD_SOURCE_DRIFT_SQL)
+
+
+def q_bh_fdr_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of per-brand tests —
+    the multiple-testing correction every metrics platform needs the
+    moment it runs 25 A/B comparisons at once (α=0.05 per test would
+    false-positive ~1.25 brands every drop). Completes the experiment
+    family: one test (ab_ztest) → variance reduction (ab_cuped) →
+    a BATTERY of tests with a controlled false-discovery rate.
+
+    Per-brand Welch z (mean returned-vs-kept quantity) assembles from
+    exact int64 power sums (quantity is integral ≤ 50; Σq² per brand fits
+    comfortably) with ONE double association; z snaps at 6 dp. The
+    p-value is the CHERNOFF BOUND min(1, 2·e^{-z²/2}) — exp is portable
+    across engines where the normal CDF (erf) is not; the bound is
+    conservative (true p ≤ bound), so BH on it controls FDR a fortiori.
+    Documented, not hidden: the column is named p_bound. p snaps to
+    DECIMAL(20,8) BEFORE ranking so both engines sort identical keys
+    (brand breaks ties totally).
+
+    BH step-up: rank p ascending, flag p_i ≤ α·i/k, reject every rank up
+    to the LARGEST flagged i (the step-up sweep is two windows over the
+    ≤|brands|-row battery). At 100 TB: one map-side-combined shuffle to
+    |brands| moment rows, then window algebra over that tiny relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p_ = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qv = F.col("l_quantity").cast("long")
+    is_a = F.col("l_returnflag") == "R"
+    sums = (
+        li.join(F.broadcast(p_), li.l_partkey == p_.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(is_a, qv).otherwise(0)).cast("long").alias("sa"),
+            F.sum(F.when(is_a, qv * qv).otherwise(0)).cast("long").alias("s2a"),
+            F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("nb"),
+            F.sum(F.when(is_a, 0).otherwise(qv)).cast("long").alias("sb"),
+            F.sum(F.when(is_a, 0).otherwise(qv * qv)).cast("long").alias("s2b"),
+        )
+    )
+    na, sa, s2a = [F.col(c).cast("double") for c in ("na", "sa", "s2a")]
+    nb, sb, s2b = [F.col(c).cast("double") for c in ("nb", "sb", "s2b")]
+    va = (s2a - sa * sa / na) / (na - 1.0)
+    vb = (s2b - sb * sb / nb) / (nb - 1.0)
+    z = snap_round((sa / na - sb / nb) / F.sqrt(va / na + vb / nb), 6)
+    scored = sums.select(
+        F.col("p_brand").alias("brand"),
+        F.col("na").alias("n_returned"),
+        z.alias("z"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-(z * z) / 2.0)).cast(
+                "decimal(28,10)"
+            ),
+            8,
+        )
+        .cast("decimal(20,8)")
+        .alias("p_bound"),
+    )
+    w_rank = Window.orderBy("p_bound", "brand")
+    whole = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(whole).cast("long").alias("k"),
+    )
+    flagged = ranked.withColumn(
+        "flag",
+        F.col("p_bound").cast("double")
+        <= 0.05 * F.col("rank").cast("double") / F.col("k").cast("double"),
+    )
+    imax = F.max(F.when(F.col("flag"), F.col("rank"))).over(whole)
+    return (
+        flagged.select(
+            "brand",
+            "n_returned",
+            "z",
+            F.col("p_bound").cast("double").alias("p_bound"),
+            "rank",
+            (F.col("rank") <= F.coalesce(imax, F.lit(0))).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+BH_FDR_BRANDS_SQL = """
+WITH sums AS (
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s2a,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0
+                         ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sb,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0
+                         ELSE CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         END) AS BIGINT) AS s2b
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p_brand
+),
+zed AS (
+    SELECT p_brand AS brand, na AS n_returned,
+           CAST(ROUND(CAST(
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / SQRT(((CAST(s2a AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                          / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                      / CAST(na AS DOUBLE)
+                      + ((CAST(s2b AS DOUBLE)
+                          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                            / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+                        / CAST(nb AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS z
+    FROM sums
+),
+scored AS (
+    SELECT brand, n_returned, z,
+           CAST(ROUND(CAST(LEAST(1.0, 2.0 * EXP(-(z * z) / 2.0))
+                           AS DECIMAL(28,10)), 8) AS DECIMAL(20,8)) AS p_bound
+    FROM zed
+),
+ranked AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_bound, brand) AS BIGINT) AS rank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k
+    FROM scored
+),
+flagged AS (
+    SELECT *,
+           CAST(p_bound AS DOUBLE)
+             <= 0.05 * CAST(rank AS DOUBLE) / CAST(k AS DOUBLE) AS flag
+    FROM ranked
+)
+SELECT brand, n_returned, z,
+       CAST(p_bound AS DOUBLE) AS p_bound,
+       rank,
+       rank <= COALESCE(MAX(CASE WHEN flag THEN rank END) OVER (), 0) AS rejected
+FROM flagged
+ORDER BY rank
+"""
+
+
+REGISTRY["bh_fdr_brands"] = QuerySpec(q_bh_fdr_brands, BH_FDR_BRANDS_SQL)

@@ -589,3 +589,180 @@ LIMIT 20
 
 
 REGISTRY["bm25_topk"] = QuerySpec(q_bm25_topk, BM25_TOPK_SQL)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankers (BM25 and smooth
+    TF-IDF) for the same 4-term query: rrf(d) = Σ_r 1/(60 + rank_r(d)) —
+    the standard score-free way to merge heterogeneous rankers (lexical +
+    embedding, or here two lexical scorers with different idf/length
+    normalization) without calibrating their score scales. The hybrid-
+    search primitive every RAG stack runs on top of bm25_topk +
+    similarity_* — this query is the fusion stage itself.
+
+    Tokenize-once: tf (filtered to the query's terms BEFORE the shuffle)
+    and dl are materialized once and feed BOTH rankers. Each ranker's
+    per-term contribution follows the engine's exactness discipline
+    (bm25's integer rescaling / one snapped ln per term, decimal sums), so
+    scores are engine-exact BEFORE ranking; each ranker keeps its top-50
+    via TakeOrderedAndProject on the total order (score desc, doc_id) —
+    never a global sort — and rank is a row_number over that 50-row
+    relation. The fusion is a full outer join of two ≤50-row frames;
+    1/(60+rank) terms are exact-double, summed with ONE association and
+    snapped at 8 dp. At 100 TB the only corpus-sized work is the
+    query-term tf shuffle both rankers already share.
+    """
+    query_terms = ("hash", "join", "stream", "spark")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint()
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idfs = dfreq.crossJoin(F.broadcast(totals)).select(
+        "term",
+        snap_round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            6,
+        ).alias("idf_bm25"),
+        snap_round(
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0),
+            6,
+        ).alias("idf_smooth"),
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(idfs), "term")
+        .select(
+            "doc_id",
+            snap_round(
+                F.col("idf_bm25")
+                * (22 * F.col("tf") * F.col("sumdl")).cast("double")
+                / (
+                    10 * F.col("tf") * F.col("sumdl")
+                    + 3 * F.col("sumdl")
+                    + 9 * F.col("dl") * F.col("n_docs")
+                ).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c_bm25"),
+            snap_round(F.col("tf") * F.col("idf_smooth"), 6)
+            .cast("decimal(18,6)")
+            .alias("c_tfidf"),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(
+        F.sum("c_bm25").cast("double").alias("bm25"),
+        F.sum("c_tfidf").cast("double").alias("tfidf"),
+    ).localCheckpoint()
+    top_a = scores.orderBy(F.desc("bm25"), "doc_id").limit(50)
+    top_b = scores.orderBy(F.desc("tfidf"), "doc_id").limit(50)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    rb = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf"), "doc_id"))
+        .cast("long")
+        .alias("rank_tfidf"),
+    )
+    rrf = (
+        F.coalesce(1.0 / (60.0 + F.col("rank_bm25").cast("double")), F.lit(0.0))
+        + F.coalesce(
+            1.0 / (60.0 + F.col("rank_tfidf").cast("double")), F.lit(0.0)
+        )
+    )
+    return (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tfidf",
+            snap_round(rrf, 8).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
+    )
+
+
+RRF_FUSION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM dl),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY doc_id, term
+),
+idfs AS (
+    SELECT term,
+           CAST(ROUND(CAST(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS idf_bm25,
+           CAST(ROUND(CAST(LN((n_docs + 1.0) / (df + 1.0)) + 1.0
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS idf_smooth
+    FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    CROSS JOIN totals
+),
+contrib AS (
+    SELECT doc_id,
+           CAST(ROUND(CAST(
+                idf_bm25 * CAST(22 * tf * sumdl AS DOUBLE)
+                    / CAST(10 * tf * sumdl + 3 * sumdl + 9 * dl * n_docs
+                           AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS c_bm25,
+           CAST(ROUND(CAST(tf * idf_smooth AS DECIMAL(28,8)), 6)
+                AS DECIMAL(18,6)) AS c_tfidf
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN totals JOIN idfs USING (term)
+),
+scores AS (
+    SELECT doc_id,
+           CAST(SUM(c_bm25) AS DOUBLE) AS bm25,
+           CAST(SUM(c_tfidf) AS DOUBLE) AS tfidf
+    FROM contrib GROUP BY doc_id
+),
+ra AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank_bm25
+    FROM scores ORDER BY bm25 DESC, doc_id LIMIT 50
+),
+rb AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id) AS BIGINT)
+               AS rank_tfidf
+    FROM scores ORDER BY tfidf DESC, doc_id LIMIT 50
+)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       rank_bm25, rank_tfidf,
+       CAST(ROUND(CAST(
+           COALESCE(1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60.0 + CAST(rank_tfidf AS DOUBLE)), 0.0)
+           AS DECIMAL(28,10)), 8) AS DOUBLE) AS rrf_score
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf_score DESC, COALESCE(ra.doc_id, rb.doc_id)
+LIMIT 20
+"""
+
+
+REGISTRY["rrf_fusion"] = QuerySpec(q_rrf_fusion, RRF_FUSION_SQL)
