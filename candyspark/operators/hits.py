@@ -86,10 +86,17 @@ def hits(
             .groupBy("dst")
             .agg(F.sum(F.col("hub").cast(_SNAP)).alias("auth"))
         )
+        # Checkpoint the RAW hub sums, normalize lazily on top: normalizing
+        # before the checkpoint makes the L1 total a broadcast subquery that
+        # re-evaluates the edge join (3 edge passes/round instead of 2 —
+        # measured 8.1 s → 6.3 s at sf0.1 on the purchase graph). The
+        # normalize over the checkpointed node-sized relation is free by
+        # comparison, and the next round's broadcast collects through it.
         raw_h = (
             e.join(bcast(raw_a), "dst")
             .groupBy("src")
             .agg(F.sum(F.col("auth").cast(_SNAP)).alias("hub"))
+            .localCheckpoint(eager=True)
         )
-        hubs = _l1_normalize(raw_h, "hub").localCheckpoint(eager=True)
+        hubs = _l1_normalize(raw_h, "hub")
     return hubs, _l1_normalize(raw_a, "auth")
