@@ -210,6 +210,13 @@ HEADLINE = [
     "fd_violations",
     "entity_match_scores",
     "bpe_encode",
+    "clustering_coefficient",
+    "ols_by_brand",
+    "k_anonymity",
+    "mann_whitney",
+    "jsd_source_drift",
+    "bh_fdr_brands",
+    "rrf_fusion",
 ]
 
 
