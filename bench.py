@@ -217,6 +217,8 @@ HEADLINE = [
     "jsd_source_drift",
     "bh_fdr_brands",
     "rrf_fusion",
+    "embedding_projection",
+    "ips_ate",
 ]
 
 

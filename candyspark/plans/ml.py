@@ -1049,3 +1049,109 @@ ORDER BY brand
 
 
 REGISTRY["ols_by_brand"] = QuerySpec(q_ols_by_brand, OLS_BY_BRAND_SQL)
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims (Achlioptas ±1
+    signs), audited by the norm-preservation ratio it promises: per label,
+    the distribution of ‖proj(x)‖/‖x‖ should concentrate near 1. This is
+    the embedding-compression stage an ANN index runs before bucketing —
+    4× less vector memory for a bounded distance distortion — and the
+    audit IS the query output (the number a pipeline gates on before
+    swapping the compressed index in).
+
+    Determinism: the sign matrix derives from md5(i:j) (the similarity_ann
+    plane discipline — no shipped state, both engines rebuild it
+    bit-identically), and every vector reduction is a SEQUENTIAL fold
+    (F.aggregate / list_reduce) so float summation order is pinned. The
+    matrix is built as a 16-row relation collected into ONE array row and
+    broadcast — never a 1,024-node literal forest (the similarity_ann
+    codegen lesson, BASELINE.md). √16 = 4 exactly, so the scale division
+    is exact. One snap per ratio at 6 dp; per-label stats aggregate the
+    snapped decimals exactly, with one final double division for the mean.
+
+    Scale: projection is scan-stage per-row work against a broadcast
+    16×64 matrix; the audit is one map-side-combined label aggregate.
+    100 TB of vectors stream through without any shuffle but the ≤|label|
+    rollup.
+    """
+    from candyspark.operators.similarity import _fold_sum
+
+    rows = spark.range(16).select(
+        F.col("id").cast("int").alias("i"),
+        F.expr(
+            "transform(sequence(0, 63), j -> CASE WHEN substring("
+            "md5(concat(cast(id AS STRING), ':', cast(j AS STRING))), 1, 1)"
+            " IN ('0','1','2','3','4','5','6','7') THEN 1.0D ELSE -1.0D END)"
+        ).alias("row"),
+    )
+    mat = rows.orderBy("i").agg(
+        F.collect_list("row").alias("mat")  # collect_list after orderBy: row order pinned
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ys = F.transform(
+        F.col("mat"),
+        lambda row: _fold_sum(F.zip_with(v, row, lambda x, s: x * s)) / 4.0,
+    )
+    nx = F.sqrt(_fold_sum(F.transform(v, lambda x: x * x)))
+    ny = F.sqrt(_fold_sum(F.transform(ys, lambda y: y * y)))
+    ratios = e.crossJoin(F.broadcast(mat)).select(
+        "label",
+        F.round((ny / nx).cast("decimal(28,8)"), 6)
+        .cast("decimal(18,6)")
+        .alias("ratio"),
+    )
+    return (
+        ratios.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            X.snap_round(
+                F.sum("ratio").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_ratio"),
+            F.min("ratio").cast("double").alias("min_ratio"),
+            F.max("ratio").cast("double").alias("max_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_PROJECTION_SQL = """
+WITH m AS (
+    SELECT list_transform(range(0, 16), i ->
+             list_transform(range(0, 64), j ->
+               CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 1.0 ELSE -1.0 END)) AS mat
+),
+scored AS (
+    SELECT label,
+           CAST(ROUND(CAST(
+               sqrt(list_reduce(list_transform(
+                   list_transform(mat, row ->
+                       list_reduce(list_transform(range(1, 65),
+                           k -> CAST(embedding[k] AS DOUBLE) * row[k]),
+                           (a, b) -> a + b) / 4.0),
+                   y -> y * y), (a, b) -> a + b))
+               / sqrt(list_reduce(list_transform(range(1, 65),
+                   k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)),
+                   (a, b) -> a + b))
+               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS ratio
+    FROM embeddings CROSS JOIN m
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(ROUND(CAST(CAST(SUM(ratio) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_ratio,
+       CAST(MIN(ratio) AS DOUBLE) AS min_ratio,
+       CAST(MAX(ratio) AS DOUBLE) AS max_ratio
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
+REGISTRY["embedding_projection"] = QuerySpec(
+    q_embedding_projection, EMBEDDING_PROJECTION_SQL
+)

@@ -1691,3 +1691,144 @@ ORDER BY rank
 
 
 REGISTRY["bh_fdr_brands"] = QuerySpec(q_bh_fdr_brands, BH_FDR_BRANDS_SQL)
+
+
+def q_ips_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-score ATE — the observational-causal estimate
+    that closes the experimentation family's gap: ab_ztest/ab_cuped assume
+    RANDOMIZED arms; here treatment ('click' exposure) is self-selected,
+    so the naive mean gap is confounded by activity. Stratify users by an
+    activity covariate, estimate per-stratum propensity p̂ = treated/total,
+    clip to [0.05, 0.95] (the standard positivity guard), and weight:
+    ATE_IPS = Σ[T·y/p̂ − (1−T)·y/(1−p̂)] / N. The naive difference rides
+    along so the output SHOWS the confounding correction.
+
+    Exactness: outcomes are exact decimal sums; p̂ is a ratio of exact
+    longs; each user's weighted term is ONE double division snapped to
+    DECIMAL(20,6), so the population sums are exact and order-free; the
+    two final divisions snap at 4 dp. Scale: user-grain aggregate (one
+    keyed shuffle, map-side combined), stratum propensities are a
+    ≤|strata|-row aggregate broadcast back, and the estimate is one more
+    scalar aggregate — no row ever carries more than its own term.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "treated"
+            ),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(12,2)"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("y"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "treated",
+            "y",
+            F.least(F.col("n_events"), F.lit(8)).cast("int").alias("stratum"),
+        )
+        .localCheckpoint()
+    )
+    prop = users.groupBy("stratum").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    p_hat = F.greatest(
+        F.lit(0.05),
+        F.least(F.lit(0.95), F.col("n_t").cast("double") / F.col("n_all").cast("double")),
+    )
+    terms = users.join(F.broadcast(prop), "stratum").select(
+        "treated",
+        "y",
+        F.round(
+            F.when(
+                F.col("treated") == 1, F.col("y").cast("double") / p_hat
+            ).otherwise(F.col("y").cast("double") / (1.0 - p_hat)).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("w_term"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("treated").cast("long").alias("n_treated"),
+        F.sum(F.when(F.col("treated") == 1, F.col("w_term"))).alias("s_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("w_term"))).alias("s_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y"))).alias("y_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y"))).alias("y_c"),
+    )
+    n = F.col("n_users").cast("double")
+    ate_ips = (F.col("s_t").cast("double") - F.col("s_c").cast("double")) / n
+    naive = F.col("y_t").cast("double") / F.col("n_treated").cast("double") - F.col(
+        "y_c"
+    ).cast("double") / (F.col("n_users") - F.col("n_treated")).cast("double")
+    return sums.select(
+        "n_users",
+        "n_treated",
+        snap_round(ate_ips, 4).alias("ate_ips"),
+        snap_round(naive, 4).alias("naive_diff"),
+    )
+
+
+IPS_ATE_SQL = """
+WITH users AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treated,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y,
+           CAST(LEAST(COUNT(*), 8) AS INTEGER) AS stratum
+    FROM events
+    GROUP BY user_id
+),
+prop AS (
+    SELECT stratum,
+           CAST(SUM(treated) AS BIGINT) AS n_t,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM users GROUP BY stratum
+),
+terms AS (
+    SELECT treated, y,
+           CAST(ROUND(CAST(
+               CASE WHEN treated = 1
+                    THEN CAST(y AS DOUBLE)
+                         / GREATEST(0.05, LEAST(0.95,
+                               CAST(n_t AS DOUBLE) / CAST(n_all AS DOUBLE)))
+                    ELSE CAST(y AS DOUBLE)
+                         / (1.0 - GREATEST(0.05, LEAST(0.95,
+                               CAST(n_t AS DOUBLE) / CAST(n_all AS DOUBLE))))
+               END AS DECIMAL(28,8)), 6) AS DECIMAL(20,6)) AS w_term
+    FROM users JOIN prop USING (stratum)
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(treated) AS BIGINT) AS n_treated,
+           SUM(CASE WHEN treated = 1 THEN w_term END) AS s_t,
+           SUM(CASE WHEN treated = 0 THEN w_term END) AS s_c,
+           SUM(CASE WHEN treated = 1 THEN y END) AS y_t,
+           SUM(CASE WHEN treated = 0 THEN y END) AS y_c
+    FROM terms
+)
+SELECT n_users, n_treated,
+       CAST(ROUND(CAST(
+           (CAST(s_t AS DOUBLE) - CAST(s_c AS DOUBLE))
+           / CAST(n_users AS DOUBLE)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS ate_ips,
+       CAST(ROUND(CAST(
+           CAST(y_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+           - CAST(y_c AS DOUBLE) / CAST(n_users - n_treated AS DOUBLE)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS naive_diff
+FROM sums
+"""
+
+
+REGISTRY["ips_ate"] = QuerySpec(q_ips_ate, IPS_ATE_SQL)
