@@ -219,6 +219,7 @@ HEADLINE = [
     "rrf_fusion",
     "embedding_projection",
     "ips_ate",
+    "label_propagation",
 ]
 
 

@@ -798,3 +798,38 @@ LIMIT 30
 REGISTRY["clustering_coefficient"] = QuerySpec(
     q_clustering_coefficient, CLUSTERING_COEFFICIENT_SQL
 )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph via synchronous
+    label propagation (operators/lpa.py) — the density-clustering answer
+    the connectivity census (dedup_clusters / part_reachability) can't
+    give: the co-purchase graph is essentially one giant component, and
+    LPA splits it into the bundles q_graph_modularity can then score.
+
+    Output: the top-20 communities by size with their min-member label —
+    community ids ARE node ids (the smallest member that won the plurality
+    votes), so the output is stable across runs and partitionings (LPA
+    determinism pinned in tests/test_components.py against an independent
+    single-threaded implementation).
+
+    Iterative fixpoint (one edge join + two keyed aggregates per round,
+    eager checkpoint, bounded rounds) — rows-only for the driver, like
+    pagerank/kcore/hits.
+    """
+    from candyspark.operators.lpa import label_propagation
+
+    und = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(und, src="u", dst="v", max_rounds=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+REGISTRY["label_propagation"] = QuerySpec(
+    q_label_propagation, None
+)  # iterative fixpoint; single-threaded parity + repartition-determinism in tests

@@ -151,3 +151,81 @@ def test_kcore_matches_bruteforce_peeling(spark):
             for r in kcore_decompose(df, k=k).collect()
         }
         assert got == expect, f"trial={trial} k={k} edges={edges}"
+
+
+def _lpa_reference(edge_list, rounds=5):
+    """Independent single-threaded synchronous LPA with self-vote and
+    min-label tie-break (mirrors operators/lpa.py's contract)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            votes = Counter(labels[u] for u in adj[v])
+            votes[labels[v]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_lpa_matches_reference_on_random_graphs(spark):
+    import random
+
+    from candyspark.operators.lpa import label_propagation
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30 + trial * 10
+        edges = set()
+        # two planted cliques + random noise edges
+        for grp in (range(0, 8), range(10, 17)):
+            grp = list(grp)
+            for i in grp:
+                for j in grp:
+                    if i < j:
+                        edges.add((i, j))
+        for _ in range(n):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, max_rounds=5).collect()
+        }
+        want = _lpa_reference(sorted(edges), rounds=5)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_lpa_repartition_invariance(spark):
+    from candyspark.operators.lpa import label_propagation
+
+    edges = [(i, i + 1) for i in range(12)] + [(0, 5), (2, 7), (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    shuffled = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(13)).collect()
+    }
+    assert base == shuffled
+
+
+def test_lpa_two_cliques_separate(spark):
+    from candyspark.operators.lpa import label_propagation
+
+    edges = [
+        (a, b) for grp in ([0, 1, 2, 3], [10, 11, 12, 13]) for a in grp for b in grp if a < b
+    ] + [(3, 10)]  # one bridge edge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert labels[0] == labels[1] == labels[2] == labels[3] == 0
+    assert labels[11] == labels[12] == labels[13] == 10
