@@ -220,6 +220,8 @@ HEADLINE = [
     "embedding_projection",
     "ips_ate",
     "label_propagation",
+    "compaction_plan",
+    "logistic_newton",
 ]
 
 

@@ -633,3 +633,86 @@ FD_VIOLATIONS_SQL = _fd_sql()
 
 
 REGISTRY["fd_violations"] = QuerySpec(q_fd_violations, FD_VIOLATIONS_SQL)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning — the lakehouse maintenance operator
+    next to q_zorder_layout: given a file inventory (one row per file with
+    its byte size), bin-pack files into ~128 MB rewrite groups so the table
+    goes from thousands of small files to scan-efficient ones (the Delta /
+    Iceberg OPTIMIZE planning stage). The inventory here is the per-
+    (ship-month, returnflag) partition of lineitem with bytes estimated at
+    a fixed 128 B/row — a deterministic stand-in for real file metadata
+    (the multimodal-stub discipline: the PLANNING algebra is the operator;
+    swapping in real file listings changes one input relation).
+
+    Algorithm: next-fit-decreasing as pure window algebra — files ordered
+    (bytes DESC, file key) with a running byte prefix, bin id =
+    floor(prefix_before / target). One-pass, distributed-friendly, and
+    within 2× of optimal like all next-fit variants; a bin can overshoot
+    the target by at most one file (the standard compaction contract —
+    oversized files stay alone either way).
+
+    Scale: the inventory is METADATA-sized (one row per file — thousands
+    of rows for a 100 TB table), so the unpartitioned ordering window runs
+    over a relation the size of a file listing, never the data; the data-
+    sized work (the rewrite itself) is out of scope by design, exactly as
+    in the real systems. All byte math is exact int64.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("part_month"),
+        "l_returnflag",
+    ).agg((F.count(F.lit(1)) * 128).cast("long").alias("bytes"))
+    target = 1 * 1024 * 1024  # 1 MiB target at bench SFs; 128 MiB in prod
+    w_ord = Window.orderBy(F.desc("bytes"), "part_month", "l_returnflag")
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    binned = files.select(
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w_prefix), F.lit(0))
+            / F.lit(target)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.max("bytes").cast("long").alias("largest_file"),
+            F.min("bytes").cast("long").alias("smallest_file"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+COMPACTION_PLAN_SQL = """
+WITH files AS (
+    SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS part_month,
+           l_returnflag,
+           CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+    FROM lineitem
+    GROUP BY 1, 2
+),
+binned AS (
+    SELECT bytes,
+           CAST(FLOOR(COALESCE(SUM(bytes) OVER (
+                    ORDER BY bytes DESC, part_month, l_returnflag
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 1048576) AS BIGINT) AS bin_id
+    FROM files
+)
+SELECT bin_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(bytes) AS BIGINT) AS largest_file,
+       CAST(MIN(bytes) AS BIGINT) AS smallest_file
+FROM binned
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+REGISTRY["compaction_plan"] = QuerySpec(q_compaction_plan, COMPACTION_PLAN_SQL)

@@ -267,3 +267,42 @@ def test_ols_recovers_planted_structure(spark):
     assert row.r2 > 0.99, row
     assert abs(row.beta_price - (1 - stats.d)) < 0.02, (row.beta_price, stats.d)
     assert abs(row.beta_discount_pct - (-stats.p / 100)) / (stats.p / 100) < 0.1
+
+
+def test_logistic_newton_matches_numpy(spark):
+    """The in-engine 4-step Newton fit must match an independent numpy
+    Newton on the same sufficient statistics (and thus the true MLE to
+    within the 10-dp inter-step snap)."""
+    import numpy as np
+
+    from candyspark.plans.ml import q_logistic_newton
+
+    SF = "/root/testdata/sf0.001"
+    got = q_logistic_newton(spark, SF).collect()[0]
+
+    import duckdb
+
+    cells = duckdb.sql(
+        f"""SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS x,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_pos
+            FROM '{SF}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    x = np.array([c[0] for c in cells], dtype=float)
+    n = np.array([c[1] for c in cells], dtype=float)
+    pos = np.array([c[2] for c in cells], dtype=float)
+    b = np.zeros(2)
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(b[0] + b[1] * x)))
+        g = np.array([np.sum(pos - n * p), np.sum(x * (pos - n * p))])
+        w = n * p * (1 - p)
+        H = np.array(
+            [[np.sum(w), np.sum(x * w)], [np.sum(x * w), np.sum(x * x * w)]]
+        )
+        b = b + np.linalg.solve(H, g)
+    assert abs(got["beta0"] - b[0]) < 1e-6, (got["beta0"], b[0])
+    assert abs(got["beta1"] - b[1]) < 1e-6, (got["beta1"], b[1])
+    # log-loss is a proper mean over rows
+    p = 1.0 / (1.0 + np.exp(-(b[0] + b[1] * x)))
+    ll = -np.sum(pos * np.log(p) + (n - pos) * np.log(1 - p)) / np.sum(n)
+    assert abs(got["mean_log_loss"] - ll) < 1e-6
