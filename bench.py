@@ -222,6 +222,7 @@ HEADLINE = [
     "label_propagation",
     "compaction_plan",
     "logistic_newton",
+    "kendall_tau",
 ]
 
 

@@ -1832,3 +1832,102 @@ FROM sums
 
 
 REGISTRY["ips_ate"] = QuerySpec(q_ips_ate, IPS_ATE_SQL)
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between discount and quantity — the rank-correlation
+    twin of q_spearman_orders_revenue, with the tie correction that
+    matters when both axes are heavily discrete. A naive implementation
+    compares all n(n−1)/2 observation pairs — quadratic in the DATA; here
+    both variables have BOUNDED support (discount% 0..10, quantity 1..50),
+    so the corpus collapses ONCE to a ≤550-cell contingency grid and every
+    pair statistic is algebra over CELL pairs (≤550²/2, a constant
+    whatever the row count — the mann_whitney/logistic_newton discipline).
+
+    Concordant/discordant counts come from the strict-inequality cell
+    pairs (x1<x2 canonical order so each unordered pair counts once);
+    tie terms n₁/n₂ come from the x/y MARGINALS of the same grid. Every
+    count is exact — products accumulate in DECIMAL(38,0) (n_i·n_j crosses
+    int64 around 10⁹ rows per cell) — and τ-b is one double expression
+    snapped at 6 dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.select(
+            (F.col("l_discount").cast("decimal(4,2)") * 100)
+            .cast("int")
+            .alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    prod = (F.col("a.n").cast("decimal(38,0)") * F.col("b.n").cast("decimal(38,0)"))
+    cd = (
+        a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+        .agg(
+            F.sum(F.when(F.col("a.y") < F.col("b.y"), prod)).alias("c_sum"),
+            F.sum(F.when(F.col("a.y") > F.col("b.y"), prod)).alias("d_sum"),
+        )
+    )
+    tx = grid.groupBy("x").agg(F.sum("n").cast("decimal(38,0)").alias("t"))
+    ty = grid.groupBy("y").agg(F.sum("n").cast("decimal(38,0)").alias("t"))
+    pair = lambda t: F.sum(t * (t - 1) / 2).cast("decimal(38,0)")  # noqa: E731
+    n1 = tx.agg(
+        pair(F.col("t")).alias("n1"), F.sum("t").cast("decimal(38,0)").alias("n_tot")
+    )
+    n2 = ty.agg(pair(F.col("t")).alias("n2"))
+    joined = cd.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    n0 = (F.col("n_tot") * (F.col("n_tot") - 1) / 2).cast("decimal(38,0)")
+    tau = (
+        (F.col("c_sum").cast("double") - F.col("d_sum").cast("double"))
+        / F.sqrt(
+            (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+        )
+    )
+    return joined.select(
+        F.col("n_tot").cast("long").alias("n_rows"),
+        F.col("c_sum").cast("long").alias("concordant"),
+        F.col("d_sum").cast("long").alias("discordant"),
+        snap_round(tau, 6).alias("tau_b"),
+    )
+
+
+KENDALL_TAU_SQL = """
+WITH grid AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS x,
+           CAST(l_quantity AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+),
+cd AS (
+    SELECT SUM(CASE WHEN a.y < b.y
+                    THEN CAST(a.n AS DECIMAL(38,0)) * CAST(b.n AS DECIMAL(38,0)) END) AS c_sum,
+           SUM(CASE WHEN a.y > b.y
+                    THEN CAST(a.n AS DECIMAL(38,0)) * CAST(b.n AS DECIMAL(38,0)) END) AS d_sum
+    FROM grid a JOIN grid b ON a.x < b.x
+),
+n1s AS (
+    SELECT CAST(SUM(t * (t - 1) / 2) AS DECIMAL(38,0)) AS n1,
+           CAST(SUM(t) AS DECIMAL(38,0)) AS n_tot
+    FROM (SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS t FROM grid GROUP BY x)
+),
+n2s AS (
+    SELECT CAST(SUM(t * (t - 1) / 2) AS DECIMAL(38,0)) AS n2
+    FROM (SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS t FROM grid GROUP BY y)
+)
+SELECT CAST(n_tot AS BIGINT) AS n_rows,
+       CAST(c_sum AS BIGINT) AS concordant,
+       CAST(d_sum AS BIGINT) AS discordant,
+       CAST(ROUND(CAST(
+           (CAST(c_sum AS DOUBLE) - CAST(d_sum AS DOUBLE))
+           / SQRT(CAST(CAST(n_tot * (n_tot - 1) / 2 AS DECIMAL(38,0)) - n1 AS DOUBLE)
+                  * CAST(CAST(n_tot * (n_tot - 1) / 2 AS DECIMAL(38,0)) - n2 AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS tau_b
+FROM cd CROSS JOIN n1s CROSS JOIN n2s
+"""
+
+
+REGISTRY["kendall_tau"] = QuerySpec(q_kendall_tau, KENDALL_TAU_SQL)

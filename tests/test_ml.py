@@ -306,3 +306,43 @@ def test_logistic_newton_matches_numpy(spark):
     p = 1.0 / (1.0 + np.exp(-(b[0] + b[1] * x)))
     ll = -np.sum(pos * np.log(p) + (n - pos) * np.log(1 - p)) / np.sum(n)
     assert abs(got["mean_log_loss"] - ll) < 1e-6
+
+
+def test_kendall_tau_matches_bruteforce(spark, tmp_path):
+    """τ-b from the contingency-grid algebra must equal the O(n²)
+    definition on a small synthetic table (heavy ties on both axes)."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (rng.choice([0.0, 0.02, 0.05, 0.1]), float(rng.randint(1, 6)),
+         "R" if rng.random() < 0.4 else "N")
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_discount double, l_quantity double, l_returnflag string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from candyspark.plans.quality import q_kendall_tau
+
+    got = q_kendall_tau(spark, str(tmp_path)).collect()[0]
+
+    xy = [(round(d * 100), int(q)) for d, q, _ in rows]
+    c = d_ = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(xy, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if (x1 != x2) and (y1 != y2):
+            c += s > 0
+            d_ += s < 0
+    n = len(xy)
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in xy).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in xy).values())
+    tau = (c - d_) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert got["concordant"] == c and got["discordant"] == d_
+    assert abs(got["tau_b"] - tau) < 1e-6
