@@ -223,6 +223,7 @@ HEADLINE = [
     "compaction_plan",
     "logistic_newton",
     "kendall_tau",
+    "shapley_attribution",
 ]
 
 

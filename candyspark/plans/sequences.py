@@ -762,3 +762,174 @@ ORDER BY cohort_month, age_months
 """
 
 REGISTRY["cohort_ltv"] = QuerySpec(q_cohort_ltv, COHORT_LTV_SQL)
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic member
+    that completes the attribution family: linear/position (rule-based,
+    this module) → Markov removal effect (plans/ml.py) → Shapley, the
+    axiomatic gold standard (efficiency + symmetry + null player). With
+    k=3 touch channels (view/click/signup) the coalition lattice has 2³=8
+    cells, so the EXACT value is computable: φ_i = Σ_{S∌i}
+    |S|!(k−|S|−1)!/k! · (v(S∪{i}) − v(S)), with v(S) = conversion rate of
+    users whose touched-channel set is exactly S (coalitions never
+    observed contribute v = 0 — the standard empirical-lattice convention,
+    stated rather than hidden).
+
+    Scale: the corpus collapses ONCE to user-grain bitmasks (one map-side-
+    combined shuffle), then to the ≤8-row coalition lattice; the Shapley
+    sweep is a literal 8×3 subset frame joined against that lattice —
+    constant-sized whatever the event volume. Exact k! weights are the
+    rationals {2,1,2}/6 as integer numerators; v is a ratio of exact
+    longs, each weighted marginal snaps to decimal, per-channel sums are
+    exact, one final snap.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("journey_day")
+    ).agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    lattice = (
+        users.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+        .localCheckpoint()
+    )
+    channels = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (4, "signup")], "bit int, channel string"
+    )
+    subsets = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("s"))
+        .crossJoin(channels)
+        .filter((F.col("s").bitwiseAND(F.col("bit"))) == 0)
+        .select(
+            "channel",
+            "s",
+            (F.col("s") + F.col("bit")).alias("s_with"),
+            (
+                (F.col("s").bitwiseAND(F.lit(1)))
+                + (F.shiftright(F.col("s"), 1).bitwiseAND(F.lit(1)))
+                + (F.shiftright(F.col("s"), 2).bitwiseAND(F.lit(1)))
+            ).alias("cardinality"),
+        )
+        .withColumn(
+            "w_num",
+            F.when(F.col("cardinality") == 1, F.lit(1)).otherwise(F.lit(2)),
+        )
+    )
+    v = lambda side: F.coalesce(  # noqa: E731
+        F.col(f"n_conv_{side}").cast("double")
+        / F.col(f"n_users_{side}").cast("double"),
+        F.lit(0.0),
+    )
+    lat_s = lattice.select(
+        F.col("mask").alias("s"),
+        F.col("n_users").alias("n_users_s"),
+        F.col("n_conv").alias("n_conv_s"),
+    )
+    lat_w = lattice.select(
+        F.col("mask").alias("s_with"),
+        F.col("n_users").alias("n_users_w"),
+        F.col("n_conv").alias("n_conv_w"),
+    )
+    terms = (
+        subsets.join(F.broadcast(lat_s), "s", "left")
+        .join(F.broadcast(lat_w), "s_with", "left")
+        .select(
+            "channel",
+            F.round(
+                (
+                    F.col("w_num").cast("double")
+                    * (v("w") - v("s"))
+                    / 6.0
+                ).cast("decimal(28,12)"),
+                10,
+            )
+            .cast("decimal(24,10)")
+            .alias("term"),
+        )
+    )
+    total = lattice.agg(
+        F.sum("n_users").cast("long").alias("n_all"),
+        F.sum("n_conv").cast("long").alias("conv_all"),
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("term").alias("phi_sum"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            snap_round(F.col("phi_sum").cast("double"), 6).alias("shapley_value"),
+            snap_round(
+                F.col("conv_all").cast("double") / F.col("n_all").cast("double"),
+                6,
+            ).alias("overall_conv_rate"),
+        )
+        .orderBy("channel")
+    )
+
+
+SHAPLEY_ATTRIBUTION_SQL = """
+WITH users AS (
+    SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS journey_day,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS mask,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id, CAST(DATE_TRUNC('day', ts) AS DATE)
+),
+lattice AS (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_conv
+    FROM users GROUP BY mask
+),
+channels AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'), (4, 'signup'))
+             AS t(bit, channel)),
+subsets AS (
+    SELECT channel,
+           CAST(s AS INTEGER) AS s,
+           CAST(s + bit AS INTEGER) AS s_with,
+           (CAST(s AS INTEGER) & 1) + ((CAST(s AS INTEGER) >> 1) & 1)
+             + ((CAST(s AS INTEGER) >> 2) & 1) AS cardinality
+    FROM range(0, 8) r(s) CROSS JOIN channels
+    WHERE (CAST(s AS INTEGER) & bit) = 0
+),
+terms AS (
+    SELECT channel,
+           CAST(ROUND(CAST(
+               CAST(CASE WHEN cardinality = 1 THEN 1 ELSE 2 END AS DOUBLE)
+               * (COALESCE(CAST(lw.n_conv AS DOUBLE) / CAST(lw.n_users AS DOUBLE), 0.0)
+                  - COALESCE(CAST(ls.n_conv AS DOUBLE) / CAST(ls.n_users AS DOUBLE), 0.0))
+               / 6.0
+               AS DECIMAL(28,12)), 10) AS DECIMAL(24,10)) AS term
+    FROM subsets
+    LEFT JOIN lattice ls ON ls.mask = subsets.s
+    LEFT JOIN lattice lw ON lw.mask = subsets.s_with
+),
+total AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_all,
+                 CAST(SUM(n_conv) AS BIGINT) AS conv_all FROM lattice)
+SELECT channel,
+       CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS shapley_value,
+       CAST(ROUND(CAST(CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS overall_conv_rate
+FROM terms CROSS JOIN total
+GROUP BY channel, conv_all, n_all
+ORDER BY channel
+"""
+
+
+REGISTRY["shapley_attribution"] = QuerySpec(
+    q_shapley_attribution, SHAPLEY_ATTRIBUTION_SQL
+)

@@ -346,3 +346,31 @@ def test_kendall_tau_matches_bruteforce(spark, tmp_path):
     tau = (c - d_) / math.sqrt((n0 - n1) * (n0 - n2))
     assert got["concordant"] == c and got["discordant"] == d_
     assert abs(got["tau_b"] - tau) < 1e-6
+
+
+def test_shapley_efficiency_axiom(spark):
+    """When every coalition is observed, Σφ_i = v(full) − v(∅) (the
+    efficiency axiom) — checked against the lattice DuckDB computes."""
+    import duckdb
+
+    from candyspark.plans.sequences import q_shapley_attribution
+
+    SF = "/root/testdata/sf0.01"
+    rows = q_shapley_attribution(spark, SF).collect()
+    lat = dict(
+        (m, (nu, nc))
+        for m, nu, nc in duckdb.sql(
+            f"""SELECT mask, COUNT(*), SUM(conv) FROM (
+                  SELECT user_id, DATE_TRUNC('day', ts) AS d,
+                    MAX(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+                    + 2*MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                    + 4*MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS mask,
+                    MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv
+                  FROM '{SF}/events.parquet' GROUP BY user_id, d)
+               GROUP BY mask"""
+        ).fetchall()
+    )
+    assert set(lat) == set(range(8)), "expected every coalition observed"
+    v = {m: nc / nu for m, (nu, nc) in lat.items()}
+    total_phi = sum(r["shapley_value"] for r in rows)
+    assert abs(total_phi - (v[7] - v[0])) < 1e-4, (total_phi, v[7] - v[0])
