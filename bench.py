@@ -224,6 +224,7 @@ HEADLINE = [
     "logistic_newton",
     "kendall_tau",
     "shapley_attribution",
+    "skew_salted_join",
 ]
 
 

@@ -1040,3 +1040,70 @@ ORDER BY lag
 
 
 REGISTRY["acf_daily_revenue"] = QuerySpec(q_acf_daily_revenue, ACF_DAILY_REVENUE_SQL)
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key JOIN mitigation (operators/skew.salted_broadcast_left)
+    as a driver-checked query, completing the skew family: salted
+    aggregation (salted_aggregation) → salted per-key top-k (topk_salted)
+    → salted replicated join. The oracle is the PLAIN join + aggregate —
+    salting must be semantically invisible.
+
+    The hot-key list derives FROM THE DATA (top-20 part keys by line
+    count, a TakeOrdered over a keyed aggregate — at 100 TB this comes
+    from a sampled count or the shuffle statistics). Hot left rows spread
+    over 16 salt buckets; the hot slice of the dimension replicates 16×
+    (dimension rows are the cheap side); cold keys keep salt 0 and join
+    exactly once. AQE's skew split covers sort-merge joins when runtime
+    stats see the skew — this explicit form is for aggregation-input joins
+    where the planner's stats hide it (or the engine's AQE is off), and
+    the revenue math stays exact DECIMAL through the salted path.
+    """
+    from candyspark.operators.skew import salted_broadcast_left
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(20)
+        .select("l_partkey")
+    )
+    joined = salted_broadcast_left(
+        li, p, ["l_partkey"], "l_orderkey", hot, buckets=16
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_lines",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("brand")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT p_brand AS brand,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p_brand
+ORDER BY brand
+"""
+
+
+REGISTRY["skew_salted_join"] = QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL)
