@@ -225,6 +225,7 @@ HEADLINE = [
     "kendall_tau",
     "shapley_attribution",
     "skew_salted_join",
+    "forecast_backtest",
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from candyspark.functions.numeric import snap_round
 from candyspark.operators.allocation import allocate_greedy
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
@@ -469,3 +470,149 @@ ORDER BY d.l_partkey
 """
 
 REGISTRY["fifo_allocation"] = QuerySpec(q_fifo_allocation, FIFO_ALLOCATION_SQL)
+
+
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtesting — the evaluation harness that
+    turns forecast_linear/forecast_metrics from 'a fit' into 'a validated
+    model': at EVERY origin day t (after a 30-day burn-in), fit the linear
+    model on days ≤ t only and score its one-step-ahead prediction against
+    day t+1; report MAE/RMSE over all origins plus MASE (error relative to
+    the seasonal-naive lag-7 forecast — the scale-free skill score; MASE
+    < 1 beats the naive baseline).
+
+    The trick that makes ALL prefix fits ONE pass: the OLS sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) become RUNNING window sums over the
+    daily series, so every origin's closed-form fit assembles from its
+    own row — no per-origin refit loop, no data re-scan. The window is
+    unpartitioned but runs over the per-DAY aggregate (calendar-bounded:
+    thousands of rows at any SF — the drift_psi convention).
+
+    Exactness: prefix sums are exact (long / decimal); each origin's
+    slope/intercept/prediction is one double association; per-origin
+    absolute errors snap to decimal so the MAE/RMSE sums are order-free;
+    final ratios snap once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("x")
+    pref = xy.select(
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_c"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.lead("x").over(wl).alias("x_next"),
+        F.lead("y").over(wl).alias("y_next"),
+        F.lag("y", 6).over(wl).alias("y_lag6"),
+    )
+    n = F.col("n_c").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    yhat = (sy - slope * sx) / n + slope * F.col("x_next").cast("double")
+    origins = pref.filter(
+        (F.col("n_c") >= 30)
+        & F.col("x_next").isNotNull()
+        & F.col("y_lag6").isNotNull()
+    ).select(
+        F.round(
+            F.abs(yhat - F.col("y_next").cast("double")).cast("decimal(28,6)"), 4
+        )
+        .cast("decimal(20,4)")
+        .alias("err_ols"),
+        F.round(
+            F.abs(
+                (F.col("y_lag6") - F.col("y_next")).cast("double")
+            ).cast("decimal(28,6)"),
+            4,
+        )
+        .cast("decimal(20,4)")
+        .alias("err_snaive"),
+    )
+    agg = origins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_origins"),
+        F.sum("err_ols").alias("se_ols"),
+        F.sum("err_snaive").alias("se_snaive"),
+        F.sum(F.col("err_ols") * F.col("err_ols")).alias("sq_ols"),
+    )
+    no = F.col("n_origins").cast("double")
+    return agg.select(
+        "n_origins",
+        snap_round(F.col("se_ols").cast("double") / no, 4).alias("mae_ols"),
+        snap_round(
+            F.sqrt(F.col("sq_ols").cast("double") / no), 4
+        ).alias("rmse_ols"),
+        snap_round(F.col("se_snaive").cast("double") / no, 4).alias("mae_snaive"),
+        snap_round(
+            F.col("se_ols").cast("double") / F.col("se_snaive").cast("double"),
+            6,
+        ).alias("mase"),
+    )
+
+
+FORECAST_BACKTEST_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+              CAST(y AS DECIMAL(18,2)) AS y FROM daily),
+pref AS (
+    SELECT x, y,
+           CAST(COUNT(*) OVER wp AS BIGINT) AS n_c,
+           CAST(SUM(x) OVER wp AS BIGINT) AS sx,
+           SUM(y) OVER wp AS sy,
+           SUM(y * CAST(x AS DECIMAL(10,0))) OVER wp AS sxy,
+           CAST(SUM(x * x) OVER wp AS BIGINT) AS sxx,
+           LEAD(x) OVER (ORDER BY x) AS x_next,
+           LEAD(y) OVER (ORDER BY x) AS y_next,
+           LAG(y, 6) OVER (ORDER BY x) AS y_lag6
+    FROM xy
+    WINDOW wp AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+origins AS (
+    SELECT CAST(ROUND(CAST(ABS(
+               ((CAST(sy AS DOUBLE)
+                 - ((CAST(n_c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE)) / CAST(n_c AS DOUBLE)
+                + ((CAST(n_c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(x_next AS DOUBLE))
+               - CAST(y_next AS DOUBLE)) AS DECIMAL(28,6)), 4) AS DECIMAL(20,4))
+               AS err_ols,
+           CAST(ROUND(CAST(ABS(CAST(y_lag6 - y_next AS DOUBLE))
+               AS DECIMAL(28,6)), 4) AS DECIMAL(20,4)) AS err_snaive
+    FROM pref
+    WHERE n_c >= 30 AND x_next IS NOT NULL AND y_lag6 IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_origins,
+       CAST(ROUND(CAST(CAST(SUM(err_ols) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS mae_ols,
+       CAST(ROUND(CAST(SQRT(CAST(SUM(err_ols * err_ols) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,8)), 4) AS DOUBLE) AS rmse_ols,
+       CAST(ROUND(CAST(CAST(SUM(err_snaive) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS mae_snaive,
+       CAST(ROUND(CAST(CAST(SUM(err_ols) AS DOUBLE) / CAST(SUM(err_snaive) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mase
+FROM origins
+"""
+
+
+REGISTRY["forecast_backtest"] = QuerySpec(forecast_backtest, FORECAST_BACKTEST_SQL)
