@@ -226,6 +226,8 @@ HEADLINE = [
     "shapley_attribution",
     "skew_salted_join",
     "forecast_backtest",
+    "conformal_interval",
+    "ndcg_eval",
 ]
 
 

@@ -616,3 +616,167 @@ FROM origins
 
 
 REGISTRY["forecast_backtest"] = QuerySpec(forecast_backtest, FORECAST_BACKTEST_SQL)
+
+
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the next-day revenue
+    forecast — the distribution-free uncertainty the point forecasts
+    (forecast_linear) and in-sample metrics (forecast_metrics) don't give:
+    fit on the first 70% of days, take absolute residuals on the held-out
+    30% calibration window, and the 90% interval is ŷ ± the
+    ⌈(n_cal+1)·0.9⌉-th smallest residual. Coverage ≥ 90% holds by the
+    exchangeability argument alone — no normality, no variance model
+    (Vovk; the modern ML-ops standard for 'forecast ± what?').
+
+    Relational shape: the split point derives FROM the data (row_number
+    over the day series vs 0.7·count); the train fit is the usual exact
+    sufficient-statistic aggregate; the calibration quantile is an ORDER
+    STATISTIC — row_number = k over the residuals, an exact value crossing
+    the engine boundary (the percentile_disc discipline, no interpolation
+    to drift). Windows run over the calendar-bounded daily aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    wd = Window.orderBy("d")
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+        F.row_number().over(wd).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_days"),
+    ).localCheckpoint()
+    train = xy.filter(F.col("rn") * 10 <= F.col("n_days") * 7)
+    s = train.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        F.round(slope.cast("decimal(28,10)"), 8).cast("double").alias("b"),
+        F.round(
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("a"),
+    )
+    cal = (
+        xy.filter(F.col("rn") * 10 > F.col("n_days") * 7)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.round(
+                F.abs(
+                    F.col("a")
+                    + F.col("b") * F.col("x").cast("double")
+                    - F.col("y").cast("double")
+                ).cast("decimal(28,6)"),
+                4,
+            )
+            .cast("decimal(20,4)")
+            .alias("resid"),
+            (F.col("x") + 1).alias("x_next"),
+        )
+    )
+    wr = Window.orderBy("resid")
+    whole = Window.partitionBy()
+    ranked = cal.select(
+        "resid",
+        F.max("x_next").over(whole).alias("x_pred"),
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(whole).cast("long").alias("n_cal"),
+    )
+    q_row = ranked.filter(
+        F.col("r")
+        == F.least(F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"), F.col("n_cal"))
+    )
+    return (
+        q_row.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n_cal"),
+            F.col("resid").cast("double").alias("q_resid"),
+            snap_round(
+                F.col("a") + F.col("b") * (F.col("x_pred").cast("double") + 1.0),
+                2,
+            ).alias("yhat_next"),
+            snap_round(
+                F.col("a")
+                + F.col("b") * (F.col("x_pred").cast("double") + 1.0)
+                - F.col("resid").cast("double"),
+                2,
+            ).alias("lo_90"),
+            snap_round(
+                F.col("a")
+                + F.col("b") * (F.col("x_pred").cast("double") + 1.0)
+                + F.col("resid").cast("double"),
+                2,
+            ).alias("hi_90"),
+        )
+    )
+
+
+CONFORMAL_INTERVAL_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+           CAST(y AS DECIMAL(18,2)) AS y,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+    FROM daily
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(y * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM xy WHERE rn * 10 <= n_days * 7
+),
+fit AS (
+    SELECT CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS b,
+           CAST(ROUND(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS a
+    FROM s
+),
+cal AS (
+    SELECT CAST(ROUND(CAST(ABS(a + b * CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+               AS DECIMAL(28,6)), 4) AS DECIMAL(20,4)) AS resid,
+           x + 1 AS x_next
+    FROM xy CROSS JOIN fit WHERE rn * 10 > n_days * 7
+),
+ranked AS (
+    SELECT resid,
+           MAX(x_next) OVER () AS x_pred,
+           CAST(ROW_NUMBER() OVER (ORDER BY resid) AS BIGINT) AS r,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+    FROM cal
+)
+SELECT n_cal,
+       CAST(resid AS DOUBLE) AS q_resid,
+       CAST(ROUND(CAST(a + b * (CAST(x_pred AS DOUBLE) + 1.0)
+            AS DECIMAL(28,8)), 2) AS DOUBLE) AS yhat_next,
+       CAST(ROUND(CAST(a + b * (CAST(x_pred AS DOUBLE) + 1.0) - CAST(resid AS DOUBLE)
+            AS DECIMAL(28,8)), 2) AS DOUBLE) AS lo_90,
+       CAST(ROUND(CAST(a + b * (CAST(x_pred AS DOUBLE) + 1.0) + CAST(resid AS DOUBLE)
+            AS DECIMAL(28,8)), 2) AS DOUBLE) AS hi_90
+FROM ranked CROSS JOIN fit
+WHERE r = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+"""
+
+
+REGISTRY["conformal_interval"] = QuerySpec(
+    conformal_interval, CONFORMAL_INTERVAL_SQL
+)

@@ -766,3 +766,197 @@ LIMIT 20
 
 
 REGISTRY["rrf_fusion"] = QuerySpec(q_rrf_fusion, RRF_FUSION_SQL)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the BM25 ranker against a graded relevance standard —
+    the ranking-quality metric that completes the evaluation family (AUC
+    for classification, calibration for probabilities, recall-vs-exact for
+    ANN, NDCG for RANKINGS). Relevance grade = number of distinct query
+    terms a document contains plus a total-frequency bonus (grades 0..6,
+    exact integers from the same tf relation the ranker uses — graded
+    finely enough that the ideal ordering actually distinguishes ranks),
+    the standard graded-judgment stand-in when no human labels exist.
+
+    DCG@20 = Σ rel_i/log2(i+1) over BM25's top-20; IDCG@20 is the same sum
+    over the IDEAL ordering (top-20 grades corpus-wide, a TakeOrdered —
+    never a global sort). Per-position gains snap to decimal (each is one
+    ln-ratio on identical doubles), sums are exact, the final NDCG divides
+    once and snaps. Tokenize-once: tf/dl materialize once and feed the
+    scorer, the grader, and the ideal ordering.
+
+    Scale: query-term-filtered tf is the only corpus-sized shuffle; both
+    top-20s are TakeOrderedAndProject; everything after runs on ≤20-row
+    frames.
+    """
+    query_terms = ("hash", "join", "stream", "spark")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint()
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    rel = tf.groupBy("doc_id").agg(
+        (
+            F.countDistinct("term")
+            + F.when(F.sum("tf") >= 8, 2).when(F.sum("tf") >= 4, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("rel")
+    ).localCheckpoint()
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            snap_round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    scores = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            snap_round(
+                F.col("idf")
+                * (22 * F.col("tf") * F.col("sumdl")).cast("double")
+                / (
+                    10 * F.col("tf") * F.col("sumdl")
+                    + 3 * F.col("sumdl")
+                    + 9 * F.col("dl") * F.col("n_docs")
+                ).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+    )
+    top = scores.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    gain = lambda relc, pos: F.round(  # noqa: E731
+        (
+            relc.cast("double")
+            / (F.log(pos.cast("double") + 1.0) / F.log(F.lit(2.0)))
+        ).cast("decimal(28,10)"),
+        8,
+    ).cast("decimal(20,8)")
+    ranked = top.join(rel, "doc_id", "left").select(
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    dcg = ranked.agg(
+        F.sum(gain(F.col("rel"), F.col("pos"))).alias("dcg"),
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+    )
+    ideal = rel.orderBy(F.desc("rel"), "doc_id").limit(20)
+    ideal_ranked = ideal.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    idcg = ideal_ranked.agg(F.sum(gain(F.col("rel"), F.col("pos"))).alias("idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "n_ranked",
+            F.col("dcg").cast("double").alias("dcg_20"),
+            F.col("idcg").cast("double").alias("idcg_20"),
+            snap_round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+            ).alias("ndcg_20"),
+        )
+    )
+
+
+NDCG_EVAL_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM dl),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY doc_id, term
+),
+rel AS (SELECT doc_id,
+               CAST(COUNT(DISTINCT term)
+                    + CASE WHEN SUM(tf) >= 8 THEN 2
+                           WHEN SUM(tf) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS rel
+        FROM tf GROUP BY doc_id),
+idf AS (
+    SELECT term,
+           CAST(ROUND(CAST(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS idf
+    FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    CROSS JOIN totals
+),
+scores AS (
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+    FROM (
+        SELECT doc_id,
+               CAST(ROUND(CAST(
+                    idf * CAST(22 * tf * sumdl AS DOUBLE)
+                        / CAST(10 * tf * sumdl + 3 * sumdl + 9 * dl * n_docs
+                               AS DOUBLE)
+                    AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS c
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN totals JOIN idf USING (term)
+    ) GROUP BY doc_id
+),
+top AS (SELECT doc_id, bm25 FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20),
+ranked AS (
+    SELECT COALESCE(rel.rel, 0) AS rel,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, top.doc_id) AS BIGINT) AS pos
+    FROM top LEFT JOIN rel ON top.doc_id = rel.doc_id
+),
+dcg AS (
+    SELECT SUM(CAST(ROUND(CAST(
+               CAST(rel AS DOUBLE) / (LN(CAST(pos AS DOUBLE) + 1.0) / LN(2.0))
+               AS DECIMAL(28,10)), 8) AS DECIMAL(20,8))) AS dcg,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked
+    FROM ranked
+),
+ideal AS (SELECT rel, doc_id FROM rel ORDER BY rel DESC, doc_id LIMIT 20),
+ideal_ranked AS (
+    SELECT rel,
+           CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS pos
+    FROM ideal
+),
+idcg AS (
+    SELECT SUM(CAST(ROUND(CAST(
+               CAST(rel AS DOUBLE) / (LN(CAST(pos AS DOUBLE) + 1.0) / LN(2.0))
+               AS DECIMAL(28,10)), 8) AS DECIMAL(20,8))) AS idcg
+    FROM ideal_ranked
+)
+SELECT n_ranked,
+       CAST(dcg AS DOUBLE) AS dcg_20,
+       CAST(idcg AS DOUBLE) AS idcg_20,
+       CAST(ROUND(CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS ndcg_20
+FROM dcg CROSS JOIN idcg
+"""
+
+
+REGISTRY["ndcg_eval"] = QuerySpec(q_ndcg_eval, NDCG_EVAL_SQL)
