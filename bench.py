@@ -228,6 +228,7 @@ HEADLINE = [
     "forecast_backtest",
     "conformal_interval",
     "ndcg_eval",
+    "geo_grid_density",
 ]
 
 

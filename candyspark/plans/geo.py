@@ -177,3 +177,107 @@ REGISTRY: dict[str, QuerySpec] = {
         q_geo_supplier_distance, GEO_SUPPLIER_DISTANCE_SQL
     ),
 }
+
+
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection on an integer grid — the second geo
+    operator: bin customer coordinates into 10°×10° cells (pure integer
+    floor on the exact DECIMAL degrees — no geohash strings needed), count
+    per cell, then 3×3 neighborhood smoothing so single-cell noise doesn't
+    masquerade as a hotspot. The smoothing is CONTRIBUTION-shaped: each
+    cell explodes its count to its 9 neighbors (longitude wraps modulo the
+    grid, latitude clamps at the poles) and the neighbor aggregate sums —
+    one bounded ×9 fan-out of the CELL relation (≤648 rows whatever the
+    customer count), never a self-join of the data.
+
+    All math is exact integers; output is the top-15 smoothed cells with
+    a total (smoothed desc, cell) tie order. Scale: one map-side-combined
+    shuffle of grid-cell cardinality; the fan-out and final top-k run on
+    the ≤648-row cell relation.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _synth_coords(F.col("c_custkey"), "c")
+    cells = (
+        c.select(
+            F.floor((lat.cast("double") + 90.0) / 10.0).cast("int").alias("gy"),
+            F.floor((lon.cast("double") + 180.0) / 10.0).cast("int").alias("gx"),
+        )
+        .groupBy("gy", "gx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    offs = F.array([F.lit(i) for i in (-1, 0, 1)])
+    contrib = (
+        cells.select(
+            "gy", "gx", "n", F.explode(offs).alias("dy")
+        )
+        .select("gy", "gx", "n", "dy", F.explode(offs).alias("dx"))
+        .select(
+            (F.col("gy") + F.col("dy")).alias("ny"),
+            ((F.col("gx") + F.col("dx") + 36) % 36).alias("nx"),
+            "n",
+        )
+        .filter((F.col("ny") >= 0) & (F.col("ny") <= 17))
+    )
+    smoothed = contrib.groupBy("ny", "nx").agg(
+        F.sum("n").cast("long").alias("n_smoothed")
+    )
+    return (
+        smoothed.join(
+            cells.select(
+                F.col("gy").alias("ny"), F.col("gx").alias("nx"), F.col("n")
+            ),
+            ["ny", "nx"],
+            "left",
+        )
+        .select(
+            F.col("ny").alias("cell_lat"),
+            F.col("nx").alias("cell_lon"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_local"),
+            "n_smoothed",
+        )
+        .orderBy(F.desc("n_smoothed"), "cell_lat", "cell_lon")
+        .limit(15)
+    )
+
+
+_UC = (
+    "CAST(CAST(concat('0x', substr(md5(concat('{tag}', CAST(c_custkey AS VARCHAR))), 1, 15)) "
+    "AS BIGINT) AS DOUBLE) / POW(2.0, 60.0)"
+)
+
+GEO_GRID_DENSITY_SQL = f"""
+WITH located AS (
+    SELECT CAST(ROUND(CAST({_UC.format(tag="clat:")} * 170.0 - 85.0 AS DECIMAL(28,8)), 6)
+                AS DECIMAL(10,6)) AS lat,
+           CAST(ROUND(CAST({_UC.format(tag="clon:")} * 360.0 - 180.0 AS DECIMAL(28,8)), 6)
+                AS DECIMAL(10,6)) AS lon
+    FROM customer
+),
+cells AS (
+    SELECT CAST(FLOOR((CAST(lat AS DOUBLE) + 90.0) / 10.0) AS INTEGER) AS gy,
+           CAST(FLOOR((CAST(lon AS DOUBLE) + 180.0) / 10.0) AS INTEGER) AS gx,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM located GROUP BY 1, 2
+),
+contrib AS (
+    SELECT gy + dy AS ny, CAST((gx + dx + 36) % 36 AS INTEGER) AS nx, n
+    FROM cells
+    CROSS JOIN (SELECT CAST(r AS INTEGER) AS dy FROM range(-1, 2) t(r))
+    CROSS JOIN (SELECT CAST(r AS INTEGER) AS dx FROM range(-1, 2) t(r))
+    WHERE gy + dy BETWEEN 0 AND 17
+),
+smoothed AS (
+    SELECT ny, nx, CAST(SUM(n) AS BIGINT) AS n_smoothed
+    FROM contrib GROUP BY ny, nx
+)
+SELECT s.ny AS cell_lat, s.nx AS cell_lon,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_local,
+       n_smoothed
+FROM smoothed s LEFT JOIN cells c ON c.gy = s.ny AND c.gx = s.nx
+ORDER BY n_smoothed DESC, cell_lat, cell_lon
+LIMIT 15
+"""
+
+
+REGISTRY["geo_grid_density"] = QuerySpec(q_geo_grid_density, GEO_GRID_DENSITY_SQL)
