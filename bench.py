@@ -229,6 +229,7 @@ HEADLINE = [
     "conformal_interval",
     "ndcg_eval",
     "geo_grid_density",
+    "aipw_ate",
 ]
 
 

@@ -1931,3 +1931,132 @@ FROM cd CROSS JOIN n1s CROSS JOIN n2s
 
 
 REGISTRY["kendall_tau"] = QuerySpec(q_kendall_tau, KENDALL_TAU_SQL)
+
+
+def q_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) treatment effect — the estimator production
+    causal systems actually ship, completing q_ips_ate: augment the IPS
+    weighting with per-stratum OUTCOME models m₁/m₀ (mean outcome among
+    treated/control in the stratum), so the estimate stays consistent if
+    EITHER the propensity model or the outcome model is right:
+    ATE = (1/N) Σ [ m₁(s) − m₀(s) + T·(y − m₁(s))/p̂ − (1−T)·(y − m₀(s))/(1−p̂) ].
+
+    Same relational skeleton as q_ips_ate (shared journey/stratum design —
+    kept textually separate because the two estimators are the comparison
+    a practitioner runs side by side): one user-grain aggregate, one
+    ≤8-stratum model relation broadcast back (now carrying p̂, m₁, m₀ —
+    all ratios of exact sums), per-user terms snapped to decimal so the
+    population mean is order-free. The outcome-model means divide exact
+    decimal sums by exact longs; strata with no treated (or no control)
+    users coalesce that arm's model to 0 with the propensity clip keeping
+    the correction bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "treated"
+            ),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(12,2)"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("y"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "treated",
+            "y",
+            F.least(F.col("n_events"), F.lit(8)).cast("int").alias("stratum"),
+        )
+        .localCheckpoint()
+    )
+    models = users.groupBy("stratum").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y"))).alias("sy_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y"))).alias("sy_c"),
+    )
+    p_hat = F.greatest(
+        F.lit(0.05),
+        F.least(
+            F.lit(0.95), F.col("n_t").cast("double") / F.col("n_all").cast("double")
+        ),
+    )
+    m1 = F.coalesce(
+        F.col("sy_t").cast("double") / F.col("n_t").cast("double"), F.lit(0.0)
+    )
+    m0 = F.coalesce(
+        F.col("sy_c").cast("double")
+        / (F.col("n_all") - F.col("n_t")).cast("double"),
+        F.lit(0.0),
+    )
+    term = (
+        m1
+        - m0
+        + F.when(
+            F.col("treated") == 1,
+            (F.col("y").cast("double") - m1) / p_hat,
+        ).otherwise(
+            -(F.col("y").cast("double") - m0) / (1.0 - p_hat)
+        )
+    )
+    terms = users.join(F.broadcast(models), "stratum").select(
+        F.round(term.cast("decimal(28,8)"), 6).cast("decimal(20,6)").alias("t")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        snap_round(
+            F.sum("t").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("ate_aipw"),
+    )
+
+
+AIPW_ATE_SQL = """
+WITH users AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treated,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y,
+           CAST(LEAST(COUNT(*), 8) AS INTEGER) AS stratum
+    FROM events
+    GROUP BY user_id
+),
+models AS (
+    SELECT stratum,
+           CAST(SUM(treated) AS BIGINT) AS n_t,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           SUM(CASE WHEN treated = 1 THEN y END) AS sy_t,
+           SUM(CASE WHEN treated = 0 THEN y END) AS sy_c
+    FROM users GROUP BY stratum
+),
+terms AS (
+    SELECT CAST(ROUND(CAST(
+        COALESCE(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE), 0.0)
+        - COALESCE(CAST(sy_c AS DOUBLE) / CAST(n_all - n_t AS DOUBLE), 0.0)
+        + CASE WHEN treated = 1
+               THEN (CAST(y AS DOUBLE)
+                     - COALESCE(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE), 0.0))
+                    / GREATEST(0.05, LEAST(0.95,
+                          CAST(n_t AS DOUBLE) / CAST(n_all AS DOUBLE)))
+               ELSE -(CAST(y AS DOUBLE)
+                      - COALESCE(CAST(sy_c AS DOUBLE) / CAST(n_all - n_t AS DOUBLE), 0.0))
+                    / (1.0 - GREATEST(0.05, LEAST(0.95,
+                          CAST(n_t AS DOUBLE) / CAST(n_all AS DOUBLE))))
+        END AS DECIMAL(28,8)), 6) AS DECIMAL(20,6)) AS t
+    FROM users JOIN models USING (stratum)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(ROUND(CAST(CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS ate_aipw
+FROM terms
+"""
+
+
+REGISTRY["aipw_ate"] = QuerySpec(q_aipw_ate, AIPW_ATE_SQL)
