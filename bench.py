@@ -230,6 +230,7 @@ HEADLINE = [
     "ndcg_eval",
     "geo_grid_density",
     "aipw_ate",
+    "boilerplate_audit",
 ]
 
 

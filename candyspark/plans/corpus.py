@@ -1622,3 +1622,121 @@ LIMIT 30
 REGISTRY["kneser_ney_bigram"] = QuerySpec(
     q_kneser_ney_bigram, KNESER_NEY_BIGRAM_SQL
 )
+
+
+def q_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate audit — the report a curator reads BEFORE
+    running segment dedup (dedup_paragraphs is the surgery; this is the
+    diagnosis): for each source, how many distinct 10-word segments repeat
+    across ≥20% of the source's documents (and ≥3 docs absolute), and what
+    share of the source's segment OCCURRENCES that boilerplate owns. A
+    templated source (nav bars, footers, license blocks) shows a high
+    occurrence share — the signal that drives C4/RefinedWeb-style
+    boilerplate stripping thresholds.
+
+    Flow: segment rebuild (the dedup_paragraphs segmentation, same unit so
+    the two operators agree) → per-(source, segment) document frequency →
+    per-source rollup with the boilerplate predicate as exact integer
+    cross-multiplication (5·df ≥ n_docs — never float-vs-float at the
+    threshold). Scale: two keyed exchanges ((doc, seg) rebuild, then
+    (source, seg) df); the rollup is map-side combined; at 100 TB the df
+    key should be xxhash64 of the segment (the dedup_paragraphs note).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    segs = (
+        words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
+        .groupBy("doc_id", "source", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("seg")
+        )
+    )
+    seg_df = segs.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+    )
+    src_docs = d.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    flagged = seg_df.join(F.broadcast(src_docs), "source").withColumn(
+        "is_boiler",
+        (F.col("df") * 5 >= F.col("n_docs")) & (F.col("df") >= 3),
+    )
+    return (
+        flagged.groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_segs"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate_segs"),
+            F.sum("occurrences").cast("long").alias("n_occurrences"),
+            F.sum(F.when(F.col("is_boiler"), F.col("occurrences")).otherwise(0))
+            .cast("long")
+            .alias("boiler_occurrences"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_segs",
+            "n_boilerplate_segs",
+            snap_round(
+                F.col("boiler_occurrences").cast("double")
+                / F.col("n_occurrences").cast("double"),
+                6,
+            ).alias("boilerplate_share"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_AUDIT_SQL = """
+WITH split AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+words AS (
+    SELECT doc_id, source, unnest(l) AS word, unnest(range(len(l))) AS pos
+    FROM split
+),
+segs AS (
+    SELECT doc_id, source, CAST(pos // 10 AS BIGINT) AS seg_idx,
+           string_agg(word, ' ' ORDER BY pos) AS seg
+    FROM words GROUP BY doc_id, source, pos // 10
+),
+seg_df AS (
+    SELECT source, seg,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM segs GROUP BY source, seg
+),
+src_docs AS (
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+),
+flagged AS (
+    SELECT seg_df.*, n_docs,
+           (df * 5 >= n_docs AND df >= 3) AS is_boiler
+    FROM seg_df JOIN src_docs USING (source)
+)
+SELECT source, n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_segs,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate_segs,
+       CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN is_boiler THEN occurrences ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(occurrences) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS boilerplate_share
+FROM flagged
+GROUP BY source, n_docs
+ORDER BY source
+"""
+
+
+REGISTRY["boilerplate_audit"] = QuerySpec(q_boilerplate_audit, BOILERPLATE_AUDIT_SQL)
