@@ -231,6 +231,7 @@ HEADLINE = [
     "geo_grid_density",
     "aipw_ate",
     "boilerplate_audit",
+    "timedecay_attribution",
 ]
 
 

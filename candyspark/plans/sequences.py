@@ -933,3 +933,112 @@ ORDER BY channel
 REGISTRY["shapley_attribution"] = QuerySpec(
     q_shapley_attribution, SHAPLEY_ATTRIBUTION_SQL
 )
+
+
+def q_timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the third rule-based model
+    completing the trio (linear → position → time-decay, with Markov and
+    Shapley as the data-driven members): each purchase's value splits
+    across its prior-24h touches proportionally to exp(−Δt/6h), so the
+    touch nearest the conversion earns the most credit (the standard
+    recency-weighted house model).
+
+    Exactness: Δt is exact integer MICROSECONDS (unix_micros / epoch_us);
+    the one exp per pair runs on the identical double Δt/6h in both
+    engines and snaps to DECIMAL(20,10), so the per-conversion weight sum
+    (a window over the pairs) is exact decimal; credit divides by that
+    exact sum once and snaps to DECIMAL(18,6) BEFORE the channel rollup —
+    the linear_attribution discipline with data-dependent weights.
+
+    Scale: same join shape as linear_attribution (user-keyed conv×touch
+    pairs bounded by the 24 h window), one pair-window, one channel
+    rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    dt_us = F.unix_micros("conv_ts") - F.unix_micros("touch_ts")
+    w = F.round(
+        F.exp(-(dt_us.cast("double") / 21600000000.0)).cast("decimal(28,12)"),
+        10,
+    ).cast("decimal(20,10)")
+    per_conv = Window.partitionBy("conv_id")
+    weighted = pairs.select(
+        "conv_id",
+        "channel",
+        "value",
+        w.alias("w"),
+    ).withColumn("w_sum", F.sum("w").over(per_conv))
+    credit = F.round(
+        (
+            F.col("value").cast("double")
+            * F.col("w").cast("double")
+            / F.col("w_sum").cast("double")
+        ).cast("decimal(28,8)"),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        weighted.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").cast("double").alias("credited_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+TIMEDECAY_ATTRIBUTION_SQL = """
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id AS cu, ts AS conv_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id AS tu, ts AS touch_ts, event_type AS channel
+    FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+pairs AS (
+    SELECT conv_id, value, channel,
+           CAST(ROUND(CAST(
+               EXP(-(CAST(epoch_us(conv_ts) - epoch_us(touch_ts) AS DOUBLE)
+                     / 21600000000.0))
+               AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS w
+    FROM conv JOIN touch
+      ON cu = tu
+     AND touch_ts < conv_ts
+     AND touch_ts >= conv_ts - INTERVAL 24 HOURS
+),
+weighted AS (
+    SELECT channel, value, w,
+           SUM(w) OVER (PARTITION BY conv_id) AS w_sum
+    FROM pairs
+)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       CAST(SUM(CAST(ROUND(CAST(
+           CAST(value AS DOUBLE) * CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS credited_value
+FROM weighted
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+REGISTRY["timedecay_attribution"] = QuerySpec(
+    q_timedecay_attribution, TIMEDECAY_ATTRIBUTION_SQL
+)
