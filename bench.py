@@ -232,6 +232,8 @@ HEADLINE = [
     "aipw_ate",
     "boilerplate_audit",
     "timedecay_attribution",
+    "substring_search",
+    "huber_mean",
 ]
 
 

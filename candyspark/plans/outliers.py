@@ -976,3 +976,139 @@ FROM resid GROUP BY slope
 
 
 REGISTRY["theilsen_trend"] = QuerySpec(q_theilsen_trend, THEILSEN_TREND_SQL)
+
+
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location for extended price — the robust
+    family's missing member between the median (robust_stats), the
+    winsorized mean (winsorized_mean), and the robust line (theilsen):
+    IRLS with the Huber ψ (weight 1 inside the threshold, c/|x−μ| outside)
+    down-weights tail prices smoothly instead of clipping them. Three
+    unrolled IRLS steps — Huber IRLS contracts fast, and the fixed unroll
+    keeps the plan static (the logistic_newton discipline).
+
+    The price axis is NOT bounded-support, so the corpus collapses to
+    CENT-exact price cells first (decimal(12,2) → ≤|distinct prices| rows,
+    bounded by the price domain, with map-side combine absorbing the
+    volume); each IRLS step is algebra over those cells against the
+    1-row previous estimate. Threshold c = $15,000 (units-based, stated —
+    a deployment derives c from 1.345·MAD, which robust_stats computes).
+    Per-cell weighted terms snap to decimal so step sums are order-free;
+    μ snaps to 6 dp between steps so both engines iterate identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_extendedprice").cast("decimal(12,2)").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    start = cells.agg(
+        F.round(
+            (
+                F.sum(F.col("x") * F.col("n")).cast("double")
+                / F.sum("n").cast("double")
+            ).cast("decimal(28,8)"),
+            6,
+        )
+        .cast("double")
+        .alias("mu"),
+        F.sum("n").cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("x") * F.col("n")).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("raw_mean"),
+    )
+    mu_df = start
+    c = 15000.0
+    for _ in range(3):
+        xd = F.col("x").cast("double")
+        nd = F.col("n").cast("double")
+        dev = F.abs(xd - F.col("mu"))
+        w = F.when(dev <= c, F.lit(1.0)).otherwise(c / dev)
+        sums = (
+            cells.crossJoin(F.broadcast(mu_df))
+            .select(
+                "n_rows",
+                "raw_mean",
+                F.round((w * nd * xd).cast("decimal(28,6)"), 4)
+                .cast("decimal(24,4)")
+                .alias("wx"),
+                F.round((w * nd).cast("decimal(28,8)"), 6)
+                .cast("decimal(20,6)")
+                .alias("wn"),
+            )
+            .groupBy("n_rows", "raw_mean")
+            .agg(F.sum("wx").alias("swx"), F.sum("wn").alias("swn"))
+        )
+        mu_df = sums.select(
+            F.round(
+                (F.col("swx").cast("double") / F.col("swn").cast("double")).cast(
+                    "decimal(28,8)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mu"),
+            "n_rows",
+            "raw_mean",
+        )
+    return mu_df.select(
+        "n_rows",
+        snap_round(F.col("raw_mean"), 4).alias("mean_price"),
+        snap_round(F.col("mu"), 4).alias("huber_mean_price"),
+    )
+
+
+def _huber_sql() -> str:
+    step = """
+mu{k} AS (
+    SELECT CAST(ROUND(CAST(CAST(swx AS DOUBLE) / CAST(swn AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS mu, n_rows, raw_mean
+    FROM (
+        SELECT n_rows, raw_mean, SUM(wx) AS swx, SUM(wn) AS swn
+        FROM (
+            SELECT n_rows, raw_mean,
+                   CAST(ROUND(CAST(
+                       CASE WHEN ABS(CAST(x AS DOUBLE) - mu) <= 15000.0
+                            THEN 1.0 ELSE 15000.0 / ABS(CAST(x AS DOUBLE) - mu) END
+                       * CAST(n AS DOUBLE) * CAST(x AS DOUBLE)
+                       AS DECIMAL(28,6)), 4) AS DECIMAL(24,4)) AS wx,
+                   CAST(ROUND(CAST(
+                       CASE WHEN ABS(CAST(x AS DOUBLE) - mu) <= 15000.0
+                            THEN 1.0 ELSE 15000.0 / ABS(CAST(x AS DOUBLE) - mu) END
+                       * CAST(n AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DECIMAL(20,6)) AS wn
+            FROM cells CROSS JOIN mu{km1}
+        )
+        GROUP BY n_rows, raw_mean
+    )
+)"""
+    steps = ",".join(step.format(k=k, km1=k - 1) for k in range(1, 4))
+    return (
+        """
+WITH cells AS (
+    SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+),
+mu0 AS (
+    SELECT CAST(ROUND(CAST(CAST(SUM(x * n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS mu,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(x * n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS raw_mean
+    FROM cells
+),"""
+        + steps
+        + """
+SELECT n_rows,
+       CAST(ROUND(CAST(raw_mean AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_price,
+       CAST(ROUND(CAST(mu AS DECIMAL(28,8)), 4) AS DOUBLE) AS huber_mean_price
+FROM mu3
+"""
+    )
+
+
+HUBER_MEAN_SQL = _huber_sql()
+
+
+REGISTRY["huber_mean"] = QuerySpec(q_huber_mean, HUBER_MEAN_SQL)

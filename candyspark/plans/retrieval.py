@@ -960,3 +960,66 @@ FROM dcg CROSS JOIN idcg
 
 
 REGISTRY["ndcg_eval"] = QuerySpec(q_ndcg_eval, NDCG_EVAL_SQL)
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated substring search — the pg_trgm / code-search
+    (trigram index) design as a checkable query: find every document
+    containing the literal pattern 'stream join' by intersecting TRIGRAM
+    postings, then verifying only the candidates. A full-scan
+    contains() reads every byte of a 100 TB corpus per search; the
+    trigram path reads the (tiny) pattern-trigram postings and verifies
+    a candidate set bounded by the rarest trigram's document frequency —
+    the reason every code-search engine (and Postgres LIKE acceleration)
+    is built this way.
+
+    Correctness is structural, not probabilistic: every substring's
+    trigrams are all present in the containing text, so the
+    all-pattern-trigrams candidate set is a SUPERSET of the matches and
+    the verify step makes the result exactly equal to the full scan —
+    which is precisely what the DuckDB oracle runs (WHERE contains),
+    proving the index path semantically invisible, the skew_salted_join
+    pattern applied to search.
+
+    Scale note: the trigram explode here is the INDEX BUILD (one pass,
+    ~n_chars rows per doc, filtered to the pattern's trigrams AT THE SCAN
+    so almost nothing shuffles); a real deployment materializes the full
+    posting list once and amortizes it over every search.
+    """
+    pattern = "stream join"
+    tris = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    doc_tris = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 2, 0))")
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.substring("text", F.col("i"), 3).alias("tri"))
+        .filter(F.col("tri").isin(*tris))
+    )
+    cand = (
+        doc_tris.groupBy("doc_id")
+        .agg(F.countDistinct("tri").alias("n_tri"))
+        .filter(F.col("n_tri") == len(tris))
+        .select("doc_id")
+    )
+    return (
+        d.join(cand, "doc_id", "left_semi")
+        .filter(F.instr("text", pattern) > 0)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_SEARCH_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE contains(text, 'stream join')
+ORDER BY doc_id
+"""
+
+
+REGISTRY["substring_search"] = QuerySpec(q_substring_search, SUBSTRING_SEARCH_SQL)
