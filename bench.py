@@ -234,6 +234,7 @@ HEADLINE = [
     "timedecay_attribution",
     "substring_search",
     "huber_mean",
+    "pacf_daily_revenue",
 ]
 
 

@@ -1107,3 +1107,206 @@ ORDER BY brand
 
 
 REGISTRY["skew_salted_join"] = QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL)
+
+
+def q_pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of the daily revenue series at lags 1..5 —
+    the other half of the Box-Jenkins identification pair: ACF
+    (q_acf_daily_revenue) reads the MA signature, PACF reads the AR order
+    (an AR(p) series shows PACF cutting off after lag p). Computed by the
+    Durbin-Levinson recursion UNROLLED over a 1-row array column — the
+    logistic_newton discipline applied to a recursion with VECTOR state:
+    every step's φ vector is an array on a single broadcastable row, the
+    inner products are SEQUENTIAL folds (F.aggregate / list_reduce) over
+    ≤4 elements, and each reflection coefficient snaps to 8 dp so both
+    engines recurse from identical values.
+
+    The ρ inputs follow the ACF query's exactness contract (shared
+    centering snap, per-term decimal snap, one division per lag). Scale:
+    orders collapse to the bounded daily series once; everything after
+    the 5-row lag aggregate is constant-size algebra.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    series = daily.select(F.row_number().over(w).alias("t"), "r")
+    mu_stats = series.agg(
+        F.round(
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("mu"),
+    )
+    ser = (
+        series.crossJoin(F.broadcast(mu_stats))
+        .select(
+            "t",
+            (F.col("r") - F.col("mu")).cast("decimal(16,6)").cast("double").alias("d"),
+        )
+        .localCheckpoint()
+    )
+
+    def term(p: F.Column) -> F.Column:
+        return F.round(p.cast("decimal(28,8)"), 6)
+
+    den = ser.agg(F.sum(term(F.col("d") * F.col("d"))).alias("den"))
+    lags = spark.createDataFrame([(lg,) for lg in range(1, 6)], "l int")
+    shifted = ser.crossJoin(F.broadcast(lags)).select(
+        (F.col("t") + F.col("l")).alias("t"), "l", F.col("d").alias("d2")
+    )
+    rho_rows = (
+        ser.join(shifted, "t")
+        .groupBy("l")
+        .agg(F.sum(term(F.col("d") * F.col("d2"))).alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "l",
+            F.round(
+                (F.col("num").cast("double") / F.col("den").cast("double")).cast(
+                    "decimal(28,10)"
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("rho"),
+        )
+    )
+    base = rho_rows.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l", "rho"))), lambda s: s["rho"]
+        ).alias("rho")
+        # 1-row checkpoint: the four unrolled steps otherwise carry the whole
+        # series→lag-join tree through every chained projection
+    ).localCheckpoint()
+
+    def snap8(c):
+        return F.round(c.cast("decimal(28,10)"), 8).cast("double")
+
+    rho = F.col("rho")
+    cur = base.select(
+        "rho",
+        F.array(F.element_at(rho, 1)).alias("phi"),
+        F.array(F.element_at(rho, 1)).alias("pacfs"),
+    )
+    for k in range(2, 6):
+        phi = F.col("phi")
+        num = F.element_at(rho, k) - F.aggregate(
+            F.sequence(F.lit(1), F.lit(k - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(phi, j) * F.element_at(rho, (F.lit(k) - j).cast("int")),
+        )
+        dnm = F.lit(1.0) - F.aggregate(
+            F.sequence(F.lit(1), F.lit(k - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.element_at(phi, j) * F.element_at(rho, j),
+        )
+        # materialize the reflection coefficient as a NAMED column first:
+        # embedding the same aggregate-lambda tree both bare (pacfs) and
+        # inside the phi-update transform lambda lets common-subexpression
+        # elimination pick the REBOUND copy (the outer lambda's j shadows
+        # the aggregate's j) — measured as a 5e-6 drift on pacf_2 while the
+        # identical step evaluated standalone was exact
+        staged = cur.select("rho", "phi", "pacfs", snap8(num / dnm).alias("a"))
+        a = F.col("a")
+        cur = staged.select(
+            "rho",
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k - 1)),
+                    lambda j: snap8(
+                        F.element_at(phi, j)
+                        - a * F.element_at(phi, (F.lit(k) - j).cast("int"))
+                    ),
+                ),
+                F.array(a),
+            ).alias("phi"),
+            F.concat(F.col("pacfs"), F.array(a)).alias("pacfs"),
+        )
+    return cur.select(
+        F.posexplode("pacfs").alias("lag0", "pacf")
+    ).select((F.col("lag0") + 1).cast("int").alias("lag"), "pacf").orderBy("lag")
+
+
+def _pacf_sql() -> str:
+    snap = "CAST(ROUND(CAST({} AS DECIMAL(28,10)), 8) AS DOUBLE)"
+    steps = []
+    for k in range(2, 6):
+        num = (
+            f"rho[{k}] - list_reduce(list_transform(range(1, {k}), "
+            f"j -> phi[j] * rho[{k} - j]), (a, b) -> a + b)"
+        )
+        dnm = (
+            f"1.0 - list_reduce(list_transform(range(1, {k}), "
+            f"j -> phi[j] * rho[j]), (a, b) -> a + b)"
+        )
+        a = snap.format(f"({num}) / ({dnm})")
+        phi_new = (
+            f"list_transform(range(1, {k}), j -> "
+            + snap.format(f"phi[j] - ({a}) * phi[{k} - j]")
+            + f") || [{a}]"
+        )
+        steps.append(
+            f"step{k} AS (SELECT rho, {phi_new} AS phi, "
+            f"pacfs || [{a}] AS pacfs FROM step{k - 1})"
+        )
+    return (
+        """
+WITH daily AS (
+    SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY o_orderdate
+),
+series AS (SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t, r FROM daily),
+mu_stats AS (
+    SELECT CAST(ROUND(CAST(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS mu
+    FROM series
+),
+ser AS (
+    SELECT t, CAST(CAST(r - mu AS DECIMAL(16,6)) AS DOUBLE) AS d
+    FROM series CROSS JOIN mu_stats
+),
+den AS (
+    SELECT SUM(CAST(ROUND(CAST(d * d AS DECIMAL(28,8)), 6) AS DECIMAL(28,6))) AS den
+    FROM ser
+),
+rho_rows AS (
+    SELECT l,
+           CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                AS DECIMAL(28,10)), 8) AS DOUBLE) AS rho
+    FROM (
+        SELECT l.l,
+               SUM(CAST(ROUND(CAST(a.d * b.d AS DECIMAL(28,8)), 6)
+                   AS DECIMAL(28,6))) AS num
+        FROM (SELECT CAST(r AS INTEGER) AS l FROM range(1, 6) t(r)) l
+        JOIN ser a ON TRUE
+        JOIN ser b ON b.t + l.l = a.t
+        GROUP BY l.l
+    ) CROSS JOIN den
+),
+step1 AS (
+    SELECT list(rho ORDER BY l) AS rho,
+           [list(rho ORDER BY l)[1]] AS phi,
+           [list(rho ORDER BY l)[1]] AS pacfs
+    FROM rho_rows
+),"""
+        + ",\n".join(steps)
+        + """
+SELECT CAST(i AS INTEGER) AS lag, pacfs[i] AS pacf
+FROM step5, range(1, 6) t(i)
+ORDER BY lag
+"""
+    )
+
+
+PACF_DAILY_REVENUE_SQL = _pacf_sql()
+
+
+REGISTRY["pacf_daily_revenue"] = QuerySpec(
+    q_pacf_daily_revenue, PACF_DAILY_REVENUE_SQL
+)
