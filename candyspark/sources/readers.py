@@ -151,6 +151,21 @@ def load_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.orc(path)
 
 
+def load_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema=None
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` source, the former spark-xml
+    package merged upstream). ``row_tag`` selects the repeated element that
+    becomes a row. Always pass a schema in production: XML inference reads
+    the data twice and is sampling-dependent — the same no-inferSchema rule
+    as CSV/JSON (schemas.py). Row-tag splitting keeps files splittable at
+    element boundaries, unlike the reference's whole-file JSON arrays."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def load_jsonl(
     spark: SparkSession, path: str, schema=None, corrupt_col: str | None = None
 ) -> DataFrame:

@@ -213,6 +213,17 @@ def save_orc(
     writer.orc(path)
 
 
+def save_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (Spark 4 built-in) — one ``row_tag`` element per row, for
+    interchange with XML-standardized consumers. Avro is NOT bundled in
+    this runtime (external module since Spark 2.4) — deployments that need
+    it add the spark-avro jar; the parquet/ORC/JSONL/CSV/XML surface here
+    is the in-repo-tested set."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def save_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (one object per line, splittable on re-read) — the
     interchange format for text-corpus pipelines whose downstream tooling

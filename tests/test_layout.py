@@ -461,3 +461,38 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     line = schema_lines[0]
     assert "meta:struct<b:" in line.replace(" ", ""), line
     assert ":a" not in line.replace(" ", "") and "c:string" not in line, line
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, tmp_path):
+    """XML sink → scan (Spark 4 built-in source): lossless for the scalar
+    documents columns under an EXPLICIT schema (the no-inferSchema rule —
+    XML inference reads the data twice and is sampling-dependent)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from candyspark.sources.readers import load_xml
+    from candyspark.sources.sinks import save_xml
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "docs_xml")
+    save_xml(d, path, row_tag="doc")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", IntegerType()),
+        ]
+    )
+    back = load_xml(spark, path, row_tag="doc", schema=schema).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    assert back.count() == d.count()
+    assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
