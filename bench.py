@@ -235,6 +235,7 @@ HEADLINE = [
     "substring_search",
     "huber_mean",
     "pacf_daily_revenue",
+    "brown_forsythe",
 ]
 
 

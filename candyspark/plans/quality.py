@@ -2060,3 +2060,140 @@ FROM terms
 
 
 REGISTRY["aipw_ate"] = QuerySpec(q_aipw_ate, AIPW_ATE_SQL)
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test — are quantity VARIANCES equal across return
+    flags? The robust (median-centered) Levene variant: one-way ANOVA on
+    the absolute deviations from each group's MEDIAN, the test to run
+    before trusting a pooled-variance method (ab_ztest's equal-variance
+    cousin) and the spread counterpart of anova_oneway's means test.
+
+    Bounded-support discipline end to end: the corpus collapses to
+    ≤|flags|·50 (flag, value) cells; each group's DISCRETE median is the
+    smallest value whose doubled cumulative count reaches the group size
+    (exact integer comparison over the tiny cumulative window); the
+    deviations z = |v − med| are exact integers, so the ANOVA sums
+    (Σz, Σz² per group) are exact int64 algebra and only the final F
+    assembles in double with one snap. Significance at α≈0.05 uses the
+    F(2, large-n) critical value 3.0 as an exact-literal threshold on the
+    SNAPPED statistic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    w_cum = (
+        Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_g = Window.partitionBy("g")
+    with_med = cells.select(
+        "g",
+        "v",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_g).alias("n_g"),
+    ).withColumn(
+        "med",
+        F.min(F.when(2 * F.col("cum") >= F.col("n_g"), F.col("v"))).over(w_g),
+    )
+    z = F.abs(F.col("v") - F.col("med"))
+    sums = with_med.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n_g"),
+        F.sum(z * F.col("n")).cast("long").alias("sz"),
+        F.sum(z * z * F.col("n")).cast("long").alias("szz"),
+    )
+    totals = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sz").cast("long").alias("sz_all"),
+        # per-group double term snapped to decimal BEFORE the cross-group
+        # sum — a raw double Σ over groups is partial-order-dependent
+        F.sum(
+            F.round(
+                (
+                    F.col("sz").cast("double")
+                    * F.col("sz").cast("double")
+                    / F.col("n_g").cast("double")
+                ).cast("decimal(28,8)"),
+                6,
+            ).cast("decimal(24,6)")
+        ).alias("ss_groups"),
+        F.sum("szz").cast("long").alias("szz_all"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("ss_groups").cast("double") - (
+        F.col("sz_all").cast("double") * F.col("sz_all").cast("double") / nd
+    )
+    ssw = F.col("szz_all").cast("double") - F.col("ss_groups").cast("double")
+    f_stat = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    return totals.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        snap_round(f_stat, 6).alias("f_stat"),
+        (snap_round(f_stat, 6) > 3.0).alias("variances_differ"),
+    )
+
+
+BROWN_FORSYTHE_SQL = """
+WITH cells AS (
+    SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+),
+with_med AS (
+    SELECT g, v, n,
+           MIN(CASE WHEN 2 * cum >= n_g THEN v END) OVER (PARTITION BY g) AS med
+    FROM (
+        SELECT g, v, n,
+               SUM(n) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(n) OVER (PARTITION BY g) AS n_g
+        FROM cells
+    )
+),
+sums AS (
+    SELECT g,
+           CAST(SUM(n) AS BIGINT) AS n_g,
+           CAST(SUM(ABS(v - med) * n) AS BIGINT) AS sz,
+           CAST(SUM(ABS(v - med) * ABS(v - med) * n) AS BIGINT) AS szz
+    FROM with_med GROUP BY g
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(SUM(sz) AS BIGINT) AS sz_all,
+           SUM(CAST(ROUND(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) AS DECIMAL(28,8)), 6)
+                    AS DECIMAL(24,6))) AS ss_groups,
+           CAST(SUM(szz) AS BIGINT) AS szz_all
+    FROM sums
+)
+SELECT k AS n_groups,
+       n AS n_rows,
+       CAST(ROUND(CAST(
+           ((CAST(ss_groups AS DOUBLE)
+             - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(k AS DOUBLE) - 1.0))
+           / ((CAST(szz_all AS DOUBLE) - CAST(ss_groups AS DOUBLE))
+              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS f_stat,
+       CAST(ROUND(CAST(
+           ((CAST(ss_groups AS DOUBLE)
+             - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(k AS DOUBLE) - 1.0))
+           / ((CAST(szz_all AS DOUBLE) - CAST(ss_groups AS DOUBLE))
+              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) > 3.0 AS variances_differ
+FROM totals
+"""
+
+
+REGISTRY["brown_forsythe"] = QuerySpec(q_brown_forsythe, BROWN_FORSYTHE_SQL)
