@@ -236,6 +236,7 @@ HEADLINE = [
     "huber_mean",
     "pacf_daily_revenue",
     "brown_forsythe",
+    "reorder_points",
 ]
 
 

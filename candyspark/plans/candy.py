@@ -780,3 +780,101 @@ WHERE r = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)
 REGISTRY["conformal_interval"] = QuerySpec(
     conformal_interval, CONFORMAL_INTERVAL_SQL
 )
+
+
+def reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory policy from demand statistics — the operations-research
+    layer ON TOP of the allocator family (prefix/greedy/fifo consume
+    stock; this query decides how much stock to HOLD): per part, daily
+    demand mean μ and standard deviation σ from exact power sums, then
+    safety stock = z·σ·√L and reorder point = μ·L + SS for lead time
+    L = 7 days at a 95% service level (z = 1.645). The candy reference
+    stops at decrementing stock (src/data_processor.py:444-464); this is
+    what a user would compute next with the same data.
+
+    Exactness: per-(part, day) demand is an exact long; per-part Σd, Σd²
+    are exact int64; σ uses the n-denominator population form assembled
+    in double with ONE association; √L and z are exact literals; one
+    snap per output. Demand days missing from the calendar count as
+    OBSERVED days only (stated — zero-filling the calendar is the
+    gap_fill_daily composition). Scale: two map-side-combined aggregates
+    ((part, day) then part), top-20 via TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy("l_partkey", F.col("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    sums = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    n = F.col("n_days").cast("double")
+    mu = F.col("sq").cast("double") / n
+    var = F.col("sqq").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ss = 1.645 * sigma * F.sqrt(F.lit(7.0))
+    rop = mu * 7.0 + ss
+    return (
+        sums.filter(F.col("n_days") >= 5)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("n_days").alias("demand_days"),
+            snap_round(mu, 4).alias("mean_daily_demand"),
+            snap_round(sigma, 4).alias("sigma_daily_demand"),
+            snap_round(ss, 2).alias("safety_stock"),
+            snap_round(rop, 2).alias("reorder_point"),
+        )
+        .orderBy(F.desc("reorder_point"), "partkey")
+        .limit(20)
+    )
+
+
+REORDER_POINTS_SQL = """
+WITH daily AS (
+    SELECT l_partkey, l_shipdate AS d,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+),
+sums AS (
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(q * q) AS BIGINT) AS sqq
+    FROM daily GROUP BY 1
+)
+SELECT partkey, demand_days, mean_daily_demand, sigma_daily_demand,
+       safety_stock, reorder_point
+FROM (
+    SELECT l_partkey AS partkey,
+           n_days AS demand_days,
+           CAST(ROUND(CAST(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_daily_demand,
+           CAST(ROUND(CAST(
+               SQRT(GREATEST(CAST(sqq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                    - (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)), 0.0))
+               AS DECIMAL(28,8)), 4) AS DOUBLE) AS sigma_daily_demand,
+           CAST(ROUND(CAST(
+               1.645 * SQRT(GREATEST(CAST(sqq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                    - (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)), 0.0))
+               * SQRT(7.0)
+               AS DECIMAL(28,8)), 2) AS DOUBLE) AS safety_stock,
+           CAST(ROUND(CAST(
+               (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)) * 7.0
+               + 1.645 * SQRT(GREATEST(CAST(sqq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                    - (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)), 0.0))
+                 * SQRT(7.0)
+               AS DECIMAL(28,8)), 2) AS DOUBLE) AS reorder_point
+    FROM sums
+    WHERE n_days >= 5
+)
+ORDER BY reorder_point DESC, partkey
+LIMIT 20
+"""
+
+
+REGISTRY["reorder_points"] = QuerySpec(reorder_points, REORDER_POINTS_SQL)
