@@ -237,6 +237,7 @@ HEADLINE = [
     "pacf_daily_revenue",
     "brown_forsythe",
     "reorder_points",
+    "lorenz_curve",
 ]
 
 

@@ -1112,3 +1112,116 @@ HUBER_MEAN_SQL = _huber_sql()
 
 
 REGISTRY["huber_mean"] = QuerySpec(q_huber_mean, HUBER_MEAN_SQL)
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend — the per-decile table behind the
+    Gini coefficient (q_gini_by_nation) and the Pareto share
+    (pareto_revenue_share): what fraction of total revenue the bottom
+    10%, 20%, … of customers generate. The plot every inequality number
+    summarizes.
+
+    No global sort: decile BOUNDARIES come from the distributed exact-
+    quantile extractor (operators/quantiles.exact_quantiles — order-
+    statistic extraction, no task buffers more than one bucket), and
+    decile ASSIGNMENT is a scan-stage comparison against the 9 broadcast
+    boundaries (strictly-greater count, so boundary ties fall LEFT in
+    both engines — spends are exact decimals, the comparison is exact).
+    Deciles are then a 10-row aggregate; cumulative shares are a window
+    over 10 rows. The naive ntile() alternative is a global sort of every
+    customer — the distributed-rank anti-pattern this engine replaces.
+    """
+    from candyspark.operators.quantiles import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("spend")
+    ).localCheckpoint()
+    bounds = exact_quantiles(
+        spark,
+        spend,
+        "spend",
+        [i / 10.0 for i in range(1, 10)],
+        out_prob="p",
+        out_value="b",
+    )
+    blist = bounds.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "b"))), lambda s: s["b"]
+        ).alias("bs")
+    )
+    decile = (
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("spend").cast("double") > b, 1).otherwise(0),
+        )
+        + 1
+    ).cast("int")
+    per_decile = (
+        spend.crossJoin(F.broadcast(blist))
+        .select(decile.alias("decile"), "spend")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").cast("decimal(20,2)").alias("rev"),
+        )
+    )
+    whole = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        snap_round(
+            F.col("rev").cast("double") / F.sum("rev").over(whole).cast("double"),
+            6,
+        ).alias("revenue_share"),
+        snap_round(
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(whole).cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")
+
+
+LORENZ_CURVE_SQL = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend
+    FROM orders GROUP BY o_custkey
+),
+bounds AS (
+    SELECT quantile_cont(CAST(spend AS DOUBLE),
+                         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+    FROM spend
+),
+assigned AS (
+    SELECT CAST(1 + list_reduce(list_transform(bs,
+               b -> CASE WHEN CAST(spend AS DOUBLE) > b THEN 1 ELSE 0 END),
+               (a, x) -> a + x) AS INTEGER) AS decile,
+           spend
+    FROM spend CROSS JOIN bounds
+),
+per_decile AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend) AS DECIMAL(20,2)) AS rev
+    FROM assigned GROUP BY decile
+)
+SELECT decile, n_customers,
+       CAST(ROUND(CAST(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS revenue_share,
+       CAST(ROUND(CAST(
+           CAST(SUM(rev) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(rev) OVER () AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cum_revenue_share
+FROM per_decile
+ORDER BY decile
+"""
+
+
+REGISTRY["lorenz_curve"] = QuerySpec(q_lorenz_curve, LORENZ_CURVE_SQL)
