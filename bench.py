@@ -238,6 +238,7 @@ HEADLINE = [
     "brown_forsythe",
     "reorder_points",
     "lorenz_curve",
+    "skew_profile",
 ]
 
 

@@ -716,3 +716,107 @@ ORDER BY bin_id
 
 
 REGISTRY["compaction_plan"] = QuerySpec(q_compaction_plan, COMPACTION_PLAN_SQL)
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that DECIDES when the
+    skew mitigations fire (salted_aggregation / topk_salted /
+    skew_salted_join are the treatments; this is the diagnosis): for each
+    shuffled key the engine's big joins use, the key cardinality, the hot
+    key's share of all rows, and the p99-to-median frequency ratio. A
+    top1_share in the percents or a ratio in the tens means AQE's skew
+    split (sort-merge joins only) or an explicit salt is warranted.
+
+    Shape: per key column one map-side-combined (key, cnt) aggregate —
+    the frequency relation is KEY-CARDINALITY-sized, and every statistic
+    after (max, total, discrete p50/p99 order statistics) aggregates that
+    bounded relation; the three profiles union to 3 rows. percentile_disc
+    picks ACTUAL frequencies (exact integers cross the engine boundary).
+    At 100 TB a deployment samples the scan before the frequency
+    aggregate; the statistics algebra is unchanged.
+    """
+    specs = [
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]
+    outs = []
+    for table, key in specs:
+        freq = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        prof = freq.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_col"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("top1_cnt"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long")
+            .alias("p50_cnt"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long")
+            .alias("p99_cnt"),
+        )
+        outs.append(prof)
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.select(
+        "table_name",
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "top1_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        snap_round(
+            F.col("top1_cnt").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("top1_share"),
+        snap_round(
+            F.col("p99_cnt").cast("double") / F.col("p50_cnt").cast("double"), 4
+        ).alias("p99_over_p50"),
+    ).orderBy("table_name")
+
+
+SKEW_PROFILE_SQL = """
+WITH f1 AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1),
+f2 AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM orders GROUP BY 1),
+f3 AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM events GROUP BY 1),
+profs AS (
+    SELECT 'lineitem' AS table_name, 'l_partkey' AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS top1_cnt,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p50_cnt,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p99_cnt
+    FROM f1
+    UNION ALL
+    SELECT 'orders', 'o_custkey', CAST(COUNT(*) AS BIGINT), CAST(SUM(cnt) AS BIGINT),
+           CAST(MAX(cnt) AS BIGINT),
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT),
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+    FROM f2
+    UNION ALL
+    SELECT 'events', 'user_id', CAST(COUNT(*) AS BIGINT), CAST(SUM(cnt) AS BIGINT),
+           CAST(MAX(cnt) AS BIGINT),
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT),
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+    FROM f3
+)
+SELECT table_name, key_col, n_keys, n_rows, top1_cnt, p50_cnt, p99_cnt,
+       CAST(ROUND(CAST(CAST(top1_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS top1_share,
+       CAST(ROUND(CAST(CAST(p99_cnt AS DOUBLE) / CAST(p50_cnt AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS p99_over_p50
+FROM profs
+ORDER BY table_name
+"""
+
+
+REGISTRY["skew_profile"] = QuerySpec(q_skew_profile, SKEW_PROFILE_SQL)
