@@ -239,6 +239,7 @@ HEADLINE = [
     "reorder_points",
     "lorenz_curve",
     "skew_profile",
+    "dedup_threshold_curve",
 ]
 
 

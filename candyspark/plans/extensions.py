@@ -3142,3 +3142,80 @@ FROM n CROSS JOIN diag CROSS JOIN marg
 
 
 REGISTRY["cohens_kappa"] = QuerySpec(q_cohens_kappa, COHENS_KAPPA_SQL)
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD curve — the decision table a curator reads
+    before picking the dedup cutoff (the dedup family's threshold_sweep):
+    at Jaccard ≥ {0.5, 0.6, 0.7, 0.8, 0.9}, how many candidate pairs
+    survive and how many distinct documents they touch. Too low a cutoff
+    deletes near-misses; too high leaves templates in — this curve is
+    where that trade-off becomes visible.
+
+    Built on the SAME blocked verifier as dedup_ngram (shared shingle and
+    Jaccard semantics — the shared-definition rule), evaluated once at
+    the loosest threshold; the five cutoffs are a literal explode over
+    the bounded PAIR relation, pair counts and distinct-doc counts are
+    ≤5-row aggregates joined on the threshold. Same candidates-only
+    contract as the verifier (lang blocking is demo-grade; SCALE.md).
+    """
+    from candyspark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", "lang", k=3, threshold=0.5, max_block_rows=None
+    ).localCheckpoint()
+    ths = F.array([F.lit(v) for v in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    at_th = pairs.select(
+        "doc_a", "doc_b", "jaccard_sim", F.explode(ths).alias("threshold")
+    ).filter(F.col("jaccard_sim") >= F.col("threshold"))
+    n_pairs = at_th.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        at_th.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_affected"))
+    )
+    return (
+        n_pairs.join(n_docs, "threshold")
+        .select("threshold", "n_pairs", "n_docs_affected")
+        .orderBy("threshold")
+    )
+
+
+DEDUP_THRESHOLD_CURVE_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t),
+pairs AS (
+    SELECT * FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(ROUND(CAST(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(a.sh || b.sh))
+                     ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.5
+),
+at_th AS (
+    SELECT doc_a, doc_b, th.threshold
+    FROM pairs
+    CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) th
+    WHERE jaccard_sim >= th.threshold
+),
+np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM at_th GROUP BY threshold),
+nd AS (SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+       FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM at_th)
+       GROUP BY threshold)
+SELECT threshold, n_pairs, n_docs_affected
+FROM np JOIN nd USING (threshold)
+ORDER BY threshold
+"""
+
+
+REGISTRY["dedup_threshold_curve"] = QuerySpec(
+    q_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_SQL
+)
