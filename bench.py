@@ -240,6 +240,7 @@ HEADLINE = [
     "lorenz_curve",
     "skew_profile",
     "dedup_threshold_curve",
+    "source_overlap",
 ]
 
 

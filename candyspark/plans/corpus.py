@@ -1740,3 +1740,110 @@ ORDER BY source
 
 
 REGISTRY["boilerplate_audit"] = QuerySpec(q_boilerplate_audit, BOILERPLATE_AUDIT_SQL)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap — which sources mirror each other:
+    per unordered source pair, how many distinct 10-word segments they
+    share, normalized by the smaller source's segment set (the overlap
+    coefficient). The dataset-level diagnostic ABOVE document dedup: two
+    mirrored sources show a high coefficient even when no single document
+    pair crosses the near-dup threshold, and the curator drops or
+    downweights one source rather than deduping a million pairs.
+
+    Shape: the shared segment grain (dedup_paragraphs / boilerplate_audit
+    segmentation) → per-segment DISTINCT source set (array_agg over a
+    ≤|sources| set) → pair explode bounded by sources-per-segment (≤20³
+    worst case per segment, constant at any corpus size) → one pair
+    aggregate; per-source segment-set sizes broadcast back. All counts
+    exact; one snapped coefficient. Top-15 by coefficient, total order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    segs = (
+        words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
+        .groupBy("doc_id", "source", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("seg")
+        )
+        .select("source", "seg")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = segs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs")
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_segs").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_segs").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            snap_round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+        .orderBy(F.desc("overlap_coeff"), "src_a", "src_b")
+        .limit(15)
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH split AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+words AS (
+    SELECT doc_id, source, unnest(l) AS word, unnest(range(len(l))) AS pos
+    FROM split
+),
+segs AS (
+    SELECT DISTINCT source, seg FROM (
+        SELECT doc_id, source, string_agg(word, ' ' ORDER BY pos) AS seg
+        FROM words GROUP BY doc_id, source, pos // 10
+    )
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY 1),
+shared AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM segs a JOIN segs b ON a.seg = b.seg AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       CAST(ROUND(CAST(CAST(n_shared AS DOUBLE)
+            / CAST(LEAST(sa.n_segs, sb.n_segs) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS overlap_coeff
+FROM shared
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY overlap_coeff DESC, src_a, src_b
+LIMIT 15
+"""
+
+
+REGISTRY["source_overlap"] = QuerySpec(q_source_overlap, SOURCE_OVERLAP_SQL)
