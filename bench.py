@@ -241,6 +241,8 @@ HEADLINE = [
     "skew_profile",
     "dedup_threshold_curve",
     "source_overlap",
+    "durbin_watson",
+    "cooks_distance",
 ]
 
 

@@ -878,3 +878,261 @@ LIMIT 20
 
 
 REGISTRY["reorder_points"] = QuerySpec(reorder_points, REORDER_POINTS_SQL)
+
+
+def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation-of-residuals test for the daily
+    revenue OLS — the diagnostic that tells you whether forecast_linear's
+    i.i.d.-error assumption holds (DW ≈ 2 means none; toward 0, positive
+    autocorrelation and the OLS confidence story is broken even when the
+    fit looks good). Completes the regression-diagnostics arc: fit
+    (forecast_linear) → quality (forecast_metrics) → validation
+    (forecast_backtest) → uncertainty (conformal_interval) → assumptions
+    (THIS).
+
+    One exact sufficient-statistic aggregate fits the line; residuals
+    snap to decimal per day so both engines difference identical values;
+    the lag pairing is a window over the calendar-bounded series; the two
+    Σ's are exact decimal sums with one snapped ratio.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+    ).localCheckpoint()
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        F.round(slope.cast("decimal(28,10)"), 8).cast("double").alias("b"),
+        F.round(
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("a"),
+    )
+    resid = xy.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.round(
+            (
+                F.col("y").cast("double")
+                - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+            ).cast("decimal(28,6)"),
+            4,
+        )
+        .cast("decimal(20,4)")
+        .alias("e"),
+    )
+    w = Window.orderBy("x")
+    diffed = resid.select(
+        "e", (F.col("e") - F.lag("e").over(w)).alias("de")
+    )
+    sums = diffed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+    )
+    dw = F.col("sdd").cast("double") / F.col("see").cast("double")
+    return sums.select(
+        "n_days",
+        snap_round(dw, 6).alias("durbin_watson"),
+        (snap_round(dw, 6) < 1.5).alias("positive_autocorrelation"),
+    )
+
+
+DURBIN_WATSON_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+              CAST(y AS DECIMAL(18,2)) AS y FROM daily),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(y * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM xy
+),
+fit AS (
+    SELECT CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS b,
+           CAST(ROUND(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS a
+    FROM s
+),
+resid AS (
+    SELECT x,
+           CAST(ROUND(CAST(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))
+               AS DECIMAL(28,6)), 4) AS DECIMAL(20,4)) AS e
+    FROM xy CROSS JOIN fit
+),
+diffed AS (
+    SELECT e, e - LAG(e) OVER (ORDER BY x) AS de FROM resid
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           SUM(e * e) AS see,
+           SUM(de * de) AS sdd
+    FROM diffed
+)
+SELECT n_days,
+       CAST(ROUND(CAST(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS durbin_watson,
+       CAST(ROUND(CAST(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) < 1.5 AS positive_autocorrelation
+FROM sums
+"""
+
+
+REGISTRY["durbin_watson"] = QuerySpec(durbin_watson, DURBIN_WATSON_SQL)
+
+
+def cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance — WHICH days drive the revenue trend fit: per-point
+    influence D_i = e_i²·h_i / (p·s²·(1−h_i)²) with the simple-regression
+    leverage h_i = 1/n + (x_i − x̄)²/Sxx in closed form. The last member of
+    the regression-diagnostics arc (fit → metrics → backtest → interval →
+    assumption test → INFLUENCE): a promotion spike or a data glitch shows
+    up here before it silently bends the forecast.
+
+    All scalars (x̄, Sxx, s², n) assemble from the same exact sufficient
+    statistics as the fit and ride one broadcast row; per-day leverage,
+    residual, and D are scan-stage algebra with one snap each. Top-10 by
+    D via TakeOrdered — at any SF the influential-day report is 10 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    xy = daily.select(
+        "d",
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+    ).localCheckpoint()
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx_raw"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy_raw"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx_raw") - F.col("sx") * F.col("sx")
+    )
+    a_ = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    sse = (
+        F.col("syy_raw")
+        - a_ * F.col("sy")
+        - slope * F.col("sxy")
+    )
+    fit = s.select(
+        F.round(slope.cast("decimal(28,10)"), 8).cast("double").alias("b"),
+        F.round(a_.cast("decimal(28,10)"), 6).cast("double").alias("a"),
+        F.col("n"),
+        F.round((F.col("sx") / F.col("n")).cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("xbar"),
+        F.round(
+            (F.col("sxx_raw") - F.col("sx") * F.col("sx") / F.col("n")).cast(
+                "decimal(28,6)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("sxx_c"),
+        F.round((sse / (F.col("n") - 2.0)).cast("decimal(28,6)"), 4)
+        .cast("double")
+        .alias("s2"),
+    )
+    xd = F.col("x").cast("double")
+    e = F.col("y").cast("double") - (F.col("a") + F.col("b") * xd)
+    h = 1.0 / F.col("n") + (xd - F.col("xbar")) * (xd - F.col("xbar")) / F.col(
+        "sxx_c"
+    )
+    d_cook = (e * e * h) / (2.0 * F.col("s2") * (1.0 - h) * (1.0 - h))
+    return (
+        xy.crossJoin(F.broadcast(fit))
+        .select(
+            "d",
+            snap_round(e, 2).alias("residual"),
+            snap_round(h, 6).alias("leverage"),
+            snap_round(d_cook, 6).alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), "d")
+        .limit(10)
+    )
+
+
+COOKS_DISTANCE_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+              CAST(y AS DECIMAL(18,2)) AS y FROM daily),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(y * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx_raw,
+           CAST(SUM(y * y) AS DOUBLE) AS syy_raw
+    FROM xy
+),
+fit AS (
+    SELECT CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx_raw - sx * sx)
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS b,
+           CAST(ROUND(CAST((sy - ((n * sxy - sx * sy) / (n * sxx_raw - sx * sx)) * sx) / n
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS a,
+           n,
+           CAST(ROUND(CAST(sx / n AS DECIMAL(28,10)), 6) AS DOUBLE) AS xbar,
+           CAST(ROUND(CAST(sxx_raw - sx * sx / n AS DECIMAL(28,6)), 4) AS DOUBLE)
+               AS sxx_c,
+           CAST(ROUND(CAST(
+               (syy_raw
+                - ((sy - ((n * sxy - sx * sy) / (n * sxx_raw - sx * sx)) * sx) / n) * sy
+                - ((n * sxy - sx * sy) / (n * sxx_raw - sx * sx)) * sxy)
+               / (n - 2.0)
+               AS DECIMAL(28,6)), 4) AS DOUBLE) AS s2
+    FROM s
+)
+SELECT d,
+       CAST(ROUND(CAST(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))
+            AS DECIMAL(28,8)), 2) AS DOUBLE) AS residual,
+       CAST(ROUND(CAST(1.0 / n + (CAST(x AS DOUBLE) - xbar) * (CAST(x AS DOUBLE) - xbar)
+            / sxx_c AS DECIMAL(28,8)), 6) AS DOUBLE) AS leverage,
+       CAST(ROUND(CAST(
+           ((CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+            * (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+            * (1.0 / n + (CAST(x AS DOUBLE) - xbar) * (CAST(x AS DOUBLE) - xbar) / sxx_c))
+           / (2.0 * s2
+              * (1.0 - (1.0 / n + (CAST(x AS DOUBLE) - xbar) * (CAST(x AS DOUBLE) - xbar) / sxx_c))
+              * (1.0 - (1.0 / n + (CAST(x AS DOUBLE) - xbar) * (CAST(x AS DOUBLE) - xbar) / sxx_c)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cooks_d
+FROM xy CROSS JOIN fit
+ORDER BY cooks_d DESC, d
+LIMIT 10
+"""
+
+
+REGISTRY["cooks_distance"] = QuerySpec(cooks_distance, COOKS_DISTANCE_SQL)
