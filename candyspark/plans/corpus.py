@@ -1576,7 +1576,7 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c1").alias("n_context"),
             F.col("n1f").alias("context_fanout"),
             F.col("n1p").alias("continuation"),
-            snap_round(p_kn, 8).alias("p_kn"),
+            F.round(p_kn.cast("decimal(28,12)"), 8).cast("double").alias("p_kn"),  # widened: snap_round(·,8) is zero-margin
         )
         .orderBy(F.desc("p_kn"), "w1", "w2")
         .limit(30)
@@ -1608,7 +1608,7 @@ SELECT w1, w2, c AS n_bigram, c1 AS n_context,
        CAST(ROUND(CAST(
            (CAST(c AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
            + (0.75 * n1f / CAST(c1 AS DOUBLE)) * (n1p / CAST(t AS DOUBLE))
-           AS DECIMAL(28,8)), 8) AS DOUBLE) AS p_kn
+           AS DECIMAL(28,12)), 8) AS DOUBLE) AS p_kn
 FROM bc
 JOIN lft USING (w1)
 JOIN rgt USING (w2)

@@ -1254,11 +1254,24 @@ def q_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_rows"),
         )
         .select(
-            X.snap_round(F.col("b0"), 8).alias("beta0"),
-            X.snap_round(F.col("b1"), 8).alias("beta1"),
-            X.snap_round(
-                F.col("ll_sum") / F.col("n_rows").cast("double"), 8
-            ).alias("mean_log_loss"),
+            # widened intermediate (decimal(28,12) → 8 dp): snap_round(x, 8)
+            # itself has ZERO margin — the double→decimal cast IS the final
+            # round, and the engines' conversion modes can differ at ties
+            # (the cooks_distance lesson)
+            F.round(F.col("b0").cast("decimal(28,12)"), 8)
+            .cast("double")
+            .alias("beta0"),
+            F.round(F.col("b1").cast("decimal(28,12)"), 8)
+            .cast("double")
+            .alias("beta1"),
+            F.round(
+                (F.col("ll_sum") / F.col("n_rows").cast("double")).cast(
+                    "decimal(28,12)"
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("mean_log_loss"),
             "n_rows",
         )
     )
@@ -1337,10 +1350,10 @@ WITH cells AS (
 beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1),"""
         + ",".join(steps)
         + """
-SELECT CAST(ROUND(CAST(b0 AS DECIMAL(28,8)), 8) AS DOUBLE) AS beta0,
-       CAST(ROUND(CAST(b1 AS DECIMAL(28,8)), 8) AS DOUBLE) AS beta1,
+SELECT CAST(ROUND(CAST(b0 AS DECIMAL(28,12)), 8) AS DOUBLE) AS beta0,
+       CAST(ROUND(CAST(b1 AS DECIMAL(28,12)), 8) AS DOUBLE) AS beta1,
        CAST(ROUND(CAST(CAST(SUM(llc) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
-            AS DECIMAL(28,8)), 8) AS DOUBLE) AS mean_log_loss,
+            AS DECIMAL(28,12)), 8) AS DOUBLE) AS mean_log_loss,
        CAST(SUM(n) AS BIGINT) AS n_rows
 FROM (
     SELECT b0, b1, n,

@@ -698,7 +698,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "rank_bm25",
             "rank_tfidf",
-            snap_round(rrf, 8).alias("rrf_score"),
+            F.round(rrf.cast("decimal(28,12)"), 8).cast("double").alias("rrf_score"),  # widened: snap_round(·,8) is zero-margin
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(20)
@@ -758,7 +758,7 @@ SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
        CAST(ROUND(CAST(
            COALESCE(1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE)), 0.0)
            + COALESCE(1.0 / (60.0 + CAST(rank_tfidf AS DOUBLE)), 0.0)
-           AS DECIMAL(28,10)), 8) AS DOUBLE) AS rrf_score
+           AS DECIMAL(28,12)), 8) AS DOUBLE) AS rrf_score
 FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
 ORDER BY rrf_score DESC, COALESCE(ra.doc_id, rb.doc_id)
 LIMIT 20
