@@ -243,6 +243,7 @@ HEADLINE = [
     "source_overlap",
     "durbin_watson",
     "cooks_distance",
+    "distinctive_terms",
 ]
 
 

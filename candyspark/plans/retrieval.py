@@ -1023,3 +1023,104 @@ ORDER BY doc_id
 
 
 REGISTRY["substring_search"] = QuerySpec(q_substring_search, SUBSTRING_SEARCH_SQL)
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source via log-odds with a Dirichlet prior
+    (Monroe-Colaresi-Quinn "Fightin' Words") — WHAT a source talks about
+    relative to the rest of the corpus, the per-source fingerprint that
+    TF-IDF (document-grain) and JSD (distribution-grain) don't give:
+    δ_w = ln[(y_w+α_w)/(n+α−y_w−α_w)] − ln[(y'_w+α_w)/(n'+α−y'_w−α_w)],
+    z_w = δ_w/√(1/(y_w+α_w)+1/(y'_w+α_w)), with the corpus itself as the
+    prior (α_w ∝ corpus counts, α=1000). Top-3 terms per source by z.
+
+    Exactness: counts exact; α_w = 1000·c_w/N computed as ONE double
+    ratio; the four ln's run on identical doubles with one association
+    and z snaps at 6 dp BEFORE the per-source rank window (total tie
+    order). Scale: one (source, term) aggregate (map-side combined),
+    corpus marginals derive from it and broadcast back vocabulary-sized;
+    rest-of-corpus counts are subtractions, never a second scan; ranking
+    windows partition by source.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint()
+    )
+    tot_term = st.groupBy("term").agg(F.sum("y").cast("long").alias("c_w"))
+    tot_src = st.groupBy("source").agg(F.sum("y").cast("long").alias("n_s"))
+    grand = tot_term.agg(
+        F.sum("c_w").cast("long").alias("n_tot"),
+    )
+    j = (
+        st.join(F.broadcast(tot_term), "term")
+        .join(F.broadcast(tot_src), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    a0 = F.lit(1000.0)
+    aw = a0 * F.col("c_w").cast("double") / F.col("n_tot").cast("double")
+    y1 = F.col("y").cast("double") + aw
+    n1 = F.col("n_s").cast("double") + a0
+    y2 = (F.col("c_w") - F.col("y")).cast("double") + aw
+    n2 = (F.col("n_tot") - F.col("n_s")).cast("double") + a0
+    delta = F.log(y1 / (n1 - y1)) - F.log(y2 / (n2 - y2))
+    z = delta / F.sqrt(1.0 / y1 + 1.0 / y2)
+    scored = j.select(
+        "source",
+        "term",
+        "y",
+        snap_round(z, 6).alias("z_logodds"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z_logodds"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "term", "y", "z_logodds")
+        .orderBy("source", "rank")
+    )
+
+
+DISTINCTIVE_TERMS_SQL = f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+st AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y
+    FROM (SELECT source, unnest(toks) AS term FROM t)
+    GROUP BY source, term
+),
+tot_term AS (SELECT term, CAST(SUM(y) AS BIGINT) AS c_w FROM st GROUP BY term),
+tot_src AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n_s FROM st GROUP BY source),
+grand AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM tot_term),
+scored AS (
+    SELECT source, term, y,
+           CAST(ROUND(CAST(
+               (LN((CAST(y AS DOUBLE) + 1000.0 * CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   / ((CAST(n_s AS DOUBLE) + 1000.0)
+                      - (CAST(y AS DOUBLE) + 1000.0 * CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))))
+                - LN((CAST(c_w - y AS DOUBLE) + 1000.0 * CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                     / ((CAST(n_tot - n_s AS DOUBLE) + 1000.0)
+                        - (CAST(c_w - y AS DOUBLE)
+                           + 1000.0 * CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE)))))
+               / SQRT(1.0 / (CAST(y AS DOUBLE)
+                             + 1000.0 * CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      + 1.0 / (CAST(c_w - y AS DOUBLE)
+                               + 1000.0 * CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS z_logodds
+    FROM st
+    JOIN tot_term USING (term)
+    JOIN tot_src USING (source)
+    CROSS JOIN grand
+)
+SELECT source, rank, term, y, z_logodds
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY z_logodds DESC, term) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+ORDER BY source, rank
+"""
+
+
+REGISTRY["distinctive_terms"] = QuerySpec(q_distinctive_terms, DISTINCTIVE_TERMS_SQL)
