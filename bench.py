@@ -244,6 +244,7 @@ HEADLINE = [
     "durbin_watson",
     "cooks_distance",
     "distinctive_terms",
+    "gradient_boost_stumps",
 ]
 
 

@@ -1376,3 +1376,315 @@ LOGISTIC_NEWTON_SQL = _logistic_sql()
 
 
 REGISTRY["logistic_newton"] = QuerySpec(q_logistic_newton, LOGISTIC_NEWTON_SQL)
+
+
+def q_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting with decision stumps, trained IN-ENGINE — two
+    boosting rounds predicting P(returned) from quantity, squared loss.
+    The ensemble member of the training family (counting: naive_bayes;
+    closed form: ols_*; IRLS: logistic_newton/huber; order-constrained:
+    isotonic): each round fits the BEST single split to the current
+    residuals and adds the leaf means to the model.
+
+    Why this is one aggregate + tiny algebra, not a tree library: the
+    feature has bounded support, so residual sums per value are ≤50 exact
+    rows, and EVERY candidate split's gain — sumL²/nL + sumR²/nR — comes
+    from a running prefix over that relation (the forecast_backtest trick:
+    all 49 splits evaluated in one window pass, per round). Model scalars
+    (base rate, leaf gammas) snap to DECIMAL(20,10) and multiply back as
+    exact decimals, so residual sums stay exact through both rounds; split
+    gains snap at 8 dp from a wide intermediate with (gain DESC, split)
+    total order. Output: the fitted ensemble + its train MSE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .localCheckpoint()
+    )
+
+    def snap10(c):
+        return F.round(c.cast("decimal(28,12)"), 10).cast("decimal(20,10)")
+
+    base = cells.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("sy").cast("long").alias("sy_tot"),
+    ).select(
+        "n_tot",
+        "sy_tot",
+        snap10(
+            F.col("sy_tot").cast("double") / F.col("n_tot").cast("double")
+        ).alias("f0"),
+    )
+
+    # round 1: residual sums r(v) = sy - n*f0 are EXACT decimals
+    r1 = cells.crossJoin(F.broadcast(base)).select(
+        "v",
+        "n",
+        "sy",
+        "n_tot",
+        "f0",
+        (
+            F.col("sy").cast("decimal(28,10)")
+            - F.col("n").cast("decimal(18,0)") * F.col("f0")
+        ).alias("r"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy()
+    cand1 = r1.select(
+        "v",
+        "n_tot",
+        "f0",
+        F.sum("n").over(w_cum).cast("long").alias("nl"),
+        F.sum("r").over(w_cum).alias("cl"),
+        F.sum("r").over(whole).alias("r_tot"),
+    ).filter(F.col("nl") < F.col("n_tot"))
+    gain1 = (
+        F.col("cl").cast("double") * F.col("cl").cast("double")
+        / F.col("nl").cast("double")
+        + (F.col("r_tot") - F.col("cl")).cast("double")
+        * (F.col("r_tot") - F.col("cl")).cast("double")
+        / (F.col("n_tot") - F.col("nl")).cast("double")
+    )
+    w_rank1 = Window.orderBy(
+        F.desc(F.round(gain1.cast("decimal(28,12)"), 8)), "v"
+    )
+    best1 = (
+        cand1.withColumn("rk", F.row_number().over(w_rank1))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("v").alias("split1"),
+            "n_tot",
+            "f0",
+            snap10(F.col("cl").cast("double") / F.col("nl").cast("double")).alias(
+                "gl1"
+            ),
+            snap10(
+                (F.col("r_tot") - F.col("cl")).cast("double")
+                / (F.col("n_tot") - F.col("nl")).cast("double")
+            ).alias("gr1"),
+        )
+    )
+
+    # round 2: F1(v) = f0 + gamma1(v); residuals again exact decimals
+    f1 = F.col("f0") + F.when(
+        F.col("v") <= F.col("split1"), F.col("gl1")
+    ).otherwise(F.col("gr1"))
+    r2 = cells.crossJoin(F.broadcast(best1)).select(
+        "v",
+        "n",
+        "sy",
+        "n_tot",
+        "f0",
+        "split1",
+        "gl1",
+        "gr1",
+        (
+            F.col("sy").cast("decimal(28,10)")
+            - F.col("n").cast("decimal(18,0)") * f1
+        ).alias("r"),
+    )
+    cand2 = r2.select(
+        "v",
+        "n_tot",
+        "f0",
+        "split1",
+        "gl1",
+        "gr1",
+        F.sum("n").over(w_cum).cast("long").alias("nl"),
+        F.sum("r").over(w_cum).alias("cl"),
+        F.sum("r").over(whole).alias("r_tot"),
+    ).filter(F.col("nl") < F.col("n_tot"))
+    w_rank2 = Window.orderBy(
+        F.desc(F.round(gain1.cast("decimal(28,12)"), 8)), "v"
+    )
+    best2 = (
+        cand2.withColumn("rk", F.row_number().over(w_rank2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_tot",
+            "f0",
+            "split1",
+            "gl1",
+            "gr1",
+            F.col("v").alias("split2"),
+            snap10(F.col("cl").cast("double") / F.col("nl").cast("double")).alias(
+                "gl2"
+            ),
+            snap10(
+                (F.col("r_tot") - F.col("cl")).cast("double")
+                / (F.col("n_tot") - F.col("nl")).cast("double")
+            ).alias("gr2"),
+        )
+    )
+
+    # final train MSE of F2(v)
+    f2 = (
+        F.col("f0")
+        + F.when(F.col("v") <= F.col("split1"), F.col("gl1")).otherwise(
+            F.col("gr1")
+        )
+        + F.when(F.col("v") <= F.col("split2"), F.col("gl2")).otherwise(
+            F.col("gr2")
+        )
+    )
+    sse_cell = F.round(
+        (
+            F.col("sy").cast("double")
+            * (1.0 - f2.cast("double"))
+            * (1.0 - f2.cast("double"))
+            + (F.col("n") - F.col("sy")).cast("double")
+            * f2.cast("double")
+            * f2.cast("double")
+        ).cast("decimal(28,10)"),
+        8,
+    ).cast("decimal(24,8)")
+    return (
+        cells.crossJoin(F.broadcast(best2))
+        .select(
+            "n_tot",
+            "f0",
+            "split1",
+            "gl1",
+            "gr1",
+            "split2",
+            "gl2",
+            "gr2",
+            sse_cell.alias("ssec"),
+        )
+        .groupBy("n_tot", "f0", "split1", "gl1", "gr1", "split2", "gl2", "gr2")
+        .agg(F.sum("ssec").alias("sse"))
+        .select(
+            F.col("n_tot").alias("n_rows"),
+            F.col("f0").cast("double").alias("base_rate"),
+            "split1",
+            F.col("gl1").cast("double").alias("gamma_left_1"),
+            F.col("gr1").cast("double").alias("gamma_right_1"),
+            "split2",
+            F.col("gl2").cast("double").alias("gamma_left_2"),
+            F.col("gr2").cast("double").alias("gamma_right_2"),
+            F.round(
+                (F.col("sse").cast("double") / F.col("n_tot").cast("double")).cast(
+                    "decimal(28,12)"
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("train_mse"),
+        )
+    )
+
+
+GRADIENT_BOOST_STUMPS_SQL = """
+WITH cells AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+    FROM lineitem GROUP BY 1
+),
+base AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+           CAST(ROUND(CAST(CAST(SUM(sy) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS f0
+    FROM cells
+),
+r1 AS (
+    SELECT v, n, n_tot, f0,
+           CAST(sy AS DECIMAL(28,10)) - CAST(n AS DECIMAL(18,0)) * f0 AS r
+    FROM cells CROSS JOIN base
+),
+cand1 AS (
+    SELECT v, n_tot, f0,
+           CAST(SUM(n) OVER wc AS BIGINT) AS nl,
+           SUM(r) OVER wc AS cl,
+           SUM(r) OVER () AS r_tot
+    FROM r1
+    WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    QUALIFY nl < n_tot
+),
+best1 AS (
+    SELECT v AS split1, n_tot, f0,
+           CAST(ROUND(CAST(CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE)
+                AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS gl1,
+           CAST(ROUND(CAST(CAST(r_tot - cl AS DOUBLE) / CAST(n_tot - nl AS DOUBLE)
+                AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS gr1
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY
+            ROUND(CAST(CAST(cl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE)
+                  + CAST(r_tot - cl AS DOUBLE) * CAST(r_tot - cl AS DOUBLE)
+                    / CAST(n_tot - nl AS DOUBLE) AS DECIMAL(28,12)), 8) DESC,
+            v) AS rk
+        FROM cand1
+    ) WHERE rk = 1
+),
+r2 AS (
+    SELECT v, n, n_tot, f0, split1, gl1, gr1,
+           CAST(sy AS DECIMAL(28,10)) - CAST(n AS DECIMAL(18,0))
+             * (f0 + CASE WHEN v <= split1 THEN gl1 ELSE gr1 END) AS r
+    FROM cells CROSS JOIN best1
+),
+cand2 AS (
+    SELECT v, n_tot, f0, split1, gl1, gr1,
+           CAST(SUM(n) OVER wc AS BIGINT) AS nl,
+           SUM(r) OVER wc AS cl,
+           SUM(r) OVER () AS r_tot
+    FROM r2
+    WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    QUALIFY nl < n_tot
+),
+best2 AS (
+    SELECT n_tot, f0, split1, gl1, gr1, v AS split2,
+           CAST(ROUND(CAST(CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE)
+                AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS gl2,
+           CAST(ROUND(CAST(CAST(r_tot - cl AS DOUBLE) / CAST(n_tot - nl AS DOUBLE)
+                AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS gr2
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY
+            ROUND(CAST(CAST(cl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE)
+                  + CAST(r_tot - cl AS DOUBLE) * CAST(r_tot - cl AS DOUBLE)
+                    / CAST(n_tot - nl AS DOUBLE) AS DECIMAL(28,12)), 8) DESC,
+            v) AS rk
+        FROM cand2
+    ) WHERE rk = 1
+),
+final AS (
+    SELECT n_tot, f0, split1, gl1, gr1, split2, gl2, gr2,
+           SUM(CAST(ROUND(CAST(
+               CAST(sy AS DOUBLE)
+               * (1.0 - CAST(f0 + CASE WHEN v <= split1 THEN gl1 ELSE gr1 END
+                             + CASE WHEN v <= split2 THEN gl2 ELSE gr2 END AS DOUBLE))
+               * (1.0 - CAST(f0 + CASE WHEN v <= split1 THEN gl1 ELSE gr1 END
+                             + CASE WHEN v <= split2 THEN gl2 ELSE gr2 END AS DOUBLE))
+               + CAST(n - sy AS DOUBLE)
+               * CAST(f0 + CASE WHEN v <= split1 THEN gl1 ELSE gr1 END
+                      + CASE WHEN v <= split2 THEN gl2 ELSE gr2 END AS DOUBLE)
+               * CAST(f0 + CASE WHEN v <= split1 THEN gl1 ELSE gr1 END
+                      + CASE WHEN v <= split2 THEN gl2 ELSE gr2 END AS DOUBLE)
+               AS DECIMAL(28,10)), 8) AS DECIMAL(24,8))) AS sse
+    FROM cells CROSS JOIN best2
+    GROUP BY n_tot, f0, split1, gl1, gr1, split2, gl2, gr2
+)
+SELECT n_tot AS n_rows,
+       CAST(f0 AS DOUBLE) AS base_rate,
+       split1,
+       CAST(gl1 AS DOUBLE) AS gamma_left_1,
+       CAST(gr1 AS DOUBLE) AS gamma_right_1,
+       split2,
+       CAST(gl2 AS DOUBLE) AS gamma_left_2,
+       CAST(gr2 AS DOUBLE) AS gamma_right_2,
+       CAST(ROUND(CAST(CAST(sse AS DOUBLE) / CAST(n_tot AS DOUBLE)
+            AS DECIMAL(28,12)), 8) AS DOUBLE) AS train_mse
+FROM final
+"""
+
+
+REGISTRY["gradient_boost_stumps"] = QuerySpec(
+    q_gradient_boost_stumps, GRADIENT_BOOST_STUMPS_SQL
+)

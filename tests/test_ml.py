@@ -374,3 +374,61 @@ def test_shapley_efficiency_axiom(spark):
     v = {m: nc / nu for m, (nu, nc) in lat.items()}
     total_phi = sum(r["shapley_value"] for r in rows)
     assert abs(total_phi - (v[7] - v[0])) < 1e-4, (total_phi, v[7] - v[0])
+
+
+def test_gradient_boost_stumps_matches_reference(spark):
+    """The relational two-round boosting fit must equal an independent
+    Python implementation on the same cells (splits, gammas, MSE)."""
+    import duckdb
+
+    from candyspark.plans.ml import q_gradient_boost_stumps
+
+    SF = "/root/testdata/sf0.001"
+    got = q_gradient_boost_stumps(spark, SF).collect()[0]
+
+    cells = sorted(
+        duckdb.sql(
+            f"""SELECT CAST(l_quantity AS BIGINT), COUNT(*),
+                       SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+                FROM '{SF}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    n_tot = sum(c[1] for c in cells)
+    f0 = round(sum(c[2] for c in cells) / n_tot, 10)
+
+    def fit_round(resid_by_v):
+        # resid_by_v: list of (v, n, r) in v order; returns (split, gl, gr)
+        best = None
+        nl = cl = 0.0
+        r_tot = sum(r for _, _, r in resid_by_v)
+        for v, n, r in resid_by_v[:-1]:
+            nl += n
+            cl += r
+            gain = round(cl * cl / nl + (r_tot - cl) ** 2 / (n_tot - nl), 8)
+            if best is None or gain > best[0]:
+                best = (gain, v, round(cl / nl, 10),
+                        round((r_tot - cl) / (n_tot - nl), 10))
+        return best[1], best[2], best[3]
+
+    r1 = [(v, n, sy - n * f0) for v, n, sy in cells]
+    s1, gl1, gr1 = fit_round(r1)
+    r2 = [
+        (v, n, sy - n * (f0 + (gl1 if v <= s1 else gr1)))
+        for v, n, sy in cells
+    ]
+    s2, gl2, gr2 = fit_round(r2)
+    assert (got["split1"], got["split2"]) == (s1, s2)
+    for name, want in (
+        ("base_rate", f0),
+        ("gamma_left_1", gl1),
+        ("gamma_right_1", gr1),
+        ("gamma_left_2", gl2),
+        ("gamma_right_2", gr2),
+    ):
+        assert abs(got[name] - want) < 1e-9, (name, got[name], want)
+    sse = sum(
+        sy * (1 - (f0 + (gl1 if v <= s1 else gr1) + (gl2 if v <= s2 else gr2))) ** 2
+        + (n - sy) * (f0 + (gl1 if v <= s1 else gr1) + (gl2 if v <= s2 else gr2)) ** 2
+        for v, n, sy in cells
+    )
+    assert abs(got["train_mse"] - sse / n_tot) < 1e-6
