@@ -245,6 +245,7 @@ HEADLINE = [
     "cooks_distance",
     "distinctive_terms",
     "gradient_boost_stumps",
+    "diff_in_diff",
 ]
 
 

@@ -2197,3 +2197,126 @@ FROM totals
 
 
 REGISTRY["brown_forsythe"] = QuerySpec(q_brown_forsythe, BROWN_FORSYTHE_SQL)
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the panel-causal estimator completing
+    the family (randomized: ab_ztest/ab_cuped; observational cross-
+    section: ips_ate/aipw_ate; panel with a pre-period: THIS): treated =
+    users who ever click, period split at the data-derived midpoint
+    (drift_psi's convention), outcome = mean per-user purchase value per
+    (group, period) cell. DiD = (T_post − T_pre) − (C_post − C_pre)
+    removes time-invariant group differences AND group-invariant time
+    shocks — the two confounders the naive post-period gap absorbs.
+
+    Shape: one (user, period)-grain aggregate, then a 4-cell rollup;
+    the estimate is exact-ratio algebra over those 4 cells with one
+    association and one snap. The parallel-trends assumption is stated,
+    not tested (the pre-period has one cell per arm here; a deployment
+    plots multiple pre-periods).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.floor(
+            (
+                F.min(F.unix_micros("ts")).cast("double")
+                + F.max(F.unix_micros("ts")).cast("double")
+            )
+            / 2.0
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    treated_users = (
+        e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    per_up = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            (F.unix_micros("ts") > F.col("mid_us")).alias("post"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(12,2)"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("y")
+        )
+    )
+    cells = (
+        per_up.join(
+            F.broadcast(treated_users.withColumn("treated", F.lit(1))),
+            "user_id",
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("treated"), F.lit(0)).alias("treated"), "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    m = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("sy").cast("double") / F.col("n_users").cast("double"),
+        )
+    )
+    return cells.agg(
+        F.sum("n_users").cast("long").alias("n_user_periods"),
+        snap_round(m(1, True) - m(1, False), 4).alias("treated_change"),
+        snap_round(m(0, True) - m(0, False), 4).alias("control_change"),
+        snap_round(
+            (m(1, True) - m(1, False)) - (m(0, True) - m(0, False)), 4
+        ).alias("did_estimate"),
+    )
+
+
+DIFF_IN_DIFF_SQL = """
+WITH bounds AS (
+    SELECT CAST(FLOOR((CAST(MIN(epoch_us(ts)) AS DOUBLE)
+                       + CAST(MAX(epoch_us(ts)) AS DOUBLE)) / 2.0) AS BIGINT)
+               AS mid_us
+    FROM events
+),
+treated_users AS (
+    SELECT DISTINCT user_id, 1 AS treated FROM events WHERE event_type = 'click'
+),
+per_up AS (
+    SELECT user_id, epoch_us(ts) > mid_us AS post,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+    FROM events CROSS JOIN bounds
+    GROUP BY user_id, epoch_us(ts) > mid_us
+),
+cells AS (
+    SELECT COALESCE(t.treated, 0) AS treated, post,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           SUM(y) AS sy
+    FROM per_up p LEFT JOIN treated_users t USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT CAST(SUM(n_users) AS BIGINT) AS n_user_periods,
+       CAST(ROUND(CAST(
+           MAX(CASE WHEN treated = 1 AND post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+           - MAX(CASE WHEN treated = 1 AND NOT post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS treated_change,
+       CAST(ROUND(CAST(
+           MAX(CASE WHEN treated = 0 AND post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+           - MAX(CASE WHEN treated = 0 AND NOT post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS control_change,
+       CAST(ROUND(CAST(
+           (MAX(CASE WHEN treated = 1 AND post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+            - MAX(CASE WHEN treated = 1 AND NOT post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END))
+           - (MAX(CASE WHEN treated = 0 AND post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+              - MAX(CASE WHEN treated = 0 AND NOT post THEN CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) END))
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS did_estimate
+FROM cells
+"""
+
+
+REGISTRY["diff_in_diff"] = QuerySpec(q_diff_in_diff, DIFF_IN_DIFF_SQL)
