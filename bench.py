@@ -246,6 +246,7 @@ HEADLINE = [
     "distinctive_terms",
     "gradient_boost_stumps",
     "diff_in_diff",
+    "eb_shrinkage",
 ]
 
 

@@ -1688,3 +1688,128 @@ FROM final
 REGISTRY["gradient_boost_stumps"] = QuerySpec(
     q_gradient_boost_stumps, GRADIENT_BOOST_STUMPS_SQL
 )
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates — the
+    small-sample correction that ranks entities HONESTLY: a brand with
+    3/5 returns must not outrank one at 400/1000, so every rate shrinks
+    toward the cross-brand prior by its own sample size. Beta prior by
+    method of moments from the observed rate distribution (m, v →
+    α+β = m(1−m)/v − 1), posterior mean (k+α)/(n+α+β). The Bayesian
+    sibling of target_encode_loo's frequentist leakage guard.
+
+    Exactness: per-brand rates are exact ratios snapped to decimal so the
+    cross-brand moment sums are order-free; α and β snap once at 8 dp
+    (wide intermediate) and re-enter per-brand algebra as identical
+    doubles; one 6-dp snap per output rate. Scale: one map-side-combined
+    brand rollup; the prior fits on the ≤|brands|-row relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p_ = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brands = (
+        li.join(F.broadcast(p_), li.l_partkey == p_.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+        .localCheckpoint()
+    )
+    rates = brands.select(
+        "p_brand",
+        "n",
+        "k",
+        F.round(
+            (F.col("k").cast("double") / F.col("n").cast("double")).cast(
+                "decimal(28,12)"
+            ),
+            10,
+        )
+        .cast("decimal(20,10)")
+        .alias("p"),
+    )
+    mom = rates.agg(
+        F.count(F.lit(1)).cast("long").alias("kb"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+    )
+    kb = F.col("kb").cast("double")
+    m = F.col("sp").cast("double") / kb
+    v = F.col("spp").cast("double") / kb - m * m
+    ab_tot = m * (1.0 - m) / v - 1.0
+    prior = mom.select(
+        F.round((m * ab_tot).cast("decimal(28,10)"), 8)
+        .cast("double")
+        .alias("alpha"),
+        F.round(((1.0 - m) * ab_tot).cast("decimal(28,10)"), 8)
+        .cast("double")
+        .alias("beta"),
+    )
+    eb = (F.col("k").cast("double") + F.col("alpha")) / (
+        F.col("n").cast("double") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        rates.crossJoin(F.broadcast(prior))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("n").alias("n_lines"),
+            X.snap_round(F.col("p").cast("double"), 6).alias("raw_rate"),
+            X.snap_round(eb, 6).alias("eb_rate"),
+        )
+        .orderBy("brand")
+    )
+
+
+EB_SHRINKAGE_SQL = """
+WITH brands AS (
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p_brand
+),
+rates AS (
+    SELECT p_brand, n, k,
+           CAST(ROUND(CAST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                AS DECIMAL(28,12)), 10) AS DECIMAL(20,10)) AS p
+    FROM brands
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS kb, SUM(p) AS sp, SUM(p * p) AS spp
+    FROM rates
+),
+prior AS (
+    SELECT CAST(ROUND(CAST(
+               (CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+               * ((CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+                  * (1.0 - CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+                  / (CAST(spp AS DOUBLE) / CAST(kb AS DOUBLE)
+                     - (CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+                       * (CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))) - 1.0)
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS alpha,
+           CAST(ROUND(CAST(
+               (1.0 - CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+               * ((CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+                  * (1.0 - CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+                  / (CAST(spp AS DOUBLE) / CAST(kb AS DOUBLE)
+                     - (CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))
+                       * (CAST(sp AS DOUBLE) / CAST(kb AS DOUBLE))) - 1.0)
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS beta
+    FROM mom
+)
+SELECT p_brand AS brand,
+       n AS n_lines,
+       CAST(ROUND(CAST(CAST(p AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS raw_rate,
+       CAST(ROUND(CAST(
+           (CAST(k AS DOUBLE) + alpha)
+           / (CAST(n AS DOUBLE) + alpha + beta)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS eb_rate
+FROM rates CROSS JOIN prior
+ORDER BY brand
+"""
+
+
+REGISTRY["eb_shrinkage"] = QuerySpec(q_eb_shrinkage, EB_SHRINKAGE_SQL)
