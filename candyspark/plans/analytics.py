@@ -1188,23 +1188,29 @@ def q_pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(c.cast("decimal(28,10)"), 8).cast("double")
 
     rho = F.col("rho")
+    # F.get (0-based, NULL out-of-bounds) rather than element_at: under
+    # Spark 4's ANSI semantics element_at THROWS on the empty-input case
+    # (zero-row series → empty rho array), and the empty gate
+    # (tests/test_empty_inputs.py) requires NULL propagation instead
     cur = base.select(
         "rho",
-        F.array(F.element_at(rho, 1)).alias("phi"),
-        F.array(F.element_at(rho, 1)).alias("pacfs"),
+        F.array(F.get(rho, 0)).alias("phi"),
+        F.array(F.get(rho, 0)).alias("pacfs"),
     )
     for k in range(2, 6):
         phi = F.col("phi")
-        num = F.element_at(rho, k) - F.aggregate(
+        num = F.get(rho, k - 1) - F.aggregate(
             F.sequence(F.lit(1), F.lit(k - 1)),
             F.lit(0.0),
             lambda acc, j: acc
-            + F.element_at(phi, j) * F.element_at(rho, (F.lit(k) - j).cast("int")),
+            + F.get(phi, (j - 1).cast("int"))
+            * F.get(rho, (F.lit(k) - j - 1).cast("int")),
         )
         dnm = F.lit(1.0) - F.aggregate(
             F.sequence(F.lit(1), F.lit(k - 1)),
             F.lit(0.0),
-            lambda acc, j: acc + F.element_at(phi, j) * F.element_at(rho, j),
+            lambda acc, j: acc
+            + F.get(phi, (j - 1).cast("int")) * F.get(rho, (j - 1).cast("int")),
         )
         # materialize the reflection coefficient as a NAMED column first:
         # embedding the same aggregate-lambda tree both bare (pacfs) and
@@ -1220,8 +1226,8 @@ def q_pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(1), F.lit(k - 1)),
                     lambda j: snap8(
-                        F.element_at(phi, j)
-                        - a * F.element_at(phi, (F.lit(k) - j).cast("int"))
+                        F.get(phi, (j - 1).cast("int"))
+                        - a * F.get(phi, (F.lit(k) - j - 1).cast("int"))
                     ),
                 ),
                 F.array(a),
