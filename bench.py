@@ -247,6 +247,7 @@ HEADLINE = [
     "gradient_boost_stumps",
     "diff_in_diff",
     "eb_shrinkage",
+    "streaming_quality_gate",
 ]
 
 

@@ -3263,3 +3263,56 @@ ORDER BY threshold
 REGISTRY["dedup_threshold_curve"] = QuerySpec(
     q_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_SQL
 )
+
+
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate (plans/quality's constraint checks) maintained AS
+    STREAMING STATE: per event type, running row / null-value / negative-
+    value counts accumulate across micro-batches — a fixed ≤|types|-row
+    state however long the stream runs (the streaming_cms argument applied
+    to data-quality monitoring). This is how a live pipeline gates a feed:
+    violations surface per micro-batch instead of in a nightly batch
+    audit, with the SAME numbers the batch gate computes — which is
+    exactly what the batch DuckDB oracle checks.
+    """
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import read_events_stream, run_available_now
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    stream = read_events_stream(spark, src)
+    gate = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative_value"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_user"),
+    )
+    run_available_now(gate, ckpt, query_name=name)
+    return spark.table(name).orderBy("event_type")
+
+
+STREAMING_QUALITY_GATE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_value,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+REGISTRY["streaming_quality_gate"] = QuerySpec(
+    q_streaming_quality_gate, STREAMING_QUALITY_GATE_SQL
+)
