@@ -248,6 +248,7 @@ HEADLINE = [
     "diff_in_diff",
     "eb_shrinkage",
     "streaming_quality_gate",
+    "token_budget_allocation",
 ]
 
 

@@ -1847,3 +1847,168 @@ LIMIT 15
 
 
 REGISTRY["source_overlap"] = QuerySpec(q_source_overlap, SOURCE_OVERLAP_SQL)
+
+
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget WATERFILLING across sources — the optimization step
+    between mixing weights and a training run: given per-source available
+    tokens a_i, target proportions w_i ∝ a_i^0.7 (the temperature-mixing
+    convention, mix_weights_temperature), and a total budget B (here the
+    data-derived 50% of all tokens), allocate n_i = min(a_i, w_i·λ) with
+    the water level λ chosen so Σn_i = B — small sources saturate and
+    their shortfall redistributes to the rest in proportion.
+
+    Exact-threshold construction, no iteration: sort sources by the
+    saturation point r_i = a_i/w_i; for each prefix k the candidate level
+    is λ(k) = (B − Σ_{i≤k} a_i)/(Σ_{j>k} w_j), and the UNIQUE valid k
+    satisfies r_k ≤ λ(k) ≤ r_{k+1} — a window computation over the
+    ≤|sources|-row relation (waterfilling's closed form, the same
+    boundaries-then-assign discipline as lorenz_curve). All token counts
+    exact; w, r, λ snap through decimals so both engines pick the same k;
+    one snap per allocation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.size(F.split("text", " ")).cast("long").alias("t"))
+    avail = toks.groupBy("source").agg(F.sum("t").cast("long").alias("a"))
+    w_raw = F.round(
+        F.pow(F.col("a").cast("double"), 0.7).cast("decimal(28,8)"), 6
+    ).cast("decimal(20,6)")
+    weighted = avail.select("source", "a", w_raw.alias("w"))
+    whole = Window.partitionBy()
+    totals = weighted.select(
+        "source",
+        "a",
+        "w",
+        F.sum("a").over(whole).alias("a_tot"),
+        F.sum("w").over(whole).alias("w_tot"),
+    ).withColumn(
+        "r",
+        F.round(
+            (F.col("a").cast("double") / F.col("w").cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        ).cast("double"),
+    )
+    w_ord = Window.orderBy("r", "source")
+    w_pref = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    staged = totals.select(
+        "source",
+        "a",
+        "w",
+        "r",
+        (F.col("a_tot").cast("double") / 2.0).alias("budget"),
+        F.sum("a").over(w_pref).cast("long").alias("pref_a"),
+        F.sum("w").over(w_pref).alias("pref_w"),
+        F.col("a_tot"),
+        F.col("w_tot"),
+        F.lead("r").over(w_ord).alias("r_next"),
+    )
+    # ANSI guard: the last prefix row has w_tot == pref_w (all sources
+    # saturated) — never the valid k at budget < a_tot, but the division
+    # must not evaluate
+    lam_k = F.round(
+        F.when(
+            (F.col("w_tot") - F.col("pref_w")).cast("double") > 0.0,
+            (F.col("budget") - F.col("pref_a").cast("double"))
+            / (F.col("w_tot") - F.col("pref_w")).cast("double"),
+        ).cast("decimal(28,8)"),
+        6,
+    ).cast("double")
+    # the valid water level: r_k ≤ λ(k) and (last row or λ(k) ≤ r_{k+1});
+    # λ(0) (no source saturated) rides as a fallback when even the
+    # smallest r exceeds it
+    lam0 = F.round(
+        (F.col("budget") / F.col("w_tot").cast("double")).cast("decimal(28,8)"),
+        6,
+    ).cast("double")
+    levels = staged.select(
+        "budget",
+        "w_tot",
+        F.when(
+            (F.col("r") <= lam_k)
+            & (F.col("r_next").isNull() | (lam_k <= F.col("r_next"))),
+            lam_k,
+        ).alias("lam_valid"),
+        F.min(F.when(F.col("r") >= lam0, lam0)).over(whole).alias("lam0_valid"),
+    ).agg(
+        F.coalesce(F.max("lam_valid"), F.max("lam0_valid")).alias("lam")
+    )
+    alloc = F.least(
+        F.col("a").cast("double"), F.col("w").cast("double") * F.col("lam")
+    )
+    return (
+        totals.crossJoin(F.broadcast(levels))
+        .select(
+            "source",
+            F.col("a").alias("available_tokens"),
+            F.round(alloc.cast("decimal(28,6)"), 0)
+            .cast("long")
+            .alias("allocated_tokens"),
+            (F.col("a").cast("double") <= F.col("w").cast("double") * F.col("lam")).alias(
+                "saturated"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_ALLOCATION_SQL = """
+WITH toks AS (
+    SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+    FROM documents
+),
+avail AS (SELECT source, CAST(SUM(t) AS BIGINT) AS a FROM toks GROUP BY source),
+weighted AS (
+    SELECT source, a,
+           CAST(ROUND(CAST(POW(CAST(a AS DOUBLE), 0.7) AS DECIMAL(28,8)), 6)
+                AS DECIMAL(20,6)) AS w
+    FROM avail
+),
+totals AS (
+    SELECT source, a, w,
+           SUM(a) OVER () AS a_tot,
+           SUM(w) OVER () AS w_tot,
+           CAST(ROUND(CAST(CAST(a AS DOUBLE) / CAST(w AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS r
+    FROM weighted
+),
+staged AS (
+    SELECT source, a, w, r,
+           CAST(a_tot AS DOUBLE) / 2.0 AS budget,
+           CAST(SUM(a) OVER wo AS BIGINT) AS pref_a,
+           SUM(w) OVER wo AS pref_w,
+           a_tot, w_tot,
+           LEAD(r) OVER (ORDER BY r, source) AS r_next
+    FROM totals
+    WINDOW wo AS (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+levels AS (
+    SELECT COALESCE(
+               MAX(CASE WHEN r <= lam_k AND (r_next IS NULL OR lam_k <= r_next)
+                        THEN lam_k END),
+               MAX(CASE WHEN r >= lam0 THEN lam0 END)) AS lam
+    FROM (
+        SELECT r, r_next,
+               CAST(ROUND(CAST(CASE WHEN CAST(w_tot - pref_w AS DOUBLE) > 0.0
+                    THEN (budget - CAST(pref_a AS DOUBLE))
+                         / CAST(w_tot - pref_w AS DOUBLE) END
+                    AS DECIMAL(28,8)), 6) AS DOUBLE) AS lam_k,
+               CAST(ROUND(CAST(budget / CAST(w_tot AS DOUBLE)
+                    AS DECIMAL(28,8)), 6) AS DOUBLE) AS lam0
+        FROM staged
+    )
+)
+SELECT source,
+       a AS available_tokens,
+       CAST(ROUND(CAST(LEAST(CAST(a AS DOUBLE), CAST(w AS DOUBLE) * lam)
+            AS DECIMAL(28,6)), 0) AS BIGINT) AS allocated_tokens,
+       CAST(a AS DOUBLE) <= CAST(w AS DOUBLE) * lam AS saturated
+FROM totals CROSS JOIN levels
+ORDER BY source
+"""
+
+
+REGISTRY["token_budget_allocation"] = QuerySpec(
+    q_token_budget_allocation, TOKEN_BUDGET_ALLOCATION_SQL
+)

@@ -400,3 +400,46 @@ def test_bpe_fold_concat_invariance(spark):
     # banana -> b,an,an,a -> b,anan,a
     assert by_word["banana"] == 3
     assert by_word["aaaa"] == 4  # no 'an' pairs — untouched
+
+
+def test_token_budget_waterfilling_properties(spark):
+    """The closed-form water level must (a) spend the budget exactly up to
+    saturation effects, (b) match an independent iterative waterfiller."""
+    import duckdb
+
+    from candyspark.plans.corpus import q_token_budget_allocation
+
+    SF = "/root/testdata/sf0.01"
+    rows = q_token_budget_allocation(spark, SF).collect()
+    avail = dict(
+        duckdb.sql(
+            f"""SELECT source, SUM(len(string_split(text, ' ')))
+                FROM '{SF}/documents.parquet' GROUP BY source"""
+        ).fetchall()
+    )
+    budget = sum(avail.values()) / 2.0
+    w = {s: round(a**0.7, 6) for s, a in avail.items()}
+
+    # independent iterative waterfiller
+    active = set(avail)
+    alloc = {}
+    b_left = budget
+    while True:
+        w_act = sum(w[s] for s in active)
+        lam = b_left / w_act
+        sat = [s for s in active if avail[s] <= w[s] * lam]
+        if not sat:
+            for s in active:
+                alloc[s] = w[s] * lam
+            break
+        for s in sat:
+            alloc[s] = avail[s]
+            b_left -= avail[s]
+            active.remove(s)
+    got = {r["source"]: r["allocated_tokens"] for r in rows}
+    for s in avail:
+        assert abs(got[s] - alloc[s]) <= 1.0, (s, got[s], alloc[s])
+    # budget spent (allocations sum to B within per-source rounding)
+    assert abs(sum(got.values()) - budget) <= len(avail)
+    for r in rows:
+        assert r["allocated_tokens"] <= r["available_tokens"]
