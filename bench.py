@@ -249,6 +249,7 @@ HEADLINE = [
     "eb_shrinkage",
     "streaming_quality_gate",
     "token_budget_allocation",
+    "logistic_holdout",
 ]
 
 

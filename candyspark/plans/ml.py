@@ -1813,3 +1813,232 @@ ORDER BY brand
 
 
 REGISTRY["eb_shrinkage"] = QuerySpec(q_eb_shrinkage, EB_SHRINKAGE_SQL)
+
+
+def q_logistic_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free holdout evaluation of the logistic model — the ML-ops
+    property q_logistic_newton's in-sample numbers can't give: train the
+    4-step Newton fit on an 80% CONTENT-HASH split (md5 of the line's
+    (orderkey, linenumber) identity — the dataset_split discipline, never
+    rand()) and score the held-out 20% that the optimizer NEVER SAW.
+    Reported: held-out mean log-loss, Brier score, and accuracy at the 0.5
+    cut — the honest generalization row next to naive_bayes_langid's
+    held-out confusion.
+
+    Same bounded-support collapse, now keyed by (x, split): one corpus
+    pass produces ≤22 sufficient-statistic cells, training iterates over
+    the 11 train cells, evaluation is one pass over the 11 held-out cells
+    with per-cell terms snapped to decimal (order-free sums).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    split_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cells = (
+        li.select(
+            (F.col("l_discount").cast("decimal(4,2)") * 100)
+            .cast("int")
+            .alias("x"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+            (split_hash % 5 == 0).alias("heldout"),
+        )
+        .groupBy("x", "heldout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint()
+    )
+    train = cells.filter(~F.col("heldout"))
+
+    def snap12(c):
+        return F.round(c.cast("decimal(28,12)"), 12).cast("decimal(24,12)")
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    for _ in range(4):
+        xd = F.col("x").cast("double")
+        nd = F.col("n").cast("double")
+        npos = F.col("n_pos").cast("double")
+        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * xd)))
+        w = nd * p * (1.0 - p)
+        sums = (
+            train.crossJoin(F.broadcast(beta))
+            .select(
+                "b0",
+                "b1",
+                snap12(npos - nd * p).alias("g0c"),
+                snap12(xd * (npos - nd * p)).alias("g1c"),
+                snap12(w).alias("h00c"),
+                snap12(xd * w).alias("h01c"),
+                snap12(xd * xd * w).alias("h11c"),
+            )
+            .groupBy("b0", "b1")
+            .agg(
+                F.sum("g0c").cast("double").alias("g0"),
+                F.sum("g1c").cast("double").alias("g1"),
+                F.sum("h00c").cast("double").alias("h00"),
+                F.sum("h01c").cast("double").alias("h01"),
+                F.sum("h11c").cast("double").alias("h11"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        b0n = F.col("b0") + (
+            F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")
+        ) / det
+        b1n = F.col("b1") + (
+            F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")
+        ) / det
+        beta = sums.select(
+            F.round(b0n.cast("decimal(28,12)"), 10).cast("double").alias("b0"),
+            F.round(b1n.cast("decimal(28,12)"), 10).cast("double").alias("b1"),
+        )
+
+    xd = F.col("x").cast("double")
+    p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * xd)))
+    ll_cell = snap12(
+        -(
+            F.col("n_pos").cast("double") * F.log(p)
+            + (F.col("n") - F.col("n_pos")).cast("double") * F.log(1.0 - p)
+        )
+    )
+    brier_cell = snap12(
+        F.col("n_pos").cast("double") * (1.0 - p) * (1.0 - p)
+        + (F.col("n") - F.col("n_pos")).cast("double") * p * p
+    )
+    correct_cell = F.when(p >= 0.5, F.col("n_pos")).otherwise(
+        F.col("n") - F.col("n_pos")
+    )
+    test = cells.filter(F.col("heldout"))
+    n_train = train.agg(F.sum("n").cast("long").alias("n_train"))
+    return (
+        test.crossJoin(F.broadcast(beta))
+        .select("n", "n_pos", ll_cell.alias("llc"), brier_cell.alias("bc"),
+                correct_cell.cast("long").alias("cc"))
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            F.sum("llc").cast("double").alias("ll_sum"),
+            F.sum("bc").cast("double").alias("b_sum"),
+            F.sum("cc").cast("long").alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            "n_test",
+            F.round(
+                (F.col("ll_sum") / F.col("n_test").cast("double")).cast(
+                    "decimal(28,12)"
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("test_log_loss"),
+            F.round(
+                (F.col("b_sum") / F.col("n_test").cast("double")).cast(
+                    "decimal(28,12)"
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("test_brier"),
+            F.round(
+                (
+                    F.col("n_correct").cast("double")
+                    / F.col("n_test").cast("double")
+                ).cast("decimal(28,12)"),
+                8,
+            )
+            .cast("double")
+            .alias("test_accuracy"),
+        )
+    )
+
+
+def _logistic_holdout_sql() -> str:
+    step = """
+beta{k} AS (
+    SELECT CAST(ROUND(CAST(b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01)
+                AS DECIMAL(28,12)), 10) AS DOUBLE) AS b0,
+           CAST(ROUND(CAST(b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01)
+                AS DECIMAL(28,12)), 10) AS DOUBLE) AS b1
+    FROM (
+        SELECT b0, b1,
+               CAST(SUM(g0c) AS DOUBLE) AS g0, CAST(SUM(g1c) AS DOUBLE) AS g1,
+               CAST(SUM(h00c) AS DOUBLE) AS h00, CAST(SUM(h01c) AS DOUBLE) AS h01,
+               CAST(SUM(h11c) AS DOUBLE) AS h11
+        FROM (
+            SELECT b0, b1,
+                   CAST(ROUND(CAST(CAST(n_pos AS DOUBLE) - CAST(n AS DOUBLE) * p AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS g0c,
+                   CAST(ROUND(CAST(CAST(x AS DOUBLE) * (CAST(n_pos AS DOUBLE) - CAST(n AS DOUBLE) * p) AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS g1c,
+                   CAST(ROUND(CAST(CAST(n AS DOUBLE) * p * (1.0 - p) AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS h00c,
+                   CAST(ROUND(CAST(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) * p * (1.0 - p) AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS h01c,
+                   CAST(ROUND(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * CAST(n AS DOUBLE) * p * (1.0 - p) AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS h11c
+            FROM (
+                SELECT train.*, b0, b1,
+                       1.0 / (1.0 + EXP(-(b0 + b1 * CAST(x AS DOUBLE)))) AS p
+                FROM train CROSS JOIN beta{km1}
+            )
+        )
+        GROUP BY b0, b1
+    )
+)"""
+    steps = ",".join(step.format(k=k, km1=k - 1) for k in range(1, 5))
+    return (
+        """
+WITH cells AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS x,
+           (CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
+                CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) % 5 = 0) AS heldout,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM lineitem GROUP BY 1, 2
+),
+train AS (SELECT x, n, n_pos FROM cells WHERE NOT heldout),
+beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1),"""
+        + steps
+        + """
+SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM train) AS n_train,
+       CAST(SUM(n) AS BIGINT) AS n_test,
+       CAST(ROUND(CAST(CAST(SUM(llc) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+            AS DECIMAL(28,12)), 8) AS DOUBLE) AS test_log_loss,
+       CAST(ROUND(CAST(CAST(SUM(bc) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+            AS DECIMAL(28,12)), 8) AS DOUBLE) AS test_brier,
+       CAST(ROUND(CAST(CAST(SUM(cc) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+            AS DECIMAL(28,12)), 8) AS DOUBLE) AS test_accuracy
+FROM (
+    SELECT n,
+           CAST(ROUND(CAST(
+               -(CAST(n_pos AS DOUBLE) * LN(p)
+                 + CAST(n - n_pos AS DOUBLE) * LN(1.0 - p))
+               AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS llc,
+           CAST(ROUND(CAST(
+               CAST(n_pos AS DOUBLE) * (1.0 - p) * (1.0 - p)
+               + CAST(n - n_pos AS DOUBLE) * p * p
+               AS DECIMAL(28,12)), 12) AS DECIMAL(24,12)) AS bc,
+           CAST(CASE WHEN p >= 0.5 THEN n_pos ELSE n - n_pos END AS BIGINT) AS cc
+    FROM (
+        SELECT cells.*, b0, b1,
+               1.0 / (1.0 + EXP(-(b0 + b1 * CAST(x AS DOUBLE)))) AS p
+        FROM cells CROSS JOIN beta4
+        WHERE heldout
+    )
+)
+"""
+    )
+
+
+LOGISTIC_HOLDOUT_SQL = _logistic_holdout_sql()
+
+
+REGISTRY["logistic_holdout"] = QuerySpec(q_logistic_holdout, LOGISTIC_HOLDOUT_SQL)
