@@ -250,6 +250,7 @@ HEADLINE = [
     "streaming_quality_gate",
     "token_budget_allocation",
     "logistic_holdout",
+    "sequential_ab",
 ]
 
 

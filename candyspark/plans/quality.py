@@ -2320,3 +2320,138 @@ FROM cells
 
 
 REGISTRY["diff_in_diff"] = QuerySpec(q_diff_in_diff, DIFF_IN_DIFF_SQL)
+
+
+def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring — the interim-look discipline that
+    keeps peeking honest: five equal calendar looks, a two-proportion z at
+    each look from CUMULATIVE counts, and the Pocock boundary 2.413 (K=5,
+    α=0.05 two-sided) instead of 1.96 — because testing five times at 1.96
+    inflates the false-positive rate to ~14%. Completes the experiment
+    family's TIME axis (one look: ab_ztest; variance reduction: ab_cuped;
+    battery: bh_fdr_brands; sequential: THIS).
+
+    The cumulative-look trick is forecast_backtest's prefix construction:
+    per-(arm, look) counts aggregate once (map-side combined), and every
+    look's z assembles from running sums over the ≤5-row-per-arm relation
+    — K looks cost one pass, not K queries. Look boundaries derive from
+    the data's exact-microsecond span by integer math; conversion =
+    purchase among view/purchase events (event-grain, stated). All counts
+    exact; one snapped z per look; `stopped_at_look` is the first
+    boundary crossing, a window over the 5-row result.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type").isin("view", "purchase"))
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    look = F.least(
+        F.lit(4),
+        F.floor(
+            (5 * (F.unix_micros("ts") - F.col("lo")))
+            / (F.col("hi") - F.col("lo") + 1)
+        ),
+    ).cast("int")
+    slices = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(arm.alias("arm"), look.alias("look"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = slices.select(
+        "arm",
+        "look",
+        F.sum("n").over(w_cum).cast("long").alias("cn"),
+        F.sum("x").over(w_cum).cast("long").alias("cx"),
+    )
+    a = cum.filter(F.col("arm") == 0).select(
+        "look", F.col("cn").alias("n_a"), F.col("cx").alias("x_a")
+    )
+    b = cum.filter(F.col("arm") == 1).select(
+        "look", F.col("cn").alias("n_b"), F.col("cx").alias("x_b")
+    )
+    j = a.join(b, "look")
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pp = (xa + xb) / (na + nb)
+    z = snap_round(
+        (xa / na - xb / nb) / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)),
+        6,
+    )
+    whole = Window.partitionBy()
+    scored = j.select(
+        "look", "n_a", "x_a", "n_b", "x_b", z.alias("z"),
+        (F.abs(z) > 2.413).alias("crossed"),
+    )
+    return scored.select(
+        "*",
+        F.min(F.when(F.col("crossed"), F.col("look"))).over(whole).alias(
+            "stopped_at_look"
+        ),
+    ).orderBy("look")
+
+
+SEQUENTIAL_AB_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM ev),
+slices AS (
+    SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+           CAST(LEAST(4, (5 * (t - lo)) // (hi - lo + 1)) AS INTEGER) AS look,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM ev CROSS JOIN bounds
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT arm, look,
+           CAST(SUM(n) OVER (PARTITION BY arm ORDER BY look
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+           CAST(SUM(x) OVER (PARTITION BY arm ORDER BY look
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+    FROM slices
+),
+j AS (
+    SELECT a.look, a.cn AS n_a, a.cx AS x_a, b.cn AS n_b, b.cx AS x_b
+    FROM (SELECT * FROM cum WHERE arm = 0) a
+    JOIN (SELECT * FROM cum WHERE arm = 1) b USING (look)
+),
+scored AS (
+    SELECT look, n_a, x_a, n_b, x_b,
+           CAST(ROUND(CAST(
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / SQRT(((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS z
+    FROM j
+)
+SELECT look, n_a, x_a, n_b, x_b, z,
+       ABS(z) > 2.413 AS crossed,
+       MIN(CASE WHEN ABS(z) > 2.413 THEN look END) OVER () AS stopped_at_look
+FROM scored
+ORDER BY look
+"""
+
+
+REGISTRY["sequential_ab"] = QuerySpec(q_sequential_ab, SEQUENTIAL_AB_SQL)
