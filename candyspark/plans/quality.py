@@ -2367,6 +2367,9 @@ def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("x"),
         )
+        # ≤10 rows, two consumers (each arm's filter) — materialized so the
+        # event scan runs once, not once per arm side
+        .localCheckpoint()
     )
     w_cum = (
         Window.partitionBy("arm")
