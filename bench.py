@@ -251,6 +251,8 @@ HEADLINE = [
     "token_budget_allocation",
     "logistic_holdout",
     "sequential_ab",
+    "price_index",
+    "hhi_concentration",
 ]
 
 

@@ -1316,3 +1316,203 @@ PACF_DAILY_REVENUE_SQL = _pacf_sql()
 REGISTRY["pacf_daily_revenue"] = QuerySpec(
     q_pacf_daily_revenue, PACF_DAILY_REVENUE_SQL
 )
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-index numbers per year vs the 1996 base — Laspeyres (base-
+    quantity weights), Paasche (current-quantity weights), and Fisher
+    (their geometric mean, the superlative index): the economics family
+    the engine lacked (inflation/deflator analytics over transactional
+    data). Per (year, part) average unit prices and quantities aggregate
+    once; the index is a weighted ratio over parts present in BOTH
+    periods (matched-sample convention, stated).
+
+    Exactness: unit prices snap to DECIMAL per (year, part) (exact sums
+    of snapped per-line unit prices over exact counts, one snap); the
+    Σp·q cross terms multiply exact decimals and sum exactly; each index
+    is one double division snapped at 6 dp; Fisher is one sqrt on the two
+    snapped indices. Scale: one (year, part) aggregate (map-side
+    combined), base year broadcast back part-keyed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    yp = (
+        li.groupBy(
+            F.year("l_shipdate").alias("yr"), F.col("l_partkey").alias("pk")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+            F.sum(
+                F.round(
+                    (
+                        F.col("l_extendedprice").cast("decimal(12,2)")
+                        / F.col("l_quantity").cast("decimal(12,2)")
+                    ).cast("decimal(28,8)"),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("sp"),
+            F.count(F.lit(1)).cast("long").alias("nl"),
+        )
+        .select(
+            "yr",
+            "pk",
+            "q",
+            F.round(
+                (F.col("sp").cast("double") / F.col("nl").cast("double")).cast(
+                    "decimal(28,8)"
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+        .localCheckpoint()
+    )
+    base = yp.filter(F.col("yr") == 1996).select(
+        "pk", F.col("q").alias("q0"), F.col("p").alias("p0")
+    )
+    cur = yp.filter(F.col("yr") != 1996)
+    j = cur.join(F.broadcast(base), "pk")
+    sums = j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p") * F.col("q0")).alias("p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+        F.sum(F.col("p") * F.col("q")).alias("p1q1"),
+        F.sum(F.col("p0") * F.col("q")).alias("p0q1"),
+    )
+    lasp = X.snap_round(
+        F.col("p1q0").cast("double") / F.col("p0q0").cast("double"), 6
+    )
+    paas = X.snap_round(
+        F.col("p1q1").cast("double") / F.col("p0q1").cast("double"), 6
+    )
+    return sums.select(
+        F.col("yr").alias("year"),
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        X.snap_round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("year")
+
+
+PRICE_INDEX_SQL = """
+WITH yp AS (
+    SELECT yr, pk, q,
+           CAST(ROUND(CAST(CAST(sp AS DOUBLE) / CAST(nl AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS p
+    FROM (
+        SELECT EXTRACT(year FROM l_shipdate) AS yr,
+               l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               SUM(CAST(ROUND(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    / CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,8)), 6)
+                    AS DECIMAL(18,6))) AS sp,
+               CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+),
+base AS (SELECT pk, q AS q0, p AS p0 FROM yp WHERE yr = 1996),
+j AS (SELECT cur.*, base.q0, base.p0
+      FROM (SELECT * FROM yp WHERE yr != 1996) cur JOIN base USING (pk)),
+sums AS (
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           SUM(p * q0) AS p1q0, SUM(p0 * q0) AS p0q0,
+           SUM(p * q) AS p1q1, SUM(p0 * q) AS p0q1
+    FROM j GROUP BY yr
+)
+SELECT yr AS year, n_parts,
+       CAST(ROUND(CAST(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS laspeyres,
+       CAST(ROUND(CAST(CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS paasche,
+       CAST(ROUND(CAST(SQRT(
+           CAST(ROUND(CAST(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE)
+           * CAST(ROUND(CAST(CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS fisher
+FROM sums
+ORDER BY year
+"""
+
+
+REGISTRY["price_index"] = QuerySpec(q_price_index, PRICE_INDEX_SQL)
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per nation — how
+    concentrated each nation's supplier market is: HHI = Σ share² over
+    supplier revenue shares (≤0.15 competitive, ≥0.25 concentrated in the
+    antitrust convention). Completes the inequality trio's MARKET axis
+    (gini: dispersion; pareto/lorenz: cumulative; HHI: concentration).
+
+    Revenue is exact decimal; shares are single double divisions per
+    supplier snapped to decimal so the Σshare² per nation is an exact sum
+    of snapped squares; one rollup per nation. Scale: one (nation,
+    supplier) aggregate, one nation aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    w_n = Window.partitionBy("s_nationkey")
+    share = F.round(
+        (
+            F.col("r").cast("double")
+            / F.sum("r").over(w_n).cast("double")
+        ).cast("decimal(28,10)"),
+        8,
+    ).cast("decimal(20,8)")
+    shared = rev.select("s_nationkey", share.alias("sh"))
+    return (
+        shared.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            X.snap_round(
+                F.sum(F.col("sh") * F.col("sh")).cast("double"), 6
+            ).alias("hhi"),
+        )
+        .select(
+            F.col("s_nationkey").alias("nation"),
+            "n_suppliers",
+            "hhi",
+            (F.col("hhi") > 0.25).alias("concentrated"),
+        )
+        .orderBy("nation")
+    )
+
+
+HHI_CONCENTRATION_SQL = """
+WITH rev AS (
+    SELECT s_nationkey, s_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS r
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+shared AS (
+    SELECT s_nationkey,
+           CAST(ROUND(CAST(CAST(r AS DOUBLE)
+                / CAST(SUM(r) OVER (PARTITION BY s_nationkey) AS DOUBLE)
+                AS DECIMAL(28,10)), 8) AS DECIMAL(20,8)) AS sh
+    FROM rev
+)
+SELECT s_nationkey AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(ROUND(CAST(CAST(SUM(sh * sh) AS DOUBLE) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS hhi,
+       CAST(ROUND(CAST(CAST(SUM(sh * sh) AS DOUBLE) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) > 0.25 AS concentrated
+FROM shared
+GROUP BY s_nationkey
+ORDER BY nation
+"""
+
+
+REGISTRY["hhi_concentration"] = QuerySpec(q_hhi_concentration, HHI_CONCENTRATION_SQL)
