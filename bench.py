@@ -253,6 +253,8 @@ HEADLINE = [
     "sequential_ab",
     "price_index",
     "hhi_concentration",
+    "max_drawdown",
+    "sentiment_lexicon",
 ]
 
 

@@ -1516,3 +1516,73 @@ ORDER BY nation
 
 
 REGISTRY["hhi_concentration"] = QuerySpec(q_hhi_concentration, HHI_CONCENTRATION_SQL)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue curve — the
+    risk-analytics member beside the trend/seasonality diagnostics: the
+    deepest peak-to-trough fall, when it happened, and the current
+    drawdown. One running-max window over the calendar-bounded daily
+    series (exact decimals; the peak/trough ratio is the single snapped
+    division), the same bounded-series window contract as
+    forecast_backtest.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d", F.sum("y").over(w).cast("decimal(24,2)").alias("c")
+    )
+    peaks = cum.select(
+        "d",
+        "c",
+        F.max("c").over(w.orderBy("d")).alias("peak"),
+    ).select(
+        "d",
+        X.snap_round(
+            (F.col("peak") - F.col("c")).cast("double")
+            / F.col("peak").cast("double"),
+            8,
+        ).alias("dd"),
+    )
+    whole = Window.partitionBy()
+    ranked = peaks.select(
+        "d", "dd", F.max("dd").over(whole).alias("max_dd")
+    )
+    return (
+        ranked.filter(F.col("dd") == F.col("max_dd"))
+        .agg(
+            F.min("d").alias("trough_date"),
+            F.max("dd").cast("double").alias("max_drawdown"),
+        )
+    )
+
+
+MAX_DRAWDOWN_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+cum AS (
+    SELECT d, CAST(SUM(y) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(24,2)) AS c
+    FROM daily
+),
+peaks AS (
+    SELECT d,
+           CAST(ROUND(CAST(CAST(MAX(c) OVER w - c AS DOUBLE)
+                / CAST(MAX(c) OVER w AS DOUBLE) AS DECIMAL(28,10)), 8)
+                AS DOUBLE) AS dd
+    FROM cum
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT MIN(d) AS trough_date,
+       CAST(MAX(dd) AS DOUBLE) AS max_drawdown
+FROM (SELECT d, dd, MAX(dd) OVER () AS max_dd FROM peaks)
+WHERE dd = max_dd
+"""
+
+
+REGISTRY["max_drawdown"] = QuerySpec(q_max_drawdown, MAX_DRAWDOWN_SQL)

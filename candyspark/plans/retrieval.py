@@ -1124,3 +1124,110 @@ ORDER BY source, rank
 
 
 REGISTRY["distinctive_terms"] = QuerySpec(q_distinctive_terms, DISTINCTIVE_TERMS_SQL)
+
+
+def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring per source — the large-scale
+    sentiment-analysis-on-Spark pattern (cf. the EDBT'16 Twitter study in
+    PAPERS.md) as a checkable query: count positive/negative lexicon hits
+    per document (here the corpus's own performance vocabulary,
+    fast/small vs slow/big — a deterministic stand-in the way the
+    multimodal decoders stub theirs; a deployment swaps in
+    VADER/AFINN-class lists, the plumbing is identical), polarity =
+    (pos − neg)/(pos + neg) per scored document, then per-source means.
+
+    Scale: token explode filtered TO THE LEXICON at the scan (the
+    bm25/query-term discipline — the shuffle carries only lexicon hits);
+    polarity snaps to decimal per doc so source means are order-free
+    sums; unscored documents (no lexicon hits) are counted separately,
+    never silently averaged as zero.
+    """
+    pos = ("fast", "small")
+    neg = ("slow", "big")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    hits = (
+        d.select("doc_id", "source", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w").isin(*(pos + neg)))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.when(F.col("w").isin(*pos), 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+            F.sum(F.when(F.col("w").isin(*neg), 1).otherwise(0))
+            .cast("long")
+            .alias("nn"),
+        )
+    )
+    polarity = F.round(
+        (
+            (F.col("np") - F.col("nn")).cast("double")
+            / (F.col("np") + F.col("nn")).cast("double")
+        ).cast("decimal(28,8)"),
+        6,
+    ).cast("decimal(18,6)")
+    scored = hits.select("source", polarity.alias("pol"))
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("pol").alias("pol_sum"),
+        F.sum(F.when(F.col("pol") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        totals.join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("long").alias("n_scored"),
+            snap_round(
+                F.coalesce(
+                    F.col("pol_sum").cast("double")
+                    / F.col("n_scored").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mean_polarity"),
+            F.coalesce(F.col("n_positive"), F.lit(0))
+            .cast("long")
+            .alias("n_positive"),
+        )
+        .orderBy("source")
+    )
+
+
+SENTIMENT_LEXICON_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+hits AS (
+    SELECT doc_id, source,
+           CAST(SUM(CASE WHEN w IN ('fast', 'small') THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           CAST(SUM(CASE WHEN w IN ('slow', 'big') THEN 1 ELSE 0 END) AS BIGINT) AS nn
+    FROM (SELECT doc_id, source, unnest(toks) AS w FROM t)
+    WHERE w IN ('fast', 'small', 'slow', 'big')
+    GROUP BY doc_id, source
+),
+scored AS (
+    SELECT source,
+           CAST(ROUND(CAST(CAST(np - nn AS DOUBLE) / CAST(np + nn AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS pol
+    FROM hits
+),
+per_source AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           SUM(pol) AS pol_sum,
+           CAST(SUM(CASE WHEN pol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+    FROM scored GROUP BY source
+),
+totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+SELECT source, n_docs,
+       CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(ROUND(CAST(COALESCE(CAST(pol_sum AS DOUBLE) / CAST(n_scored AS DOUBLE),
+            0.0) AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_polarity,
+       CAST(COALESCE(n_positive, 0) AS BIGINT) AS n_positive
+FROM totals LEFT JOIN per_source USING (source)
+ORDER BY source
+"""
+
+
+REGISTRY["sentiment_lexicon"] = QuerySpec(q_sentiment_lexicon, SENTIMENT_LEXICON_SQL)
