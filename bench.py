@@ -255,6 +255,7 @@ HEADLINE = [
     "hhi_concentration",
     "max_drawdown",
     "sentiment_lexicon",
+    "logrank_test",
 ]
 
 

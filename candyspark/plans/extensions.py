@@ -3316,3 +3316,226 @@ ORDER BY event_type
 REGISTRY["streaming_quality_gate"] = QuerySpec(
     q_streaming_quality_gate, STREAMING_QUALITY_GATE_SQL
 )
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test — ARE the two arms' survival curves different, the
+    inference companion Kaplan-Meier (q_kaplan_meier) draws but cannot
+    test: at every event time, compare each arm's observed conversions to
+    the expectation under the shared-hazard null (hypergeometric mean),
+    accumulate O−E and its variance, and χ² = (Σ(O₁−E₁))²/ΣV with the
+    3.841 (df=1, α=0.05) literal cut. Censoring handled exactly as KM:
+    users leave the risk set when they convert OR when observation ends.
+
+    Same time-to-event construction as KM (shared semantics), arms by the
+    md5-parity split (the ab_* convention). Scale: user-grain reduction →
+    per-(arm, day) event/leave counts → the risk-set recursion is a
+    cumulative window over the ≤2·|days| grid (an explicit arms×days
+    cross join so silent zero-event days stay PRESENT); per-time terms
+    snap to decimal, the two sums are exact, one snapped χ².
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    horizon = e.agg(F.max("ts").alias("end_ts"))
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    ).cast("int")
+    per_user = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("pu")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            arm.alias("g"),
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.floor(
+                    (F.unix_micros("conv_ts") - F.unix_micros("signup_ts"))
+                    / F.lit(86400000000)
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_micros("end_ts") - F.unix_micros("signup_ts"))
+                    / F.lit(86400000000)
+                )
+            )
+            .cast("long")
+            .alias("t"),
+            F.col("conv_ts").isNotNull().cast("int").alias("d"),
+        )
+    )
+    gt = (
+        per_user.groupBy("g", "t")
+        .agg(
+            F.sum("d").cast("long").alias("events"),
+            F.count(F.lit(1)).cast("long").alias("leaves"),
+        )
+        .localCheckpoint()
+    )
+    times = gt.filter(F.col("events") > 0).select("t").distinct()
+    arms = gt.select("g").distinct()
+    n0 = gt.groupBy("g").agg(F.sum("leaves").cast("long").alias("n_total"))
+    grid = (
+        times.crossJoin(arms)
+        .join(gt, ["g", "t"], "left")
+        .join(F.broadcast(n0), "g")
+        .select(
+            "g",
+            "t",
+            F.coalesce(F.col("events"), F.lit(0)).cast("long").alias("d_gt"),
+            F.coalesce(F.col("leaves"), F.lit(0)).cast("long").alias("l_gt"),
+            "n_total",
+        )
+    )
+    # risk set at t = total minus everyone who left strictly before t;
+    # leaves at NON-event times must also decrement → recompute the prior
+    # leave mass from the full gt relation via a range-style cumulative:
+    # join grid times against per-(g,t) leaves with t_leave < t
+    leaves = gt.select(
+        F.col("g").alias("lg"), F.col("t").alias("lt"), "leaves"
+    )
+    prior = (
+        grid.join(
+            leaves,
+            (F.col("g") == F.col("lg")) & (F.col("lt") < F.col("t")),
+            "left",
+        )
+        .groupBy("g", "t", "d_gt", "n_total")
+        .agg(F.coalesce(F.sum("leaves"), F.lit(0)).cast("long").alias("gone"))
+        .select(
+            "g", "t", "d_gt", (F.col("n_total") - F.col("gone")).alias("n_gt")
+        )
+    )
+    a = prior.filter(F.col("g") == 0).select(
+        "t", F.col("d_gt").alias("d1"), F.col("n_gt").alias("n1")
+    )
+    b = prior.filter(F.col("g") == 1).select(
+        "t", F.col("d_gt").alias("d2"), F.col("n_gt").alias("n2")
+    )
+    j = a.join(b, "t")
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    e1 = d * n1d / n
+    v = F.when(
+        n > 1.0,
+        d * n1d * n2d * (n - d) / (n * n * (n - 1.0)),
+    ).otherwise(F.lit(0.0))
+    terms = j.filter(n > 0).select(
+        F.round((F.col("d1").cast("double") - e1).cast("decimal(28,10)"), 8)
+        .cast("decimal(20,8)")
+        .alias("oe"),
+        F.round(v.cast("decimal(28,10)"), 8).cast("decimal(20,8)").alias("v"),
+        "d1",
+        "d2",
+    )
+    sums = terms.agg(
+        F.sum("oe").alias("oe_sum"),
+        F.sum("v").alias("v_sum"),
+        F.sum(F.col("d1") + F.col("d2")).cast("long").alias("n_events"),
+    )
+    chi2 = (
+        F.col("oe_sum").cast("double")
+        * F.col("oe_sum").cast("double")
+        / F.col("v_sum").cast("double")
+    )
+    return sums.select(
+        "n_events",
+        X.snap_round(chi2, 6).alias("chi2"),
+        (X.snap_round(chi2, 6) > 3.841).alias("curves_differ"),
+    )
+
+
+LOGRANK_TEST_SQL = """
+WITH signups AS (
+    SELECT user_id, MIN(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+per_user AS (
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(u.user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS INTEGER) AS g,
+           CAST(CASE WHEN MIN(p.ts) IS NOT NULL
+                THEN FLOOR((epoch_us(MIN(p.ts)) - epoch_us(u.signup_ts)) / 86400000000)
+                ELSE FLOOR((epoch_us(h.end_ts) - epoch_us(u.signup_ts)) / 86400000000)
+           END AS BIGINT) AS t,
+           CAST(MIN(p.ts) IS NOT NULL AS INTEGER) AS d
+    FROM signups u
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = u.user_id AND p.ts >= u.signup_ts
+    CROSS JOIN horizon h
+    GROUP BY u.user_id, u.signup_ts, h.end_ts
+),
+gt AS (
+    SELECT g, t, CAST(SUM(d) AS BIGINT) AS events,
+           CAST(COUNT(*) AS BIGINT) AS leaves
+    FROM per_user GROUP BY g, t
+),
+times AS (SELECT DISTINCT t FROM gt WHERE events > 0),
+arms AS (SELECT DISTINCT g FROM gt),
+n0 AS (SELECT g, CAST(SUM(leaves) AS BIGINT) AS n_total FROM gt GROUP BY g),
+grid AS (
+    SELECT arms.g, times.t,
+           CAST(COALESCE(gt.events, 0) AS BIGINT) AS d_gt,
+           n0.n_total
+    FROM times CROSS JOIN arms
+    LEFT JOIN gt ON gt.g = arms.g AND gt.t = times.t
+    JOIN n0 ON n0.g = arms.g
+),
+prior AS (
+    SELECT grid.g, grid.t, grid.d_gt,
+           grid.n_total - CAST(COALESCE(SUM(l.leaves), 0) AS BIGINT) AS n_gt
+    FROM grid
+    LEFT JOIN gt l ON l.g = grid.g AND l.t < grid.t
+    GROUP BY grid.g, grid.t, grid.d_gt, grid.n_total
+),
+j AS (
+    SELECT a.t, a.d_gt AS d1, a.n_gt AS n1, b.d_gt AS d2, b.n_gt AS n2
+    FROM (SELECT * FROM prior WHERE g = 0) a
+    JOIN (SELECT * FROM prior WHERE g = 1) b USING (t)
+),
+terms AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(d1 AS DOUBLE)
+               - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE)
+               AS DECIMAL(28,10)), 8) AS DECIMAL(20,8)) AS oe,
+           CAST(ROUND(CAST(
+               CASE WHEN CAST(n1 + n2 AS DOUBLE) > 1.0
+                    THEN CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                         * CAST(n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+                         / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                            * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+                    ELSE 0.0 END
+               AS DECIMAL(28,10)), 8) AS DECIMAL(20,8)) AS v,
+           d1, d2
+    FROM j WHERE n1 + n2 > 0
+)
+SELECT CAST(SUM(d1 + d2) AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(
+           CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+           / CAST(SUM(v) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS chi2,
+       CAST(ROUND(CAST(
+           CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+           / CAST(SUM(v) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) > 3.841 AS curves_differ
+FROM terms
+"""
+
+
+REGISTRY["logrank_test"] = QuerySpec(q_logrank_test, LOGRANK_TEST_SQL)
