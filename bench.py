@@ -256,6 +256,7 @@ HEADLINE = [
     "max_drawdown",
     "sentiment_lexicon",
     "logrank_test",
+    "regression_discontinuity",
 ]
 
 

@@ -2458,3 +2458,125 @@ ORDER BY look
 
 
 REGISTRY["sequential_ab"] = QuerySpec(q_sequential_ab, SEQUENTIAL_AB_SQL)
+
+
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity — the fourth causal design,
+    completing randomized (ab_*) → observational (ips/aipw) → panel
+    (diff_in_diff) → DISCONTINUITY: does crossing the zero-account-balance
+    cutoff shift customer order volume? Local linear fits on each side of
+    the cutoff within a ±1000 bandwidth; the RD estimate is the gap
+    between the two fits' intercepts AT the cutoff — the jump that
+    confounders continuous in the running variable cannot produce.
+
+    Both side fits are the closed-form sufficient-statistic OLS (one
+    aggregate each, keyed by side — the ols_by_brand shape with side as
+    the group); balances are exact DECIMAL(12,2) so the moment sums are
+    exact; the two intercepts and their gap assemble in double with one
+    snap each. Bandwidth and cutoff are stated constants (a deployment
+    derives the bandwidth by cross-validation; the estimator algebra is
+    identical).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("long").alias("y"))
+    )
+    banded = per_cust.select(
+        F.col("c_acctbal").cast("decimal(12,2)").alias("x"),
+        "y",
+        (F.col("c_acctbal") >= 0).alias("right_side"),
+    ).filter(
+        (F.col("x") >= F.lit(-1000).cast("decimal(12,2)"))
+        & (F.col("x") <= F.lit(1000).cast("decimal(12,2)"))
+    )
+    sums = banded.groupBy("right_side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(24,2)").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y").cast("decimal(18,0)"))
+        .cast("decimal(30,2)")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(30,4)").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    fits = sums.select(
+        "right_side",
+        "n",
+        snap_round(intercept, 6).alias("icept"),
+        snap_round(slope, 8).alias("slope"),
+    )
+    r = fits.filter(F.col("right_side")).select(
+        F.col("n").alias("n_right"),
+        F.col("icept").alias("i_r"),
+        F.col("slope").alias("s_r"),
+    )
+    l_ = fits.filter(~F.col("right_side")).select(
+        F.col("n").alias("n_left"),
+        F.col("icept").alias("i_l"),
+        F.col("slope").alias("s_l"),
+    )
+    return r.crossJoin(l_).select(
+        "n_left",
+        "n_right",
+        F.col("i_l").alias("intercept_left"),
+        F.col("i_r").alias("intercept_right"),
+        snap_round(F.col("i_r") - F.col("i_l"), 6).alias("rd_estimate"),
+    )
+
+
+REGRESSION_DISCONTINUITY_SQL = """
+WITH per_cust AS (
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+),
+banded AS (
+    SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS x, y,
+           c_acctbal >= 0 AS right_side
+    FROM per_cust
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) BETWEEN -1000 AND 1000
+),
+sums AS (
+    SELECT right_side,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DECIMAL(24,2)) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * CAST(y AS DECIMAL(18,0))) AS DECIMAL(30,2)) AS sxy,
+           CAST(SUM(x * x) AS DECIMAL(30,4)) AS sxx
+    FROM banded GROUP BY right_side
+),
+fits AS (
+    SELECT right_side, n,
+           CAST(ROUND(CAST(
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS icept
+    FROM sums
+)
+SELECT l.n AS n_left, r.n AS n_right,
+       l.icept AS intercept_left,
+       r.icept AS intercept_right,
+       CAST(ROUND(CAST(r.icept - l.icept AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS rd_estimate
+FROM (SELECT * FROM fits WHERE right_side) r
+CROSS JOIN (SELECT * FROM fits WHERE NOT right_side) l
+"""
+
+
+REGISTRY["regression_discontinuity"] = QuerySpec(
+    q_regression_discontinuity, REGRESSION_DISCONTINUITY_SQL
+)
