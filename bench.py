@@ -257,6 +257,7 @@ HEADLINE = [
     "sentiment_lexicon",
     "logrank_test",
     "regression_discontinuity",
+    "ucb_allocation",
 ]
 
 

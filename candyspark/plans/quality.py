@@ -2580,3 +2580,80 @@ CROSS JOIN (SELECT * FROM fits WHERE NOT right_side) l
 REGISTRY["regression_discontinuity"] = QuerySpec(
     q_regression_discontinuity, REGRESSION_DISCONTINUITY_SQL
 )
+
+
+def q_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation — which arm an adaptive experimenter pulls
+    NEXT given the data so far: score(arm) = mean reward + √(2·ln N / n),
+    the optimism bonus that trades exploitation against exploration (Auer
+    et al. 2002). The ADAPTIVE member of the experiment family: ab_ztest
+    decides after the fact, sequential_ab monitors a fixed split, UCB
+    *allocates*. Arms = event types, reward = event value.
+
+    Exactness: per-arm counts and reward sums are exact (values snapped
+    to decimal per row); one ln and one sqrt per ARM on identical doubles
+    with a single snapped score; the winner is the max-score arm under a
+    total (score desc, arm) order. Scale: one map-side-combined arm
+    rollup; everything after is ≤|arms| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arms = e.filter(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pulls"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("reward_sum"),
+    )
+    whole = Window.partitionBy()
+    with_n = arms.withColumn(
+        "n_total", F.sum("n_pulls").over(whole).cast("long")
+    )
+    mean_r = F.col("reward_sum").cast("double") / F.col("n_pulls").cast("double")
+    bonus = F.sqrt(
+        2.0 * F.log(F.col("n_total").cast("double"))
+        / F.col("n_pulls").cast("double")
+    )
+    score = snap_round(mean_r + bonus, 6)
+    scored = with_n.select(
+        "arm",
+        "n_pulls",
+        snap_round(mean_r, 6).alias("mean_reward"),
+        score.alias("ucb_score"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("ucb_score")
+            == F.max("ucb_score").over(Window.partitionBy())
+        ).alias("pull_next"),
+    ).orderBy(F.desc("ucb_score"), "arm")
+
+
+UCB_ALLOCATION_SQL = """
+WITH arms AS (
+    SELECT event_type AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_pulls,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS reward_sum
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+),
+scored AS (
+    SELECT arm, n_pulls,
+           CAST(ROUND(CAST(CAST(reward_sum AS DOUBLE) / CAST(n_pulls AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_reward,
+           CAST(ROUND(CAST(
+               CAST(reward_sum AS DOUBLE) / CAST(n_pulls AS DOUBLE)
+               + SQRT(2.0 * LN(CAST(SUM(n_pulls) OVER () AS DOUBLE))
+                      / CAST(n_pulls AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS ucb_score
+    FROM arms
+)
+SELECT arm, n_pulls, mean_reward, ucb_score,
+       ucb_score = MAX(ucb_score) OVER () AS pull_next
+FROM scored
+ORDER BY ucb_score DESC, arm
+"""
+
+
+REGISTRY["ucb_allocation"] = QuerySpec(q_ucb_allocation, UCB_ALLOCATION_SQL)
