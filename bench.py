@@ -258,6 +258,7 @@ HEADLINE = [
     "logrank_test",
     "regression_discontinuity",
     "ucb_allocation",
+    "ransac_trend",
 ]
 
 

@@ -1225,3 +1225,240 @@ ORDER BY decile
 
 
 REGISTRY["lorenz_curve"] = QuerySpec(q_lorenz_curve, LORENZ_CURVE_SQL)
+
+
+def q_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus trend — the third robust-regression paradigm
+    beside the rank-based Theil-Sen and the IRLS Huber mean: 24
+    DETERMINISTIC candidate lines (md5-chosen day pairs — no RNG state,
+    the engine's sampling discipline), each scored by its inlier count
+    within a DATA-DERIVED tolerance (half the IQR of daily revenue), and
+    the winner REFIT by OLS on its consensus set. Breakdown point ~50%:
+    a contaminated minority of days cannot drag the fit, because a line
+    through clean points wins the vote.
+
+    Relational shape: the indexed daily series is calendar-bounded; the
+    24 candidates join it twice by index (48 lookups); scoring is a
+    24×|days| bounded cross join collapsing map-side to 24 counts; the
+    refit is one sufficient-statistic aggregate over the winning inliers.
+    All thresholds/comparisons run on snapped decimals so both engines
+    vote identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    w = Window.orderBy("d")
+    series = daily.select(
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+    ).localCheckpoint()
+    stats = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY y)").alias("q25"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY y)").alias("q75"),
+    ).select(
+        "n_days",
+        F.round(
+            ((F.col("q75") - F.col("q25")).cast("double") / 2.0).cast(
+                "decimal(28,4)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("eps"),
+    )
+    h = lambda tag: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(tag), F.col("cid").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        spark.range(24)
+        .select(F.col("id").cast("int").alias("cid"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "cid",
+            "eps",
+            (h("ransac:a:") % F.col("n_days")).alias("ia"),
+            (h("ransac:b:") % F.col("n_days")).alias("ib_raw"),
+            "n_days",
+        )
+        .select(
+            "cid",
+            "eps",
+            "ia",
+            F.when(F.col("ib_raw") != F.col("ia"), F.col("ib_raw"))
+            .otherwise((F.col("ib_raw") + 1) % F.col("n_days"))
+            .alias("ib"),
+        )
+    )
+    pa = series.select(
+        F.col("i").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    pb = series.select(
+        F.col("i").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    lines = (
+        cand.join(F.broadcast(pa), "ia")
+        .join(F.broadcast(pb), "ib")
+        .filter(F.col("xa") != F.col("xb"))
+        .select(
+            "cid",
+            "eps",
+            F.round(
+                (
+                    (F.col("yb") - F.col("ya")).cast("double")
+                    / (F.col("xb") - F.col("xa")).cast("double")
+                ).cast("decimal(28,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("b"),
+            "xa",
+            "ya",
+        )
+        .select(
+            "cid",
+            "eps",
+            "b",
+            F.round(
+                (F.col("ya").cast("double") - F.col("b") * F.col("xa").cast("double"))
+                .cast("decimal(28,6)"),
+                4,
+            )
+            .cast("double")
+            .alias("a"),
+        )
+        .localCheckpoint()
+    )
+    scored = (
+        lines.crossJoin(series)
+        .filter(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+            )
+            <= F.col("eps")
+        )
+        .groupBy("cid", "a", "b", "eps")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inliers"))
+    )
+    w_best = Window.orderBy(F.desc("n_inliers"), "cid")
+    best = (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("a", "b", "eps", "n_inliers")
+    )
+    inliers = series.crossJoin(F.broadcast(best)).filter(
+        F.abs(
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        )
+        <= F.col("eps")
+    )
+    refit = inliers.agg(
+        F.max("n_inliers").cast("long").alias("n_inliers"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return refit.select(
+        "n_inliers",
+        snap_round(slope, 6).alias("ransac_slope"),
+        snap_round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "ransac_intercept"
+        ),
+    )
+
+
+RANSAC_TREND_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+series AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+           CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+           CAST(y AS DECIMAL(18,2)) AS y
+    FROM daily
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY y)
+                - percentile_disc(0.25) WITHIN GROUP (ORDER BY y) AS DOUBLE) / 2.0
+                AS DECIMAL(28,4)), 2) AS DOUBLE) AS eps
+    FROM series
+),
+cand AS (
+    SELECT cid, eps, ia,
+           CASE WHEN ib_raw != ia THEN ib_raw ELSE (ib_raw + 1) % n_days END AS ib
+    FROM (
+        SELECT CAST(r AS INTEGER) AS cid, eps, n_days,
+               CAST(concat('0x', substr(md5(concat('ransac:a:', CAST(r AS VARCHAR))), 1, 8)) AS BIGINT) % n_days AS ia,
+               CAST(concat('0x', substr(md5(concat('ransac:b:', CAST(r AS VARCHAR))), 1, 8)) AS BIGINT) % n_days AS ib_raw
+        FROM range(0, 24) t(r) CROSS JOIN stats
+    )
+),
+lines AS (
+    SELECT cid, eps, b,
+           CAST(ROUND(CAST(CAST(ya AS DOUBLE) - b * CAST(xa AS DOUBLE)
+                AS DECIMAL(28,6)), 4) AS DOUBLE) AS a
+    FROM (
+        SELECT cid, eps,
+               CAST(ROUND(CAST(CAST(pb.y - pa.y AS DOUBLE)
+                    / CAST(pb.x - pa.x AS DOUBLE) AS DECIMAL(28,8)), 6)
+                    AS DOUBLE) AS b,
+               pa.x AS xa, pa.y AS ya
+        FROM cand
+        JOIN series pa ON pa.i = cand.ia
+        JOIN series pb ON pb.i = cand.ib
+        WHERE pa.x != pb.x
+    )
+),
+scored AS (
+    SELECT cid, a, b, eps, CAST(COUNT(*) AS BIGINT) AS n_inliers
+    FROM lines JOIN series
+      ON ABS(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) <= eps
+    GROUP BY cid, a, b, eps
+),
+best AS (
+    SELECT a, b, eps, n_inliers
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_inliers DESC, cid) AS rk
+          FROM scored)
+    WHERE rk = 1
+),
+inliers AS (
+    SELECT series.*, best.n_inliers
+    FROM series CROSS JOIN best
+    WHERE ABS(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) <= eps
+),
+refit AS (
+    SELECT CAST(MAX(n_inliers) AS BIGINT) AS n_inliers,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(y * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM inliers
+)
+SELECT n_inliers,
+       CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS ransac_slope,
+       CAST(ROUND(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS ransac_intercept
+FROM refit
+"""
+
+
+REGISTRY["ransac_trend"] = QuerySpec(q_ransac_trend, RANSAC_TREND_SQL)
