@@ -259,6 +259,8 @@ HEADLINE = [
     "regression_discontinuity",
     "ucb_allocation",
     "ransac_trend",
+    "overdispersion_check",
+    "term_burstiness",
 ]
 
 

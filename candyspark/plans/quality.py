@@ -2657,3 +2657,81 @@ ORDER BY ucb_score DESC, arm
 
 
 REGISTRY["ucb_allocation"] = QuerySpec(q_ucb_allocation, UCB_ALLOCATION_SQL)
+
+
+def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-data overdispersion check — per event type, is the daily
+    event count Poisson-like (dispersion index D = s²/x̄ ≈ 1) or
+    overdispersed (D ≫ 1, bursty arrivals)? The modeling gate BEFORE any
+    Poisson-rate assumption (seasonal_anomaly's control limits, rate
+    comparisons): an overdispersed series needs negative-binomial-width
+    intervals or every alert threshold fires too often.
+
+    One (type, day) aggregate, then exact per-type power sums; D and the
+    χ²-approximate flag (D·(n−1) > n−1+3·√(2(n−1)) — the normal
+    approximation to the dispersion test at ~3σ) assemble in double with
+    single snaps. Everything after the first rollup is ≤|types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sc").cast("double") / n
+    var = (F.col("scc").cast("double") - F.col("sc").cast("double") * mean) / (
+        n - 1.0
+    )
+    disp = snap_round(var / mean, 6)
+    thresh = 1.0 + 3.0 * F.sqrt(2.0 / (n - 1.0))
+    return sums.select(
+        "event_type",
+        "n_days",
+        snap_round(mean, 4).alias("mean_daily"),
+        disp.alias("dispersion_index"),
+        (disp > snap_round(thresh, 6)).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+OVERDISPERSION_CHECK_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(c * c) AS BIGINT) AS scc
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(ROUND(CAST(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_daily,
+       CAST(ROUND(CAST(
+           ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+             * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))
+            / (CAST(n_days AS DOUBLE) - 1.0))
+           / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS dispersion_index,
+       CAST(ROUND(CAST(
+           ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+             * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))
+            / (CAST(n_days AS DOUBLE) - 1.0))
+           / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE)
+       > CAST(ROUND(CAST(1.0 + 3.0 * SQRT(2.0 / (CAST(n_days AS DOUBLE) - 1.0))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS overdispersed
+FROM sums
+ORDER BY event_type
+"""
+
+
+REGISTRY["overdispersion_check"] = QuerySpec(
+    q_overdispersion_check, OVERDISPERSION_CHECK_SQL
+)

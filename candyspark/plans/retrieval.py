@@ -1231,3 +1231,80 @@ ORDER BY source
 
 
 REGISTRY["sentiment_lexicon"] = QuerySpec(q_sentiment_lexicon, SENTIMENT_LEXICON_SQL)
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness — HOW a term distributes across documents, the
+    corpus-linguistics complement to distinctive_terms' WHERE: for the
+    top-20 corpus terms, the variance-to-mean ratio of per-document
+    counts (VMR ≈ 1 for Poisson 'function words', ≫ 1 for bursty 'topic
+    words' that pile into few documents). Burstiness is the signal behind
+    idf-style weighting and stopword detection — a high-frequency LOW-VMR
+    term is a stopword candidate even without a list.
+
+    Per-(doc, term) counts aggregate once (the tf relation every text
+    operator shares); zero-count documents enter the moments via the
+    corpus doc count N — Σc and Σc² over NON-zero rows plus N give the
+    full-population mean/variance exactly, no dense doc×term grid. Top-20
+    terms by total count, total tie order; one snapped VMR each.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_term = tf.groupBy("term").agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    top = (
+        per_term.orderBy(F.desc("sc"), "term")
+        .limit(20)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    nd = F.col("n_docs").cast("double")
+    mean = F.col("sc").cast("double") / nd
+    var = (F.col("scc").cast("double") - F.col("sc").cast("double") * mean) / nd
+    return top.select(
+        "term",
+        F.col("sc").alias("total_count"),
+        "df",
+        snap_round(var / mean, 6).alias("vmr"),
+    ).orderBy(F.desc("total_count"), "term")
+
+
+TERM_BURSTINESS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    GROUP BY term, doc_id
+),
+per_term AS (
+    SELECT term,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(c * c) AS BIGINT) AS scc,
+           CAST(COUNT(*) AS BIGINT) AS df
+    FROM tf GROUP BY term
+),
+top AS (
+    SELECT * FROM per_term CROSS JOIN nd
+    ORDER BY sc DESC, term LIMIT 20
+)
+SELECT term, sc AS total_count, df,
+       CAST(ROUND(CAST(
+           ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+             * (CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+            / CAST(n_docs AS DOUBLE))
+           / (CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS vmr
+FROM top
+ORDER BY total_count DESC, term
+"""
+
+
+REGISTRY["term_burstiness"] = QuerySpec(q_term_burstiness, TERM_BURSTINESS_SQL)
