@@ -70,6 +70,14 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         "selection the source_caps query checks). 0 disables.",
     )
     p.add_argument(
+        "--strip-boilerplate",
+        action="store_true",
+        help="strip per-source boilerplate segments (10-word segments "
+        "repeating in >=20%% of a source's documents and >=3 docs — the "
+        "boilerplate_audit predicate, applied) and rewrite text/token "
+        "counts; documents stripped to nothing are dropped and counted",
+    )
+    p.add_argument(
         "--balance-langs",
         action="store_true",
         help="cap every language at the minority class's size "
@@ -148,6 +156,64 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         n_near_dropped = drop.count()
         survivors = survivors.join(drop, "doc_id", "left_anti").localCheckpoint()
 
+    n_boiler_stripped = 0
+    n_emptied = 0
+    if args.strip_boilerplate:
+        # the boilerplate_audit predicate, APPLIED: same 10-word segment
+        # grain as dedup_paragraphs, per-(source, segment) document
+        # frequency, 5*df >= n_docs_source AND df >= 3 => strip
+        words = survivors.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        segs = (
+            words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
+            .groupBy("doc_id", "source", "seg_idx")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda x: x["word"],
+                    ),
+                    " ",
+                ).alias("seg")
+            )
+            .localCheckpoint()  # feeds df relation AND the anti-join
+        )
+        seg_df = segs.groupBy("source", "seg").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        src_docs = survivors.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs_src")
+        )
+        boiler = (
+            seg_df.join(F.broadcast(src_docs), "source")
+            .filter((F.col("df") * 5 >= F.col("n_docs_src")) & (F.col("df") >= 3))
+            .select("source", "seg")
+        )
+        kept_segs = segs.join(boiler, ["source", "seg"], "left_anti")
+        n_boiler_stripped = segs.count() - kept_segs.count()
+        rebuilt = kept_segs.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("new_text")
+        )
+        stripped = (
+            survivors.join(rebuilt, "doc_id", "left")
+            .withColumn("text", F.coalesce(F.col("new_text"), F.lit("")))
+            .drop("new_text")
+            .withColumn("n_tokens", X.token_count("text").cast("bigint"))
+            .localCheckpoint()
+        )
+        kept = stripped.filter(F.col("n_tokens") > 0).localCheckpoint()
+        n_emptied = stripped.count() - kept.count()
+        survivors = kept
+
     n_source_capped = 0
     if args.source_cap:
         cap_w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
@@ -211,6 +277,8 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
                 "near_dup_dropped": n_near_dropped,
                 "gopher_dropped": n_gopher_dropped,
                 "source_capped": n_source_capped,
+                "boiler_segments_stripped": n_boiler_stripped,
+                "boiler_emptied_docs": n_emptied,
                 "balance_dropped": n_balance_dropped,
                 "splits": counts,
                 "output": args.output_dir,

@@ -165,3 +165,76 @@ def test_corpus_cli_source_cap_and_balance(spark, tmp_path, capsys):
     json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     n_base = spark.read.parquet(str(base_out / "documents")).count()
     assert landed_plus_drops == n_base
+
+
+def test_corpus_cli_strip_boilerplate(spark, tmp_path, capsys):
+    """--strip-boilerplate removes exactly the audit-flagged (source,
+    segment) pairs: none of the input-flagged segments survives in the
+    output text, the receipt accounts for stripped segments, and token
+    counts are recomputed from the rewritten text."""
+    from pyspark.sql import functions as F
+
+    from candyspark import corpus_cli
+
+    out = tmp_path / "corpus_out_bp"
+    rc = corpus_cli.main(
+        [
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--output-dir",
+            str(out),
+            "--strip-boilerplate",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    receipt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "boiler_segments_stripped" in receipt
+    docs = spark.read.parquet(str(out / "documents"))
+
+    def segs_of(df):
+        words = df.select(
+            "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        return (
+            words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
+            .groupBy("doc_id", "source", "seg_idx")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda x: x["word"],
+                    ),
+                    " ",
+                ).alias("seg")
+            )
+        )
+
+    # recompute the INPUT-side boilerplate set over the same survivor pool
+    # the CLI saw (quality+exact-dedup only run) and assert absence
+    out2 = tmp_path / "corpus_out_plain"
+    corpus_cli.main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--output-dir", str(out2)],
+        stop_session=False,
+    )
+    capsys.readouterr()
+    base = spark.read.parquet(str(out2 / "documents"))
+    base_segs = segs_of(base)
+    src_docs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_src"))
+    flagged = (
+        base_segs.groupBy("source", "seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(src_docs, "source")
+        .filter((F.col("df") * 5 >= F.col("n_docs_src")) & (F.col("df") >= 3))
+        .select("source", "seg")
+    )
+    if flagged.count() > 0:
+        leftover = segs_of(docs).join(flagged, ["source", "seg"], "inner")
+        assert leftover.count() == 0
+    # token counts are consistent with the rewritten text
+    from candyspark.operators import text as X
+
+    mism = docs.filter(
+        F.col("n_tokens") != X.token_count("text").cast("bigint")
+    ).count()
+    assert mism == 0
