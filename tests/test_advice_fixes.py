@@ -179,3 +179,84 @@ def test_exact_quantiles_grouped_caller_bounds(spark):
         ).collect()
     }
     assert got == base
+
+
+def test_mann_whitney_matches_bruteforce(spark, tmp_path):
+    """The bounded-support rank construction must equal the textbook
+    definition (midranks, tie-corrected variance) on small tied data."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (float(rng.randint(1, 6)), "R" if rng.random() < 0.45 else "N")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "l_quantity double, l_returnflag string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from candyspark.plans.quality import q_mann_whitney
+
+    got = q_mann_whitney(spark, str(tmp_path)).collect()[0]
+
+    xs = sorted((int(q), f) for q, f in rows)
+    vals = sorted({v for v, _ in xs})
+    ranks = {}
+    start = 1
+    for v in vals:
+        t = sum(1 for x, _ in xs if x == v)
+        ranks[v] = start + (t - 1) / 2.0
+        start += t
+    ra = sum(ranks[x] for x, f in xs if f == "R")
+    n_a = sum(1 for _, f in xs if f == "R")
+    n_b = len(xs) - n_a
+    u = ra - n_a * (n_a + 1) / 2.0
+    n = n_a + n_b
+    t_corr = sum(
+        (sum(1 for x, _ in xs if x == v)) ** 3 - sum(1 for x, _ in xs if x == v)
+        for v in vals
+    )
+    var = n_a * n_b / 12.0 * ((n + 1) - t_corr / (n * (n - 1)))
+    z = (u - n_a * n_b / 2.0) / math.sqrt(var)
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    assert abs(got["u_stat"] - u) < 1e-9
+    assert abs(got["z"] - z) < 1e-6
+
+
+def test_lorenz_curve_properties(spark):
+    """Lorenz output is a valid concentration curve: shares sum to 1,
+    cumulative share is nondecreasing and ends at 1, deciles partition
+    the customers."""
+    import duckdb
+
+    from candyspark.plans.outliers import q_lorenz_curve
+
+    SF = "/root/testdata/sf0.01"
+    rows = q_lorenz_curve(spark, SF).collect()
+    total_share = sum(r["revenue_share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    cums = [r["cum_revenue_share"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-6
+    n_customers = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    # Lorenz curve lies under the diagonal (concentration is real):
+    # bottom deciles own less than their population share
+    assert cums[0] < 0.1 + 1e-6
+
+
+def test_ndcg_bounds_and_brown_forsythe_sign(spark):
+    """NDCG ∈ (0, 1]; Brown-Forsythe F is nonnegative with the stated
+    group count."""
+    from candyspark.plans.quality import q_brown_forsythe
+    from candyspark.plans.retrieval import q_ndcg_eval
+
+    SF = "/root/testdata/sf0.01"
+    nd = q_ndcg_eval(spark, SF).collect()[0]
+    assert 0.0 < nd["ndcg_20"] <= 1.0
+    assert nd["dcg_20"] <= nd["idcg_20"] + 1e-9
+    bf = q_brown_forsythe(spark, SF).collect()[0]
+    assert bf["f_stat"] >= 0.0
+    assert bf["n_groups"] == 3
