@@ -260,3 +260,80 @@ def test_ndcg_bounds_and_brown_forsythe_sign(spark):
     bf = q_brown_forsythe(spark, SF).collect()[0]
     assert bf["f_stat"] >= 0.0
     assert bf["n_groups"] == 3
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ips_recovers_planted_effect_under_confounding(spark, tmp_path):
+    """Two strata with very different base outcomes; treatment is heavily
+    confounded with stratum. The naive gap must be badly biased while IPS
+    lands near the planted +7 effect."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2025, 1, 1)
+    for uid in range(3000):
+        hi_stratum = uid % 2 == 1
+        # stratum proxy: event count (>=8 vs 2 after the purchase/click rows)
+        n_fill = 8 if hi_stratum else 1
+        p_treat = 0.8 if hi_stratum else 0.2
+        treated = rng.random() < p_treat
+        base = 100.0 if hi_stratum else 0.0
+        y = base + (7.0 if treated else 0.0) + rng.uniform(-1, 1)
+        for _ in range(n_fill):
+            rows.append((eid, t0, uid, "view", 1.0, "")); eid += 1
+        if treated:
+            rows.append((eid, t0, uid, "click", 1.0, "")); eid += 1
+        rows.append((eid, t0, uid, "purchase", y, "")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+
+    from candyspark.plans.quality import q_ips_ate
+
+    got = q_ips_ate(spark, sf).collect()[0]
+    assert abs(got["ate_ips"] - 7.0) < 3.0, got
+    assert abs(got["naive_diff"] - 7.0) > 10.0, got
+
+
+def test_did_recovers_planted_lift_under_parallel_trends(spark, tmp_path):
+    """Control rises 10→15 (a pure time shock), treated 30→35+9. The DiD
+    estimate must isolate the planted +9 while both raw changes include
+    the +5 shock."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    eid = 0
+    pre = dt.datetime(2025, 1, 1)
+    post = dt.datetime(2025, 12, 31)
+    for uid in range(2000):
+        treated = uid % 2 == 0
+        if treated:
+            rows.append((eid, pre, uid, "click", 1.0, "")); eid += 1
+        y_pre = (30.0 if treated else 10.0) + rng.uniform(-1, 1)
+        y_post = (
+            (30.0 if treated else 10.0)
+            + 5.0
+            + (9.0 if treated else 0.0)
+            + rng.uniform(-1, 1)
+        )
+        rows.append((eid, pre, uid, "purchase", y_pre, "")); eid += 1
+        rows.append((eid, post, uid, "purchase", y_post, "")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+
+    from candyspark.plans.quality import q_diff_in_diff
+
+    got = q_diff_in_diff(spark, sf).collect()[0]
+    assert abs(got["did_estimate"] - 9.0) < 1.0, got
+    assert got["treated_change"] > 12.0  # includes the +5 shock
+    assert abs(got["control_change"] - 5.0) < 1.0
