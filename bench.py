@@ -261,6 +261,8 @@ HEADLINE = [
     "ransac_trend",
     "overdispersion_check",
     "term_burstiness",
+    "propensity_overlap",
+    "power_analysis",
 ]
 
 

@@ -2735,3 +2735,182 @@ ORDER BY event_type
 REGISTRY["overdispersion_check"] = QuerySpec(
     q_overdispersion_check, OVERDISPERSION_CHECK_SQL
 )
+
+
+def q_propensity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positivity / overlap diagnostic for the observational estimators —
+    the check that DECIDES whether ips_ate/aipw_ate are trustworthy (the
+    skew_profile philosophy: ship the diagnosis beside the treatment):
+    per stratum, the propensity p̂, whether it falls outside the [0.05,
+    0.95] clip (where IPS weights explode and the estimate leans on the
+    clip, not the data), and the share of users in such strata. Same
+    user-grain/stratum construction as ips_ate — shared semantics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "treated"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "treated", F.least(F.col("n_events"), F.lit(8)).cast("int").alias("stratum")
+    )
+    prop = users.groupBy("stratum").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    p_hat = snap_round(
+        F.col("n_t").cast("double") / F.col("n_all").cast("double"), 6
+    )
+    flagged = prop.select(
+        "stratum",
+        "n_all",
+        p_hat.alias("propensity"),
+        ((p_hat < 0.05) | (p_hat > 0.95)).alias("outside_clip"),
+    )
+    whole = Window.partitionBy()
+    return flagged.select(
+        "*",
+        snap_round(
+            F.sum(F.when(F.col("outside_clip"), F.col("n_all")).otherwise(0)).over(
+                whole
+            ).cast("double")
+            / F.sum("n_all").over(whole).cast("double"),
+            6,
+        ).alias("share_outside_clip"),
+    ).orderBy("stratum")
+
+
+PROPENSITY_OVERLAP_SQL = """
+WITH users AS (
+    SELECT MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treated,
+           CAST(LEAST(COUNT(*), 8) AS INTEGER) AS stratum
+    FROM events GROUP BY user_id
+),
+prop AS (
+    SELECT stratum,
+           CAST(SUM(treated) AS BIGINT) AS n_t,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM users GROUP BY stratum
+),
+flagged AS (
+    SELECT stratum, n_all,
+           CAST(ROUND(CAST(CAST(n_t AS DOUBLE) / CAST(n_all AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS propensity
+    FROM prop
+)
+SELECT stratum, n_all, propensity,
+       propensity < 0.05 OR propensity > 0.95 AS outside_clip,
+       CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN propensity < 0.05 OR propensity > 0.95
+                         THEN n_all ELSE 0 END) OVER () AS DOUBLE)
+           / CAST(SUM(n_all) OVER () AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS share_outside_clip
+FROM flagged
+ORDER BY stratum
+"""
+
+
+REGISTRY["propensity_overlap"] = QuerySpec(
+    q_propensity_overlap, PROPENSITY_OVERLAP_SQL
+)
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect — the experiment-DESIGN number computed
+    BEFORE launching (completing the loop: power → allocate (ucb) →
+    monitor (sequential_ab) → decide (ab_ztest) → correct (bh_fdr)): with
+    the arms' observed sizes and the pooled outcome variance, the
+    smallest true lift a two-sided α=0.05 test detects with 80% power is
+    MDE = (z_{α/2} + z_β)·σ·√(1/n_a + 1/n_b), z constants 1.96/0.8416 as
+    exact literals. Variance from exact decimal power sums (the
+    stats_moments discipline); one snapped MDE, absolute and relative.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        )
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    sums = users.select(arm.alias("g"), "y").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    var = (F.col("syy").cast("double") - F.col("sy").cast("double") * mean) / (
+        nd - 1.0
+    )
+    mde = (
+        (1.96 + 0.8416)
+        * F.sqrt(var)
+        * F.sqrt(1.0 / F.col("na").cast("double") + 1.0 / F.col("nb").cast("double"))
+    )
+    return sums.select(
+        "na",
+        "nb",
+        snap_round(mean, 4).alias("mean_outcome"),
+        snap_round(F.sqrt(var), 4).alias("sd_outcome"),
+        snap_round(mde, 4).alias("mde_absolute"),
+        snap_round(mde / mean, 6).alias("mde_relative"),
+    )
+
+
+POWER_ANALYSIS_SQL = """
+WITH users AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+    FROM events GROUP BY user_id
+),
+sums AS (
+    SELECT CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(y) AS sy,
+           SUM(y * y) AS syy
+    FROM users
+)
+SELECT na, nb,
+       CAST(ROUND(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_outcome,
+       CAST(ROUND(CAST(SQRT((CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+            / (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS sd_outcome,
+       CAST(ROUND(CAST(
+           (1.96 + 0.8416)
+           * SQRT((CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 1.0))
+           * SQRT(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS mde_absolute,
+       CAST(ROUND(CAST(
+           ((1.96 + 0.8416)
+            * SQRT((CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(n AS DOUBLE) - 1.0))
+            * SQRT(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+           / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS mde_relative
+FROM sums
+"""
+
+
+REGISTRY["power_analysis"] = QuerySpec(q_power_analysis, POWER_ANALYSIS_SQL)
