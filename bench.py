@@ -263,6 +263,7 @@ HEADLINE = [
     "term_burstiness",
     "propensity_overlap",
     "power_analysis",
+    "batch_retrieval",
 ]
 
 
