@@ -264,6 +264,7 @@ HEADLINE = [
     "propensity_overlap",
     "power_analysis",
     "batch_retrieval",
+    "source_set_cover",
 ]
 
 

@@ -2012,3 +2012,147 @@ ORDER BY source
 REGISTRY["token_budget_allocation"] = QuerySpec(
     q_token_budget_allocation, TOKEN_BUDGET_ALLOCATION_SQL
 )
+
+
+def q_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set cover over sources — WHICH five sources to acquire to
+    cover the most unique content: each round picks the source with the
+    largest MARGINAL distinct-segment coverage given everything already
+    covered (the classic (1−1/e) greedy for submodular coverage; the
+    data-acquisition twin of token_budget_allocation's how-much question).
+
+    Five unrolled rounds over the shared (source, segment) relation
+    (source_overlap's grain, materialized once): marginal counts are one
+    anti-join + aggregate per round against the covered set; the argmax
+    is a 1-row driver collect per round (the BPE trainer's schema-bounded
+    scalar pattern — the collected row is the DECISION, never data), and
+    the covered set grows by one semi-join per round, checkpointed.
+    Output: pick order, marginal gain, cumulative coverage share —
+    exact integers plus one snapped share.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    segs = (
+        words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
+        .groupBy("doc_id", "source", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("seg")
+        )
+        .select("source", "seg")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = segs.select("seg").distinct().count()
+    covered = None
+    picks = []
+    cum = 0
+    for rnd in range(1, 6):
+        remaining = (
+            segs if covered is None else segs.join(covered, "seg", "left_anti")
+        )
+        best = (
+            remaining.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("marginal"))
+            .orderBy(F.desc("marginal"), "source")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["marginal"] == 0:
+            break
+        src, gain = best[0]["source"], int(best[0]["marginal"])
+        cum += gain
+        picks.append((rnd, src, gain, cum))
+        new_cov = segs.filter(F.col("source") == src).select("seg").distinct()
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint()
+    out = spark.createDataFrame(
+        picks, "pick int, source string, marginal_segs long, cum_segs long"
+    )
+    return out.select(
+        "pick",
+        "source",
+        "marginal_segs",
+        F.round(
+            (F.col("cum_segs").cast("double") / float(n_total)).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("cum_coverage_share"),
+    ).orderBy("pick")
+
+
+def _set_cover_sql() -> str:
+    base = """
+WITH split AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+words AS (
+    SELECT doc_id, source, unnest(l) AS word, unnest(range(len(l))) AS pos
+    FROM split
+),
+segs AS (
+    SELECT DISTINCT source, seg FROM (
+        SELECT doc_id, source, string_agg(word, ' ' ORDER BY pos) AS seg
+        FROM words GROUP BY doc_id, source, pos // 10
+    )
+),
+n_total AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS n FROM segs)"""
+    rounds = []
+    prev_cov = None
+    for r in range(1, 6):
+        rem = (
+            "segs"
+            if prev_cov is None
+            else f"(SELECT s.* FROM segs s LEFT JOIN {prev_cov} c USING (seg) WHERE c.seg IS NULL)"
+        )
+        rounds.append(
+            f"""pick{r} AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS marginal
+    FROM {rem} GROUP BY source ORDER BY marginal DESC, source LIMIT 1
+)"""
+        )
+        cov_terms = " UNION ".join(
+            f"SELECT seg FROM segs WHERE source = (SELECT source FROM pick{i})"
+            for i in range(1, r + 1)
+        )
+        rounds.append(f"cov{r} AS ({cov_terms})")
+        prev_cov = f"cov{r}"
+    picks_union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS pick, source, marginal FROM pick{r}" for r in range(1, 6)
+    )
+    return (
+        base
+        + ",\n"
+        + ",\n".join(rounds)
+        + f""",
+picks AS ({picks_union})
+SELECT pick, source, marginal AS marginal_segs,
+       CAST(ROUND(CAST(
+           CAST(SUM(marginal) OVER (ORDER BY pick
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST((SELECT n FROM n_total) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cum_coverage_share
+FROM picks
+WHERE marginal > 0
+ORDER BY pick
+"""
+    )
+
+
+SOURCE_SET_COVER_SQL = _set_cover_sql()
+
+
+REGISTRY["source_set_cover"] = QuerySpec(q_source_set_cover, SOURCE_SET_COVER_SQL)
