@@ -265,6 +265,7 @@ HEADLINE = [
     "power_analysis",
     "batch_retrieval",
     "source_set_cover",
+    "simpsons_check",
 ]
 
 
@@ -285,7 +286,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     # this host swings ±30-100% between identical runs (BASELINE.md):
     # report per-query MEDIANS over as many passes as the budget allows
-    budget = float(os.environ.get("BENCH_BUDGET_SEC", "420"))
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "640"))  # 2 passes at ~250 queries
     max_passes = int(os.environ.get("BENCH_REPEATS", "3"))
     spark = get_spark(app_name="candyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -2914,3 +2914,130 @@ FROM sums
 
 
 REGISTRY["power_analysis"] = QuerySpec(q_power_analysis, POWER_ANALYSIS_SQL)
+
+
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector — does the POOLED discount→return-rate
+    association reverse inside strata? The aggregation-bias audit every
+    dashboard needs before anyone acts on a pooled trend: the pooled
+    linear-probability slope of P(returned) on discount, each brand's own
+    slope from the same sufficient statistics (the ols_by_brand algebra,
+    1 feature), and how many brands' slopes disagree in sign with the
+    pooled one. A paradox flag fires when the majority of within-brand
+    slopes contradict the pooled direction.
+
+    All moment sums exact (discount percent and the 0/1 outcome are
+    integers); slopes assemble in double and snap BEFORE sign comparison
+    so both engines classify identically; one ≤|brands| relation after
+    the single fact pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p_ = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p_), li.l_partkey == p_.p_partkey).select(
+        "p_brand",
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    sums = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).localCheckpoint()
+
+    def slope(n, sx, sy, sxy, sxx):
+        nd = n.cast("double")
+        return snap_round(
+            (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+            / (nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")),
+            8,
+        )
+
+    per_brand = sums.select(
+        "p_brand",
+        slope(
+            F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+        ).alias("b_slope"),
+    )
+    pooled = sums.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+    ).select(
+        slope(
+            F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+        ).alias("pooled_slope")
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(pooled))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            F.max("pooled_slope").alias("pooled_slope"),
+            F.sum(
+                F.when(
+                    F.signum("b_slope") != F.signum("pooled_slope"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sign_reversed"),
+        )
+        .select(
+            "n_brands",
+            "pooled_slope",
+            "n_sign_reversed",
+            (2 * F.col("n_sign_reversed") > F.col("n_brands")).alias(
+                "simpsons_paradox"
+            ),
+        )
+    )
+
+
+SIMPSONS_CHECK_SQL = """
+WITH base AS (
+    SELECT p_brand,
+           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sums AS (
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM base GROUP BY p_brand
+),
+per_brand AS (
+    SELECT p_brand,
+           CAST(ROUND(CAST(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS b_slope
+    FROM sums
+),
+pooled AS (
+    SELECT CAST(ROUND(CAST(
+               (CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxy) AS DOUBLE)
+                - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sy) AS DOUBLE))
+               / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxx) AS DOUBLE)
+                  - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sx) AS DOUBLE))
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS pooled_slope
+    FROM sums
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+       MAX(pooled_slope) AS pooled_slope,
+       CAST(SUM(CASE WHEN SIGN(b_slope) != SIGN(pooled_slope) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sign_reversed,
+       2 * SUM(CASE WHEN SIGN(b_slope) != SIGN(pooled_slope) THEN 1 ELSE 0 END)
+           > COUNT(*) AS simpsons_paradox
+FROM per_brand CROSS JOIN pooled
+"""
+
+
+REGISTRY["simpsons_check"] = QuerySpec(q_simpsons_check, SIMPSONS_CHECK_SQL)
