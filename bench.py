@@ -266,6 +266,8 @@ HEADLINE = [
     "batch_retrieval",
     "source_set_cover",
     "simpsons_check",
+    "mediation_analysis",
+    "heaps_law",
 ]
 
 

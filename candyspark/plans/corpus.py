@@ -2156,3 +2156,136 @@ SOURCE_SET_COVER_SQL = _set_cover_sql()
 
 
 REGISTRY["source_set_cover"] = QuerySpec(q_source_set_cover, SOURCE_SET_COVER_SQL)
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth — V(n) ≈ K·n^β, the corpus-linguistics
+    twin of zipf_fit (the two laws are duals): as token count n grows,
+    how fast does the DISTINCT vocabulary grow? β near 1 means the corpus
+    keeps surprising you (open vocabulary, heavy dedup value); β ≪ 1
+    means saturation. The log-log OLS fit over cumulative checkpoints is
+    the curator's expected-new-tokens extrapolation.
+
+    Running distinct count WITHOUT a distinct-per-prefix rescan: each
+    term contributes exactly once at its FIRST occurrence (min doc rank
+    per term — one aggregate over the tf relation), so V(r) is a
+    cumulative count over the first-occurrence relation; token prefix
+    n(r) is a cumulative sum over per-doc token counts. Both windows run
+    over the bounded doc-rank relation; 16 evenly-spaced checkpoints feed
+    the log-log fit (lns snapped per point, exact sums, Cramer in double
+    with one snap per coefficient).
+    """
+    from candyspark.operators.text import tokens
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy("doc_id")
+    ranked = d.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.size("toks").cast("long").alias("n_toks"),
+        "toks",
+    ).localCheckpoint()
+    first_occ = (
+        ranked.select("r", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("r").alias("fr"))
+        .groupBy("fr")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w_r = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy()
+    grid = (
+        ranked.select("r", "n_toks")
+        .join(first_occ.withColumnRenamed("fr", "r"), "r", "left")
+        .select(
+            "r",
+            F.sum("n_toks").over(w_r).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w_r)
+            .cast("long")
+            .alias("vocab"),
+            F.count(F.lit(1)).over(whole).cast("long").alias("n_docs"),
+        )
+        .filter((F.col("r") * 16) % F.col("n_docs") < 16)  # ~16 checkpoints
+        .filter(F.col("vocab") > 0)
+    )
+    pts = grid.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")).cast("decimal(28,10)"), 8)
+        .cast("decimal(20,8)")
+        .alias("lx"),
+        F.round(F.log(F.col("vocab").cast("double")).cast("decimal(28,10)"), 8)
+        .cast("decimal(20,8)")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_checkpoints"),
+        snap_round(beta, 6).alias("heaps_beta"),
+        snap_round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
+        ).alias("heaps_k"),
+    )
+
+
+HEAPS_LAW_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+ranked AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           toks
+    FROM t
+),
+first_occ AS (
+    SELECT fr, CAST(COUNT(*) AS BIGINT) AS new_terms
+    FROM (SELECT term, MIN(r) AS fr
+          FROM (SELECT r, unnest(toks) AS term FROM ranked)
+          GROUP BY term)
+    GROUP BY fr
+),
+grid AS (
+    SELECT r,
+           CAST(SUM(n_toks) OVER wr AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(new_terms, 0)) OVER wr AS BIGINT) AS vocab,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+    FROM ranked LEFT JOIN first_occ ON first_occ.fr = ranked.r
+    WINDOW wr AS (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+    SELECT CAST(ROUND(CAST(LN(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(28,10)), 8)
+               AS DECIMAL(20,8)) AS lx,
+           CAST(ROUND(CAST(LN(CAST(vocab AS DOUBLE)) AS DECIMAL(28,10)), 8)
+               AS DECIMAL(20,8)) AS ly
+    FROM grid
+    WHERE (r * 16) % n_docs < 16 AND vocab > 0
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(lx) AS DOUBLE) AS sx,
+           CAST(SUM(ly) AS DOUBLE) AS sy,
+           CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+           CAST(SUM(lx * lx) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_checkpoints,
+       CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS heaps_beta,
+       CAST(ROUND(CAST(EXP((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS heaps_k
+FROM s
+"""
+
+
+REGISTRY["heaps_law"] = QuerySpec(q_heaps_law, HEAPS_LAW_SQL)

@@ -3041,3 +3041,118 @@ FROM per_brand CROSS JOIN pooled
 
 
 REGISTRY["simpsons_check"] = QuerySpec(q_simpsons_check, SIMPSONS_CHECK_SQL)
+
+
+def q_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mediation analysis (difference method) — HOW MUCH of the discount→
+    return-rate effect flows THROUGH quantity: the total effect (the
+    slope of y on x), the direct effect controlling for the mediator (the
+    x coefficient of the two-feature y ~ x + m fit — the ols_price_model
+    Cramer algebra), and the indirect effect as their difference, plus
+    the mediated share. The DECOMPOSITION member of the causal family —
+    the others estimate whether an effect exists; this one says through
+    what channel.
+
+    All three fits assemble from ONE sufficient-statistic pass (x =
+    discount%, m = quantity, y = returned are bounded integers, so the
+    10 moment sums are exact int64); coefficients snap at 8 dp before the
+    subtraction so the decomposition is engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("m"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+        F.sum(F.col("x") * F.col("m")).cast("long").alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("smy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sm, sy = [F.col(c).cast("double") for c in ("sx", "sm", "sy")]
+    sxx, smm, sxm = [F.col(c).cast("double") for c in ("sxx", "smm", "sxm")]
+    sxy, smy = [F.col(c).cast("double") for c in ("sxy", "smy")]
+    total = snap_round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+    # two-feature direct effect by Cramer on the centered normal equations
+    det = (
+        n * (sxx * smm - sxm * sxm)
+        - sx * (sx * smm - sxm * sm)
+        + sm * (sx * sxm - sxx * sm)
+    )
+    det_x = (
+        n * (sxy * smm - sxm * smy)
+        - sy * (sx * smm - sxm * sm)
+        + sm * (sx * smy - sxy * sm)
+    )
+    direct = snap_round(det_x / det, 8)
+    return s.select(
+        F.col("n").alias("n_rows"),
+        total.alias("total_effect"),
+        direct.alias("direct_effect"),
+        snap_round(total - direct, 8).alias("indirect_effect"),
+        snap_round(
+            F.when(F.abs(total) > 1e-12, (total - direct) / total), 6
+        ).alias("mediated_share"),
+    )
+
+
+MEDIATION_ANALYSIS_SQL = """
+WITH base AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS m,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(m * m) AS BIGINT) AS smm,
+           CAST(SUM(x * m) AS BIGINT) AS sxm, CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(m * y) AS BIGINT) AS smy
+    FROM base
+),
+fx AS (
+    SELECT n,
+           CAST(ROUND(CAST(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS total_effect,
+           CAST(ROUND(CAST(
+               (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(smm AS DOUBLE)
+                    - CAST(sxm AS DOUBLE) * CAST(smy AS DOUBLE))
+                - CAST(sy AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(smm AS DOUBLE)
+                    - CAST(sxm AS DOUBLE) * CAST(sm AS DOUBLE))
+                + CAST(sm AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(smy AS DOUBLE)
+                    - CAST(sxy AS DOUBLE) * CAST(sm AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) * CAST(smm AS DOUBLE)
+                    - CAST(sxm AS DOUBLE) * CAST(sxm AS DOUBLE))
+                  - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(smm AS DOUBLE)
+                    - CAST(sxm AS DOUBLE) * CAST(sm AS DOUBLE))
+                  + CAST(sm AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sxm AS DOUBLE)
+                    - CAST(sxx AS DOUBLE) * CAST(sm AS DOUBLE)))
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS direct_effect
+    FROM s
+)
+SELECT n AS n_rows, total_effect, direct_effect,
+       CAST(ROUND(CAST(total_effect - direct_effect AS DECIMAL(28,10)), 8)
+            AS DOUBLE) AS indirect_effect,
+       CAST(ROUND(CAST(CASE WHEN ABS(total_effect) > 1e-12
+            THEN (total_effect - direct_effect) / total_effect END
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mediated_share
+FROM fx
+"""
+
+
+REGISTRY["mediation_analysis"] = QuerySpec(
+    q_mediation_analysis, MEDIATION_ANALYSIS_SQL
+)
