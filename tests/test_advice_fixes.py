@@ -337,3 +337,72 @@ def test_did_recovers_planted_lift_under_parallel_trends(spark, tmp_path):
     assert abs(got["did_estimate"] - 9.0) < 1.0, got
     assert got["treated_change"] > 12.0  # includes the +5 shock
     assert abs(got["control_change"] - 5.0) < 1.0
+
+
+def test_rd_recovers_planted_jump(spark, tmp_path):
+    """Customers with a planted +6 order-count jump at acctbal = 0 and a
+    smooth slope elsewhere: the RD estimate must isolate the jump."""
+    import random
+
+    rng = random.Random(17)
+    cust, orders = [], []
+    oid = 0
+    for uid in range(4000):
+        bal = rng.uniform(-1000, 1000)
+        lam = 10.0 + 0.004 * bal + (6.0 if bal >= 0 else 0.0)
+        n_orders = max(0, int(round(lam + rng.uniform(-1, 1))))
+        cust.append((uid, round(bal, 2)))
+        for _ in range(n_orders):
+            orders.append((oid, uid)); oid += 1
+    spark.createDataFrame(cust, "c_custkey long, c_acctbal double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+
+    from candyspark.plans.quality import q_regression_discontinuity
+
+    got = q_regression_discontinuity(spark, str(tmp_path)).collect()[0]
+    assert abs(got["rd_estimate"] - 6.0) < 1.0, got
+
+
+def test_mediation_full_and_null_channels(spark, tmp_path):
+    """Planted causal channels: when y depends on x ONLY through m, the
+    mediated share ≈ 1; when y depends on x directly and m is x-independent
+    noise, the share ≈ 0."""
+    import random
+
+    from candyspark.plans.quality import q_mediation_analysis
+
+    def write(rows, p):
+        spark.createDataFrame(
+            rows, "l_discount double, l_quantity double, l_returnflag string"
+        ).write.mode("overwrite").parquet(str(p / "lineitem.parquet"))
+
+    rng = random.Random(23)
+    # full mediation: m = 5x + noise; P(y) rises with m only
+    rows = []
+    for _ in range(20000):
+        x = rng.choice([0, 2, 4, 6, 8, 10])
+        m = 5 * x + rng.randint(0, 8)
+        y = "R" if rng.random() < min(0.9, 0.01 * m) else "N"
+        rows.append((x / 100.0, float(m), y))
+    full = tmp_path / "full"
+    full.mkdir()
+    write(rows, full)
+    got = q_mediation_analysis(spark, str(full)).collect()[0]
+    assert got["mediated_share"] > 0.8, got
+
+    # null mediation: m is pure noise; P(y) rises with x only
+    rows = []
+    for _ in range(20000):
+        x = rng.choice([0, 2, 4, 6, 8, 10])
+        m = rng.randint(1, 50)
+        y = "R" if rng.random() < 0.05 + 0.05 * x / 10.0 else "N"
+        rows.append((x / 100.0, float(m), y))
+    null = tmp_path / "null"
+    null.mkdir()
+    write(rows, null)
+    got = q_mediation_analysis(spark, str(null)).collect()[0]
+    assert abs(got["mediated_share"]) < 0.2, got
