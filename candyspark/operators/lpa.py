@@ -56,7 +56,7 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neighbor_votes = und.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
@@ -77,14 +77,18 @@ def label_propagation(
             .select("node", F.col("m.l").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("old")), "node"
+        last_round = rnd == max_rounds - 1
+        if not last_round:
+            # convergence probe (node-sized, reads two checkpoints); the
+            # final round skips it — its answer could not save any work
+            changed = (
+                new_labels.join(
+                    labels.select("node", F.col("label").alias("old")), "node"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
             )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not last_round and changed == 0:
             break
     return labels
