@@ -406,3 +406,37 @@ def test_mediation_full_and_null_channels(spark, tmp_path):
     write(rows, null)
     got = q_mediation_analysis(spark, str(null)).collect()[0]
     assert abs(got["mediated_share"]) < 0.2, got
+
+
+def test_shapley_dominant_channel_wins(spark, tmp_path):
+    """A planted world where conversions happen iff the journey includes
+    'click': click's Shapley value must dominate both other channels."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    day = dt.datetime(2025, 3, 1)
+    for uid in range(4000):
+        touched = {
+            ch for ch in ("view", "click", "signup") if rng.random() < 0.5
+        }
+        for ch in sorted(touched):
+            rows.append((eid, day, uid, ch, 1.0, "")); eid += 1
+        if "click" in touched and rng.random() < 0.9:
+            rows.append((eid, day, uid, "purchase", 5.0, "")); eid += 1
+        if not touched:
+            rows.append((eid, day, uid, "error", 0.0, "")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from candyspark.plans.sequences import q_shapley_attribution
+
+    got = {r["channel"]: r["shapley_value"]
+           for r in q_shapley_attribution(spark, str(tmp_path)).collect()}
+    assert got["click"] > 0.5, got
+    assert got["click"] > 5 * abs(got["view"]), got
+    assert got["click"] > 5 * abs(got["signup"]), got
