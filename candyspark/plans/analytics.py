@@ -1519,22 +1519,25 @@ REGISTRY["hhi_concentration"] = QuerySpec(q_hhi_concentration, HHI_CONCENTRATION
 
 
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum drawdown of the cumulative daily-revenue curve — the
+    """Maximum drawdown of the daily-revenue LEVEL series — the
     risk-analytics member beside the trend/seasonality diagnostics: the
-    deepest peak-to-trough fall, when it happened, and the current
-    drawdown. One running-max window over the calendar-bounded daily
-    series (exact decimals; the peak/trough ratio is the single snapped
-    division), the same bounded-series window contract as
-    forecast_backtest.
+    deepest fall from any prior day's revenue level, and when it happened.
+    One running-max window over the calendar-bounded daily series (exact
+    decimals; the peak/trough ratio is the single snapped division), the
+    same bounded-series window contract as forecast_backtest.
+
+    The curve is the per-day revenue level, NOT its cumulative sum: a
+    cumulative sum of positive daily revenue is monotone by construction,
+    so its drawdown is identically 0 and the gate certifies nothing
+    (round-2 verdict's vacuous-gate finding). The level series rises and
+    falls for real, so the running-max/argmin-trough logic is exercised.
     """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = daily.select(
-        "d", F.sum("y").over(w).cast("decimal(24,2)").alias("c")
-    )
+    cum = daily.select("d", F.col("y").cast("decimal(24,2)").alias("c"))
     peaks = cum.select(
         "d",
         "c",
@@ -1566,8 +1569,7 @@ WITH daily AS (
     FROM orders GROUP BY 1
 ),
 cum AS (
-    SELECT d, CAST(SUM(y) OVER (ORDER BY d
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(24,2)) AS c
+    SELECT d, CAST(y AS DECIMAL(24,2)) AS c
     FROM daily
 ),
 peaks AS (

@@ -676,17 +676,22 @@ REGISTRY["position_attribution"] = QuerySpec(
 
 
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curves: users grouped by first-purchase month,
-    cumulative revenue per cohort member at each month of age — the
+    """Cohort lifetime-value curves: users grouped by first-purchase week,
+    cumulative revenue per cohort member at each week of age — the
     monetized deepening of retention_cohorts (which counts the SAME
     cohorts but only whether users came back, not what they spent).
 
-    Months are exact integers (year*12 + month − 1, both engines'
-    year()/month() agree by definition); revenue stays DECIMAL through
-    the cumulative window (runs over the ≤cohorts×ages post-aggregate,
-    never raw events); LTV divides by cohort size once at the end and
-    snaps. The per-user first-purchase relation feeds the age join AND
-    the cohort-size aggregate — materialized once.
+    Week grain, not month: the events fixture spans one calendar month,
+    so monthly cohorts collapse to a single (cohort, 0) row and the gate
+    certifies nothing (round-2 verdict's vacuous-gate finding) — weekly
+    cohorts give a real curve; the operator's logic is grain-agnostic.
+
+    Weeks are exact integers (days since the 1970-01-05 Monday epoch ÷ 7,
+    floor — both engines' datediff agrees by definition); revenue stays
+    DECIMAL through the cumulative window (runs over the ≤cohorts×ages
+    post-aggregate, never raw events); LTV divides by cohort size once at
+    the end and snaps. The per-user first-purchase relation feeds the age
+    join AND the cohort-size aggregate — materialized once.
 
     Scale: one user_id aggregate, one user_id-keyed join back, one
     (cohort, age) aggregate; the cumulative window partitions by cohort.
@@ -694,7 +699,10 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        (F.year("ts") * 12 + F.month("ts") - 1).alias("m"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        ).alias("m"),
         F.col("value").cast("decimal(12,2)").alias("rev"),
     )
     users = (
@@ -713,12 +721,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.join(sizes, "cohort_m")
         .select(
-            F.make_date(
-                F.floor(F.col("cohort_m") / 12).cast("int"),
-                (F.col("cohort_m") % 12 + 1).cast("int"),
-                F.lit(1),
-            ).alias("cohort_month"),
-            "age_months",
+            F.date_add(
+                F.lit("1970-01-05").cast("date"),
+                (F.col("cohort_m") * 7).cast("int"),
+            ).alias("cohort_week"),
+            F.col("age_months").cast("int").alias("age_weeks"),
             "cohort_users",
             F.col("cum_rev").cast("double").alias("cum_revenue"),
             snap_round(
@@ -726,39 +733,39 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("ltv_per_user"),
         )
-        .orderBy("cohort_month", "age_months")
+        .orderBy("cohort_week", "age_weeks")
     )
 
 
 COHORT_LTV_SQL = """
 WITH p AS (
     SELECT user_id,
-           YEAR(ts) * 12 + MONTH(ts) - 1 AS m,
+           CAST(FLOOR(DATEDIFF('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7)
+                AS BIGINT) AS m,
            CAST(value AS DECIMAL(12,2)) AS rev
     FROM events WHERE event_type = 'purchase'
 ),
 users AS (SELECT user_id, MIN(m) AS cohort_m FROM p GROUP BY user_id),
 sizes AS (SELECT cohort_m, COUNT(*) AS cohort_users FROM users GROUP BY cohort_m),
 by_age AS (
-    SELECT cohort_m, p.m - cohort_m AS age_months, SUM(rev) AS rev
+    SELECT cohort_m, p.m - cohort_m AS age_weeks, SUM(rev) AS rev
     FROM p JOIN users USING (user_id)
     GROUP BY 1, 2
 ),
 cum AS (
-    SELECT cohort_m, age_months,
-           SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_months
+    SELECT cohort_m, age_weeks,
+           SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_weeks
                           ROWS UNBOUNDED PRECEDING) AS cum_rev
     FROM by_age
 )
-SELECT MAKE_DATE(CAST(FLOOR(cohort_m / 12) AS INTEGER),
-                 CAST(cohort_m % 12 + 1 AS INTEGER), 1) AS cohort_month,
-       age_months,
+SELECT DATE '1970-01-05' + CAST(cohort_m * 7 AS INTEGER) AS cohort_week,
+       CAST(age_weeks AS INTEGER) AS age_weeks,
        cohort_users,
        CAST(cum_rev AS DOUBLE) AS cum_revenue,
        CAST(ROUND(CAST(CAST(cum_rev AS DOUBLE) / cohort_users AS DECIMAL(28,8)), 6)
             AS DOUBLE) AS ltv_per_user
 FROM cum JOIN sizes USING (cohort_m)
-ORDER BY cohort_month, age_months
+ORDER BY cohort_week, age_weeks
 """
 
 REGISTRY["cohort_ltv"] = QuerySpec(q_cohort_ltv, COHORT_LTV_SQL)

@@ -98,9 +98,13 @@ ORDER BY o_orderpriority
 
 
 def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: yearly shipped revenue between NATION_1 and NATION_2
-    in BOTH directions — the OR-of-two-pairs predicate
-    ``(supp=N1 AND cust=N2) OR (supp=N2 AND cust=N1)``.
+    """TPC-H Q7 shape: yearly shipped revenue between NATION_18 and
+    NATION_19 in BOTH directions — the OR-of-two-pairs predicate
+    ``(supp=N1 AND cust=N2) OR (supp=N2 AND cust=N1)``. The pair is
+    fixture-calibrated: sf0.001's customers concentrate in a few nations,
+    and the original NATION_1/NATION_2 pair never trades there, leaving
+    the gate empty (the round-2 vacuous-gate sweep); 18↔19 trades at
+    every SF.
 
     Scale: both nation filters broadcast (25-row dim); the pair predicate
     is applied AFTER the two broadcast joins as a residual filter, so the
@@ -120,8 +124,8 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -146,8 +150,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
-WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
@@ -259,24 +263,39 @@ LIMIT 20
 
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose total traded value exceeds 0.1% of ALL
-    traded value. The scalar subquery (global SUM) becomes a single-row
-    broadcast cross join; the HAVING compare is kept in exact DECIMAL by
-    scaling the part side by 1000 instead of multiplying the global side by
-    0.001 (which would leave decimal exactness).
+    """TPC-H Q11 shape: parts whose total traded value exceeds 1.5× the
+    AVERAGE part value. The scalar subquery (global SUM + part count)
+    becomes a single-row broadcast cross join; the compare stays exact
+    DECIMAL by cross-multiplying (``2·n·part > 3·total``) instead of
+    dividing.
 
-    Scale: two aggregates over one scan — Spark reuses the shuffle for the
-    per-part aggregate, and the global total is a second partial-agg pass
-    whose result is one row (broadcast is free). |keys| rows survive to the
-    compare; no per-row re-execution of the subquery.
+    The threshold is a ratio-to-average rather than Q11's fixed share of
+    the total because a fixed share is NOT scale-free: the average part's
+    share shrinks as 1/|parts|, so any fixed cutoff goes vacuous (0 rows)
+    once |parts| outgrows it — exactly what happened at sf0.01 with the
+    0.1% literal (round-2 verdict). Ratio-to-average selects a stable
+    top-value stratum at every scale factor.
+
+    Scale: ONE lineitem scan + one keyed shuffle builds the part-level
+    aggregate, which is materialized once (localCheckpoint of a ≤|parts|-row
+    relation) and then feeds BOTH the 1-row global total (broadcast is
+    free) and the compare — the old form paid a second lineitem scan for
+    the scalar subquery. |keys| rows survive to the compare; no per-row
+    re-execution of the subquery.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    value = F.sum(_revenue())
-    per_part = li.groupBy("l_partkey").agg(value.alias("part_value"))
-    total = li.agg(value.alias("total_value"))
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("part_value"))
+        .localCheckpoint()
+    )
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") * 1000 > F.col("total_value"))
+        .filter(F.col("part_value") * 2 * F.col("n_parts") > F.col("total_value") * 3)
         .select(
             "l_partkey",
             round2(F.col("part_value")).alias("part_value"),
@@ -286,11 +305,14 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IMPORTANT_PART_VALUE_SQL = f"""
-SELECT l_partkey,
-       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS part_value
-FROM lineitem
-GROUP BY l_partkey
-HAVING SUM({_REV}) * 1000 > (SELECT SUM({_REV}) FROM lineitem)
+WITH pv AS (
+  SELECT l_partkey, SUM({_REV}) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts FROM pv)
+SELECT l_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+FROM pv CROSS JOIN t
+WHERE part_value * 2 * n_parts > total_value * 3
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -541,11 +563,18 @@ ORDER BY p_partkey
 
 
 def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers that shipped MORE THAN HALF of some
+    """TPC-H Q20 shape: suppliers that shipped MORE THAN A FIFTH of some
     part's total quantity — a per-(part,supplier) aggregate compared
     against its per-part total, then rolled up per supplier. The share
-    compare stays exact: qty sums in DECIMAL, ``2·pair > total`` instead
+    compare stays exact: qty sums in DECIMAL, ``5·pair > total`` instead
     of a float ratio.
+
+    The 20% cutoff is fixture-calibrated: the synthetic generator spreads
+    each part's quantity near-uniformly across suppliers, so the maximum
+    observed share is ~25% at sf0.01/sf0.1 and the original >50% literal
+    certified an empty result (round-2 verdict's vacuous-gate finding).
+    At 20% the gate selects a real dominated-parts stratum at every SF
+    while keeping Q20's exact-share-compare shape intact.
 
     Scale: two aggregates over one scan (pair-level, then part-level
     re-aggregated FROM the pair level — no second lineitem pass), one
@@ -559,7 +588,7 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     dominated = (
         pair.join(totals, "l_partkey")
-        .filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .filter(F.col("pair_qty") * 5 > F.col("part_qty"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("dominated_parts"))
     )
@@ -581,7 +610,7 @@ totals AS (
 SELECT s_name, COUNT(*) AS dominated_parts
 FROM pair JOIN totals USING (l_partkey)
 JOIN supplier ON l_suppkey = s_suppkey
-WHERE pair_qty * 2 > part_qty
+WHERE pair_qty * 5 > part_qty
 GROUP BY s_name
 ORDER BY dominated_parts DESC, s_name
 """

@@ -32,6 +32,10 @@ def test_query_matches_oracle(spark, oracle, name):
     spark_pdf = spec.fn(spark, SF_DIR).toPandas()
     oracle_pdf = oracle.execute(spec.sql).df()
     compare_frames(spark_pdf, oracle_pdf, name)
+    # Non-vacuous gate (round-2 verdict item 2): a hash-match on an EMPTY
+    # result certifies nothing about the query's logic. Every hashed query
+    # must produce at least one row at every test SF.
+    assert len(spark_pdf) >= 1, f"{name}: vacuous oracle gate (0 rows at {SF_DIR})"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
