@@ -283,12 +283,33 @@ def _median(xs: list[float]) -> float:
 TAIL_BUDGET = 1900
 
 
+#: streaming drains are correctness-checked against batch oracles but
+#: excluded from the headline medians (their cost is source landing +
+#: state flush, a different cost class) — recorded in their own section
+#: so regressions in streaming state/landing cost stay visible
+#: (round-2 verdict item 8)
+STREAMING = [
+    "streaming_tumbling",
+    "streaming_dedup",
+    "streaming_dedup_watermark",
+    "streaming_interval_join",
+    "streaming_left_join",
+    "streaming_enrich",
+    "streaming_session",
+    "streaming_upsert",
+    "streaming_cms",
+    "streaming_quality_gate",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     # this host swings ±30-100% between identical runs (BASELINE.md):
-    # report per-query MEDIANS over as many passes as the budget allows
-    budget = float(os.environ.get("BENCH_BUDGET_SEC", "640"))  # 2 passes at ~250 queries
+    # report per-query MEDIANS. Two passes are UNCONDITIONAL (a single-pass
+    # artifact is a noisy ceiling, not a median — the round-2 lesson); the
+    # budget only gates the third.
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "900"))
     max_passes = int(os.environ.get("BENCH_REPEATS", "3"))
     spark = get_spark(app_name="candyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -314,8 +335,21 @@ def main() -> None:
             samples[name].append(dt)
             pass_cost += dt
         passes += 1
-        if time.perf_counter() - t_start + pass_cost > budget:
-            break  # another full pass would blow the time budget
+        if passes >= 2 and time.perf_counter() - t_start + pass_cost > budget:
+            break  # a further full pass would blow the time budget
+
+    # streaming section: one drain each (the drains are dominated by fixed
+    # landing/flush cost, not data volume — a single reading tracks the
+    # cost class without doubling the suite's wall-clock)
+    streaming: dict[str, float] = {}
+    for name in STREAMING:
+        if name not in registry:
+            continue
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        streaming[name] = round(time.perf_counter() - t0, 3)
 
     times = {n: round(_median(samples[n]), 3) for n in names}
     total = round(sum(times.values()), 3)
@@ -331,6 +365,8 @@ def main() -> None:
         "n_queries": len(times),
         "sec_per_query": round(total / len(times), 3),
         "passes": passes,
+        "streaming": streaming,
+        "streaming_sec": round(sum(streaming.values()), 3),
     }
     # full per-query result: first line (humans, logs) + optional file
     print(json.dumps(result))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from candyspark.operators import text as X
 from candyspark.plans import QuerySpec
-from candyspark.plans.extensions import _TOKS
+from candyspark.plans.extensions import _TOKS, TEXT_STATS_SQL
 from candyspark.sources.readers import fan_out, load_table
 
 
@@ -506,8 +506,16 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (schema-bounded — the PCA rule), with deterministic Gaussian
     elimination; removal re-solves the same tiny system per channel.
 
-    Rows-only (linear solves have no SQL oracle); test_ml recomputes the
-    chain and the solves independently with numpy from raw events.
+    Oracle: the ≤4×4 solve IS SQL-expressible once the elimination is
+    unrolled (the source_set_cover precedent — bounded driver iterations
+    become bounded SQL stages): _markov_attribution_sql() generates the
+    SAME fixed-order Gauss-Jordan the driver runs, one CTE per pivot
+    column per variant, so every double is produced by the identical IEEE
+    op sequence in both engines and the driver hash matches bit-exactly.
+    The SQL mirror skips the partial-pivot swap and the zero-pivot guard
+    (the fixture's chains are diagonally dominant, so the driver's pivot
+    search always selects the natural order — asserted in test_ml);
+    test_ml also still recomputes the solves independently with numpy.
     """
     e = load_table(spark, sf_dir, "events")
     first_p = (
@@ -556,23 +564,146 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = conv_prob(None)
     effects = {ch: max(base - conv_prob(ch), 0.0) for ch in _CHANNELS}
     total = sum(effects.values()) or 1.0
-    rows = [
-        (
-            ch,
-            round(base, 6),
-            round(effects[ch], 6),
-            round(effects[ch] / total, 6),
-        )
-        for ch in _CHANNELS
-    ]
-    return spark.createDataFrame(
+    rows = [(ch, base, effects[ch], effects[ch] / total) for ch in _CHANNELS]
+    raw = spark.createDataFrame(
         rows,
         "channel string, base_conversion double, removal_effect double, "
         "attribution_share double",
     )
+    # snap through the shared decimal(28,8) discipline (NOT Python round,
+    # whose half-even ties differ from the oracle's decimal rounding)
+    return raw.select(
+        "channel",
+        X.snap_round(F.col("base_conversion"), 6).alias("base_conversion"),
+        X.snap_round(F.col("removal_effect"), 6).alias("removal_effect"),
+        X.snap_round(F.col("attribution_share"), 6).alias("attribution_share"),
+    ).orderBy("channel")
 
 
-REGISTRY["markov_attribution"] = QuerySpec(q_markov_attribution, None)  # linear solve
+def _markov_attribution_sql() -> str:
+    """Generate the DuckDB oracle for q_markov_attribution: the transition
+    counts are one relational pass (identical to the Spark plan), and each
+    of the 4 absorbing-chain solves (base + one per removed channel) is the
+    driver's fixed-order Gauss-Jordan unrolled into 4 CTE stages — the same
+    subtract-f-times-pivot-row updates on the same doubles, so the results
+    are bit-identical, not merely close."""
+    states = ["START", *_CHANNELS]
+    dsts = [*_CHANNELS, "purchase", "NULL"]
+    # 1-row wide relation of transition counts + per-source totals
+    m_cols = []
+    for r, s in enumerate(states):
+        for d in dsts:
+            m_cols.append(
+                f"CAST(SUM(CASE WHEN src = '{s}' AND dst = '{d}' THEN n "
+                f"ELSE 0 END) AS DOUBLE) AS n_{r}_{d.lower()}"
+            )
+        m_cols.append(
+            f"CAST(SUM(CASE WHEN src = '{s}' THEN n ELSE 0 END) AS DOUBLE)"
+            f" AS tot_{r}"
+        )
+    variants = [("base", None)] + [(ch, ch) for ch in _CHANNELS]
+    ctes = []
+    for vname, removed in variants:
+        mat_cols = []
+        for r, s in enumerate(states):
+            for c in range(4):
+                delta = "1.0" if r == c else "0.0"
+                if s == removed:
+                    expr = delta  # removed row pins x_r = 0 (identity row)
+                elif c == 0 or states[c] == removed:
+                    # nothing transitions back to START; edges INTO the
+                    # removed channel drop (their mass absorbs to NULL)
+                    expr = delta
+                else:
+                    expr = (
+                        f"CASE WHEN tot_{r} = 0 THEN {delta} "
+                        f"ELSE {delta} - n_{r}_{states[c]} / tot_{r} END"
+                    )
+                mat_cols.append(f"{expr} AS a{r}{c}")
+            if s == removed:
+                b_expr = "0.0"
+            else:
+                b_expr = (
+                    f"CASE WHEN tot_{r} = 0 THEN 0.0 "
+                    f"ELSE n_{r}_purchase / tot_{r} END"
+                )
+            mat_cols.append(f"{b_expr} AS b{r}")
+        ctes.append(f"mat_{vname} AS (\n  SELECT {', '.join(mat_cols)} FROM m\n)")
+        prev = f"mat_{vname}"
+        for t in range(4):
+            cols = []
+            for r in range(4):
+                if r == t:
+                    cols.extend(f"a{r}{c}" for c in range(4))
+                    cols.append(f"b{r}")
+                else:
+                    cols.extend(
+                        f"a{r}{c} - (a{r}{t} / a{t}{t}) * a{t}{c} AS a{r}{c}"
+                        for c in range(4)
+                    )
+                    cols.append(f"b{r} - (a{r}{t} / a{t}{t}) * b{t} AS b{r}")
+            cur = f"elim_{vname}_{t}"
+            ctes.append(f"{cur} AS (\n  SELECT {', '.join(cols)} FROM {prev}\n)")
+            prev = cur
+        ctes.append(f"x_{vname} AS (SELECT b0 / a00 AS x FROM {prev})")
+    effect_terms = " + ".join(f"e_{ch}" for ch in _CHANNELS)
+    snap = "CAST(ROUND(CAST({v} AS DECIMAL(28,8)), 6) AS DOUBLE)"
+    selects = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, "
+        + snap.format(v="base") + " AS base_conversion, "
+        + snap.format(v=f"e_{ch}") + " AS removal_effect, "
+        + snap.format(v=f"e_{ch} / t") + " AS attribution_share FROM tot"
+        for ch in _CHANNELS
+    )
+    return f"""
+WITH first_p AS (
+  SELECT user_id, MIN(ts) AS p_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+ev AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e LEFT JOIN first_p USING (user_id)
+  WHERE e.event_type IN ('click', 'signup', 'view', 'purchase')
+    AND (p_ts IS NULL OR e.ts <= p_ts)
+),
+seq AS (
+  SELECT user_id, event_type AS state,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_state
+  FROM ev
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM (
+    SELECT state AS src, COALESCE(next_state, 'NULL') AS dst
+    FROM seq WHERE state != 'purchase'
+    UNION ALL
+    SELECT 'START' AS src, state AS dst FROM seq WHERE rn = 1
+  ) GROUP BY src, dst
+),
+m AS (
+  SELECT {', '.join(m_cols)} FROM counts
+),
+{', '.join(ctes)},
+res AS (
+  SELECT x_base.x AS base,
+         {', '.join(f'GREATEST(x_base.x - x_{ch}.x, 0.0) AS e_{ch}' for ch in _CHANNELS)}
+  FROM x_base, {', '.join(f'x_{ch}' for ch in _CHANNELS)}
+),
+tot AS (
+  SELECT *, CASE WHEN ({effect_terms}) = 0.0 THEN 1.0
+                 ELSE ({effect_terms}) END AS t
+  FROM res
+)
+SELECT * FROM ({selects}) ORDER BY channel
+"""
+
+
+MARKOV_ATTRIBUTION_SQL = _markov_attribution_sql()
+
+REGISTRY["markov_attribution"] = QuerySpec(
+    q_markov_attribution, MARKOV_ATTRIBUTION_SQL
+)
 
 
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,8 +719,16 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure as the greedy allocator: state scoped to ONE group, groups
     distributed freely, and the per-group frame schema-bounded (≤10 bins).
     Binning/aggregation stay relational; only the ≤10-row monotone fit is
-    imperative. Rows-only (PAVA has no SQL form); test_ml re-runs PAVA
-    independently on the same aggregate.
+    imperative.
+
+    Oracle: PAVA's solution has the closed minimax form
+    ŷ_i = max_{j≤i} min_{k≥i} wavg(j..k) (Barlow et al., standard), which
+    IS SQL — two bounded joins over ≤10 ranked bins per source. Cross-
+    engine bit-equality holds because BOTH sides keep block state as exact
+    integer sums (positives, docs) and divide exactly once per value:
+    IEEE division of the same ints is correctly rounded, and min/max are
+    monotone under rounding, so the doubles coincide. The kernel's merge
+    comparisons are exact integer cross-multiplies (no epsilon).
     """
     import pandas as pd
 
@@ -610,27 +749,27 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pava(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bin").reset_index(drop=True)
-        rates = (pdf["n_english"] / pdf["n_docs"]).tolist()
-        weights = pdf["n_docs"].tolist()
-        # pool-adjacent-violators: merge decreasing neighbors into
-        # weighted-average blocks until monotone
-        blocks = [[r, w, 1] for r, w in zip(rates, weights)]  # rate, weight, span
+        pos = [int(x) for x in pdf["n_english"]]
+        wts = [int(x) for x in pdf["n_docs"]]
+        # pool-adjacent-violators on exact integer block sums: merge
+        # decreasing neighbors until monotone; rate materializes as ONE
+        # division per block, so it is bit-identical to the oracle's
+        # interval average of the same integers
+        blocks = [[p, w, 1] for p, w in zip(pos, wts)]  # pos_sum, n_sum, span
         i = 0
         while i < len(blocks) - 1:
-            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
-                r1, w1, s1 = blocks[i]
-                r2, w2, s2 = blocks[i + 1]
-                blocks[i : i + 2] = [
-                    [(r1 * w1 + r2 * w2) / (w1 + w2), w1 + w2, s1 + s2]
-                ]
+            if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+                p1, w1, s1 = blocks[i]
+                p2, w2, s2 = blocks[i + 1]
+                blocks[i : i + 2] = [[p1 + p2, w1 + w2, s1 + s2]]
                 i = max(i - 1, 0)
             else:
                 i += 1
         iso = []
-        for r, _, span in blocks:
-            iso.extend([r] * span)
-        pdf["raw_rate"] = [round(x, 6) for x in rates]
-        pdf["iso_rate"] = [round(x, 6) for x in iso]
+        for p, w, span in blocks:
+            iso.extend([p / w] * span)
+        pdf["raw_rate"] = [p / w for p, w in zip(pos, wts)]
+        pdf["iso_rate"] = iso
         return pdf[["source", "bin", "n_docs", "raw_rate", "iso_rate"]]
 
     return (
@@ -639,11 +778,67 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             pava,
             "source string, bin int, n_docs long, raw_rate double, iso_rate double",
         )
+        .select(
+            "source",
+            "bin",
+            "n_docs",
+            X.snap_round(F.col("raw_rate"), 6).alias("raw_rate"),
+            X.snap_round(F.col("iso_rate"), 6).alias("iso_rate"),
+        )
         .orderBy("source", "bin")
     )
 
 
-REGISTRY["isotonic_calibration"] = QuerySpec(q_isotonic_calibration, None)  # PAVA
+# minimax form of the isotonic fit (see q_isotonic_calibration docstring):
+# ranked bins per source, prefix sums for O(1) interval totals, then
+# iso(i) = MAX over j<=i of MIN over k>=i of interval average — all joins
+# bounded by <=10 bins per source.
+ISOTONIC_CALIBRATION_SQL = f"""
+WITH stats AS ({{text_stats}}),
+binned AS (
+    SELECT d.source,
+           CAST(LEAST(FLOOR(s.quality_score * 10), 9) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_english
+    FROM stats s JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+pref AS (
+    SELECT source, bin, n_docs, n_english,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY bin) AS r,
+           SUM(n_english) OVER (PARTITION BY source ORDER BY bin) AS cpos,
+           SUM(n_docs) OVER (PARTITION BY source ORDER BY bin) AS cn
+    FROM binned
+),
+pairs AS (
+    SELECT j.source, j.r AS jr, k.r AS kr,
+           CAST(k.cpos - (j.cpos - j.n_english) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n_docs) AS DOUBLE) AS a
+    FROM pref j JOIN pref k ON j.source = k.source AND j.r <= k.r
+),
+inner_min AS (
+    SELECT p.source, i.r AS ir, p.jr, MIN(p.a) AS mn
+    FROM pairs p
+    JOIN pref i ON p.source = i.source AND p.jr <= i.r AND i.r <= p.kr
+    GROUP BY 1, 2, 3
+),
+iso AS (
+    SELECT source, ir, MAX(mn) AS iso_rate FROM inner_min GROUP BY 1, 2
+)
+SELECT b.source, b.bin, b.n_docs,
+       CAST(ROUND(CAST(CAST(b.n_english AS DOUBLE) / b.n_docs
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS raw_rate,
+       CAST(ROUND(CAST(i.iso_rate AS DECIMAL(28,8)), 6) AS DOUBLE) AS iso_rate
+FROM pref b JOIN iso i ON b.source = i.source AND b.r = i.ir
+ORDER BY b.source, b.bin
+"""
+
+ISOTONIC_CALIBRATION_SQL = ISOTONIC_CALIBRATION_SQL.format(text_stats=TEXT_STATS_SQL)
+
+REGISTRY["isotonic_calibration"] = QuerySpec(
+    q_isotonic_calibration, ISOTONIC_CALIBRATION_SQL
+)
 
 
 def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:

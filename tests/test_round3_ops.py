@@ -72,6 +72,73 @@ def test_retention_cohorts_weekly_matrix(spark):
     assert all(r.active_users > 0 for r in rows)
 
 
+@pytest.mark.parametrize("sf_dir", [SF1, "/root/testdata/sf0.01"])
+def test_markov_pivot_search_selects_natural_order(spark, sf_dir):
+    """The markov_attribution SQL oracle unrolls a NO-pivot Gauss-Jordan;
+    it is bit-exact against the driver solve only while the driver's
+    partial-pivot search selects the natural row order. Assert that on
+    the fixture chains (diagonally dominant) it always does — if a future
+    fixture breaks this, the oracle must grow the pivot CASEs."""
+    import duckdb
+
+    from candyspark.plans.ml import _CHANNELS
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    counts = con.execute("""
+        WITH first_p AS (
+          SELECT user_id, MIN(ts) AS p_ts FROM events
+          WHERE event_type='purchase' GROUP BY user_id),
+        ev AS (
+          SELECT e.user_id, e.event_type, e.ts, e.event_id
+          FROM events e LEFT JOIN first_p USING (user_id)
+          WHERE e.event_type IN ('click','signup','view','purchase')
+            AND (p_ts IS NULL OR e.ts <= p_ts)),
+        seq AS (
+          SELECT event_type AS state,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_state
+          FROM ev)
+        SELECT src, dst, COUNT(*) FROM (
+          SELECT state AS src, COALESCE(next_state,'NULL') AS dst
+          FROM seq WHERE state != 'purchase'
+          UNION ALL SELECT 'START', state FROM seq WHERE rn = 1
+        ) GROUP BY 1, 2
+    """).fetchall()
+    states = ["START", *_CHANNELS]
+    mat = {s: {} for s in states}
+    for src, dst, n in counts:
+        if src in mat:
+            mat[src][dst] = n
+    for removed in [None, *_CHANNELS]:
+        n = len(states)
+        A = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+        for i, s in enumerate(states):
+            if s == removed:
+                continue
+            row = mat[s]
+            tot = sum(row.values())
+            for dst, c in sorted(row.items()):
+                if dst in states and dst != removed:
+                    A[i][states.index(dst)] -= c / tot
+        for col in range(n):
+            r_max = max(range(col, n), key=lambda r: abs(A[r][col]))
+            assert abs(A[r_max][col]) >= 1e-12, (removed, col)
+            assert r_max == col, (removed, col, r_max)
+            piv = A[col][col]
+            for r2 in range(n):
+                if r2 == col:
+                    continue
+                f = A[r2][col] / piv
+                for c2 in range(n):
+                    A[r2][c2] -= f * A[col][c2]
+
+
 def test_heaps_law_trigram_beta_nonzero(spark):
     """Trigram vocabulary (verdict item 2): the fitted Heaps beta must
     show real vocabulary growth (the unigram form saturated at beta=0)."""
