@@ -1588,3 +1588,271 @@ WHERE dd = max_dd
 
 
 REGISTRY["max_drawdown"] = QuerySpec(q_max_drawdown, MAX_DRAWDOWN_SQL)
+
+
+def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit of the daily order-revenue series by Yule-Walker: the
+    autoregressive coefficients implied by the first two autocorrelations,
+        φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²),   φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²),
+    plus the innovation-variance ratio 1 − φ₁ρ₁ − φ₂ρ₂ — the forecasting
+    family's model-identification step (acf_daily_revenue DESCRIBES the
+    memory; this FITS the minimal linear model that reproduces it).
+
+    Exactness: the acf discipline verbatim — snapped μ, DECIMAL-centered
+    series, per-term snapped products summed as exact decimals; the two
+    lag rows PIVOT into one row by conditional aggregation so ρ₁/ρ₂ and
+    the φ algebra are one fixed-order double expression in both engines.
+
+    Scale: orders collapse to the bounded daily series first; one
+    window over ≤|calendar| rows, one self-join at two lags.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    series = daily.select(F.row_number().over(w).alias("t"), "r")
+    mu_stats = series.agg(
+        F.round(
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("mu"),
+    )
+    ser = (
+        series.crossJoin(F.broadcast(mu_stats))
+        .select(
+            "t",
+            (F.col("r") - F.col("mu")).cast("decimal(16,6)").cast("double").alias("d"),
+        )
+        .localCheckpoint()
+    )
+
+    def term(p: F.Column) -> F.Column:
+        return F.round(p.cast("decimal(28,8)"), 6)
+
+    den = ser.agg(
+        F.sum(term(F.col("d") * F.col("d"))).alias("den"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lags = spark.createDataFrame([(1,), (2,)], "l int")
+    shifted = ser.crossJoin(F.broadcast(lags)).select(
+        (F.col("t") + F.col("l")).alias("t"), "l", F.col("d").alias("d2")
+    )
+    nums = (
+        ser.join(shifted, "t")
+        .groupBy("l")
+        .agg(F.sum(term(F.col("d") * F.col("d2"))).alias("num"))
+        .agg(
+            F.sum(F.when(F.col("l") == 1, F.col("num"))).alias("num1"),
+            F.sum(F.when(F.col("l") == 2, F.col("num"))).alias("num2"),
+        )
+    )
+    j = nums.crossJoin(F.broadcast(den))
+    rho1 = F.round(
+        (F.col("num1").cast("double") / F.col("den").cast("double")).cast(
+            "decimal(28,8)"
+        ),
+        6,
+    ).cast("double")
+    rho2 = F.round(
+        (F.col("num2").cast("double") / F.col("den").cast("double")).cast(
+            "decimal(28,8)"
+        ),
+        6,
+    ).cast("double")
+    staged = j.select(
+        "n_days", rho1.alias("rho1"), rho2.alias("rho2")
+    )
+    phi1 = F.col("rho1") * (F.lit(1.0) - F.col("rho2")) / (
+        F.lit(1.0) - F.col("rho1") * F.col("rho1")
+    )
+    phi2 = (F.col("rho2") - F.col("rho1") * F.col("rho1")) / (
+        F.lit(1.0) - F.col("rho1") * F.col("rho1")
+    )
+    return staged.select(
+        "n_days",
+        "rho1",
+        "rho2",
+        X.snap_round(phi1, 6).alias("phi1"),
+        X.snap_round(phi2, 6).alias("phi2"),
+        X.snap_round(
+            F.lit(1.0) - phi1 * F.col("rho1") - phi2 * F.col("rho2"), 6
+        ).alias("innovation_ratio"),
+    )
+
+
+YULE_WALKER_AR2_SQL = """
+WITH daily AS (
+    SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY o_orderdate
+),
+series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t, r FROM daily
+),
+mu_stats AS (
+    SELECT CAST(ROUND(CAST(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS mu
+    FROM series
+),
+ser AS (
+    SELECT t, CAST(CAST(r - mu AS DECIMAL(16,6)) AS DOUBLE) AS d
+    FROM series CROSS JOIN mu_stats
+),
+den AS (
+    SELECT SUM(ROUND(CAST(d * d AS DECIMAL(28,8)), 6)) AS den,
+           COUNT(*) AS n_days
+    FROM ser
+),
+shifted AS (
+    SELECT t + l AS t, l, d AS d2
+    FROM ser CROSS JOIN (SELECT unnest([1, 2]) AS l)
+),
+nums AS (
+    SELECT SUM(CASE WHEN l = 1 THEN num END) AS num1,
+           SUM(CASE WHEN l = 2 THEN num END) AS num2
+    FROM (
+        SELECT l, SUM(ROUND(CAST(ser.d * shifted.d2 AS DECIMAL(28,8)), 6)) AS num
+        FROM ser JOIN shifted USING (t)
+        GROUP BY l
+    )
+),
+rho AS (
+    SELECT n_days,
+           CAST(ROUND(CAST(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS rho1,
+           CAST(ROUND(CAST(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS rho2
+    FROM nums CROSS JOIN den
+)
+SELECT n_days, rho1, rho2,
+       CAST(ROUND(CAST(rho1 * (1.0 - rho2) / (1.0 - rho1 * rho1)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS phi1,
+       CAST(ROUND(CAST((rho2 - rho1 * rho1) / (1.0 - rho1 * rho1)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS phi2,
+       CAST(ROUND(CAST(1.0 - (rho1 * (1.0 - rho2) / (1.0 - rho1 * rho1)) * rho1
+                           - ((rho2 - rho1 * rho1) / (1.0 - rho1 * rho1)) * rho2
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS innovation_ratio
+FROM rho
+"""
+
+REGISTRY["yule_walker_ar2"] = QuerySpec(q_yule_walker_ar2, YULE_WALKER_AR2_SQL)
+
+
+# cos/sin of 2πk/7 as shortest-roundtrip literals — BOTH engines receive the
+# same IEEE double by construction (libm cos/sin may differ in the last ulp
+# between the JVM and DuckDB, so neither engine computes trig at runtime)
+import math as _math  # noqa: E402
+
+_COS7 = [_math.cos(2 * _math.pi * k / 7) for k in range(7)]
+_SIN7 = [_math.sin(2 * _math.pi * k / 7) for k in range(7)]
+
+
+def q_weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral power of the daily-revenue series at the weekly frequency —
+    the single-bin DFT (Goertzel-style) seasonality detector: C = Σ d_t·cos
+    (2πt/7), S = Σ d_t·sin(2πt/7) over the demeaned series, weekly
+    amplitude A = 2√(C²+S²)/n, and the fraction of series variance the
+    weekly sinusoid explains. The frequency-domain twin of
+    seasonal_decompose/acf (a lag-7 ACF spike and a big lag-7 power bin
+    are the same physics, measured two ways).
+
+    Exactness: the acf discipline (snapped μ, decimal-centered d, per-term
+    snapped products, exact decimal sums) + trig as shared LITERALS (see
+    _COS7 — runtime cos() is libm-dependent). The final amplitude/fraction
+    assemble in one double expression.
+
+    Scale: orders → bounded daily series; one pass over it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    series = daily.select(F.row_number().over(w).alias("t"), "r")
+    mu_stats = series.agg(
+        F.round(
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("mu"),
+    )
+    phase = ((F.col("t") - 1) % 7 + 1).cast("int")
+    ser = series.crossJoin(F.broadcast(mu_stats)).select(
+        (F.col("r") - F.col("mu")).cast("decimal(16,6)").cast("double").alias("d"),
+        F.element_at(F.array(*[F.lit(c) for c in _COS7]), phase).alias("c7"),
+        F.element_at(F.array(*[F.lit(s) for s in _SIN7]), phase).alias("s7"),
+    )
+
+    def term(p: F.Column) -> F.Column:
+        return F.round(p.cast("decimal(28,8)"), 6)
+
+    sums = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(term(F.col("d") * F.col("c7"))).alias("c"),
+        F.sum(term(F.col("d") * F.col("s7"))).alias("s"),
+        F.sum(term(F.col("d") * F.col("d"))).alias("ss"),
+    )
+    n = F.col("n_days").cast("double")
+    c = F.col("c").cast("double")
+    s = F.col("s").cast("double")
+    power = c * c + s * s
+    return sums.select(
+        "n_days",
+        X.snap_round(F.lit(2.0) * F.sqrt(power) / n, 4).alias("weekly_amplitude"),
+        X.snap_round(
+            F.lit(2.0) * power / (n * F.col("ss").cast("double")), 6
+        ).alias("variance_fraction"),
+    )
+
+
+_C7_LIT = "[" + ", ".join(repr(c) for c in _COS7) + "]"
+_S7_LIT = "[" + ", ".join(repr(s) for s in _SIN7) + "]"
+
+WEEKLY_SPECTRAL_POWER_SQL = f"""
+WITH daily AS (
+    SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY o_orderdate
+),
+series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t, r FROM daily
+),
+mu_stats AS (
+    SELECT CAST(ROUND(CAST(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS mu
+    FROM series
+),
+ser AS (
+    SELECT CAST(CAST(r - mu AS DECIMAL(16,6)) AS DOUBLE) AS d,
+           ({_C7_LIT})[CAST((t - 1) % 7 + 1 AS INTEGER)] AS c7,
+           ({_S7_LIT})[CAST((t - 1) % 7 + 1 AS INTEGER)] AS s7
+    FROM series CROSS JOIN mu_stats
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           SUM(ROUND(CAST(d * c7 AS DECIMAL(28,8)), 6)) AS c,
+           SUM(ROUND(CAST(d * s7 AS DECIMAL(28,8)), 6)) AS s,
+           SUM(ROUND(CAST(d * d AS DECIMAL(28,8)), 6)) AS ss
+    FROM ser
+)
+SELECT n_days,
+       CAST(ROUND(CAST(2.0 * SQRT(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                                  + CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / CAST(n_days AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS weekly_amplitude,
+       CAST(ROUND(CAST(2.0 * (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                              + CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS variance_fraction
+FROM sums
+"""
+
+REGISTRY["weekly_spectral_power"] = QuerySpec(
+    q_weekly_spectral_power, WEEKLY_SPECTRAL_POWER_SQL
+)

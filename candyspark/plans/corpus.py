@@ -2313,3 +2313,71 @@ FROM s
 
 
 REGISTRY["heaps_law"] = QuerySpec(q_heaps_law, HEAPS_LAW_SQL)
+
+
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K vocabulary-richness characteristic per source:
+    K = 10⁴·(Σ_t f_t² − N)/N² — the repetitiveness number corpus curators
+    read next to zipf_fit/heaps_law (K rises as a source recycles the same
+    tokens; template farms and boilerplate-heavy crawls jump out). K is a
+    function of the frequency SPECTRUM only, so it needs exactly the tf
+    relation every other text operator already builds.
+
+    Exactness: N and Σf² are integer sums (Σf² in DECIMAL(38,0) — a
+    100-TB-source term frequency squared overflows int64), K is ONE double
+    expression snapped at 6 dp — both engines run identical algebra on
+    identical integers.
+
+    Scale: one tokenize+explode scan into a map-side-combined
+    (source, term) aggregate, then a ≤|sources| rollup. Nothing else.
+    """
+    from candyspark.operators.text import tokens
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    per_src = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f").cast("decimal(38,0)"))
+        .alias("s2"),
+    )
+    k = (
+        F.lit(10_000.0)
+        * (F.col("s2").cast("double") - F.col("n_tokens").cast("double"))
+        / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double"))
+    )
+    return per_src.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        snap_round(k, 6).alias("yules_k"),
+    ).orderBy("source")
+
+
+YULES_K_SQL = f"""
+WITH tf AS (
+    SELECT source, term, COUNT(*) AS f
+    FROM (SELECT source, unnest({_TOKS_FRAGMENT}) AS term FROM documents)
+    GROUP BY source, term
+),
+per_src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           SUM(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0))) AS s2
+    FROM tf GROUP BY source
+)
+SELECT source, n_types, n_tokens,
+       CAST(ROUND(CAST(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                       / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS yules_k
+FROM per_src
+ORDER BY source
+"""
+
+REGISTRY["yules_k"] = QuerySpec(q_yules_k, YULES_K_SQL)

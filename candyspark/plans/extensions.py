@@ -3560,3 +3560,86 @@ FROM terms
 
 
 REGISTRY["logrank_test"] = QuerySpec(q_logrank_test, LOGRANK_TEST_SQL)
+
+
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification over the embedding table: the 50
+    lowest-id vectors are the held-out queries, the rest are the labeled
+    index; each query takes its exact cosine top-10 from the index and
+    predicts by majority vote (ties → smallest label — the deterministic
+    tiebreak discipline). The eval twin of the similarity family: it turns
+    the retrieval stack into a measured classifier, the 'does my embedding
+    space actually separate labels' probe an embedding pipeline needs.
+
+    Scale: the brute-force scorer broadcasts the 50 queries (one corpus
+    scan, JVM codegen dot products — no shuffle of the index); voting and
+    ranking run on the ≤50×10 neighbor relation. Swap the scorer for
+    lsh_bucketed_topk / ivf at corpus scale — the vote logic is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 50)
+    index = e.filter(F.col("vec_id") >= 50)
+    nn = S.brute_force_topk(index, queries, k=10)
+    labeled = nn.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("n_label").alias("predicted_label"), "votes")
+    )
+    return (
+        pred.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+KNN_CLASSIFIER_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id < 50),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+           {_COS_SQL.replace("c_vec", "e.v")} AS cosine_sim
+    FROM e CROSS JOIN q
+    WHERE e.vec_id >= 50
+),
+nn AS (
+    SELECT query_id, n_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+),
+votes AS (
+    SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+    FROM nn GROUP BY query_id, n_label
+),
+pred AS (
+    SELECT query_id, n_label AS predicted_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, n_label ASC) AS r
+        FROM votes
+    ) WHERE r = 1
+)
+SELECT p.query_id, e.label AS true_label, p.predicted_label, p.votes,
+       p.predicted_label = e.label AS correct
+FROM pred p JOIN e ON e.vec_id = p.query_id
+ORDER BY p.query_id
+"""
+
+REGISTRY["knn_classifier"] = QuerySpec(q_knn_classifier, KNN_CLASSIFIER_SQL)

@@ -3156,3 +3156,257 @@ FROM fx
 REGISTRY["mediation_analysis"] = QuerySpec(
     q_mediation_analysis, MEDIATION_ANALYSIS_SQL
 )
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the three return-flag cohorts (A/N/R)
+    draw their quantities from the same distribution? The k-group
+    generalization of q_mann_whitney, completing the nonparametric rung of
+    the hypothesis-test ladder (z → ANOVA → U → H).
+
+    Same rank-without-sort machinery as mann_whitney: l_quantity has
+    bounded integral support (1..50), so ranks are a window over the
+    ≤50-row per-value aggregate and DOUBLED midranks stay exact int64
+    (R2(v) = 2·cum_before + n_v + 1). Doubled per-group rank sums
+    R2_g = Σ_v n_gv·R2(v) are exact int64; the three groups PIVOT into one
+    row by conditional aggregation, so H assembles as a single fixed-order
+    double expression (never a float SUM over a group-ordered frame, whose
+    accumulation order differs between engines):
+        H = 12/(N(N+1)) · Σ_g (R2_g/2)²/n_g − 3(N+1),
+    tie-corrected by 1 − Σ(t³−t)/(N³−N) with the tie sum in DECIMAL(38,0)
+    (t³ overflows int64 past ~2M rows per value). Verdict compares H' to
+    the χ²(df=2, α=.05) critical value 5.991 — no CDF needed, and both
+    engines compare the same snapped double.
+
+    Scale: one scan → ≤50-row aggregate; everything after is constant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"), F.col("l_returnflag")
+        )
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("l_returnflag") == g, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n{g}_v")
+                for g in ("A", "N", "R")
+            ]
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    n_v = F.col("nA_v") + F.col("nN_v") + F.col("nR_v")
+    ranked = per_v.select(
+        "nA_v",
+        "nN_v",
+        "nR_v",
+        n_v.alias("n_v"),
+        (
+            2 * F.coalesce(F.sum(n_v).over(w), F.lit(0)) + n_v + 1
+        ).alias("r2"),
+    )
+    sums = ranked.agg(
+        *[
+            F.sum(f"n{g}_v").cast("long").alias(f"n_{g}")
+            for g in ("A", "N", "R")
+        ],
+        *[
+            F.sum(F.col(f"n{g}_v") * F.col("r2")).cast("long").alias(f"r2_{g}")
+            for g in ("A", "N", "R")
+        ],
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)")
+            * F.col("n_v").cast("decimal(38,0)")
+            * F.col("n_v").cast("decimal(38,0)")
+            - F.col("n_v").cast("decimal(38,0)")
+        ).alias("t_sum"),
+    )
+    n = (F.col("n_A") + F.col("n_N") + F.col("n_R")).cast("double")
+    term = lambda g: (  # noqa: E731 — (R2_g/2)² / n_g, one group's H share
+        (F.col(f"r2_{g}").cast("double") / F.lit(2.0))
+        * (F.col(f"r2_{g}").cast("double") / F.lit(2.0))
+        / F.col(f"n_{g}").cast("double")
+    )
+    h = (
+        F.lit(12.0) / (n * (n + F.lit(1.0)))
+        * (term("A") + term("N") + term("R"))
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("t_sum").cast("double") / (n * n * n - n)
+    h_c = snap_round(h / corr, 6)
+    return sums.select(
+        (F.col("n_A") + F.col("n_N") + F.col("n_R")).alias("n_total"),
+        "n_A",
+        "n_N",
+        "n_R",
+        h_c.alias("h_statistic"),
+        (h_c > 5.991).alias("distributions_differ"),
+    )
+
+
+KRUSKAL_WALLIS_SQL = """
+WITH per_v AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nA_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nN_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nR_v
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT nA_v, nN_v, nR_v,
+           nA_v + nN_v + nR_v AS n_v,
+           2 * COALESCE(SUM(nA_v + nN_v + nR_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (nA_v + nN_v + nR_v) + 1 AS r2
+    FROM per_v
+),
+sums AS (
+    SELECT CAST(SUM(nA_v) AS BIGINT) AS n_A,
+           CAST(SUM(nN_v) AS BIGINT) AS n_N,
+           CAST(SUM(nR_v) AS BIGINT) AS n_R,
+           CAST(SUM(nA_v * r2) AS BIGINT) AS r2_A,
+           CAST(SUM(nN_v * r2) AS BIGINT) AS r2_N,
+           CAST(SUM(nR_v * r2) AS BIGINT) AS r2_R,
+           SUM(CAST(n_v AS DECIMAL(38,0)) * CAST(n_v AS DECIMAL(38,0))
+               * CAST(n_v AS DECIMAL(38,0)) - CAST(n_v AS DECIMAL(38,0))) AS t_sum
+    FROM ranked
+),
+calc AS (
+    SELECT n_A, n_N, n_R,
+           CAST(n_A + n_N + n_R AS DOUBLE) AS n,
+           (CAST(r2_A AS DOUBLE) / 2.0) * (CAST(r2_A AS DOUBLE) / 2.0) / CAST(n_A AS DOUBLE)
+         + (CAST(r2_N AS DOUBLE) / 2.0) * (CAST(r2_N AS DOUBLE) / 2.0) / CAST(n_N AS DOUBLE)
+         + (CAST(r2_R AS DOUBLE) / 2.0) * (CAST(r2_R AS DOUBLE) / 2.0) / CAST(n_R AS DOUBLE)
+           AS rank_terms,
+           CAST(t_sum AS DOUBLE) AS ties
+    FROM sums
+)
+SELECT CAST(n_A + n_N + n_R AS BIGINT) AS n_total, n_A, n_N, n_R,
+       CAST(ROUND(CAST((12.0 / (n * (n + 1.0)) * rank_terms - 3.0 * (n + 1.0))
+                       / (1.0 - ties / (n * n * n - n))
+                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS h_statistic,
+       CAST(ROUND(CAST((12.0 / (n * (n + 1.0)) * rank_terms - 3.0 * (n + 1.0))
+                       / (1.0 - ties / (n * n * n - n))
+                  AS DECIMAL(28,8)), 6) AS DOUBLE) > 5.991 AS distributions_differ
+FROM calc
+"""
+
+REGISTRY["kruskal_wallis"] = QuerySpec(q_kruskal_wallis, KRUSKAL_WALLIS_SQL)
+
+
+def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables estimate (single instrument ⇒ the Wald/2SLS
+    estimator collapses to a covariance ratio): the causal effect of
+    purchases on spend where naive OLS is confounded by user activity,
+    instrumented by signup events (the encouragement-design story:
+    signups shift purchase propensity but affect spend only through
+    purchases). The causal-inference rung beyond ips_ate/aipw_ate: those
+    need ignorability, IV does not.
+
+        β_IV = Cov(z, y) / Cov(z, x)   (z=signups, x=purchases, y=spend)
+
+    Exactness: the user-grain z/x/y and all five cross-moments are exact
+    sums (counts int64; spend DECIMAL(18,2), products in DECIMAL(38,*)),
+    n·Σzy − Σz·Σy style numerators stay in exact decimal, and ONLY the
+    final ratios are double — identical algebra, identical inputs, both
+    engines. First-stage strength reports alongside (weak instruments
+    invalidate IV): coef = Cov(z,x)/Var(z) and its t² ≈ n·ρ²/(1−ρ²).
+
+    Scale: one user_id shuffle for the grain, one 1-row moment aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("z"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("y"),
+    )
+    yd = F.col("y").cast("decimal(28,2)")
+    m = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(F.col("z") * F.col("x")).cast("long").alias("szx"),
+        F.sum(F.col("z") * yd).alias("szy"),
+        F.sum(F.col("x") * yd).alias("sxy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    cov_zy = F.col("szy").cast("double") - F.col("sz").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    cov_zx = F.col("szx").cast("double") - F.col("sz").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    var_z = F.col("szz").cast("double") - F.col("sz").cast("double") * F.col(
+        "sz"
+    ).cast("double") / n
+    cov_xy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    var_x = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    rho2 = (cov_zx * cov_zx) / (var_z * var_x)
+    return m.select(
+        F.col("n").alias("n_users"),
+        snap_round(cov_zx / var_z, 6).alias("first_stage_coef"),
+        snap_round(n * rho2 / (F.lit(1.0) - rho2), 4).alias("first_stage_f"),
+        snap_round(cov_zy / cov_zx, 6).alias("iv_beta"),
+        snap_round(cov_xy / var_x, 6).alias("ols_beta"),
+    )
+
+
+IV_2SLS_SQL = """
+WITH users AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS z,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(z) AS BIGINT) AS sz,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           SUM(CAST(y AS DECIMAL(28,2))) AS sy,
+           CAST(SUM(z * x) AS BIGINT) AS szx,
+           SUM(z * CAST(y AS DECIMAL(28,2))) AS szy,
+           SUM(x * CAST(y AS DECIMAL(28,2))) AS sxy,
+           CAST(SUM(z * z) AS BIGINT) AS szz,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM users
+),
+c AS (
+    SELECT n,
+           CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cov_zy,
+           CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cov_zx,
+           CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS var_z,
+           CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cov_xy,
+           CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS var_x
+    FROM m
+)
+SELECT n AS n_users,
+       CAST(ROUND(CAST(cov_zx / var_z AS DECIMAL(28,8)), 6) AS DOUBLE) AS first_stage_coef,
+       CAST(ROUND(CAST(CAST(n AS DOUBLE) * ((cov_zx * cov_zx) / (var_z * var_x))
+                       / (1.0 - (cov_zx * cov_zx) / (var_z * var_x))
+                  AS DECIMAL(28,8)), 4) AS DOUBLE) AS first_stage_f,
+       CAST(ROUND(CAST(cov_zy / cov_zx AS DECIMAL(28,8)), 6) AS DOUBLE) AS iv_beta,
+       CAST(ROUND(CAST(cov_xy / var_x AS DECIMAL(28,8)), 6) AS DOUBLE) AS ols_beta
+FROM c
+"""
+
+REGISTRY["iv_2sls"] = QuerySpec(q_iv_2sls, IV_2SLS_SQL)

@@ -36,6 +36,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # Don't let tiny local runs default to 200 shuffle partitions; on a real
     # cluster this is overridden (or left to AQE coalescing from a high cap).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # local-mode driver JVM = the whole cluster; Spark's 1g default OOMs at
+    # generated-sf1 scale on a 128 GiB host. Only effective at JVM start
+    # (getOrCreate of the first session); harness-owned sessions unaffected.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 

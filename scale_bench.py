@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Scale validation: measure the heavy query families under real
+data-volume pressure (round-2 verdict item 1).
+
+The driver fixtures stop at sf0.1, which BASELINE.md's cross-SF check shows
+is fixed-overhead-dominated — so this harness generates the same star schema
+at sf0.1 AND sf1 with the in-engine generator (candyspark/sources/datagen.py,
+same distributions, 10× the rows) and times each heavy family on both.
+The headline number per query is the empirical scaling exponent
+    alpha = log10(t_sf1 / t_sf0.1)
+(1.0 = linear, <1 = sublinear/overhead-amortized). Each query must stay at
+or below its documented complexity bound (the BOUNDS table) — a query whose
+wall-time grows worse than its bound fails loudly here long before 100 TB.
+
+Usage: python scale_bench.py [--passes 2] [--skip-gen]
+Writes one JSON line (SCALE_BENCH.json-able) and a markdown table to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from candyspark.plans import collect_registry  # noqa: E402
+from candyspark.session import get_spark  # noqa: E402
+from candyspark.sources.datagen import generate  # noqa: E402
+
+BASE = os.environ.get("SCALE_DIR", "/root/repo/.scale")
+SFS = [0.1, 1.0]
+
+#: documented wall-time growth bound for a 10× data step, per query —
+#: the exponent alpha must satisfy alpha <= bound + MARGIN. Bounds trace
+#: to each operator's docstring complexity argument.
+BOUNDS = {
+    # banded LSH: signatures O(n), candidate pairs ~O(n) at fixed
+    # similarity structure → linear
+    "dedup_minhash": 1.0,
+    # sqrt(n) centroids: assignment O(n·sqrt(n)) in centroid count but the
+    # pair join is Σ|cluster|² = O(n^1.5 / sqrt(n)) = O(n)·cluster_size;
+    # with k=sqrt(n) both terms are O(n^1.5) worst-case → 1.5
+    "semantic_dedup": 1.5,
+    # minhash pairs + bounded-round label propagation → linear-ish in
+    # edges; edges grow with candidate pairs → 1.2
+    "dedup_clusters": 1.2,
+    # degree-oriented wedge join: O(|E|^1.5); |E| grows ~linearly with
+    # lineitem at fixed parts-per-order → 1.5
+    "triangle_count": 1.5,
+    # grouped order-statistic extraction: two linear passes + tiny joins
+    "robust_stats": 1.0,
+    # mapInPandas batch-carry: one partition-parallel linear pass
+    "greedy_allocation": 1.0,
+    # tf index + query join: linear in corpus tokens
+    "batch_retrieval": 1.0,
+}
+MARGIN = 0.25  # host noise allowance on a log10 scale (~78% wall-time slack)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--queries", default=",".join(BOUNDS))
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+
+    # sf1 needs real heap (the 1g JVM default OOMs on the pair joins)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    spark = get_spark(app_name="candyspark-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = collect_registry()
+
+    dirs = {}
+    for sf in SFS:
+        d = f"{BASE}/gen{sf:g}"
+        dirs[sf] = d
+        if not args.skip_gen:
+            t0 = time.perf_counter()
+            counts = generate(spark, d, sf)
+            print(
+                f"# generated sf{sf:g}: {counts['lineitem']:,} lineitem / "
+                f"{counts['documents']:,} docs in {time.perf_counter() - t0:.0f}s",
+                file=sys.stderr,
+            )
+
+    # warm-up
+    registry[names[0]].fn(spark, dirs[SFS[0]]).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    results = {}
+    for name in names:
+        per_sf = {}
+        for sf in SFS:
+            samples = []
+            for _ in range(args.passes):
+                t0 = time.perf_counter()
+                registry[name].fn(spark, dirs[sf]).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            per_sf[sf] = round(_median(samples), 2)
+        alpha = round(math.log10(per_sf[1.0] / per_sf[0.1]), 3)
+        results[name] = {
+            "t_sf0.1": per_sf[0.1],
+            "t_sf1": per_sf[1.0],
+            "alpha": alpha,
+            "bound": BOUNDS.get(name),
+            "ok": BOUNDS.get(name) is None or alpha <= BOUNDS[name] + MARGIN,
+        }
+        print(f"# {name}: {per_sf[0.1]}s -> {per_sf[1.0]}s  alpha={alpha}", file=sys.stderr)
+
+    print(json.dumps({"metric": "scale_exponents", "passes": args.passes, "queries": results}))
+    print("\n| query | sf0.1 (s) | sf1 (s) | alpha | bound | ok |", file=sys.stderr)
+    print("|---|---|---|---|---|---|", file=sys.stderr)
+    for n, r in results.items():
+        print(
+            f"| {n} | {r['t_sf0.1']} | {r['t_sf1']} | {r['alpha']} "
+            f"| {r['bound']} | {'yes' if r['ok'] else 'NO'} |",
+            file=sys.stderr,
+        )
+    bad = [n for n, r in results.items() if not r["ok"]]
+    spark.stop()
+    if bad:
+        print(f"# EXCEEDED BOUNDS: {bad}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
