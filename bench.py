@@ -268,6 +268,23 @@ HEADLINE = [
     "simpsons_check",
     "mediation_analysis",
     "heaps_law",
+    # round 3
+    "yules_k",
+    "kruskal_wallis",
+    "iv_2sls",
+    "knn_classifier",
+    "yule_walker_ar2",
+    "weekly_spectral_power",
+    "decile_lift",
+    "entropy_profile",
+    "jackknife_variance",
+    "query_expansion_prf",
+    "quality_ensemble",
+    "ann_recall",
+    "importance_resampling",
+    "important_part_value",
+    "dominant_suppliers",
+    "bilateral_trade_volume",
 ]
 
 

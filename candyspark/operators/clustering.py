@@ -48,13 +48,34 @@ def assign_clusters(
 
 def _recompute_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
     """Per-dimension mean per cluster, folded back into arrays (JVM-side:
-    posexplode → avg → array_sort(collect_list(struct)) → transform)."""
+    posexplode → exact-sum mean → array_sort(collect_list(struct)) →
+    transform).
+
+    The mean is (Σ quantized values)/count with values snapped to 10 dp
+    through DECIMAL before the sum — NOT ``F.avg`` — because a float avg
+    is partial-accumulation-ORDER-dependent: on a different partitioning
+    (or a different engine) the same cluster gets a centroid differing in
+    the last ulp, which can flip a distance tie downstream. Decimal sums
+    are exact and order-free, the single division is IEEE-identical
+    everywhere, and the float32 cast is the same rounding on both engines
+    — this is what makes the whole iterated pipeline hash-checkable
+    against the SQL oracle (KMEANS_CLUSTERS_SQL) and repartition-stable.
+    """
     dims = assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "val"))
-    means = dims.groupBy("cluster_id", "pos").agg(F.avg("val").alias("mean_val"))
+    means = dims.groupBy("cluster_id", "pos").agg(
+        F.sum(F.round(F.col("val").cast("decimal(28,12)"), 10)).alias("s"),
+        F.count(F.lit(1)).alias("m"),
+    ).select(
+        "cluster_id",
+        "pos",
+        (F.col("s").cast("double") / F.col("m").cast("double"))
+        .cast("float")
+        .alias("mean_val"),
+    )
     return means.groupBy("cluster_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-            lambda s: s.mean_val.cast("float"),
+            lambda s: s.mean_val,
         ).alias("c_vec")
     )
 

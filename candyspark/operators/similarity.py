@@ -363,8 +363,14 @@ def mmr_rerank(
     never O(corpus). Determinism: candidates pre-sorted by (relevance
     desc, neighbor_id); ties in the MMR objective resolve to the earlier
     candidate in that order. Scores are rounded to 6 dp at the boundary.
-    Non-SQL-expressible (sequential argmax chain) → rows-only driver
-    check; tests recompute the chain independently and pin invariants.
+
+    Cross-engine contract (round 3): pairwise penalties are SNAPPED to
+    6 dp before the objective, which pins every argmax decision to values
+    both engines agree on bit-for-bit (a raw BLAS dot differs from a SQL
+    left-fold dot in low ulps, and a strict float compare would let those
+    ulps flip a pick) — this is what lets the k greedy rounds unroll into
+    the DuckDB oracle (plans/extensions.SIMILARITY_MMR_SQL). The chain is
+    additionally recomputed independently in tests.
     """
     import numpy as np
     import pandas as pd
@@ -377,6 +383,9 @@ def mmr_rerank(
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0.0] = 1.0
         unit = vecs / norms[:, None]
+        # snapped pairwise similarity matrix — see the cross-engine
+        # contract in the docstring
+        psim = np.round(unit @ unit.T, 6)
         rel = pdf["cosine_sim"].to_numpy(dtype="float64")
         n = len(pdf)
         selected: list[int] = []
@@ -387,10 +396,9 @@ def mmr_rerank(
                 best = remaining[0]  # max relevance under the presort
                 best_score = lam * rel[best]
             else:
-                sel_mat = unit[selected]
                 best, best_score = -1, -np.inf
                 for i in remaining:
-                    penalty = float(np.max(sel_mat @ unit[i]))
+                    penalty = float(np.max(psim[selected, i]))
                     s = lam * rel[i] - (1.0 - lam) * penalty
                     if s > best_score:  # strict: ties keep the earlier row
                         best, best_score = i, s
@@ -400,11 +408,22 @@ def mmr_rerank(
         out = pdf.iloc[selected][["query_id", "neighbor_id"]].copy()
         out["mmr_rank"] = np.arange(1, len(selected) + 1, dtype="int32")
         out["relevance"] = rel[selected]
-        out["mmr_score"] = np.round(scores, 6)
+        out["mmr_score"] = scores  # raw; snapped below through decimal
         return out
 
     schema = (
         "query_id long, neighbor_id long, mmr_rank int, "
         "relevance double, mmr_score double"
     )
-    return candidates.groupBy("query_id").applyInPandas(kernel, schema)
+    raw = candidates.groupBy("query_id").applyInPandas(kernel, schema)
+    # snap OUTSIDE the kernel via the shared decimal discipline —
+    # np.round's scaled-binary rounding is not the oracle's decimal ROUND
+    return raw.select(
+        "query_id",
+        "neighbor_id",
+        "mmr_rank",
+        "relevance",
+        F.round(F.col("mmr_score").cast("decimal(28,8)"), 6)
+        .cast("double")
+        .alias("mmr_score"),
+    )

@@ -2381,3 +2381,305 @@ ORDER BY source
 """
 
 REGISTRY["yules_k"] = QuerySpec(q_yules_k, YULES_K_SQL)
+
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed accept/reject gate a pretraining pipeline actually
+    ships: Gopher rule bounds (gopher_quality_filter) AND the heuristic
+    quality score AND language-ID agreement, per document, with a
+    machine-readable flags string naming every failed check (the audit
+    trail curators demand — a bare boolean can't drive a triage queue).
+    Each signal already exists as its own oracle-checked operator; this
+    is the ensemble composition over ONE shared tokenize pass.
+
+    Determinism: all three verdicts are reused expressions with their
+    established snapping; the flags string concatenates fixed-order
+    literals (never a collected set).
+
+    Scale: per-row expressions only — scan-stage, zero exchanges, same
+    posture as gopher_quality_filter.
+    """
+    from candyspark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    n, mean_len, frac_alpha, stop_hits = gopher_signal_exprs()
+    sig = d.select(
+        "doc_id",
+        "lang",
+        n.cast("int").alias("n_words"),
+        snap_round(mean_len, 4).alias("mean_word_len"),
+        snap_round(frac_alpha, 6).alias("frac_alpha"),
+        stop_hits.cast("int").alias("stop_hits"),
+        X.quality_score("text").alias("qscore"),
+        X.lang_guess("text").alias("lang_guess"),
+    )
+    gopher_ok = gopher_passes_expr(
+        F.col("n_words"),
+        F.col("mean_word_len"),
+        F.col("frac_alpha"),
+        F.col("stop_hits"),
+    )
+    quality_ok = F.col("qscore") >= 0.5
+    lang_ok = F.col("lang_guess") == F.col("lang")
+    flags = F.concat(
+        F.when(~gopher_ok, F.lit("gopher;")).otherwise(F.lit("")),
+        F.when(~quality_ok, F.lit("low_quality;")).otherwise(F.lit("")),
+        F.when(~lang_ok, F.lit("lang_mismatch;")).otherwise(F.lit("")),
+    )
+    return sig.select(
+        "doc_id",
+        gopher_ok.alias("gopher_pass"),
+        quality_ok.alias("quality_pass"),
+        lang_ok.alias("lang_pass"),
+        (gopher_ok & quality_ok & lang_ok).alias("passes"),
+        flags.alias("flags"),
+    ).orderBy("doc_id")
+
+
+def _quality_ensemble_sql() -> str:
+    from candyspark.plans.extensions import LANG_ID_SQL, TEXT_STATS_SQL
+
+    return f"""
+WITH stats AS ({TEXT_STATS_SQL}),
+langid AS ({LANG_ID_SQL}),
+t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+sig AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_words,
+           CAST(ROUND(CAST(CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                     / len(toks) ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE)
+             AS mean_word_len,
+           CAST(ROUND(CAST(CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) / len(toks) ELSE 0.0 END
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS frac_alpha,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the', 'and', 'of', 'to', 'in', 'a', 'is'])) AS INTEGER)
+             AS stop_hits
+    FROM t
+),
+v AS (
+    SELECT sig.doc_id,
+           (n_words >= 10 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND frac_alpha >= 0.8 AND stop_hits >= 2) AS gopher_pass,
+           (s.quality_score >= 0.5) AS quality_pass,
+           (l.lang_guess = l.lang) AS lang_pass
+    FROM sig
+    JOIN stats s ON s.doc_id = sig.doc_id
+    JOIN langid l ON l.doc_id = sig.doc_id
+)
+SELECT doc_id, gopher_pass, quality_pass, lang_pass,
+       (gopher_pass AND quality_pass AND lang_pass) AS passes,
+       (CASE WHEN NOT gopher_pass THEN 'gopher;' ELSE '' END)
+       || (CASE WHEN NOT quality_pass THEN 'low_quality;' ELSE '' END)
+       || (CASE WHEN NOT lang_pass THEN 'lang_mismatch;' ELSE '' END) AS flags
+FROM v
+ORDER BY doc_id
+"""
+
+
+REGISTRY["quality_ensemble"] = QuerySpec(q_quality_ensemble, _quality_ensemble_sql())
+
+
+def _bpe_round_ctes(rounds: int) -> str:
+    """Shared CTE chain for the BPE oracles: w0 = (freq, char-syms) per
+    distinct word; per round r, b{r} = argmax pair (weight DESC, l, r —
+    the trainer's exact total order) and w{r} = the merge applied.
+
+    The greedy-leftmost fold translates to SQL as replace() over symbols
+    wrapped INDIVIDUALLY as ``|sym|``: matches of ``|L||R|`` can never
+    overlap (each symbol's wrapper is its own), and SQL replace scans
+    left-to-right continuing after each replacement — exactly the fold's
+    guarantee that a just-merged tail never re-triggers. (A space-JOINED
+    form would be wrong: adjacent occurrences share the delimiter, so
+    ``a b a b`` would merge only once.)
+    """
+    parts = [
+        f"""w0 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+           list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+    FROM (SELECT unnest({_TOKS_FRAGMENT}) AS word FROM documents)
+    GROUP BY word
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+    SELECT l, r, CAST(SUM(freq) AS BIGINT) AS weight FROM (
+        SELECT freq, pr[1] AS l, pr[2] AS r FROM (
+            SELECT freq, unnest(list_transform(range(1, len(syms)),
+                                i -> [syms[i], syms[i + 1]])) AS pr
+            FROM w{r - 1} WHERE len(syms) >= 2
+        )
+    ) GROUP BY l, r
+    ORDER BY weight DESC, l, r LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+    SELECT freq,
+           list_filter(string_split(
+               replace('|' || array_to_string(syms, '||') || '|',
+                       '|' || b.l || '||' || b.r || '|',
+                       '|' || b.l || b.r || '|'),
+               '|'), x -> x != '') AS syms
+    FROM w{r - 1} CROSS JOIN b{r} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_merges_sql(rounds: int = 4) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, weight FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"WITH {_bpe_round_ctes(rounds)}\n{selects} ORDER BY merge_rank"
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_merges_sql()
+
+
+def _bpe_encode_sql(rounds: int = 4) -> str:
+    vocab_parts = [
+        f"""v0 AS (
+    SELECT word, list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+    FROM (SELECT DISTINCT unnest({_TOKS_FRAGMENT}) AS word FROM documents)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        vocab_parts.append(
+            f"""v{r} AS MATERIALIZED (
+    SELECT word,
+           list_filter(string_split(
+               replace('|' || array_to_string(syms, '||') || '|',
+                       '|' || b.l || '||' || b.r || '|',
+                       '|' || b.l || b.r || '|'),
+               '|'), x -> x != '') AS syms
+    FROM v{r - 1} CROSS JOIN b{r} b
+)"""
+        )
+    vocab_ctes = ",\n".join(vocab_parts)
+    return f"""
+WITH {_bpe_round_ctes(rounds)},
+{vocab_ctes},
+encoded AS (
+    SELECT word, CAST(len(word) AS INTEGER) AS n_chars,
+           CAST(len(syms) AS INTEGER) AS n_syms
+    FROM v{rounds}
+),
+psw AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT source, unnest({_TOKS_FRAGMENT}) AS word FROM documents)
+    GROUP BY source, word
+),
+agg AS (
+    SELECT source,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq * n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(freq * n_syms) AS BIGINT) AS total_syms
+    FROM psw JOIN encoded USING (word)
+    GROUP BY source
+)
+SELECT source, n_tokens, total_chars, total_syms,
+       CAST(ROUND(CAST(CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS chars_per_token,
+       CAST(ROUND(CAST(CAST(total_syms AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS syms_per_token,
+       CAST(ROUND(CAST(CAST(total_syms AS DOUBLE) / CAST(total_chars AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS compression
+FROM agg
+ORDER BY source
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+REGISTRY["bpe_train_merges"] = QuerySpec(q_bpe_train_merges, BPE_TRAIN_MERGES_SQL)
+REGISTRY["bpe_encode"] = QuerySpec(q_bpe_encode, BPE_ENCODE_SQL)
+
+
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance downsampling: keep each document with
+    probability quality_score² (temperature-2 upweighting of the head —
+    the DoReMi/DSIR-style knob a pretraining mix uses to trade corpus size
+    for quality), decided by a CONTENT-KEYED md5 uniform so the sample is
+    a pure function of the data: reproducible across engines, runs,
+    partitionings, and re-runs at 100 TB without stored RNG state (the
+    weighted_sample convention). Reports per-source before/after counts
+    and mean quality — the 'did resampling actually shift the quality
+    distribution' receipt.
+
+    Scale: score, uniform, and the keep decision are scan-stage
+    expressions; the only shuffle is the ≤|sources| rollup.
+    """
+    from candyspark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    score = quality_score("text")  # snapped 4dp inside
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    u = (h.cast("double") + 0.5) / F.lit(4294967296.0)
+    rows = d.select(
+        "source",
+        score.alias("q"),
+        (u < score * score).alias("kept"),
+    )
+    qd = F.col("q").cast("decimal(18,4)")
+    agg = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(qd).alias("q_sum"),
+        F.sum(F.when(F.col("kept"), qd).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .alias("q_kept_sum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        snap_round(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("kept_rate"),
+        snap_round(
+            F.col("q_sum").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_quality_before"),
+        snap_round(
+            F.col("q_kept_sum").cast("double") / F.col("n_kept").cast("double"), 6
+        ).alias("mean_quality_kept"),
+    ).orderBy("source")
+
+
+IMPORTANCE_RESAMPLING_SQL = f"""
+WITH t AS (SELECT doc_id, source, text, {_AN_TOKS} AS toks FROM documents),
+rows_ AS (
+    SELECT source,
+           {_AN_QUALITY} AS q,
+           ((CAST(CONCAT('0x', SUBSTRING(md5(text), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0) < {_AN_QUALITY} * {_AN_QUALITY} AS kept
+    FROM t
+),
+agg AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           SUM(CAST(q AS DECIMAL(18,4))) AS q_sum,
+           SUM(CASE WHEN kept THEN CAST(q AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS q_kept_sum
+    FROM rows_ GROUP BY source
+)
+SELECT source, n_docs, n_kept,
+       CAST(ROUND(CAST(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS kept_rate,
+       CAST(ROUND(CAST(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_quality_before,
+       CAST(ROUND(CAST(CAST(q_kept_sum AS DOUBLE) / CAST(n_kept AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_quality_kept
+FROM agg
+ORDER BY source
+"""
+
+REGISTRY["importance_resampling"] = QuerySpec(
+    q_importance_resampling, IMPORTANCE_RESAMPLING_SQL
+)

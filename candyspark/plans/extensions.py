@@ -1633,9 +1633,16 @@ ORDER BY lang, source
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table (k=8, 3
     iterations, deterministic seeding/tie-breaks — operators/clustering).
-    Returns per-cluster population and centroid L2 norm. Rows-only: the
-    iteration can't be stated in one oracle SQL; tests pin the exact
-    assignments against a same-semantics numpy reference."""
+    Returns per-cluster population and centroid L2 norm.
+
+    Hash-checked (was rows-only through round 2): Lloyd's BOUNDED
+    iteration unrolls into one SQL CTE chain per round (the markov/
+    set-cover precedent), and the round-3 exact-sum centroid mean in
+    operators/clustering._recompute_centroids makes every round's
+    centroids bit-identical across engines — quantized decimal sums, one
+    IEEE division, one float32 snap; distances are the shared fixed-order
+    fold (_L2SQ). Tests additionally pin exact assignments against a
+    same-semantics numpy reference and repartition-invariance."""
     from candyspark.operators.clustering import kmeans
     from candyspark.operators.similarity import norm
 
@@ -1647,10 +1654,77 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cluster_id",
             "num_vectors",
-            F.round(norm(F.col("c_vec")), 4).alias("centroid_norm"),
+            X.snap_round(norm(F.col("c_vec")), 4).alias("centroid_norm"),
         )
         .orderBy("cluster_id")
     )
+
+
+def _kmeans_clusters_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd oracle: one (assign, mean) CTE pair per iteration,
+    mirroring operators/clustering step for step — the same quantized
+    decimal sums, the same single division, the same float32 (REAL) snap,
+    the same fixed-order L2 fold and lowest-id tie-break."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cents_0 AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e "
+        f"WHERE vec_id < {k})",
+    ]
+    prev = "cents_0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""a{r} AS (
+    SELECT vec_id, v, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN {prev} c
+    ) WHERE crank = 1
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+    SELECT cluster_id, pos,
+           SUM(ROUND(CAST(v[pos] AS DECIMAL(28,12)), 10)) AS s,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM a{r} CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+    GROUP BY cluster_id, pos
+)"""
+        )
+        parts.append(
+            f"""cents_{r} AS (
+    SELECT cluster_id,
+           list(CAST(CAST(CAST(s AS DOUBLE) / m AS REAL) AS DOUBLE)
+                ORDER BY pos) AS c_vec
+    FROM m{r} GROUP BY cluster_id
+)"""
+        )
+        prev = f"cents_{r}"
+    norm_sql = (
+        "SQRT(list_reduce(list_transform(range(1, 65), "
+        "i -> c.c_vec[i] * c.c_vec[i]), (a, b) -> a + b))"
+    )
+    return f"""
+WITH {','.join(parts)},
+a_final AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN {prev} c
+    ) WHERE crank = 1
+)
+SELECT s.cluster_id, s.num_vectors,
+       CAST(ROUND(CAST({norm_sql} AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS centroid_norm
+FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS num_vectors
+      FROM a_final GROUP BY cluster_id) s
+JOIN {prev} c USING (cluster_id)
+ORDER BY s.cluster_id
+"""
+
+
+KMEANS_CLUSTERS_SQL = _kmeans_clusters_sql()
 
 
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1914,7 +1988,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_enrich": QuerySpec(q_streaming_enrich, STREAMING_ENRICH_SQL),
     "streaming_session": QuerySpec(q_streaming_session, EVENTS_SESSION_SQL),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
-    "kmeans_clusters": QuerySpec(q_kmeans_clusters, None),  # iterative; rows-only
+    "kmeans_clusters": QuerySpec(q_kmeans_clusters, KMEANS_CLUSTERS_SQL),
     "event_funnel": QuerySpec(q_event_funnel, EVENT_FUNNEL_SQL),
     "funnel_timebound": QuerySpec(q_funnel_timebound, FUNNEL_TIMEBOUND_SQL),
     "latest_per_key": QuerySpec(q_latest_per_key, LATEST_PER_KEY_SQL),
@@ -2897,7 +2971,7 @@ def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(with_vec, lam=0.7, k=5).orderBy("query_id", "mmr_rank")
 
 
-REGISTRY["similarity_mmr"] = QuerySpec(q_similarity_mmr, None)  # sequential chain
+# similarity_mmr registered below with its unrolled greedy-argmax oracle
 
 
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3643,3 +3717,151 @@ ORDER BY p.query_id
 """
 
 REGISTRY["knn_classifier"] = QuerySpec(q_knn_classifier, KNN_CLASSIFIER_SQL)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
+    top-10, per query — THE number an ANN deployment is judged by (the
+    similarity family's eval twin, as knn_classifier is the label-space
+    eval). Both sides are this engine's own deterministic operators, so
+    the whole measurement is hash-checkable end to end; tests pin a
+    recall floor separately.
+
+    Scale: both rankers broadcast the 5 queries and scan the corpus once
+    each; the recall join runs on two ≤|queries|·10 relations.
+    """
+    ann = q_similarity_ann(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_id")
+    )
+    exact = q_similarity_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    hits = ann.join(
+        exact,
+        (ann.query_id == exact.query_id) & (ann.ann_id == exact.true_id),
+    ).groupBy(ann.query_id).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_true",
+            X.snap_round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH ann AS (SELECT query_id, neighbor_id AS ann_id
+             FROM ({SIMILARITY_ANN_SQL})),
+exact AS (SELECT query_id, neighbor_id AS true_id
+          FROM ({SIMILARITY_BRUTEFORCE_SQL})),
+hits AS (
+    SELECT ann.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM ann JOIN exact
+      ON ann.query_id = exact.query_id AND ann.ann_id = exact.true_id
+    GROUP BY ann.query_id
+),
+base AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM exact GROUP BY query_id
+)
+SELECT b.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       b.n_true,
+       CAST(ROUND(CAST(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                       / CAST(b.n_true AS DOUBLE)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS recall_at_10
+FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+ORDER BY b.query_id
+"""
+
+REGISTRY["ann_recall"] = QuerySpec(q_ann_recall, ANN_RECALL_SQL)
+
+
+def _similarity_mmr_sql(k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle (one argmax CTE pair per selection):
+    possible because the kernel SNAPS pairwise penalties to 6 dp (see
+    operators/similarity.mmr_rerank's cross-engine contract) — every
+    objective value both engines compare is the same double, and ties
+    resolve by the shared (relevance DESC, neighbor_id) presort order."""
+    # order matters: rewrite c_vec first (else "a.c_vec" would re-match)
+    cos_ab = _COS_SQL.replace("c_vec", "b.c_vec").replace("q_vec", "a.c_vec")
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id < 5)",
+        f"""scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           {_COS_SQL.replace("c_vec", "e.v")} AS rel, e.v AS c_vec
+    FROM e CROSS JOIN q
+    WHERE e.vec_id != query_id
+)""",
+        """cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, c_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+)""",
+        f"""psim AS MATERIALIZED (
+    SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+           {cos_ab} AS sim
+    FROM cand a JOIN cand b ON a.query_id = b.query_id
+)""",
+        """all1 AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, 0.7 * rel AS s, 1 AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)""",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""m{r} AS (
+    SELECT c.query_id, c.neighbor_id, c.rel,
+           0.7 * c.rel - (1.0 - 0.7) * mx.pen AS s
+    FROM cand c
+    JOIN (SELECT p.query_id, p.i AS neighbor_id, MAX(p.sim) AS pen
+          FROM psim p
+          JOIN all{r - 1} s ON p.query_id = s.query_id
+                           AND p.j = s.neighbor_id
+          GROUP BY 1, 2) mx
+      ON c.query_id = mx.query_id AND c.neighbor_id = mx.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM all{r - 1} s2
+                      WHERE s2.query_id = c.query_id
+                        AND s2.neighbor_id = c.neighbor_id)
+)"""
+        )
+        parts.append(
+            f"""all{r} AS MATERIALIZED (
+    SELECT * FROM all{r - 1}
+    UNION ALL
+    SELECT query_id, neighbor_id, rel, s, {r} AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, rel DESC, neighbor_id) AS rn
+        FROM m{r}
+    ) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       rel AS relevance,
+       CAST(ROUND(CAST(s AS DECIMAL(28,8)), 6) AS DOUBLE) AS mmr_score
+FROM all{k}
+ORDER BY query_id, mmr_rank
+"""
+
+
+SIMILARITY_MMR_SQL = _similarity_mmr_sql()
+
+REGISTRY["similarity_mmr"] = QuerySpec(q_similarity_mmr, SIMILARITY_MMR_SQL)

@@ -323,7 +323,7 @@ def q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_survivors": QuerySpec(q_dedup_survivors, DEDUP_SURVIVORS_SQL),
-    "pagerank_parts": QuerySpec(q_pagerank_parts, None),  # iterative; rows-only
+    # pagerank_parts registered below with its unrolled power-iteration oracle
     "triangle_count": QuerySpec(q_triangle_count, TRIANGLE_COUNT_SQL),
     "part_reachability": QuerySpec(q_part_reachability, PART_REACHABILITY_SQL),
 }
@@ -473,7 +473,7 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_decompose(_copurchase_edges(spark, sf_dir), k=3)
 
 
-REGISTRY["kcore_parts"] = QuerySpec(q_kcore_parts, None)  # iterative fixpoint
+# kcore_parts registered below with its unrolled peeling oracle
 
 
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,6 +830,163 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# label_propagation registered below with its unrolled 5-round oracle
+# (single-threaded parity + repartition-determinism additionally in tests)
+
+
+def _label_propagation_sql(rounds: int = 5) -> str:
+    """Unrolled synchronous-LPA oracle (the kmeans/markov unrolling
+    precedent): one vote-count + plurality-argmin CTE pair per round. All
+    state is INTEGER (labels, counts) and the plurality pick is a total
+    order (cnt DESC, label ASC — operators/lpa's min(struct(-cnt,label))),
+    so no float discipline is needed anywhere. The Spark side may break
+    early on convergence; converged labels are a FIXED POINT of the vote,
+    so the full {rounds}-round unroll is value-identical regardless of
+    where the driver stopped."""
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+        """und AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v AS a, u AS b FROM e0)""",
+        """l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+    SELECT node, label, COUNT(*) AS cnt FROM (
+        SELECT und.a AS node, l.label FROM und JOIN l{r - 1} l ON und.b = l.node
+        UNION ALL
+        SELECT node, label FROM l{r - 1}
+    ) GROUP BY node, label
+)"""
+        )
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{r}
+    ) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{rounds}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+LABEL_PROPAGATION_SQL = _label_propagation_sql()
+
 REGISTRY["label_propagation"] = QuerySpec(
-    q_label_propagation, None
-)  # iterative fixpoint; single-threaded parity + repartition-determinism in tests
+    q_label_propagation, LABEL_PROPAGATION_SQL
+)
+
+
+def _pagerank_parts_sql(iterations: int = 8) -> str:
+    """Unrolled power-iteration oracle for q_pagerank_parts: one
+    (contribution-sum, rank-update) CTE pair per round. The operator's own
+    determinism discipline is what makes this possible — per-edge
+    contributions snap to DECIMAL(24,14) before the sum (associative,
+    order-free) and each rank snaps to 12 dp — so both engines carry
+    bit-identical doubles into every round."""
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+        """und AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v AS a, u AS b FROM e0)""",
+        """deg AS (SELECT a AS s, COUNT(*) AS out_deg FROM und GROUP BY a)""",
+        """nodes AS (SELECT DISTINCT a AS node FROM und)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
+        """r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+    SELECT und.b AS node,
+           SUM(CAST(r.rank / d.out_deg AS DECIMAL(24,14))) AS in_mass
+    FROM und
+    JOIN r{r - 1} r ON und.a = r.node
+    JOIN deg d ON d.s = und.a
+    GROUP BY und.b
+)"""
+        )
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+    SELECT nodes.node,
+           CAST(ROUND(CAST((1.0 - 0.85) / nn.n
+                    + 0.85 * COALESCE(CAST(m.in_mass AS DOUBLE), 0.0)
+                AS DECIMAL(28,14)), 12) AS DOUBLE) AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN m{r} m ON m.node = nodes.node
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT node AS part, rank
+FROM r{iterations}
+ORDER BY rank DESC, part
+LIMIT 50
+"""
+
+
+PAGERANK_PARTS_SQL = _pagerank_parts_sql()
+
+REGISTRY["pagerank_parts"] = QuerySpec(q_pagerank_parts, PAGERANK_PARTS_SQL)
+
+
+def _kcore_parts_sql(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled peeling oracle for q_kcore_parts: each round drops edges
+    with a sub-k-degree endpoint. Peeling is a FIXED POINT (a stable edge
+    set stays stable), so the Spark side's converge-and-break and this
+    fixed {rounds}-round unroll agree whenever peeling converges within
+    {rounds} rounds at the oracle SF — the fixture converges in ≤3
+    (test_components fuzz); 12 is a 4× margin. All state is integer."""
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """g0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+    SELECT x FROM (
+        SELECT x, COUNT(*) AS deg FROM (
+            SELECT u AS x FROM g{r - 1} UNION ALL SELECT v AS x FROM g{r - 1}
+        ) GROUP BY x
+    ) WHERE deg >= {k}
+)"""
+        )
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+    SELECT u, v FROM g{r - 1}
+    WHERE u IN (SELECT x FROM k{r}) AND v IN (SELECT x FROM k{r})
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS vertex FROM g{rounds} UNION ALL SELECT v AS vertex FROM g{rounds})
+GROUP BY vertex
+ORDER BY core_degree DESC, vertex
+"""
+
+
+KCORE_PARTS_SQL = _kcore_parts_sql()
+
+REGISTRY["kcore_parts"] = QuerySpec(q_kcore_parts, KCORE_PARTS_SQL)

@@ -2237,3 +2237,96 @@ LOGISTIC_HOLDOUT_SQL = _logistic_holdout_sql()
 
 
 REGISTRY["logistic_holdout"] = QuerySpec(q_logistic_holdout, LOGISTIC_HOLDOUT_SQL)
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gains table for the quality score as an
+    English-document classifier — the model-eval artifact next to
+    auc_quality_langid/calibration_quality: rank docs by score, cut into
+    10 equal buckets, and report each decile's positive rate, lift over
+    the base rate, and cumulative gain (share of all positives captured
+    so far). The 'is the top of my ranking actually enriched' table every
+    score deployment reads before thresholds get set.
+
+    Determinism: ntile runs over the (score DESC, doc_id) TOTAL order, so
+    bucket boundaries are engine-independent; counts are exact integers
+    and every rate/lift/gain is one snapped division of exact sums.
+
+    Scale: one scan computes (score, label); the window is a global sort
+    at doc grain — the documented concession for exact deciles (the
+    at-scale swap-in is approx percentile boundaries + a broadcast range
+    join, same as histogram_equidepth's contract).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        X.quality_score("text").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    deciles = scored.select(
+        "pos", F.ntile(10).over(w).alias("decile")
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    whole = Window.partitionBy()
+    cum_w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = deciles.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_pos").over(cum_w).cast("long").alias("cum_pos"),
+        F.sum("n_pos").over(whole).cast("long").alias("total_pos"),
+        F.sum("n_docs").over(whole).cast("long").alias("total_docs"),
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    base = F.col("total_pos").cast("double") / F.col("total_docs").cast("double")
+    return out.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        X.snap_round(rate, 6).alias("pos_rate"),
+        X.snap_round(rate / base, 6).alias("lift"),
+        X.snap_round(
+            F.col("cum_pos").cast("double") / F.col("total_pos").cast("double"), 6
+        ).alias("cum_gain"),
+    ).orderBy("decile")
+
+
+DECILE_LIFT_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL}),
+scored AS (
+    SELECT s.doc_id, s.quality_score AS score,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM stats s JOIN documents d USING (doc_id)
+),
+deciles AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM (SELECT pos, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+          FROM scored)
+    GROUP BY decile
+),
+cum AS (
+    SELECT decile, n_docs, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+           CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos,
+           CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs
+    FROM deciles
+)
+SELECT decile, n_docs, n_pos,
+       CAST(ROUND(CAST(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS pos_rate,
+       CAST(ROUND(CAST((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       / (CAST(total_pos AS DOUBLE) / CAST(total_docs AS DOUBLE))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS lift,
+       CAST(ROUND(CAST(CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS cum_gain
+FROM cum
+ORDER BY decile
+"""
+
+REGISTRY["decile_lift"] = QuerySpec(q_decile_lift, DECILE_LIFT_SQL)

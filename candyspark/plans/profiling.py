@@ -820,3 +820,106 @@ ORDER BY table_name
 
 
 REGISTRY["skew_profile"] = QuerySpec(q_skew_profile, SKEW_PROFILE_SQL)
+
+
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of the categorical columns a warehouse
+    health check watches: for each of four fact/dimension categoricals,
+    H = −Σ p·ln p, its normalized form H/ln(k), and the cardinality —
+    the one-number 'is this column degenerate / balanced / drifting'
+    summary that complements skew_profile (top-key mass) and drift_psi
+    (cross-period movement).
+
+    The four column distributions come from ONE conditional-aggregation
+    pass per table (never a scan per column); entropy terms are snapped
+    to DECIMAL per VALUE before the exact decimal sum (a float Σ over a
+    value-ordered frame is accumulation-order-dependent between engines,
+    and ln() itself is libm-dependent in the last ulp — the zipf_fit
+    discipline).
+
+    Scale: two fact scans (lineitem, orders), each collapsing to a ≤6-row
+    value relation map-side; everything after is constant-size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+        # ONE scan per table: a row explodes into its (col, val) pairs —
+        # a UNION of per-column selects would re-scan the table per column
+        cv = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), F.col(c).alias("val"))
+                    for c in cols
+                ]
+            )
+        )
+        return df.select(cv.alias("cv")).select("cv.col", "cv.val")
+
+    dists = (
+        pairs(li, ["l_returnflag", "l_linestatus"])
+        .unionByName(pairs(o, ["o_orderstatus", "o_orderpriority"]))
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    )
+    whole = Window.partitionBy("col")
+    p = F.col("n_v").cast("double") / F.col("n_total").cast("double")
+    terms = dists.select(
+        "col",
+        "n_v",
+        F.sum("n_v").over(whole).cast("long").alias("n_total"),
+        F.count(F.lit(1)).over(whole).cast("long").alias("k"),
+    ).select(
+        "col",
+        "n_total",
+        "k",
+        F.round((-p * F.log(p)).cast("decimal(28,12)"), 10).alias("term"),
+    )
+    ent = F.col("h").cast("double")
+    return (
+        terms.groupBy("col", "n_total", "k")
+        .agg(F.sum("term").alias("h"))
+        .select(
+            "col",
+            F.col("n_total").alias("n_rows"),
+            F.col("k").alias("cardinality"),
+            snap_round(ent, 6).alias("entropy"),
+            snap_round(
+                ent / F.log(F.col("k").cast("double")), 6
+            ).alias("normalized_entropy"),
+        )
+        .orderBy("col")
+    )
+
+
+ENTROPY_PROFILE_SQL = """
+WITH vals AS (
+    SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+    UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+    UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+    UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+dists AS (
+    SELECT col, val, CAST(COUNT(*) AS BIGINT) AS n_v
+    FROM vals GROUP BY col, val
+),
+terms AS (
+    SELECT col,
+           CAST(SUM(n_v) OVER (PARTITION BY col) AS BIGINT) AS n_total,
+           CAST(COUNT(*) OVER (PARTITION BY col) AS BIGINT) AS k,
+           ROUND(CAST(-(CAST(n_v AS DOUBLE) / CAST(SUM(n_v) OVER (PARTITION BY col) AS DOUBLE))
+                      * LN(CAST(n_v AS DOUBLE) / CAST(SUM(n_v) OVER (PARTITION BY col) AS DOUBLE))
+                 AS DECIMAL(28,12)), 10) AS term
+    FROM dists
+)
+SELECT col, n_total AS n_rows, k AS cardinality,
+       CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS entropy,
+       CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) / LN(CAST(k AS DOUBLE))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS normalized_entropy
+FROM terms
+GROUP BY col, n_total, k
+ORDER BY col
+"""
+
+REGISTRY["entropy_profile"] = QuerySpec(q_entropy_profile, ENTROPY_PROFILE_SQL)

@@ -3410,3 +3410,129 @@ FROM c
 """
 
 REGISTRY["iv_2sls"] = QuerySpec(q_iv_2sls, IV_2SLS_SQL)
+
+
+def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife for a ratio metric — the standard-error
+    machinery for statistics that don't decompose row-wise (revenue per
+    order here; any ratio-of-sums in general). Bootstrap (q_bootstrap_ci
+    _mean) resamples rows; the jackknife deletes GROUPS (the 25 customer
+    nations), which is the estimator production pipelines can afford at
+    100 TB: the g leave-one-out replicates all derive from ONE aggregate
+    pass, no resampling reads.
+
+        θ̂_(i) = (T − t_i)/(N − n_i);  var_jack = (g−1)/g · Σ(θ̂_(i) − θ̄)²
+
+    Determinism: every θ̂_(i) snaps to DECIMAL(18,8) before the spread
+    sum, so Σ(θ̂−θ̄)² runs in EXACT decimal (a float Σ over 25
+    group-ordered doubles is accumulation-order-dependent); θ̄ is an
+    exact decimal mean of the snapped replicates. Only the final
+    variance/CI expressions are double.
+
+    Scale: one orders scan → 25-row group aggregate; everything after is
+    constant-size algebra.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    groups = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t_i"),
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+        )
+        .localCheckpoint()  # feeds totals AND replicates
+    )
+    totals = groups.agg(
+        F.sum("t_i").cast("decimal(28,2)").alias("t_all"),
+        F.sum("n_i").cast("long").alias("n_all"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    reps = groups.crossJoin(F.broadcast(totals)).select(
+        "g",
+        "t_all",
+        "n_all",
+        F.round(
+            (
+                (F.col("t_all") - F.col("t_i")).cast("double")
+                / (F.col("n_all") - F.col("n_i")).cast("double")
+            ).cast("decimal(28,10)"),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("theta_i"),
+    )
+    spread = reps.groupBy("g", "t_all", "n_all").agg(
+        F.sum("theta_i").alias("sum_theta"),
+        F.sum(
+            F.col("theta_i").cast("decimal(38,8)") * F.col("theta_i").cast("decimal(38,8)")
+        ).alias("sum_theta2"),
+    )
+    gd = F.col("g").cast("double")
+    mean_t = F.col("sum_theta").cast("double") / gd
+    # Σ(θ−θ̄)² = Σθ² − (Σθ)²/g, all from exact decimal sums
+    ss = F.col("sum_theta2").cast("double") - F.col("sum_theta").cast("double") * F.col(
+        "sum_theta"
+    ).cast("double") / gd
+    var_jack = (gd - F.lit(1.0)) / gd * ss
+    point = F.col("t_all").cast("double") / F.col("n_all").cast("double")
+    return spread.select(
+        F.col("g").alias("n_groups"),
+        F.col("n_all").alias("n_orders"),
+        snap_round(point, 6).alias("revenue_per_order"),
+        snap_round(mean_t, 6).alias("jackknife_mean"),
+        snap_round(F.sqrt(var_jack), 6).alias("jackknife_se"),
+        snap_round(point - F.lit(1.96) * F.sqrt(var_jack), 6).alias("ci_low"),
+        snap_round(point + F.lit(1.96) * F.sqrt(var_jack), 6).alias("ci_high"),
+    )
+
+
+JACKKNIFE_VARIANCE_SQL = """
+WITH groups AS (
+    SELECT c_nationkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t_i,
+           CAST(COUNT(*) AS BIGINT) AS n_i
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+),
+totals AS (
+    SELECT CAST(SUM(t_i) AS DECIMAL(28,2)) AS t_all,
+           CAST(SUM(n_i) AS BIGINT) AS n_all,
+           CAST(COUNT(*) AS BIGINT) AS g
+    FROM groups
+),
+reps AS (
+    SELECT g, t_all, n_all,
+           CAST(ROUND(CAST(CAST(t_all - t_i AS DOUBLE) / CAST(n_all - n_i AS DOUBLE)
+                AS DECIMAL(28,10)), 8) AS DECIMAL(18,8)) AS theta_i
+    FROM groups CROSS JOIN totals
+),
+spread AS (
+    SELECT g, t_all, n_all,
+           SUM(theta_i) AS sum_theta,
+           SUM(CAST(theta_i AS DECIMAL(38,8)) * CAST(theta_i AS DECIMAL(38,8))) AS sum_theta2
+    FROM reps GROUP BY g, t_all, n_all
+)
+SELECT g AS n_groups, n_all AS n_orders,
+       CAST(ROUND(CAST(CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS revenue_per_order,
+       CAST(ROUND(CAST(CAST(sum_theta AS DOUBLE) / CAST(g AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS jackknife_mean,
+       CAST(ROUND(CAST(SQRT((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                 * (CAST(sum_theta2 AS DOUBLE)
+                    - CAST(sum_theta AS DOUBLE) * CAST(sum_theta AS DOUBLE) / CAST(g AS DOUBLE)))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS jackknife_se,
+       CAST(ROUND(CAST(CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                 - 1.96 * SQRT((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                 * (CAST(sum_theta2 AS DOUBLE)
+                    - CAST(sum_theta AS DOUBLE) * CAST(sum_theta AS DOUBLE) / CAST(g AS DOUBLE)))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS ci_low,
+       CAST(ROUND(CAST(CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                 + 1.96 * SQRT((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                 * (CAST(sum_theta2 AS DOUBLE)
+                    - CAST(sum_theta AS DOUBLE) * CAST(sum_theta AS DOUBLE) / CAST(g AS DOUBLE)))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS ci_high
+FROM spread
+"""
+
+REGISTRY["jackknife_variance"] = QuerySpec(q_jackknife_variance, JACKKNIFE_VARIANCE_SQL)

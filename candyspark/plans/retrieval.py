@@ -1447,3 +1447,112 @@ ORDER BY qid, rank
 
 
 REGISTRY["batch_retrieval"] = QuerySpec(q_batch_retrieval, BATCH_RETRIEVAL_SQL)
+
+
+def q_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-with-binary-weights
+    shape): retrieve a feedback set for the fixed 4-term query (top-10
+    docs by total query-term occurrences — exact integer ranking), then
+    propose the 5 expansion terms most over-represented in that set
+    relative to the corpus: lift = (df_fb/|fb|) / (df_corpus/N). The
+    retrieval-quality member the bm25/rrf rankers feed — expansion is how
+    a production retrieval stack lifts recall without touching the index.
+
+    Determinism: feedback membership, df counts, and the expansion
+    ranking are ALL exact-integer decisions ((df_fb DESC, df_corpus ASC,
+    term) — never a float-ordered rank); lift is one snapped division
+    reported alongside.
+
+    Scale: tokenize once; the query-term filter collapses the explode
+    before its aggregate (the bm25 posture); the feedback set is ≤10 doc
+    ids broadcast back against the (doc, term) relation; corpus df is one
+    map-side-combined aggregate.
+    """
+    query_terms = ("hash", "join", "stream", "spark")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint()
+    doc_terms = toks.select("doc_id", F.explode("toks").alias("term")).distinct()
+    qtf = (
+        toks.select(
+            "doc_id",
+            F.size(F.filter(F.col("toks"), lambda t: t.isin(*query_terms))).alias(
+                "qtf"
+            ),
+        )
+        .filter(F.col("qtf") > 0)
+        .orderBy(F.desc("qtf"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    fb = (
+        doc_terms.join(F.broadcast(qtf), "doc_id")
+        .filter(~F.col("term").isin(*query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_fb"))
+    )
+    corpus_df = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_corpus")
+    )
+    w = Window.orderBy(F.desc("df_fb"), F.asc("df_corpus"), F.asc("term"))
+    return (
+        fb.join(corpus_df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "rank",
+            "term",
+            "df_fb",
+            "df_corpus",
+            snap_round(
+                (F.col("df_fb").cast("double") / F.lit(10.0))
+                / (F.col("df_corpus").cast("double") / F.col("n_docs").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERY_EXPANSION_PRF_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+doc_terms AS (
+    SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+),
+qtf AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('hash', 'join', 'stream', 'spark')))
+                   AS qtf
+        FROM t
+    ) WHERE qtf > 0
+    ORDER BY qtf DESC, doc_id ASC
+    LIMIT 10
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t),
+fb AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_fb
+    FROM doc_terms JOIN qtf USING (doc_id)
+    WHERE term NOT IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY term
+),
+corpus_df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_corpus
+    FROM doc_terms GROUP BY term
+)
+SELECT rank, term, df_fb, df_corpus,
+       CAST(ROUND(CAST((CAST(df_fb AS DOUBLE) / 10.0)
+                       / (CAST(df_corpus AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS lift
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY df_fb DESC, df_corpus ASC, term ASC) AS INT) AS rank
+    FROM fb JOIN corpus_df USING (term) CROSS JOIN n
+) WHERE rank <= 5
+ORDER BY rank
+"""
+
+REGISTRY["query_expansion_prf"] = QuerySpec(
+    q_query_expansion_prf, QUERY_EXPANSION_PRF_SQL
+)

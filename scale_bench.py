@@ -32,7 +32,7 @@ from candyspark.session import get_spark  # noqa: E402
 from candyspark.sources.datagen import generate  # noqa: E402
 
 BASE = os.environ.get("SCALE_DIR", "/root/repo/.scale")
-SFS = [0.1, 1.0]
+SFS = [float(s) for s in os.environ.get("SCALE_SFS", "0.1,1").split(",")]
 
 #: documented wall-time growth bound for a 10× data step, per query —
 #: the exponent alpha must satisfy alpha <= bound + MARGIN. Bounds trace
@@ -111,22 +111,26 @@ def main() -> None:
                 ).save()
                 samples.append(time.perf_counter() - t0)
             per_sf[sf] = round(_median(samples), 2)
-        alpha = round(math.log10(per_sf[1.0] / per_sf[0.1]), 3)
+        lo, hi = SFS[0], SFS[-1]
+        alpha = round(
+            math.log(per_sf[hi] / per_sf[lo]) / math.log(hi / lo), 3
+        )
         results[name] = {
-            "t_sf0.1": per_sf[0.1],
-            "t_sf1": per_sf[1.0],
+            **{f"t_sf{sf:g}": per_sf[sf] for sf in SFS},
             "alpha": alpha,
             "bound": BOUNDS.get(name),
             "ok": BOUNDS.get(name) is None or alpha <= BOUNDS[name] + MARGIN,
         }
-        print(f"# {name}: {per_sf[0.1]}s -> {per_sf[1.0]}s  alpha={alpha}", file=sys.stderr)
+        print(f"# {name}: {per_sf[lo]}s -> {per_sf[hi]}s  alpha={alpha}", file=sys.stderr)
 
     print(json.dumps({"metric": "scale_exponents", "passes": args.passes, "queries": results}))
-    print("\n| query | sf0.1 (s) | sf1 (s) | alpha | bound | ok |", file=sys.stderr)
-    print("|---|---|---|---|---|---|", file=sys.stderr)
+    sf_cols = " | ".join(f"sf{sf:g} (s)" for sf in SFS)
+    print(f"\n| query | {sf_cols} | alpha | bound | ok |", file=sys.stderr)
+    print("|---" * (len(SFS) + 4) + "|", file=sys.stderr)
     for n, r in results.items():
+        ts = " | ".join(str(r[f"t_sf{sf:g}"]) for sf in SFS)
         print(
-            f"| {n} | {r['t_sf0.1']} | {r['t_sf1']} | {r['alpha']} "
+            f"| {n} | {ts} | {r['alpha']} "
             f"| {r['bound']} | {'yes' if r['ok'] else 'NO'} |",
             file=sys.stderr,
         )

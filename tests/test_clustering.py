@@ -22,8 +22,15 @@ def _numpy_kmeans(X, ids, k, max_iter):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = np.array([cids[j] for j in d2.argmin(axis=1)])  # argmin = lowest index tie-break
         centroids = {
+            # mirror the engine's exact-sum mean: values quantized to 10 dp
+            # before the sum, one division, float32 snap
             c: np.array(
-                [np.float32(v) for v in X[assign == c].mean(axis=0)], dtype=np.float64
+                [
+                    np.float32(v)
+                    for v in np.round(X[assign == c], 10).sum(axis=0)
+                    / (assign == c).sum()
+                ],
+                dtype=np.float64,
             )
             for c in cids
             if (assign == c).any()

@@ -217,6 +217,7 @@ def test_mmr_rerank_matches_independent_chain(spark):
         ).reset_index(drop=True)
         vecs = np.stack(grp["c_vec"].map(np.asarray).to_list()).astype("float64")
         unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+        psim = np.round(unit @ unit.T, 6)  # the kernel's snapped-penalty contract
         rel = grp["cosine_sim"].to_numpy()
         selected, remaining = [], list(range(len(grp)))
         expect = []
@@ -227,13 +228,27 @@ def test_mmr_rerank_matches_independent_chain(spark):
                 best, best_score = -1, -np.inf
                 for i in remaining:
                     s = lam * rel[i] - (1 - lam) * float(
-                        np.max(unit[selected] @ unit[i])
+                        np.max(psim[np.asarray(selected), i])
                     )
                     if s > best_score:
                         best, best_score = i, s
             selected.append(best)
             remaining.remove(best)
-            expect.append((int(grp["neighbor_id"][best]), round(best_score, 6)))
+            # mirror the engine's decimal(28,8)→round(6) snap exactly:
+            # 0.7·(6dp rel) − 0.3·(6dp penalty) lands on REAL half-way
+            # points at the 6th decimal, where Python's half-even round
+            # and the engines' HALF_UP decimal rounding disagree
+            from decimal import ROUND_HALF_UP, Decimal
+
+            d8 = Decimal(float(best_score)).quantize(
+                Decimal("1e-8"), ROUND_HALF_UP
+            )
+            expect.append(
+                (
+                    int(grp["neighbor_id"][best]),
+                    float(d8.quantize(Decimal("1e-6"), ROUND_HALF_UP)),
+                )
+            )
 
         g = got[got["query_id"] == qid].sort_values("mmr_rank")
         assert list(g["neighbor_id"]) == [n for n, _ in expect]
