@@ -2645,9 +2645,13 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_round(
             F.col("q_sum").cast("double") / F.col("n_docs").cast("double"), 6
         ).alias("mean_quality_before"),
-        snap_round(
-            F.col("q_kept_sum").cast("double") / F.col("n_kept").cast("double"), 6
-        ).alias("mean_quality_kept"),
+        F.when(
+            F.col("n_kept") > 0,
+            snap_round(
+                F.col("q_kept_sum").cast("double") / F.col("n_kept").cast("double"),
+                6,
+            ),
+        ).alias("mean_quality_kept"),  # NULL when a source keeps nothing
     ).orderBy("source")
 
 
@@ -2674,8 +2678,9 @@ SELECT source, n_docs, n_kept,
             AS DECIMAL(28,8)), 6) AS DOUBLE) AS kept_rate,
        CAST(ROUND(CAST(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
             AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_quality_before,
-       CAST(ROUND(CAST(CAST(q_kept_sum AS DOUBLE) / CAST(n_kept AS DOUBLE)
-            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_quality_kept
+       CASE WHEN n_kept > 0
+            THEN CAST(ROUND(CAST(CAST(q_kept_sum AS DOUBLE) / CAST(n_kept AS DOUBLE)
+                 AS DECIMAL(28,8)), 6) AS DOUBLE) END AS mean_quality_kept
 FROM agg
 ORDER BY source
 """

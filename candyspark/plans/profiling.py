@@ -884,9 +884,12 @@ def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total").alias("n_rows"),
             F.col("k").alias("cardinality"),
             snap_round(ent, 6).alias("entropy"),
-            snap_round(
-                ent / F.log(F.col("k").cast("double")), 6
-            ).alias("normalized_entropy"),
+            # a 1-value column has ln(k)=0: its normalized entropy is 0 by
+            # convention (the column is perfectly degenerate)
+            F.when(
+                F.col("k") > 1,
+                snap_round(ent / F.log(F.col("k").cast("double")), 6),
+            ).otherwise(F.lit(0.0)).alias("normalized_entropy"),
         )
         .orderBy("col")
     )
@@ -915,8 +918,10 @@ terms AS (
 SELECT col, n_total AS n_rows, k AS cardinality,
        CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
            AS entropy,
-       CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) / LN(CAST(k AS DOUBLE))
-            AS DECIMAL(28,8)), 6) AS DOUBLE) AS normalized_entropy
+       CASE WHEN k > 1
+            THEN CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) / LN(CAST(k AS DOUBLE))
+                 AS DECIMAL(28,8)), 6) AS DOUBLE)
+            ELSE 0.0 END AS normalized_entropy
 FROM terms
 GROUP BY col, n_total, k
 ORDER BY col

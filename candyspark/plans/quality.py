@@ -3362,7 +3362,11 @@ def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_users"),
         snap_round(cov_zx / var_z, 6).alias("first_stage_coef"),
-        snap_round(n * rho2 / (F.lit(1.0) - rho2), 4).alias("first_stage_f"),
+        # a PERFECT first stage (rho²=1, e.g. x deterministically = z)
+        # makes the F-stat infinite: report NULL rather than divide by 0
+        F.when(
+            rho2 < 1.0, snap_round(n * rho2 / (F.lit(1.0) - rho2), 4)
+        ).alias("first_stage_f"),
         snap_round(cov_zy / cov_zx, 6).alias("iv_beta"),
         snap_round(cov_xy / var_x, 6).alias("ols_beta"),
     )
@@ -3401,9 +3405,11 @@ c AS (
 )
 SELECT n AS n_users,
        CAST(ROUND(CAST(cov_zx / var_z AS DECIMAL(28,8)), 6) AS DOUBLE) AS first_stage_coef,
-       CAST(ROUND(CAST(CAST(n AS DOUBLE) * ((cov_zx * cov_zx) / (var_z * var_x))
+       CASE WHEN (cov_zx * cov_zx) / (var_z * var_x) < 1.0
+            THEN CAST(ROUND(CAST(CAST(n AS DOUBLE)
+                       * ((cov_zx * cov_zx) / (var_z * var_x))
                        / (1.0 - (cov_zx * cov_zx) / (var_z * var_x))
-                  AS DECIMAL(28,8)), 4) AS DOUBLE) AS first_stage_f,
+                  AS DECIMAL(28,8)), 4) AS DOUBLE) END AS first_stage_f,
        CAST(ROUND(CAST(cov_zy / cov_zx AS DECIMAL(28,8)), 6) AS DOUBLE) AS iv_beta,
        CAST(ROUND(CAST(cov_xy / var_x AS DECIMAL(28,8)), 6) AS DOUBLE) AS ols_beta
 FROM c

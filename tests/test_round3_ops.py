@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from candyspark.plans import collect_registry
 
@@ -144,3 +145,142 @@ def test_heaps_law_trigram_beta_nonzero(spark):
     show real vocabulary growth (the unigram form saturated at beta=0)."""
     row = REGISTRY["heaps_law"].fn(spark, SF1).collect()[0]
     assert 0.5 < row.heaps_beta < 1.0
+
+
+def _lineitem(spark, tmp_path, rows):
+    """Minimal planted lineitem: (orderkey, linenumber, returnflag,
+    linestatus, quantity, extendedprice)."""
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_kruskal_wallis_detects_planted_shift(spark, tmp_path):
+    """Planted signal: cohort 'A' quantities shifted far above 'N'/'R' →
+    H must exceed the χ²(2) critical value; identical cohorts → small H."""
+    shifted = [
+        (i, 1, flag, "F", float(q), 100.0, 0.0, 0.0, 1, 1)
+        for i, (flag, q) in enumerate(
+            [("A", 40 + (i % 5)) for i in range(60)]
+            + [("N", 10 + (i % 5)) for i in range(60)]
+            + [("R", 12 + (i % 5)) for i in range(60)]
+        )
+    ]
+    sf = _lineitem(spark, tmp_path, shifted)
+    row = REGISTRY["kruskal_wallis"].fn(spark, sf).collect()[0]
+    assert row.distributions_differ
+    assert row.h_statistic > 50  # massive separation
+
+    same = [
+        (i, 1, flag, "F", float(10 + (i % 7)), 100.0, 0.0, 0.0, 1, 1)
+        for i, flag in enumerate(["A", "N", "R"] * 60)
+    ]
+    sf2 = _lineitem(spark, tmp_path / "same", same)
+    row2 = REGISTRY["kruskal_wallis"].fn(spark, sf2).collect()[0]
+    assert not row2.distributions_differ
+
+
+def test_iv_2sls_recovers_planted_effect(spark, tmp_path):
+    """Planted causal structure: purchases x = signups z (perfect first
+    stage), spend y = 5·x exactly → iv_beta must recover 5.0 and the
+    first stage must be strong."""
+    rows = []
+    eid = 0
+    for u in range(200):
+        z = u % 4  # 0..3 signups
+        for _ in range(z):
+            rows.append((eid, "2024-01-05 00:00:00", u, "signup", 0.0, "{}"))
+            eid += 1
+        for _ in range(z):  # purchases driven by the instrument
+            rows.append((eid, "2024-01-06 00:00:00", u, "purchase", 5.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = REGISTRY["iv_2sls"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.iv_beta == pytest.approx(5.0, abs=1e-6)
+    assert row.first_stage_coef == pytest.approx(1.0, abs=1e-6)
+    # a PERFECT first stage reports NULL F (infinite) by the guard
+    assert row.first_stage_f is None
+
+
+def test_decile_lift_orders_planted_quality(spark, tmp_path):
+    """Planted ranking signal: English docs get long, clean text (high
+    quality score); others get terse junk → the top decile must be
+    English-enriched (lift > 1) and cum_gain must be monotone to 1."""
+    texts, langs = [], []
+    for i in range(200):
+        if i % 2 == 0:
+            texts.append("the quick brown fox jumps over the lazy dog " * 8)
+            langs.append("en")
+        else:
+            texts.append("x! y? z.")
+            langs.append("de")
+    import tests.test_round2_ops as r2
+
+    sf = r2._docs(spark, tmp_path, texts, langs)
+    rows = REGISTRY["decile_lift"].fn(spark, sf).collect()
+    assert rows[0].lift > 1.5  # top decile pure English
+    gains = [r.cum_gain for r in rows]
+    assert gains == sorted(gains) and gains[-1] == pytest.approx(1.0)
+
+
+def test_entropy_profile_planted_degenerate_column(spark, tmp_path):
+    """A constant column must profile at exactly 0 entropy; a uniform
+    two-value column at ln(2)-normalized 1.0."""
+    rows = [
+        (i, 1, "A", "F" if i % 2 == 0 else "O", 1.0, 10.0, 0.0, 0.0, 1, 1)
+        for i in range(100)
+    ]
+    sf = _lineitem(spark, tmp_path, rows)
+    o = spark.createDataFrame(
+        [(i, i, "O", 10.0, "2024-01-01", "1-URGENT") for i in range(10)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    o.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r.col: r for r in REGISTRY["entropy_profile"].fn(spark, sf).collect()}
+    assert got["l_returnflag"].entropy == 0.0  # constant column
+    assert got["l_returnflag"].cardinality == 1
+    assert got["l_linestatus"].normalized_entropy == pytest.approx(1.0, abs=1e-6)
+    assert got["o_orderstatus"].entropy == 0.0
+
+
+def test_importance_resampling_prefers_quality(spark, tmp_path):
+    """Planted quality split: high-quality source must keep a much larger
+    fraction than junk, and the kept mean quality can't fall below the
+    before mean."""
+    texts, langs = [], []
+    for i in range(400):
+        if i < 200:
+            texts.append("the quick brown fox jumps over the lazy dog " * 6)
+        else:
+            texts.append("!!!! ?? ..")
+        langs.append("en")
+    import tests.test_round2_ops as r2
+
+    # _docs assigns source per doc id — regroup into two sources
+    rows = [
+        (i, t, "en", "good" if i < 200 else "junk", len(t))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in REGISTRY["importance_resampling"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["good"].kept_rate > 0.5
+    assert got["junk"].kept_rate < 0.1
+    for r in got.values():
+        if r.n_kept > 0:
+            assert r.mean_quality_kept >= r.mean_quality_before - 1e-9
