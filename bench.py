@@ -285,6 +285,13 @@ HEADLINE = [
     "important_part_value",
     "dominant_suppliers",
     "bilateral_trade_volume",
+    # round 3, session 2
+    "cramers_v",
+    "mann_kendall",
+    "nelson_aalen",
+    "mcc_langid",
+    "good_turing_mass",
+    "tokenizer_fertility",
 ]
 
 

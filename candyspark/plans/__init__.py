@@ -41,6 +41,13 @@ ROUND3_WINDOW = [
     "quality_ensemble",
     "ann_recall",
     "importance_resampling",
+    # new operators (session 2)
+    "cramers_v",
+    "mann_kendall",
+    "nelson_aalen",
+    "mcc_langid",
+    "good_turing_mass",
+    "tokenizer_fertility",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",
@@ -50,6 +57,7 @@ ROUND3_WINDOW = [
     "label_propagation",
     "pagerank_parts",
     "kcore_parts",
+    "hits_customers_parts",
     "similarity_mmr",
     # re-parameterized vacuous gates (round-2 verdict item 2)
     "important_part_value",

@@ -1856,3 +1856,114 @@ FROM sums
 REGISTRY["weekly_spectral_power"] = QuerySpec(
     q_weekly_spectral_power, WEEKLY_SPECTRAL_POWER_SQL
 )
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily order-revenue series — the
+    NONPARAMETRIC significance companion to theilsen_trend's slope (same
+    rank-based machinery; Theil-Sen estimates the trend, Mann-Kendall says
+    whether it exists): S = Σ_{i<j} sign(r_j − r_i) over the date-ordered
+    series, Var(S) with the standard tie correction, and the ±1
+    continuity-corrected z against the 1.96 two-sided bound.
+
+    Exactness: daily revenues are exact DECIMAL sums, so every pairwise
+    sign is engine-exact (no float comparisons anywhere); S, n, and the
+    tie spectrum are exact integers; the ONLY doubles are the closed-form
+    Var(S) and z at the end — identical IEEE expressions on identical
+    integer inputs, then one 6-dp snap.
+
+    Scale: orders collapse to the ≤|calendar| daily relation first (the
+    acf/theilsen contract) — the pairwise self-join is CALENDAR-bounded
+    (~2.4k days → ~3M comparisons at ANY SF, and it runs as one broadcast
+    join + map-side sign-sum, no quadratic row-count term in the fact
+    table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    ).localCheckpoint()  # 3 consumers: both pair sides + the tie spectrum
+    a = daily.select(F.col("o_orderdate").alias("d1"), F.col("r").alias("r1"))
+    b = daily.select(F.col("o_orderdate").alias("d2"), F.col("r").alias("r2"))
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    s_n = pairs.agg(
+        F.sum(F.signum((F.col("r2") - F.col("r1")).cast("double")).cast("long"))
+        .alias("s_stat")
+    ).crossJoin(
+        F.broadcast(daily.agg(F.count(F.lit(1)).alias("n_days")))
+    )
+    ties = (
+        daily.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("tie_term")
+        )
+    )
+    nn = F.col("n_days").cast("double")
+    var_s = (
+        nn * (nn - 1.0) * (2.0 * nn + 5.0) - F.col("tie_term").cast("double")
+    ) / 18.0
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s)) \
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    zs = X.snap_round(z, 6)
+    return s_n.crossJoin(F.broadcast(ties)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.col("tie_term").cast("bigint").alias("tie_term"),
+        X.snap_round(var_s, 4).alias("var_s"),
+        zs.alias("z"),
+        F.when(zs > 1.96, "increasing")
+        .when(zs < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY 1
+),
+s AS (
+    SELECT CAST(SUM(CAST(SIGN(CAST(b.r - a.r AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b ON a.d < b.d
+),
+n AS (SELECT COUNT(*) AS n_days FROM daily),
+ties AS (
+    SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie_term
+    FROM (SELECT COUNT(*) AS t FROM daily GROUP BY r) WHERE t > 1
+),
+calc AS (
+    SELECT n.n_days, s.s_stat, ties.tie_term,
+           (CAST(n.n_days AS DOUBLE) * (CAST(n.n_days AS DOUBLE) - 1.0)
+            * (2.0 * CAST(n.n_days AS DOUBLE) + 5.0)
+            - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+    FROM s CROSS JOIN n CROSS JOIN ties
+),
+zc AS (
+    SELECT n_days, s_stat, tie_term, var_s,
+           CAST(ROUND(CAST(
+               CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+                    ELSE 0.0 END
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS z
+    FROM calc
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       s_stat,
+       tie_term,
+       CAST(ROUND(CAST(var_s AS DECIMAL(28,8)), 4) AS DOUBLE) AS var_s,
+       z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zc
+"""
+
+
+REGISTRY["mann_kendall"] = QuerySpec(q_mann_kendall, MANN_KENDALL_SQL)

@@ -1256,3 +1256,108 @@ ENTITY_MATCH_SCORES_SQL = _fs_sql()
 REGISTRY["entity_match_scores"] = QuerySpec(
     q_entity_match_scores, ENTITY_MATCH_SCORES_SQL
 )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × ISO-weekday association
+    — the EFFECT-SIZE companion to q_chi2_independence's significance
+    test: chi-square grows with n (at 100 TB everything is "significant"),
+    while V = sqrt(chi2 / (n · (min(r,c) − 1))) ∈ [0, 1] is
+    sample-size-free, so it is the number a pipeline actually thresholds
+    on. Reports chi2, V, and the conventional small/medium/large reading
+    (0.1/0.3/0.5 at these dof).
+
+    Same shape as chi2_independence: one fact scan → ≤|types|×7 cells →
+    margins broadcast back; V is one snapped double expression on the
+    1-row result. Per-cell chi2 terms are decimal-snapped before the sum
+    (order-free), and sqrt runs on the SAME snapped chi2 in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    total = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    expected = (
+        F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    )
+    resid = F.col("o").cast("double") - expected
+    term = snap_round(resid * resid / expected, 6).cast("decimal(18,6)")
+    chi2 = snap_round(F.col("chi2_sum").cast("double"), 4)
+    mindim = F.least(F.col("nr"), F.col("nc")) - F.lit(1)
+    v = snap_round(
+        F.sqrt(chi2 / (F.col("n").cast("double") * mindim.cast("double"))), 6
+    )
+    return (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(term.alias("term"), "n", "nr", "nc")
+        .groupBy("n", "nr", "nc")
+        .agg(F.sum("term").alias("chi2_sum"))
+        .select(
+            chi2.alias("chi2"),
+            F.col("n").cast("bigint").alias("n_events"),
+            mindim.cast("int").alias("min_dim_minus1"),
+            v.alias("cramers_v"),
+            F.when(v < 0.1, "negligible")
+            .when(v < 0.3, "small")
+            .when(v < 0.5, "medium")
+            .otherwise("large")
+            .alias("effect"),
+        )
+    )
+
+
+CRAMERS_V_SQL = """
+WITH cells AS (
+    SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+cols_m AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+total AS (
+    SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
+    FROM cells
+),
+terms AS (
+    SELECT CAST(ROUND(CAST(
+               (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS term,
+           t.n, t.nr, t.nc
+    FROM cells c
+    JOIN rows_m r USING (event_type)
+    JOIN cols_m m USING (dow)
+    CROSS JOIN total t
+),
+agg AS (
+    SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
+           n, nr, nc
+    FROM terms GROUP BY n, nr, nc
+),
+v AS (
+    SELECT chi2,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(LEAST(nr, nc) - 1 AS INT) AS min_dim_minus1,
+           CAST(ROUND(CAST(
+               SQRT(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(nr, nc) - 1 AS DOUBLE)))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS cramers_v
+    FROM agg
+)
+SELECT chi2, n_events, min_dim_minus1, cramers_v,
+       CASE WHEN cramers_v < 0.1 THEN 'negligible'
+            WHEN cramers_v < 0.3 THEN 'small'
+            WHEN cramers_v < 0.5 THEN 'medium'
+            ELSE 'large' END AS effect
+FROM v
+"""
+
+
+REGISTRY["cramers_v"] = QuerySpec(q_cramers_v, CRAMERS_V_SQL)

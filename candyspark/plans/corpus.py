@@ -2688,3 +2688,155 @@ ORDER BY source
 REGISTRY["importance_resampling"] = QuerySpec(
     q_importance_resampling, IMPORTANCE_RESAMPLING_SQL
 )
+
+
+def q_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate per source — the curator's answer
+    to 'how much of this source's vocabulary have we NOT seen yet?':
+    P(next token is a new type) ≈ N₁/N (the singleton share, Good 1953),
+    with the simple-GT adjusted count r* = (r+1)·N_{r+1}/N_r for r = 1, 2
+    as the smoothing diagnostic (r* ≪ r means the spectrum is steep and
+    the source keeps minting types; language-model smoothing consumes
+    exactly these numbers — kneser_ney_bigram's discount lives on the
+    same spectrum). Completes the vocabulary-growth family: heaps_law
+    extrapolates V(n), zipf_fit shapes the tail, THIS prices the unseen.
+
+    Exactness: the whole statistic is a function of the integer frequency
+    SPECTRUM (N_r = #types with frequency r); every input is an exact
+    long and the two ratios snap at 6 dp. Scale: the same one
+    tokenize+explode → (source, term) map-side-combined aggregate every
+    text operator runs, then a spectrum rollup bounded by max frequency
+    and a ≤|sources| pivot."""
+    from candyspark.operators.text import tokens
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    spec = tf.groupBy("source", "f").agg(F.count(F.lit(1)).alias("nr"))
+    per_src = spec.groupBy("source").agg(
+        F.sum(F.col("f") * F.col("nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("f") == 1, F.col("nr"))), F.lit(0))
+        .cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("f") == 2, F.col("nr"))), F.lit(0))
+        .cast("long").alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("f") == 3, F.col("nr"))), F.lit(0))
+        .cast("long").alias("n3"),
+    )
+    p_unseen = snap_round(
+        F.col("n1").cast("double") / F.col("n_tokens").cast("double"), 6
+    )
+    r1_star = F.when(
+        F.col("n1") > 0,
+        snap_round(2.0 * F.col("n2").cast("double") / F.col("n1").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    r2_star = F.when(
+        F.col("n2") > 0,
+        snap_round(3.0 * F.col("n3").cast("double") / F.col("n2").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_src.select(
+        "source", "n_tokens", "n_types", "n1", "n2",
+        p_unseen.alias("p_unseen"),
+        r1_star.alias("r1_star"),
+        r2_star.alias("r2_star"),
+    ).orderBy("source")
+
+
+GOOD_TURING_MASS_SQL = f"""
+WITH tf AS (
+    SELECT source, term, COUNT(*) AS f
+    FROM (SELECT source, unnest({_TOKS_FRAGMENT}) AS term FROM documents)
+    GROUP BY source, term
+),
+spec AS (
+    SELECT source, f, COUNT(*) AS nr FROM tf GROUP BY source, f
+),
+per_src AS (
+    SELECT source,
+           CAST(SUM(f * nr) AS BIGINT) AS n_tokens,
+           CAST(SUM(nr) AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(CASE WHEN f = 1 THEN nr END), 0) AS BIGINT) AS n1,
+           CAST(COALESCE(SUM(CASE WHEN f = 2 THEN nr END), 0) AS BIGINT) AS n2,
+           CAST(COALESCE(SUM(CASE WHEN f = 3 THEN nr END), 0) AS BIGINT) AS n3
+    FROM spec GROUP BY source
+)
+SELECT source, n_tokens, n_types, n1, n2,
+       CAST(ROUND(CAST(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_unseen,
+       CASE WHEN n1 > 0 THEN
+           CAST(ROUND(CAST(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           AS DECIMAL(28,8)), 6) AS DOUBLE)
+       ELSE 0.0 END AS r1_star,
+       CASE WHEN n2 > 0 THEN
+           CAST(ROUND(CAST(3.0 * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                           AS DECIMAL(28,8)), 6) AS DOUBLE)
+       ELSE 0.0 END AS r2_star
+FROM per_src
+ORDER BY source
+"""
+
+REGISTRY["good_turing_mass"] = QuerySpec(q_good_turing_mass, GOOD_TURING_MASS_SQL)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-word under the BPE-ish
+    pre-tokenizer (operators/text.bpe_token_count), the metric tokenizer
+    reports lead with: fertility ≫ 1 for a language means the tokenizer
+    fragments it (training cost and context budget inflate exactly by
+    that factor), and chars-per-token is the compression read. The
+    per-LANGUAGE split is the point — a multilingual corpus with an
+    English-centric tokenizer shows the skew here first.
+
+    Exactness: three integer sums per language (BPE tokens, whitespace
+    words, characters) — the two ratios are single snapped divisions.
+    Scale: pure scan-stage expressions (regexp_count / length — zero
+    explode), one ≤|langs| aggregate; the cheapest query in the corpus
+    family."""
+    from candyspark.operators.text import bpe_token_count, ws_token_count
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(bpe_token_count("text")).cast("long").alias("n_bpe_tokens"),
+        F.sum(ws_token_count("text")).cast("long").alias("n_words"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    fertility = snap_round(
+        F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"), 6
+    )
+    cpt = snap_round(
+        F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"), 6
+    )
+    return per.select(
+        "lang", "n_docs", "n_bpe_tokens", "n_words", "n_chars",
+        fertility.alias("fertility"),
+        cpt.alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT) AS n_words,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_bpe_tokens, n_words, n_chars,
+       CAST(ROUND(CAST(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS fertility,
+       CAST(ROUND(CAST(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS chars_per_token
+FROM per
+ORDER BY lang
+"""
+
+REGISTRY["tokenizer_fertility"] = QuerySpec(
+    q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL
+)

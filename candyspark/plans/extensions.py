@@ -3865,3 +3865,242 @@ ORDER BY query_id, mmr_rank
 SIMILARITY_MMR_SQL = _similarity_mmr_sql()
 
 REGISTRY["similarity_mmr"] = QuerySpec(q_similarity_mmr, SIMILARITY_MMR_SQL)
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-first-purchase
+    — the additive twin of q_kaplan_meier's product-limit survival (H(t) =
+    Σ_{event days ≤ t} d/n vs S(t) = Π (1 − d/n)): the hazard view is what
+    rate-regression and competing-risk extensions consume, and the Breslow
+    survival exp(−H) it implies is the standard cross-check on KM. Shares
+    KM's right-censored per-user construction verbatim (same signup →
+    first-purchase → horizon-censor relation), so the two queries are
+    column-to-column comparable.
+
+    Exactness: at-risk counts are exact integers from the same cumulative
+    window; each d/n term is ONE IEEE division snapped at 8 dp through
+    DECIMAL(28,8) (identical cast semantics both engines), the cumulative
+    sum runs in the SAME t-order on both sides, and outputs snap at 6 dp.
+    Scale: identical to KM — two user_id reductions, one keyed join, then
+    everything is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    horizon = e.agg(F.max("ts").alias("end_ts"))
+    per_user = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("pu")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.floor(
+                    (F.unix_micros("conv_ts") - F.unix_micros("signup_ts"))
+                    / F.lit(86400000000)
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_micros("end_ts") - F.unix_micros("signup_ts"))
+                    / F.lit(86400000000)
+                )
+            )
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    daily = per_user.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(1 - F.col("event")).cast("long").alias("c"),
+    )
+    whole = Window.partitionBy()
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(whole)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before), F.lit(0))
+    )
+    term = F.when(
+        F.col("d") > 0,
+        X.snap_round(
+            F.col("d").cast("double") / F.col("n_risk").cast("double"), 8
+        ),
+    ).otherwise(F.lit(0.0))
+    cumhaz = F.sum("hterm").over(upto)
+    return (
+        daily.withColumn("n_risk", at_risk)
+        .withColumn("hterm", term)
+        .select(
+            F.col("t").cast("int").alias("day"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            X.snap_round(cumhaz, 6).alias("cum_hazard"),
+            X.snap_round(F.exp(-cumhaz), 6).alias("breslow_survival"),
+        )
+        .orderBy("day")
+    )
+
+
+NELSON_AALEN_SQL = """
+WITH signups AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+per_user AS (
+    SELECT s.user_id,
+           CASE WHEN MIN(p.ts) IS NOT NULL
+                THEN FLOOR((epoch_us(MIN(p.ts)) - epoch_us(s.signup_ts)) / 86400000000)
+                ELSE FLOOR((epoch_us(h.end_ts) - epoch_us(s.signup_ts)) / 86400000000)
+           END AS t,
+           CASE WHEN MIN(p.ts) IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM signups s
+    CROSS JOIN horizon h
+    LEFT JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
+    GROUP BY s.user_id, s.signup_ts, h.end_ts
+),
+daily AS (
+    SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+           CAST(SUM(1 - event) AS BIGINT) AS c
+    FROM per_user GROUP BY t
+),
+risked AS (
+    SELECT t, d, c,
+           SUM(d + c) OVER () - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM daily
+),
+terms AS (
+    SELECT *,
+           CASE WHEN d > 0 THEN
+             CAST(ROUND(CAST(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                             AS DECIMAL(28,8)), 8) AS DOUBLE)
+           ELSE 0.0 END AS hterm
+    FROM risked
+),
+cum AS (
+    SELECT t, n_risk, d, c,
+           SUM(hterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h
+    FROM terms
+)
+SELECT CAST(t AS INTEGER) AS day,
+       CAST(n_risk AS BIGINT) AS n_risk, d AS n_events, c AS n_censored,
+       CAST(ROUND(CAST(h AS DECIMAL(28,8)), 6) AS DOUBLE) AS cum_hazard,
+       CAST(ROUND(CAST(EXP(-h) AS DECIMAL(28,8)), 6) AS DOUBLE) AS breslow_survival
+FROM cum
+ORDER BY day
+"""
+
+REGISTRY["nelson_aalen"] = QuerySpec(q_nelson_aalen, NELSON_AALEN_SQL)
+
+
+def q_mcc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language one-vs-rest Matthews correlation coefficient of the
+    heuristic language guesser — the single-number-per-class summary that
+    q_langid_confusion's full matrix and q_auc_quality_langid's ranking
+    view don't give: MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    is the confusion-matrix correlation, balanced under class skew (our
+    corpus is mostly-en, where accuracy and even F1 flatter the guesser).
+    Kappa (q_cohens_kappa) summarizes the whole matrix; MCC localizes the
+    quality to each language gate a curator might actually deploy.
+
+    All four cells are exact integers from ONE (lang, guess) aggregate
+    (conditional sums over the ≤(|langs|+1)²-row matrix joined to the
+    |langs| class list — bounded, broadcast); the MCC formula is one IEEE
+    double expression on identical integers, snapped at 6 dp. Undefined
+    MCC (a zero factor) reports 0.0, the sklearn convention."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cells = (
+        d.select("lang", X.lang_guess("text").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("n_total"))
+    langs = cells.select(F.col("lang").alias("cls")).distinct()
+    per = (
+        langs.join(F.broadcast(cells))
+        .groupBy("cls")
+        .agg(
+            F.coalesce(
+                F.sum(F.when((F.col("lang") == F.col("cls")) & (F.col("g") == F.col("cls")), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("tp"),
+            F.coalesce(
+                F.sum(F.when((F.col("lang") != F.col("cls")) & (F.col("g") == F.col("cls")), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("fp"),
+            F.coalesce(
+                F.sum(F.when((F.col("lang") == F.col("cls")) & (F.col("g") != F.col("cls")), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("fn"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("tn", (F.col("n_total") - F.col("tp") - F.col("fp") - F.col("fn")).cast("long"))
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom = (
+        (d_("tp") + d_("fp")) * (d_("tp") + d_("fn"))
+        * (d_("tn") + d_("fp")) * (d_("tn") + d_("fn"))
+    )
+    mcc = F.when(
+        denom > 0.0,
+        X.snap_round(
+            (d_("tp") * d_("tn") - d_("fp") * d_("fn")) / F.sqrt(denom), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        F.col("cls").alias("lang"), "tp", "fp", "fn", "tn", mcc.alias("mcc")
+    ).orderBy("lang")
+
+
+MCC_LANGID_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+cells AS (
+    SELECT lang, lang_guess AS g, COUNT(*) AS n
+    FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS n_total FROM cells),
+langs AS (SELECT DISTINCT lang AS cls FROM cells),
+per AS (
+    SELECT l.cls,
+           CAST(COALESCE(SUM(CASE WHEN c.lang = l.cls AND c.g = l.cls THEN c.n END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN c.lang <> l.cls AND c.g = l.cls THEN c.n END), 0) AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN c.lang = l.cls AND c.g <> l.cls THEN c.n END), 0) AS BIGINT) AS fn
+    FROM langs l CROSS JOIN cells c
+    GROUP BY l.cls
+),
+full_cells AS (
+    SELECT cls, tp, fp, fn,
+           CAST(t.n_total - tp - fp - fn AS BIGINT) AS tn
+    FROM per CROSS JOIN tot t
+)
+SELECT cls AS lang, tp, fp, fn, tn,
+       CASE WHEN (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                 * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)) > 0.0
+            THEN CAST(ROUND(CAST(
+                (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                 - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                / SQRT((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                       * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                       * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                       * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+                AS DECIMAL(28,8)), 6) AS DOUBLE)
+            ELSE 0.0 END AS mcc
+FROM full_cells
+ORDER BY lang
+"""
+
+REGISTRY["mcc_langid"] = QuerySpec(q_mcc_langid, MCC_LANGID_SQL)

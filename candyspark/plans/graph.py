@@ -686,10 +686,16 @@ def q_hits_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpretable against raw popularity).
 
     Iterative (two keyed shuffles per round, lineage checkpointed per
-    round — the pagerank discipline, operators/hits.py), so rows-only for
-    the driver; determinism under repartition and parity with a
-    single-threaded numpy HITS are pinned in tests/test_pagerank.py."""
+    round — the pagerank discipline, operators/hits.py); determinism under
+    repartition and parity with a single-threaded numpy HITS are pinned in
+    tests/test_pagerank.py. Round 3: hash-checked against the unrolled
+    8-round oracle below — the query's auth output snaps to 6 dp so the
+    ~1e-11-relative cross-engine drift of the normalize divisions (decimal
+    division in Spark, IEEE-double division in the oracle) is invisible;
+    the top-25 boundary is decided on the SNAPPED value with a part-id
+    tiebreak, so membership is engine-independent too."""
     from candyspark.operators.hits import hits
+    from candyspark.operators.text import snap_round
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -702,15 +708,88 @@ def q_hits_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, auths = hits(edges, rounds=8)
     return (
         auths.join(buyers, "dst")
-        .select(F.col("dst").alias("part"), "auth", "n_buyers")
+        .select(
+            F.col("dst").alias("part"),
+            snap_round(F.col("auth"), 6).alias("auth"),
+            "n_buyers",
+        )
         .orderBy(F.desc("auth"), "part")
         .limit(25)
     )
 
 
-REGISTRY["hits_customers_parts"] = QuerySpec(
-    q_hits_customers_parts, None
-)  # iterative fixpoint; numpy-parity + repartition-determinism in tests
+def _hits_sql(rounds: int = 8) -> str:
+    """Unrolled HITS oracle (the pagerank/LPA unrolling precedent): one
+    (auth-sum, hub-sum, hub-normalize) CTE triple per round, mirroring
+    operators/hits.py exactly — per-edge contributions snap to
+    DECIMAL(24,14) before each sum (order-free in both engines), only the
+    hub vector normalizes inside the loop (auth normalizes once at the
+    end, the fold the operator documents). The normalize DIVISION is the
+    one op the engines do differently (Spark: exact decimal quotient
+    rounded half-up at 14 dp; here: IEEE-double quotient snapped through
+    DECIMAL(24,14)) — per-value disagreement is ≤1e-14 and the dynamics
+    are a contraction, so accumulated drift stays ~1e-11 relative, far
+    inside the 6-dp output snap both sides apply before the compare."""
+    parts = [
+        """e AS (
+    SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """srcs AS (SELECT DISTINCT src FROM e)""",
+        """n0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM srcs)""",
+        """h0 AS (
+    SELECT src, CAST(CAST(1.0 / n AS DECIMAL(24,14)) AS DOUBLE) AS hub
+    FROM srcs CROSS JOIN n0
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+    SELECT e.dst, SUM(CAST(h.hub AS DECIMAL(24,14))) AS auth
+    FROM e JOIN h{r - 1} h ON e.src = h.src
+    GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""hr{r} AS MATERIALIZED (
+    SELECT e.src, SUM(CAST(a.auth AS DECIMAL(24,14))) AS hub
+    FROM e JOIN a{r} a ON e.dst = a.dst
+    GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"""h{r} AS MATERIALIZED (
+    SELECT src,
+           CAST(CAST(CAST(hub AS DOUBLE)
+                / (SELECT CAST(SUM(CAST(hub AS DECIMAL(24,14))) AS DOUBLE)
+                   FROM hr{r})
+                AS DECIMAL(24,14)) AS DOUBLE) AS hub
+    FROM hr{r}
+)"""
+        )
+    return f"""
+WITH {','.join(parts)},
+afin AS (
+    SELECT dst,
+           CAST(CAST(CAST(auth AS DOUBLE)
+                / (SELECT CAST(SUM(CAST(auth AS DECIMAL(24,14))) AS DOUBLE)
+                   FROM a{rounds})
+                AS DECIMAL(24,14)) AS DOUBLE) AS auth
+    FROM a{rounds}
+),
+buyers AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_buyers FROM e GROUP BY dst)
+SELECT afin.dst AS part,
+       CAST(ROUND(CAST(afin.auth AS DECIMAL(28,8)), 6) AS DOUBLE) AS auth,
+       buyers.n_buyers
+FROM afin JOIN buyers ON afin.dst = buyers.dst
+ORDER BY 2 DESC, 1
+LIMIT 25
+"""
+
+
+HITS_SQL = _hits_sql()
+
+REGISTRY["hits_customers_parts"] = QuerySpec(q_hits_customers_parts, HITS_SQL)
 
 
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
