@@ -292,6 +292,12 @@ HEADLINE = [
     "mcc_langid",
     "good_turing_mass",
     "tokenizer_fertility",
+    "textrank_keywords",
+    "bfs_hop_histogram",
+    "partial_correlation",
+    "rr_frequency_estimate",
+    "distinct_ngram_diversity",
+    "matryoshka_recall",
 ]
 
 

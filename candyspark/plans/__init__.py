@@ -48,6 +48,12 @@ ROUND3_WINDOW = [
     "mcc_langid",
     "good_turing_mass",
     "tokenizer_fertility",
+    "textrank_keywords",
+    "bfs_hop_histogram",
+    "partial_correlation",
+    "rr_frequency_estimate",
+    "distinct_ngram_diversity",
+    "matryoshka_recall",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

@@ -290,7 +290,14 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins) broadcast-joined back onto the ≤ |types|×7 contingency cells;
     the fact table is scanned once and shuffles only on the cell key.
     Per-cell terms are decimal-snapped before the sum (float addition is
-    not associative; decimal is), keeping the statistic engine-exact."""
+    not associative; decimal is), keeping the statistic engine-exact.
+
+    The statistic uses the algebraic identity χ² = Σ n·O²/(r·c) − n, which
+    is exact over the OBSERVED cells only: a zero-observed cell contributes
+    0 to Σ O²/E but E to the textbook Σ(O−E)²/E, so summing the textbook
+    term over a groupBy result (which only materializes non-empty cells)
+    silently understates χ² on sparse grids — the round-3 planted
+    perfect-association test caught exactly that."""
     e = load_table(spark, sf_dir, "events")
     cells = e.groupBy(
         "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
@@ -302,11 +309,12 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("nr"),
         F.countDistinct("dow").alias("nc"),
     )
-    expected = (
-        F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
-    )
-    resid = F.col("o").cast("double") - expected
-    term = snap_round(resid * resid / expected, 6).cast("decimal(18,6)")
+    term = snap_round(
+        F.col("n").cast("double")
+        * (F.col("o").cast("double") * F.col("o").cast("double"))
+        / (F.col("rt").cast("double") * F.col("ct").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
     return (
         cells.join(F.broadcast(rows_m), "event_type")
         .join(F.broadcast(cols_m), "dow")
@@ -315,7 +323,9 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n", "nr", "nc")
         .agg(F.sum("term").alias("chi2_sum"))
         .select(
-            snap_round(F.col("chi2_sum").cast("double"), 4).alias("chi2"),
+            snap_round(
+                F.col("chi2_sum").cast("double") - F.col("n").cast("double"), 4
+            ).alias("chi2"),
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
             F.col("n").cast("bigint").alias("n_events"),
         )
@@ -333,23 +343,20 @@ total AS (
     SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
     FROM cells
 ),
-expect AS (
-    SELECT c.o,
-           CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE) AS e,
+terms AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(t.n AS DOUBLE)
+               * (CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE))
+               / (CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS term,
            t.n, t.nr, t.nc
     FROM cells c
     JOIN rows_m r USING (event_type)
     JOIN cols_m m USING (dow)
     CROSS JOIN total t
-),
-terms AS (
-    SELECT CAST(ROUND(CAST(
-               (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
-               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS term,
-           n, nr, nc
-    FROM expect
 )
-SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
+SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) - CAST(n AS DOUBLE)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
        CAST((nr - 1) * (nc - 1) AS INT) AS dof,
        CAST(n AS BIGINT) AS n_events
 FROM terms
@@ -1271,6 +1278,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins broadcast back; V is one snapped double expression on the
     1-row result. Per-cell chi2 terms are decimal-snapped before the sum
     (order-free), and sqrt runs on the SAME snapped chi2 in both engines.
+    Uses the zero-cell-safe identity χ² = Σ n·O²/(r·c) − n (see
+    q_chi2_independence) — under PERFECT association the planted test
+    requires exactly V = 1, which the textbook-term-over-observed-cells
+    form misses whenever the grid has empty cells.
     """
     e = load_table(spark, sf_dir, "events")
     cells = e.groupBy(
@@ -1283,12 +1294,15 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("nr"),
         F.countDistinct("dow").alias("nc"),
     )
-    expected = (
-        F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    term = snap_round(
+        F.col("n").cast("double")
+        * (F.col("o").cast("double") * F.col("o").cast("double"))
+        / (F.col("rt").cast("double") * F.col("ct").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    chi2 = snap_round(
+        F.col("chi2_sum").cast("double") - F.col("n").cast("double"), 4
     )
-    resid = F.col("o").cast("double") - expected
-    term = snap_round(resid * resid / expected, 6).cast("decimal(18,6)")
-    chi2 = snap_round(F.col("chi2_sum").cast("double"), 4)
     mindim = F.least(F.col("nr"), F.col("nc")) - F.lit(1)
     v = snap_round(
         F.sqrt(chi2 / (F.col("n").cast("double") * mindim.cast("double"))), 6
@@ -1327,9 +1341,9 @@ total AS (
 ),
 terms AS (
     SELECT CAST(ROUND(CAST(
-               (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
-               * (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
-               / (CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+               CAST(t.n AS DOUBLE)
+               * (CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE))
+               / (CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE))
                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS term,
            t.n, t.nr, t.nc
     FROM cells c
@@ -1338,7 +1352,8 @@ terms AS (
     CROSS JOIN total t
 ),
 agg AS (
-    SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
+    SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) - CAST(n AS DOUBLE)
+                           AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
            n, nr, nc
     FROM terms GROUP BY n, nr, nc
 ),

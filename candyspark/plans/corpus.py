@@ -2840,3 +2840,246 @@ ORDER BY lang
 REGISTRY["tokenizer_fertility"] = QuerySpec(
     q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL
 )
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — weighted
+    PageRank over the word co-occurrence graph: adjacent-token pairs
+    (window 2) are edges weighted by corpus-wide co-occurrence count
+    (threshold ≥ 2), and a random walk proportional to edge weight ranks
+    the terms. The graph-centrality keyword signal next to the frequency
+    family (tfidf_top_terms ranks by counts; TextRank ranks by who your
+    neighbors are — a term co-occurring with other central terms wins
+    even at moderate frequency).
+
+    Determinism is the pagerank discipline verbatim (operators/pagerank):
+    per-edge contributions rank·w/strength snap to DECIMAL(24,14) before
+    the sum, rank updates snap at 12 dp, the walk is 6 fixed rounds, and
+    the oracle below unrolls them (the pagerank_parts/LPA precedent).
+
+    Scale: the pair explode is one tokenize pass (bigrams ≈ |tokens|),
+    collapsed map-side into the VOCAB²-bounded (and threshold-pruned)
+    edge relation; each round is one keyed shuffle of the node-sized rank
+    vector with the weighted degree riding on the checkpointed edges.
+    """
+    from candyspark.operators.text import tokens
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    seq = d.filter(F.size(toks) >= 2).select(
+        F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+    )
+    pairs = (
+        seq.select(F.explode(F.arrays_zip("a", "b")).alias("z"))
+        .select(
+            F.least("z.a", "z.b").alias("u"),
+            F.greatest("z.a", "z.b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t"), "w").unionByName(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"), "w")
+    )
+    strength = und.groupBy("s").agg(F.sum("w").alias("strength"))
+    ew = und.join(strength, "s").localCheckpoint(eager=True)
+    nodes = und.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    base = (1.0 - 0.85) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(6):
+        contribs = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("strength"))
+                .cast("decimal(24,14)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (
+                        F.lit(base)
+                        + F.lit(0.85)
+                        * F.coalesce(F.col("in_mass").cast("double"), F.lit(0.0))
+                    ).cast("decimal(28,14)"),
+                    12,
+                )
+                .cast("double")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(25)
+        .select(F.col("node").alias("term"), "rank")
+    )
+
+
+def _textrank_sql(iterations: int = 6) -> str:
+    """Unrolled weighted-PageRank oracle for q_textrank_keywords — one
+    (weighted-contribution-sum, rank-update) CTE pair per round; the
+    rank·w/strength quotient is the identical left-associated IEEE
+    expression both engines run on identical doubles, snapped to
+    DECIMAL(24,14) before the order-free sum."""
+    parts = [
+        f"""toks AS (SELECT {_TOKS_FRAGMENT} AS t FROM documents)""",
+        """pz AS (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+    FROM toks WHERE len(t) >= 2
+)""",
+        """e0 AS (
+    SELECT least(z[1], z[2]) AS u, greatest(z[1], z[2]) AS v, COUNT(*) AS w
+    FROM pz WHERE z[1] <> z[2]
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+        """und AS (
+    SELECT u AS s, v AS t, w FROM e0
+    UNION ALL SELECT v AS s, u AS t, w FROM e0
+)""",
+        """st AS (SELECT s, SUM(w) AS strength FROM und GROUP BY s)""",
+        """nodes AS (SELECT DISTINCT s AS node FROM und)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
+        """r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+    SELECT und.t AS node,
+           SUM(CAST(r.rank * und.w / st.strength AS DECIMAL(24,14))) AS in_mass
+    FROM und
+    JOIN r{r - 1} r ON und.s = r.node
+    JOIN st ON st.s = und.s
+    GROUP BY und.t
+)"""
+        )
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+    SELECT nodes.node,
+           CAST(ROUND(CAST((1.0 - 0.85) / nn.n
+                    + 0.85 * COALESCE(CAST(m.in_mass AS DOUBLE), 0.0)
+                AS DECIMAL(28,14)), 12) AS DOUBLE) AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN m{r} m ON m.node = nodes.node
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT node AS term, rank
+FROM r{iterations}
+ORDER BY rank DESC, term
+LIMIT 25
+"""
+
+
+TEXTRANK_KEYWORDS_SQL = _textrank_sql()
+
+REGISTRY["textrank_keywords"] = QuerySpec(q_textrank_keywords, TEXTRANK_KEYWORDS_SQL)
+
+
+def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 diversity per source (Li et al. 2016's
+    generation-diversity metric applied to corpus curation): the share of
+    unigram and bigram OCCURRENCES that are distinct types. Low distinct-2
+    with ordinary distinct-1 is the template-farm fingerprint — the same
+    word pairs recycled across documents — a complementary signal to
+    repetition_signals (intra-doc) and yules_k (spectrum shape): this one
+    is cross-doc and ORDER-sensitive (bigrams), which token-frequency
+    views can't see.
+
+    Exactness: four integer counts per source, two snapped ratios.
+    Scale: one tokenize pass feeds both grains — the bigram explode is the
+    textrank adjacency machinery (≈|tokens| rows), collapsed map-side into
+    the vocab²-bounded type relation before any exchange."""
+    from candyspark.operators.text import tokens
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    uni = (
+        d.select("source", F.explode(toks).alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unigrams"),
+            F.countDistinct("g").cast("long").alias("v_unigrams"),
+        )
+    )
+    seq = d.filter(F.size(toks) >= 2).select(
+        "source",
+        F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+    )
+    bi = (
+        seq.select("source", F.explode(F.arrays_zip("a", "b")).alias("z"))
+        .select("source", F.concat_ws(" ", "z.a", "z.b").alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct("g").cast("long").alias("v_bigrams"),
+        )
+    )
+    return (
+        uni.join(bi, "source")
+        .select(
+            "source",
+            "n_unigrams",
+            "v_unigrams",
+            "n_bigrams",
+            "v_bigrams",
+            snap_round(
+                F.col("v_unigrams").cast("double") / F.col("n_unigrams").cast("double"),
+                6,
+            ).alias("distinct1"),
+            snap_round(
+                F.col("v_bigrams").cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("distinct2"),
+        )
+        .orderBy("source")
+    )
+
+
+DISTINCT_NGRAM_DIVERSITY_SQL = f"""
+WITH toks AS (SELECT source, {_TOKS_FRAGMENT} AS t FROM documents),
+uni AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS v_unigrams
+    FROM (SELECT source, unnest(t) AS g FROM toks)
+    GROUP BY source
+),
+bi AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS v_bigrams
+    FROM (
+        SELECT source, concat(z[1], ' ', z[2]) AS g
+        FROM (SELECT source, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+              FROM toks WHERE len(t) >= 2)
+    )
+    GROUP BY source
+)
+SELECT uni.source, n_unigrams, v_unigrams, n_bigrams, v_bigrams,
+       CAST(ROUND(CAST(CAST(v_unigrams AS DOUBLE) / CAST(n_unigrams AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS distinct1,
+       CAST(ROUND(CAST(CAST(v_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS distinct2
+FROM uni JOIN bi ON uni.source = bi.source
+ORDER BY uni.source
+"""
+
+REGISTRY["distinct_ngram_diversity"] = QuerySpec(
+    q_distinct_ngram_diversity, DISTINCT_NGRAM_DIVERSITY_SQL
+)

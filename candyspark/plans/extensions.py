@@ -4104,3 +4104,122 @@ ORDER BY lang
 """
 
 REGISTRY["mcc_langid"] = QuerySpec(q_mcc_langid, MCC_LANGID_SQL)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022): neighbor
+    recall@10 when embeddings are truncated to their prefix 8/16/32 dims,
+    against the full-64-dim exact top-10 — the measurement that decides
+    whether a pipeline can serve the cheap prefix index (4–8× less memory
+    and bandwidth) and rerank with full vectors. The eval harness shape
+    matches ann_recall (ranker vs exact baseline, both deterministic in-
+    engine operators, so the WHOLE measurement is hash-checked); the
+    knife here is the dim axis, not the index structure.
+
+    Determinism: all four rankings use the shared sequential-fold cosine
+    (identical IEEE doubles both engines, 6-dp snap) with the (sim desc,
+    neighbor_id) tiebreak; recall is exact integer overlap / 10. Scale:
+    ONE corpus scan — the 50 queries and the 4-row dim relation broadcast
+    onto it, dot products stay JVM codegen; everything after the top-10
+    windows is a ≤(50·10·4)-row join."""
+    from candyspark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = fan_out(e.filter(F.col("vec_id") >= 50)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "dim int")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.slice("q_vec", F.lit(1), F.col("dim")),
+                F.slice("c_vec", F.lit(1), F.col("dim")),
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("dim", "query_id", "neighbor_id")
+        .localCheckpoint()  # consumed twice: as truth (dim 64) and as candidate
+    )
+    truth = topk.filter(F.col("dim") == 64).select("query_id", "neighbor_id")
+    hits = (
+        topk.filter(F.col("dim") != 64)
+        .join(truth, ["query_id", "neighbor_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_q = truth.select("query_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    return (
+        hits.crossJoin(F.broadcast(n_q))
+        .select(
+            "dim",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            "n_hits",
+            X.snap_round(
+                F.col("n_hits").cast("double")
+                / (F.col("n_queries").cast("double") * 10.0),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _matryoshka_cos(dim_expr: str) -> str:
+    return (
+        "CAST(ROUND(CAST("
+        f"list_reduce(list_transform(range(1, {dim_expr} + 1), i -> q_vec[i] * c_vec[i]), (a, b) -> a + b)"
+        f" / (sqrt(list_reduce(list_transform(range(1, {dim_expr} + 1), i -> q_vec[i] * q_vec[i]), (a, b) -> a + b))"
+        f" * sqrt(list_reduce(list_transform(range(1, {dim_expr} + 1), i -> c_vec[i] * c_vec[i]), (a, b) -> a + b)))"
+        " AS DECIMAL(28,10)), 6) AS DOUBLE)"
+    )
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, v AS c_vec FROM e WHERE vec_id >= 50),
+dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+scored AS (
+    SELECT dim, query_id, neighbor_id, {_matryoshka_cos("dim")} AS sim
+    FROM c CROSS JOIN q CROSS JOIN dims
+),
+topk AS (
+    SELECT dim, query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY dim, query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+),
+truth AS (SELECT query_id, neighbor_id FROM topk WHERE dim = 64),
+hits AS (
+    SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM topk t JOIN truth u USING (query_id, neighbor_id)
+    WHERE t.dim <> 64
+    GROUP BY t.dim
+),
+nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM truth)
+SELECT dim, n_queries, n_hits,
+       CAST(ROUND(CAST(CAST(n_hits AS DOUBLE)
+                       / (CAST(n_queries AS DOUBLE) * 10.0)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS recall_at_10
+FROM hits CROSS JOIN nq
+ORDER BY dim
+"""
+
+REGISTRY["matryoshka_recall"] = QuerySpec(q_matryoshka_recall, MATRYOSHKA_RECALL_SQL)

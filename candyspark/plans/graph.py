@@ -1069,3 +1069,107 @@ ORDER BY core_degree DESC, vertex
 KCORE_PARTS_SQL = _kcore_parts_sql()
 
 REGISTRY["kcore_parts"] = QuerySpec(q_kcore_parts, KCORE_PARTS_SQL)
+
+
+def q_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability profile from the co-purchase hub: hop-distance
+    histogram (4 rounds) from the highest-degree part — the small-world
+    read on the basket graph (how much of the catalog is within k
+    co-purchase hops of the hub?) that complements the census views:
+    dedup_clusters says WHAT is connected, this says HOW FAR. hop = −1
+    counts nodes outside the 4-hop ball.
+
+    Seed choice is deterministic (max degree, min partkey tiebreak) and
+    all state is integer, so the fixed 4-round unroll below is an exact
+    oracle (the kcore/LPA precedent). Scale: per round ONE keyed join of
+    the frontier against the checkpointed symmetric edge relation + one
+    anti-join against the visited set — the textbook distributed BFS;
+    frontier and visited are node-sized. Four rounds cover the small-world
+    diameter regime this profile targets; the histogram is ≤6 rows.
+    """
+    und0 = _copurchase_edges(spark, sf_dir)
+    sym = (
+        und0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und0.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.desc("deg"), "a")
+        .limit(1)
+        .select(F.col("a").alias("node"), F.lit(0).alias("hop"))
+    )
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, 5):
+        nxt = (
+            sym.join(frontier.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    hist = visited.groupBy("hop").agg(F.count(F.lit(1)).alias("n_parts"))
+    totals = sym.select(F.col("a").alias("node")).distinct().agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    reached = visited.agg(F.count(F.lit(1)).alias("n_reached"))
+    unreached = totals.crossJoin(F.broadcast(reached)).select(
+        F.lit(-1).alias("hop"),
+        (F.col("n_nodes") - F.col("n_reached")).cast("long").alias("n_parts"),
+    )
+    return (
+        hist.select(F.col("hop").cast("int"), F.col("n_parts").cast("long"))
+        .unionByName(unreached.select(F.col("hop").cast("int"), "n_parts"))
+        .orderBy("hop")
+    )
+
+
+def _bfs_hop_histogram_sql(rounds: int = 4) -> str:
+    """Unrolled BFS oracle: per round a frontier-expansion CTE and a
+    visited-union CTE; all state integer, seed deterministic."""
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+        """und AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0)""",
+        """deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a)""",
+        """v0 AS (SELECT a AS node, 0 AS hop FROM deg ORDER BY deg DESC, a LIMIT 1)""",
+        """f0 AS (SELECT node FROM v0)""",
+    ]
+    for h in range(1, rounds + 1):
+        parts.append(
+            f"""new{h} AS MATERIALIZED (
+    SELECT n.node, {h} AS hop FROM (
+        SELECT DISTINCT und.b AS node FROM und JOIN f{h - 1} f ON und.a = f.node
+    ) n WHERE n.node NOT IN (SELECT node FROM v{h - 1})
+)"""
+        )
+        parts.append(
+            f"""v{h} AS MATERIALIZED (SELECT * FROM v{h - 1} UNION ALL SELECT * FROM new{h})"""
+        )
+        parts.append(f"""f{h} AS (SELECT node FROM new{h})""")
+    return f"""
+WITH {','.join(parts)}
+SELECT CAST(hop AS INTEGER) AS hop, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM v{rounds} GROUP BY hop
+UNION ALL
+SELECT -1 AS hop,
+       CAST((SELECT COUNT(DISTINCT a) FROM und) - (SELECT COUNT(*) FROM v{rounds}) AS BIGINT)
+FROM (VALUES (1))
+ORDER BY hop
+"""
+
+
+BFS_HOP_HISTOGRAM_SQL = _bfs_hop_histogram_sql()
+
+REGISTRY["bfs_hop_histogram"] = QuerySpec(q_bfs_hop_histogram, BFS_HOP_HISTOGRAM_SQL)

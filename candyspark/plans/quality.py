@@ -3542,3 +3542,207 @@ FROM spread
 """
 
 REGISTRY["jackknife_variance"] = QuerySpec(q_jackknife_variance, JACKKNIFE_VARIANCE_SQL)
+
+
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of order quantity and order value CONTROLLING
+    for line count — the confound-aware member of the correlation family:
+    raw corr(qty, value) is inflated because both scale with how many
+    lines an order has; r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+    removes the linear effect of z = n_lines and reports the association
+    that remains (the two-variable special case of the precision matrix
+    — correlation_matrix's conditioned reading).
+
+    Exactness: one lineitem pass → per-order (x, y, z), one aggregate of
+    NINE exact decimal power sums, then the whole r-algebra is identical
+    IEEE doubles on identical inputs both engines, snapped at 6 dp only
+    on output. Scale: two map-side-combined aggregates (order rollup,
+    moment rollup) — nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("x"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("y"),
+        F.count(F.lit(1)).alias("z"),
+    )
+    xd = F.col("x").cast("decimal(20,2)")
+    yd = F.col("y").cast("decimal(20,2)")
+    zd = F.col("z").cast("decimal(20,2)")
+    sums = per_order.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(zd).alias("sz"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(zd * zd).alias("szz"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * zd).alias("sxz"),
+        F.sum(yd * zd).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def dd(c):  # exact decimal → the identical double in both engines
+        return F.col(c).cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        cov = n * dd(sab) - dd(sa) * dd(sb)
+        va = n * dd(saa) - dd(sa) * dd(sa)
+        vb = n * dd(sbb) - dd(sb) * dd(sb)
+        return cov / (F.sqrt(va) * F.sqrt(vb))
+
+    r_xy = r("sxy", "sx", "sy", "sxx", "syy")
+    r_xz = r("sxz", "sx", "sz", "sxx", "szz")
+    r_yz = r("syz", "sy", "sz", "syy", "szz")
+    partial = (r_xy - r_xz * r_yz) / F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        snap_round(r_xy, 6).alias("r_qty_value"),
+        snap_round(r_xz, 6).alias("r_qty_lines"),
+        snap_round(r_yz, 6).alias("r_value_lines"),
+        snap_round(partial, 6).alias("partial_r"),
+    )
+
+
+PARTIAL_CORRELATION_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS x,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS y,
+           COUNT(*) AS z
+    FROM lineitem GROUP BY l_orderkey
+),
+sums AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(20,2))) AS sx,
+           SUM(CAST(y AS DECIMAL(20,2))) AS sy,
+           SUM(CAST(z AS DECIMAL(20,2))) AS sz,
+           SUM(CAST(x AS DECIMAL(20,2)) * CAST(x AS DECIMAL(20,2))) AS sxx,
+           SUM(CAST(y AS DECIMAL(20,2)) * CAST(y AS DECIMAL(20,2))) AS syy,
+           SUM(CAST(z AS DECIMAL(20,2)) * CAST(z AS DECIMAL(20,2))) AS szz,
+           SUM(CAST(x AS DECIMAL(20,2)) * CAST(y AS DECIMAL(20,2))) AS sxy,
+           SUM(CAST(x AS DECIMAL(20,2)) * CAST(z AS DECIMAL(20,2))) AS sxz,
+           SUM(CAST(y AS DECIMAL(20,2)) * CAST(z AS DECIMAL(20,2))) AS syz
+    FROM per_order
+),
+rs AS (
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_xy,
+           (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_xz,
+           (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_yz
+    FROM sums
+)
+SELECT n_orders,
+       CAST(ROUND(CAST(r_xy AS DECIMAL(28,8)), 6) AS DOUBLE) AS r_qty_value,
+       CAST(ROUND(CAST(r_xz AS DECIMAL(28,8)), 6) AS DOUBLE) AS r_qty_lines,
+       CAST(ROUND(CAST(r_yz AS DECIMAL(28,8)), 6) AS DOUBLE) AS r_value_lines,
+       CAST(ROUND(CAST((r_xy - r_xz * r_yz)
+                       / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS partial_r
+FROM rs
+"""
+
+REGISTRY["partial_correlation"] = QuerySpec(
+    q_partial_correlation, PARTIAL_CORRELATION_SQL
+)
+
+
+def q_rr_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response frequency estimation (Warner 1965, forced-
+    response form) — the LOCAL-differential-privacy member of the privacy
+    family: dp_noisy_counts adds central Laplace noise AFTER trusted
+    aggregation; RR perturbs at the USER before anything is collected
+    (each user reports the truth with prob p = 0.75, else a fair coin),
+    and the aggregator debiases π̂ = (λ̂ − (1−p)/2) / p. The sensitive bit
+    here: 'is this user a heavy buyer' (≥ 14 purchases — the fixture's
+    per-user mean, so the true rate sits mid-range and the gate exercises
+    both branches of the bit). Because this engine's randomness
+    is CONTENT-KEYED md5 (the importance_resampling discipline — no RNG
+    state at 100 TB), the whole mechanism is reproducible and the
+    estimator itself is hash-checked; the true rate is reported alongside
+    so the oracle certifies the DEBIAS recovers it (|error| shrinks as
+    1/√n — visible as ~2pp at sf0.01). ε = ln((p + (1−p)/2)/((1−p)/2)) =
+    ln 7 ≈ 1.95 per report.
+
+    Scale: one user rollup (true bit), two md5 scalars per user, one
+    global conditional aggregate — nothing beyond the scan and a
+    user-keyed exchange."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        ).otherwise(0).alias("b")
+    )
+
+    def u(tag):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        return (h.cast("double") + 0.5) / F.lit(4294967296.0)
+
+    reported = per_user.select(
+        "b",
+        F.when(u("rr-truth-") < 0.75, F.col("b"))
+        .otherwise(F.when(u("rr-coin-") < 0.5, 1).otherwise(0))
+        .alias("report"),
+    )
+    agg = reported.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("b").cast("long").alias("n_true"),
+        F.sum("report").cast("long").alias("n_reported"),
+    )
+    lam = F.col("n_reported").cast("double") / F.col("n_users").cast("double")
+    pi_hat = (lam - 0.125) / 0.75
+    true_rate = F.col("n_true").cast("double") / F.col("n_users").cast("double")
+    return agg.select(
+        "n_users",
+        snap_round(true_rate, 6).alias("true_rate"),
+        snap_round(lam, 6).alias("observed_rate"),
+        snap_round(pi_hat, 6).alias("estimated_rate"),
+        snap_round(F.abs(pi_hat - true_rate), 6).alias("abs_error"),
+    )
+
+
+RR_FREQUENCY_ESTIMATE_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                THEN 1 ELSE 0 END AS b
+    FROM events GROUP BY user_id
+),
+reported AS (
+    SELECT b,
+           CASE WHEN (CAST(CAST(concat('0x', substr(md5(concat('rr-truth-', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 < 0.75
+                THEN b
+                ELSE CASE WHEN (CAST(CAST(concat('0x', substr(md5(concat('rr-coin-', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 < 0.5
+                          THEN 1 ELSE 0 END
+           END AS report
+    FROM per_user
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(b) AS BIGINT) AS n_true,
+           CAST(SUM(report) AS BIGINT) AS n_reported
+    FROM reported
+)
+SELECT n_users,
+       CAST(ROUND(CAST(CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS true_rate,
+       CAST(ROUND(CAST(CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS observed_rate,
+       CAST(ROUND(CAST((CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE) - 0.125) / 0.75 AS DECIMAL(28,8)), 6) AS DOUBLE) AS estimated_rate,
+       CAST(ROUND(CAST(ABS((CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE) - 0.125) / 0.75
+                           - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS abs_error
+FROM agg
+"""
+
+REGISTRY["rr_frequency_estimate"] = QuerySpec(
+    q_rr_frequency_estimate, RR_FREQUENCY_ESTIMATE_SQL
+)

@@ -284,3 +284,241 @@ def test_importance_resampling_prefers_quality(spark, tmp_path):
     for r in got.values():
         if r.n_kept > 0:
             assert r.mean_quality_kept >= r.mean_quality_before - 1e-9
+
+
+# --- session-2 operators ----------------------------------------------------
+
+
+def _src_docs(spark, tmp_path, rows):
+    """documents fixture with explicit (doc_id, text, lang, source)."""
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _orders(spark, tmp_path, rows):
+    """orders fixture: (o_orderkey, o_custkey, o_totalprice, o_orderdate)."""
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_mann_kendall_detects_planted_trend(spark, tmp_path):
+    """A strictly increasing daily series has S = n(n−1)/2 exactly and must
+    read 'increasing'; a constant series has S = 0 and must read
+    'no_trend' (all pairs tie, the tie-corrected variance handles it)."""
+    up = [(i, 1, 100.0 + i, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}") for i in range(56)]
+    row = REGISTRY["mann_kendall"].fn(spark, _orders(spark, tmp_path, up)).collect()[0]
+    assert row.s_stat == 56 * 55 // 2
+    assert row.trend == "increasing" and row.z > 1.96
+
+    flat = [(i, 1, 100.0, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}") for i in range(56)]
+    row2 = REGISTRY["mann_kendall"].fn(
+        spark, _orders(spark, tmp_path / "flat", flat)
+    ).collect()[0]
+    assert row2.s_stat == 0 and row2.trend == "no_trend"
+
+
+def test_cramers_v_planted_association(spark, tmp_path):
+    """Perfect association (each event type pinned to its own weekday) →
+    V = 1; type independent of weekday → V ≈ 0."""
+    types = ["click", "view", "purchase"]
+    # 2024-01-01 is a Monday; day offset d has isodow d+1
+    perfect = [
+        (i, f"2024-01-{1 + (i % 3) + 7 * (i % 5):02d} 12:00:00", i, types[i % 3], 1.0, "{}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        perfect,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = REGISTRY["cramers_v"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.cramers_v == pytest.approx(1.0, abs=1e-6)
+    assert row.effect == "large"
+    # the zero-cell-safe identity: chi2 on this grid is exactly n·(min−1)
+    chi = REGISTRY["chi2_independence"].fn(spark, str(tmp_path)).collect()[0]
+    assert chi.chi2 == pytest.approx(600.0, abs=1e-6)
+
+    # independence: every (type, dow) cell equally filled
+    indep = []
+    eid = 0
+    for d in range(7):
+        for t in types:
+            for _ in range(10):
+                indep.append((eid, f"2024-01-{1 + d:02d} 12:00:00", eid, t, 1.0, "{}"))
+                eid += 1
+    df2 = spark.createDataFrame(
+        indep,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df2.write.mode("overwrite").parquet(str(tmp_path / "i" / "events.parquet"))
+    row2 = REGISTRY["cramers_v"].fn(spark, str(tmp_path / "i")).collect()[0]
+    assert row2.cramers_v == pytest.approx(0.0, abs=1e-6)
+
+
+def test_nelson_aalen_dominates_km(spark):
+    """Breslow survival exp(−H) ≥ Kaplan-Meier S(t) at every event time
+    (1 − x ≤ e^(−x)) — the textbook relation between the two estimators,
+    checked on the shared censored construction."""
+    na = {r.day: r for r in REGISTRY["nelson_aalen"].fn(spark, SF1).collect()}
+    km = {r.day: r for r in REGISTRY["kaplan_meier"].fn(spark, SF1).collect()}
+    assert set(na) == set(km) and len(na) > 0
+    for day, r in na.items():
+        assert r.breslow_survival >= km[day].survival - 1e-9
+        assert r.n_risk == km[day].n_risk
+
+
+def test_mcc_langid_planted_perfect_guesser(spark, tmp_path):
+    """Docs written in pure stopword runs of their labeled language are
+    guessed correctly by construction → every per-class MCC = 1."""
+    from candyspark.operators.text import STOPWORDS
+
+    rows = []
+    for lang in ("en", "de", "fr"):
+        text = " ".join(STOPWORDS[lang] * 3)
+        for _ in range(20):
+            rows.append((text, lang, "s"))
+    sf = _src_docs(spark, tmp_path, rows)
+    out = REGISTRY["mcc_langid"].fn(spark, sf).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.mcc == pytest.approx(1.0, abs=1e-9), r
+        assert r.fp == 0 and r.fn == 0
+
+
+def test_good_turing_hand_spectrum(spark, tmp_path):
+    """'a a b c' per doc → N=4, N1=2, N2=1: p_unseen = 0.5, r1* = 2·N2/N1
+    = 1.0 — the Good-Turing numbers computed by hand."""
+    sf = _src_docs(spark, tmp_path, [("a a b c", "en", "s1")])
+    r = REGISTRY["good_turing_mass"].fn(spark, sf).collect()[0]
+    assert (r.n_tokens, r.n_types, r.n1, r.n2) == (4, 3, 2, 1)
+    assert r.p_unseen == pytest.approx(0.5)
+    assert r.r1_star == pytest.approx(1.0)
+
+
+def test_tokenizer_fertility_hand_counts(spark, tmp_path):
+    """'hello, world!' → 4 BPE-ish tokens over 2 whitespace words:
+    fertility exactly 2.0."""
+    sf = _src_docs(spark, tmp_path, [("hello, world!", "en", "s1")])
+    r = REGISTRY["tokenizer_fertility"].fn(spark, sf).collect()[0]
+    assert r.n_bpe_tokens == 4 and r.n_words == 2
+    assert r.fertility == pytest.approx(2.0)
+
+
+def test_textrank_planted_hub_wins(spark, tmp_path):
+    """A word adjacent to MANY distinct partners (the hub) must out-rank
+    words that only ever repeat one partner — centrality, not frequency:
+    every 'filler' token occurs more often than 'pivot' yet ranks below."""
+    partners = [f"w{i}" for i in range(12)]
+    docs = []
+    for p in partners:
+        docs.extend([(f"pivot {p}", "en", "s")] * 2)  # ≥2 co-occurrence gate
+    docs.extend([("filler junk filler junk filler junk", "en", "s")] * 6)
+    sf = _src_docs(spark, tmp_path, docs)
+    rows = REGISTRY["textrank_keywords"].fn(spark, sf).collect()
+    assert rows[0].term == "pivot"
+    ranks = {r.term: r.rank for r in rows}
+    assert ranks["pivot"] > ranks["filler"]
+
+
+def test_bfs_planted_star_chain(spark, tmp_path):
+    """Star (seed) + pendant chain: hop counts must be exactly the graph
+    distances, and the node beyond 4 hops lands in the −1 bucket."""
+    # co-purchase edge needs >= 2 shared orders -> duplicate each pair
+    pairs = [(100, i) for i in range(1, 6)]          # star: hub 100, hop-1 leaves
+    pairs += [(1, 11), (11, 21), (21, 31), (31, 41)]  # chain off leaf 1
+    rows = []
+    ok = 0
+    for a, b in pairs:
+        for _ in range(2):  # two orders per pair
+            rows.append((ok, 1, "N", "F", 1.0, 10.0, 0.0, 0.0, a, 1))
+            rows.append((ok, 2, "N", "F", 1.0, 10.0, 0.0, 0.0, b, 1))
+            ok += 1
+    sf = _lineitem(spark, tmp_path, rows)
+    got = {r.hop: r.n_parts for r in REGISTRY["bfs_hop_histogram"].fn(spark, sf).collect()}
+    # hub 100 has degree 5 (max) -> seed; distances: 1..5 at hop 1 (5 nodes),
+    # 11 at hop 2, 21 at hop 3, 31 at hop 4, 41 unreached within 4 rounds
+    assert got == {0: 1, 1: 5, 2: 1, 3: 1, 4: 1, -1: 1}
+
+
+def test_partial_correlation_planted_confound(spark, tmp_path):
+    """x and y both driven by the line count z with independent residual
+    patterns: raw corr(x, y) is strong but the partial correlation given z
+    must collapse toward 0. And when y ≡ x, partial_r = 1 exactly."""
+    rows = []
+    ok = 0
+    for i in range(300):
+        z = 1 + (i % 5)  # lines per order
+        for j in range(z):
+            q = 10.0 + ((i * 7 + j) % 3)      # residual pattern A
+            p = 100.0 + ((i * 11 + j) % 4)    # residual pattern B (independent)
+            rows.append((ok, j + 1, "N", "F", q, p, 0.0, 0.0, 1, 1))
+        ok += 1
+    sf = _lineitem(spark, tmp_path, rows)
+    r = REGISTRY["partial_correlation"].fn(spark, sf).collect()[0]
+    assert r.r_qty_value > 0.6          # confounded raw correlation
+    assert abs(r.partial_r) < 0.25      # collapses once z is controlled
+
+    dup = []
+    ok = 0
+    for i in range(100):
+        for j in range(1 + i % 3):  # z varies so r_xz is defined
+            v = float(10 + (i * 3 + j) % 7)
+            dup.append((ok, j + 1, "N", "F", v, v, 0.0, 0.0, 1, 1))
+        ok += 1
+    r2 = REGISTRY["partial_correlation"].fn(
+        spark, _lineitem(spark, tmp_path / "dup", dup)
+    ).collect()[0]
+    assert r2.r_qty_value == pytest.approx(1.0, abs=1e-6)  # y ≡ x
+    assert r2.partial_r == pytest.approx(1.0, abs=1e-4)
+
+
+def test_rr_estimator_identity_and_accuracy(spark):
+    """The debias identity π̂ = (λ̂ − 0.125)/0.75 must hold on the reported
+    numbers, and at 150 users the estimate must land within 10pp of the
+    true rate (the 1/√n regime)."""
+    sf001 = "/root/testdata/sf0.01"
+    r = REGISTRY["rr_frequency_estimate"].fn(spark, sf001).collect()[0]
+    assert r.estimated_rate == pytest.approx((r.observed_rate - 0.125) / 0.75, abs=2e-6)
+    assert 0.0 < r.true_rate < 1.0  # the planted bit actually varies
+    assert r.abs_error < 0.10
+
+
+def test_distinct_ngram_diversity_separates_template(spark, tmp_path):
+    """A source that recycles one bigram forever must score far lower
+    distinct-2 than a source of all-fresh bigrams at equal distinct-1."""
+    fresh = " ".join(f"t{i}" for i in range(40))
+    loop = "a b " * 20
+    sf = _src_docs(
+        spark, tmp_path, [(fresh, "en", "fresh"), (loop.strip(), "en", "loop")]
+    )
+    got = {r.source: r for r in REGISTRY["distinct_ngram_diversity"].fn(spark, sf).collect()}
+    assert got["fresh"].distinct2 == pytest.approx(1.0)
+    assert got["loop"].distinct2 < 0.1
+    assert got["loop"].v_bigrams == 2  # 'a b' and 'b a'
+
+
+def test_matryoshka_prefix_determined_space(spark, tmp_path):
+    """Embeddings whose mass lives entirely in the first 8 dims: every
+    truncation ranks identically to the full vector → recall@10 = 1.0 at
+    all dims (the planted matryoshka-friendly space)."""
+    import math as m
+
+    rows = []
+    for i in range(80):
+        # i+1 keeps every vector nonzero (the engine's embedding contract)
+        head = [m.sin(0.1 * (i + 1) * (j + 1)) + 1.5 for j in range(8)]
+        rows.append((i, [float(x) for x in head] + [0.0] * 56, i % 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = REGISTRY["matryoshka_recall"].fn(spark, str(tmp_path)).collect()
+    assert [r.dim for r in out] == [8, 16, 32]
+    for r in out:
+        assert r.recall_at_10 == pytest.approx(1.0), r
