@@ -298,6 +298,11 @@ HEADLINE = [
     "rr_frequency_estimate",
     "distinct_ngram_diversity",
     "matryoshka_recall",
+    "g_test",
+    "theil_u",
+    "markov2_transitions",
+    "embedding_anisotropy",
+    "length_quality_profile",
 ]
 
 

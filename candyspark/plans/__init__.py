@@ -54,6 +54,11 @@ ROUND3_WINDOW = [
     "rr_frequency_estimate",
     "distinct_ngram_diversity",
     "matryoshka_recall",
+    "g_test",
+    "theil_u",
+    "markov2_transitions",
+    "embedding_anisotropy",
+    "length_quality_profile",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",
@@ -64,7 +69,6 @@ ROUND3_WINDOW = [
     "pagerank_parts",
     "kcore_parts",
     "hits_customers_parts",
-    "similarity_mmr",
     # re-parameterized vacuous gates (round-2 verdict item 2)
     "important_part_value",
     "dominant_suppliers",
@@ -76,6 +80,9 @@ ROUND3_WINDOW = [
     "bilateral_trade_volume",
     # √n quantizer rewrite (round-2 verdict item 3)
     "semantic_dedup",
+    # position 51+: certified by the suite's own parity sweep; the driver
+    # window holds 50 and newer code takes precedence
+    "similarity_mmr",
 ]
 
 

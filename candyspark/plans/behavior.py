@@ -1376,3 +1376,255 @@ FROM v
 
 
 REGISTRY["cramers_v"] = QuerySpec(q_cramers_v, CRAMERS_V_SQL)
+
+
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (log-likelihood ratio) for event_type ×
+    ISO-weekday — the information-theoretic twin of q_chi2_independence:
+    G = 2·Σ O·ln(O·n/(r·c)) = 2n·I(X;Y) in nats, additive under table
+    collapse (chi-square isn't), and the form Wilks' theorem actually
+    speaks about. Zero-observed cells contribute exactly 0 to G, so the
+    observed-cells-only sum is EXACT here by construction — the identity
+    trick chi2 needed is free.
+
+    Same one-scan cells+margins shape; per-cell terms decimal-snapped
+    before the order-free sum, one 4-dp snap on the statistic."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    total = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    term = snap_round(
+        2.0
+        * F.col("o").cast("double")
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(term.alias("term"), "n", "nr", "nc")
+        .groupBy("n", "nr", "nc")
+        .agg(F.sum("term").alias("g_sum"))
+        .select(
+            snap_round(F.col("g_sum").cast("double"), 4).alias("g_stat"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+G_TEST_SQL = """
+WITH cells AS (
+    SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+cols_m AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+total AS (
+    SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
+    FROM cells
+),
+terms AS (
+    SELECT CAST(ROUND(CAST(
+               2.0 * CAST(c.o AS DOUBLE)
+               * LN(CAST(c.o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    / (CAST(r.rt AS DOUBLE) * CAST(m.ct AS DOUBLE)))
+               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS term,
+           t.n, t.nr, t.nc
+    FROM cells c
+    JOIN rows_m r USING (event_type)
+    JOIN cols_m m USING (dow)
+    CROSS JOIN total t
+)
+SELECT CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS g_stat,
+       CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+       CAST(n AS BIGINT) AS n_events
+FROM terms
+GROUP BY n, nr, nc
+"""
+
+REGISTRY["g_test"] = QuerySpec(q_g_test, G_TEST_SQL)
+
+
+def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient for event_type × ISO-weekday, BOTH
+    directions — the ASYMMETRIC association read Cramér's V can't give:
+    U(type|dow) = I/H(type) is 'how much does knowing the weekday shrink
+    type uncertainty', and U(dow|type) the reverse; asymmetry localizes
+    which variable predicts which. Completes the association triple
+    (chi2 significance → V magnitude → U direction) from the SAME cells.
+
+    Entropies assemble from per-cell/-margin −p·ln p terms snapped at
+    9 dp into exact decimal sums; I = H_r + H_c − H_j and both ratios are
+    closed-form IEEE on identical inputs, snapped at 6 dp. The ≤|types|×7
+    cell relation is checkpointed once — it feeds FOUR consumers (three
+    entropies + the total) and without the checkpoint each would rescan
+    the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=True)
+    n_tot = cells.agg(F.sum("o").alias("n"))
+
+    def ent(df: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return (
+            df.crossJoin(F.broadcast(n_tot))
+            .select(snap_round(-p * F.log(p), 9).cast("decimal(18,9)").alias("t"))
+            .agg(F.sum("t").cast("double").alias("h"))
+        )
+    h_r = ent(cells.groupBy("event_type").agg(F.sum("o").alias("c")), "c")
+    h_c = ent(cells.groupBy("dow").agg(F.sum("o").alias("c")), "c")
+    h_j = ent(cells, "o")
+    mi = F.col("h_r") + F.col("h_c") - F.col("h_j")
+    return (
+        h_r.select(F.col("h").alias("h_r"))
+        .crossJoin(F.broadcast(h_c.select(F.col("h").alias("h_c"))))
+        .crossJoin(F.broadcast(h_j.select(F.col("h").alias("h_j"))))
+        .select(
+            snap_round(F.col("h_r"), 6).alias("h_type"),
+            snap_round(F.col("h_c"), 6).alias("h_dow"),
+            snap_round(mi, 6).alias("mutual_info"),
+            snap_round(mi / F.col("h_r"), 6).alias("u_type_given_dow"),
+            snap_round(mi / F.col("h_c"), 6).alias("u_dow_given_type"),
+        )
+    )
+
+
+THEIL_U_SQL = """
+WITH cells AS (
+    SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+n_tot AS (SELECT SUM(o) AS n FROM cells),
+h_r AS (
+    SELECT CAST(SUM(t) AS DOUBLE) AS h FROM (
+        SELECT CAST(ROUND(CAST(
+            -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            AS DECIMAL(28,8)), 9) AS DECIMAL(18,9)) AS t
+        FROM (SELECT event_type, SUM(o) AS c FROM cells GROUP BY 1) CROSS JOIN n_tot
+    )
+),
+h_c AS (
+    SELECT CAST(SUM(t) AS DOUBLE) AS h FROM (
+        SELECT CAST(ROUND(CAST(
+            -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            AS DECIMAL(28,8)), 9) AS DECIMAL(18,9)) AS t
+        FROM (SELECT dow, SUM(o) AS c FROM cells GROUP BY 1) CROSS JOIN n_tot
+    )
+),
+h_j AS (
+    SELECT CAST(SUM(t) AS DOUBLE) AS h FROM (
+        SELECT CAST(ROUND(CAST(
+            -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+            AS DECIMAL(28,8)), 9) AS DECIMAL(18,9)) AS t
+        FROM cells CROSS JOIN n_tot
+    )
+)
+SELECT CAST(ROUND(CAST(h_r.h AS DECIMAL(28,8)), 6) AS DOUBLE) AS h_type,
+       CAST(ROUND(CAST(h_c.h AS DECIMAL(28,8)), 6) AS DOUBLE) AS h_dow,
+       CAST(ROUND(CAST(h_r.h + h_c.h - h_j.h AS DECIMAL(28,8)), 6) AS DOUBLE) AS mutual_info,
+       CAST(ROUND(CAST((h_r.h + h_c.h - h_j.h) / h_r.h AS DECIMAL(28,8)), 6) AS DOUBLE) AS u_type_given_dow,
+       CAST(ROUND(CAST((h_r.h + h_c.h - h_j.h) / h_c.h AS DECIMAL(28,8)), 6) AS DOUBLE) AS u_dow_given_type
+FROM h_r CROSS JOIN h_c CROSS JOIN h_j
+"""
+
+REGISTRY["theil_u"] = QuerySpec(q_theil_u, THEIL_U_SQL)
+
+
+def q_markov2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov audit: top trigram contexts where the previous
+    TWO events predict the next better than the last one alone — lift =
+    p(next | prev2, prev1) / p(next | prev1). Lift ≈ 1 everywhere means
+    event_transitions' first-order matrix is a sufficient model; heavy
+    tails here are the memory the first-order view hides (the modeling
+    companion to event_path_match's pattern queries).
+
+    Shape: ONE user_id window pass produces both lags (two lead()s share
+    the sort), the trigram and bigram aggregates are ≤|types|³ and
+    ≤|types|² relations, and the lift join is broadcast. Probabilities
+    snap at 6 dp; ordering (lift desc, trigram) is total. Requires ≥ 20
+    observations per context so tiny-denominator lifts don't dominate."""
+    e = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select("user_id", "ts", "event_id", F.col("event_type").alias("p2"))
+        .withColumn("p1", F.lead("p2", 1).over(seq))
+        .withColumn("nxt", F.lead("p2", 2).over(seq))
+        .filter(F.col("nxt").isNotNull())
+    )
+    tri = t.groupBy("p2", "p1", "nxt").agg(F.count(F.lit(1)).alias("n3"))
+    ctx2 = Window.partitionBy("p2", "p1")
+    bi = t.groupBy("p1", "nxt").agg(F.count(F.lit(1)).alias("n2"))
+    ctx1 = Window.partitionBy("p1")
+    p2g = tri.withColumn("ctx_n", F.sum("n3").over(ctx2)).filter(
+        F.col("ctx_n") >= 20
+    )
+    p1g = bi.withColumn("ctx1_n", F.sum("n2").over(ctx1))
+    cond2 = F.col("n3").cast("double") / F.col("ctx_n").cast("double")
+    cond1 = F.col("n2").cast("double") / F.col("ctx1_n").cast("double")
+    return (
+        p2g.join(F.broadcast(p1g), ["p1", "nxt"])
+        .select(
+            F.col("p2").alias("prev2"),
+            F.col("p1").alias("prev1"),
+            F.col("nxt").alias("next_type"),
+            F.col("n3").cast("long").alias("n_obs"),
+            snap_round(cond2, 6).alias("p2_cond"),
+            snap_round(cond1, 6).alias("p1_cond"),
+            snap_round(cond2 / cond1, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "prev2", "prev1", "next_type")
+        .limit(20)
+    )
+
+
+MARKOV2_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type AS p2,
+           LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+           LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+t AS (SELECT * FROM seq WHERE nxt IS NOT NULL),
+tri AS (SELECT p2, p1, nxt, COUNT(*) AS n3 FROM t GROUP BY 1, 2, 3),
+p2g AS (
+    SELECT *, SUM(n3) OVER (PARTITION BY p2, p1) AS ctx_n FROM tri
+),
+bi AS (SELECT p1, nxt, COUNT(*) AS n2 FROM t GROUP BY 1, 2),
+p1g AS (
+    SELECT *, SUM(n2) OVER (PARTITION BY p1) AS ctx1_n FROM bi
+)
+SELECT p2g.p2 AS prev2, p2g.p1 AS prev1, p2g.nxt AS next_type,
+       CAST(p2g.n3 AS BIGINT) AS n_obs,
+       CAST(ROUND(CAST(CAST(p2g.n3 AS DOUBLE) / CAST(p2g.ctx_n AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS p2_cond,
+       CAST(ROUND(CAST(CAST(p1g.n2 AS DOUBLE) / CAST(p1g.ctx1_n AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS p1_cond,
+       CAST(ROUND(CAST((CAST(p2g.n3 AS DOUBLE) / CAST(p2g.ctx_n AS DOUBLE))
+                       / (CAST(p1g.n2 AS DOUBLE) / CAST(p1g.ctx1_n AS DOUBLE))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS lift
+FROM p2g JOIN p1g ON p2g.p1 = p1g.p1 AND p2g.nxt = p1g.nxt
+WHERE p2g.ctx_n >= 20
+ORDER BY lift DESC, prev2, prev1, next_type
+LIMIT 20
+"""
+
+REGISTRY["markov2_transitions"] = QuerySpec(
+    q_markov2_transitions, MARKOV2_TRANSITIONS_SQL
+)

@@ -3083,3 +3083,77 @@ ORDER BY uni.source
 REGISTRY["distinct_ngram_diversity"] = QuerySpec(
     q_distinct_ngram_diversity, DISTINCT_NGRAM_DIVERSITY_SQL
 )
+
+
+def q_length_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile quality profile — the curator's first diagonal read:
+    docs bucketed into 10 equal-count length deciles (ntile over the
+    (n_chars, doc_id) total order), each reporting mean length, mean
+    quality score, and English share. Short-doc deciles scoring low
+    quality is the expected C4 shape; a HIGH-length low-quality decile is
+    the template-farm signature worth triaging. Composes the shared
+    quality_score with the boundary discipline rfm_segments established
+    (exact ntile here, approx-quantile cutoff dim at true 100-TB
+    cardinality — documented there).
+
+    Exactness: quality is 4-dp snapped at the scan, so per-decile sums
+    are exact decimals; n_chars sums are integers; each mean is one
+    snapped division."""
+    from candyspark.operators.text import quality_score
+    from candyspark.sources.readers import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy("n_chars", "doc_id")
+    rows = d.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.col("n_chars"),
+        quality_score("text").cast("decimal(18,4)").alias("q"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    per = rows.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum("q").alias("q_sum"),
+        F.sum("is_en").cast("long").alias("n_en"),
+    )
+    n = F.col("n_docs").cast("double")
+    return per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        snap_round(F.col("chars_sum").cast("double") / n, 2).alias("mean_chars"),
+        snap_round(F.col("q_sum").cast("double") / n, 6).alias("mean_quality"),
+        snap_round(F.col("n_en").cast("double") / n, 6).alias("en_share"),
+    ).orderBy("decile")
+
+
+LENGTH_QUALITY_PROFILE_SQL = f"""
+WITH t AS (SELECT doc_id, text, lang, n_chars, {_TOKS_FRAGMENT} AS toks FROM documents),
+rows_q AS (
+    SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile,
+           n_chars,
+           CAST({_AN_QUALITY} AS DECIMAL(18,4)) AS q,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+    FROM t
+),
+per AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+           SUM(q) AS q_sum,
+           CAST(SUM(is_en) AS BIGINT) AS n_en
+    FROM rows_q GROUP BY decile
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_docs,
+       CAST(ROUND(CAST(CAST(chars_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS DECIMAL(28,8)), 2) AS DOUBLE) AS mean_chars,
+       CAST(ROUND(CAST(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_quality,
+       CAST(ROUND(CAST(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS en_share
+FROM per
+ORDER BY decile
+"""
+
+REGISTRY["length_quality_profile"] = QuerySpec(
+    q_length_quality_profile, LENGTH_QUALITY_PROFILE_SQL
+)

@@ -2847,8 +2847,11 @@ risked AS (
 terms AS (
     SELECT *,
            CASE WHEN d > 0 AND d < n_risk THEN
+             -- X.snap_round(·, 9) casts through DECIMAL(28,8) first, so the
+             -- effective Spark-side snap is 8 dp; mirror that exactly (a
+             -- (28,9) cast here would round one digit finer and disagree)
              CAST(ROUND(CAST(LN(1.0 - CAST(d AS DOUBLE) / n_risk)
-                             AS DECIMAL(28,9)), 9) AS DOUBLE)
+                             AS DECIMAL(28,8)), 9) AS DOUBLE)
            ELSE 0.0 END AS logterm,
            MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
@@ -4223,3 +4226,92 @@ ORDER BY dim
 """
 
 REGISTRY["matryoshka_recall"] = QuerySpec(q_matryoshka_recall, MATRYOSHKA_RECALL_SQL)
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic (Ethayarajh 2019): the mean
+    cosine between RANDOM vector pairs. In an isotropic space it is ≈ 0;
+    contextual-embedding spaces routinely measure > 0.5 — a cone — which
+    silently inflates every cosine-based threshold upstream (dedup,
+    retrieval, semantic clustering all consume this number to calibrate
+    their cutoffs). Reports mean/std of the pair cosine plus the mean
+    vector norm.
+
+    The 'random' pairs are DETERMINISTIC: vectors bucket by vec_id % 64
+    and each pairs with its successor inside the bucket (lead over the
+    bucket window) — reproducible at any scale with no RNG state, and the
+    window partitions by bucket so no global sort exists. Pair cosines
+    snap at 6 dp (the shared fold), then mean/std come from exact decimal
+    power sums. One scan, one bucket-keyed exchange."""
+    from candyspark.operators.similarity import cosine, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        (F.col("vec_id") % 64).alias("bucket"), "vec_id", "embedding"
+    )
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    paired = (
+        b.withColumn("nxt", F.lead("embedding").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            cosine(F.col("embedding"), F.col("nxt")).alias("cos"),
+            X.snap_round(norm(F.col("embedding")), 6).alias("nrm"),
+        )
+    )
+    cd = F.col("cos").cast("decimal(10,6)")
+    nd = F.col("nrm").cast("decimal(12,6)")
+    sums = paired.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cd).alias("sc"),
+        F.sum(cd * cd).alias("scc"),
+        F.sum(nd).alias("sn"),
+    )
+    n = F.col("n_pairs").cast("double")
+    mean_c = F.col("sc").cast("double") / n
+    var_c = F.col("scc").cast("double") / n - mean_c * mean_c
+    return sums.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        X.snap_round(mean_c, 6).alias("mean_cos"),
+        X.snap_round(F.sqrt(var_c), 6).alias("std_cos"),
+        X.snap_round(F.col("sn").cast("double") / n, 6).alias("mean_norm"),
+    )
+
+
+EMBEDDING_ANISOTROPY_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+paired AS (
+    SELECT vec_id % 64 AS bucket, vec_id, v,
+           LEAD(v) OVER (PARTITION BY vec_id % 64 ORDER BY vec_id) AS nxt
+    FROM e
+),
+scored AS (
+    SELECT {_COS_SQL.replace("q_vec", "v").replace("c_vec", "nxt")} AS cos,
+           CAST(ROUND(CAST(
+               sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                    (a, b) -> a + b))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS nrm
+    FROM paired WHERE nxt IS NOT NULL
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(CAST(cos AS DECIMAL(10,6))) AS sc,
+           SUM(CAST(cos AS DECIMAL(10,6)) * CAST(cos AS DECIMAL(10,6))) AS scc,
+           SUM(CAST(nrm AS DECIMAL(12,6))) AS sn
+    FROM scored
+)
+SELECT n_pairs,
+       CAST(ROUND(CAST(CAST(sc AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_cos,
+       CAST(ROUND(CAST(
+           SQRT(CAST(scc AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                - (CAST(sc AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                  * (CAST(sc AS DOUBLE) / CAST(n_pairs AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS std_cos,
+       CAST(ROUND(CAST(CAST(sn AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_norm
+FROM sums
+"""
+
+REGISTRY["embedding_anisotropy"] = QuerySpec(
+    q_embedding_anisotropy, EMBEDDING_ANISOTROPY_SQL
+)

@@ -57,6 +57,12 @@ BOUNDS = {
     "greedy_allocation": 1.0,
     # tf index + query join: linear in corpus tokens
     "batch_retrieval": 1.0,
+    # bigram tokenize is linear; the co-occurrence graph is VOCAB-bounded
+    # so the 6 walk rounds are ~flat → linear overall
+    "textrank_keywords": 1.0,
+    # edge build is the linear pair aggregate; 4 frontier rounds join
+    # node-sized relations against edges → edge-linear
+    "bfs_hop_histogram": 1.2,
 }
 MARGIN = 0.25  # host noise allowance on a log10 scale (~78% wall-time slack)
 

@@ -522,3 +522,110 @@ def test_matryoshka_prefix_determined_space(spark, tmp_path):
     assert [r.dim for r in out] == [8, 16, 32]
     for r in out:
         assert r.recall_at_10 == pytest.approx(1.0), r
+
+
+def _events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_g_test_planted_association(spark, tmp_path):
+    """Perfect 3×3 diagonal → G = 2n·H(type) = 600·ln 3 exactly (to the
+    snap); uniform grid → G = 0. Zero cells need no special handling
+    here — they contribute 0 to Σ O·ln(O/E) by construction."""
+    import math as m
+
+    types = ["click", "view", "purchase"]
+    perfect = [
+        (i, f"2024-01-{1 + (i % 3) + 7 * (i % 5):02d} 12:00:00", i, types[i % 3], 1.0, "{}")
+        for i in range(300)
+    ]
+    sf = _events(spark, tmp_path, perfect)
+    row = REGISTRY["g_test"].fn(spark, sf).collect()[0]
+    assert row.g_stat == pytest.approx(600.0 * m.log(3.0), abs=1e-2)
+
+    indep = []
+    eid = 0
+    for d in range(7):
+        for t in types:
+            for _ in range(10):
+                indep.append((eid, f"2024-01-{1 + d:02d} 12:00:00", eid, t, 1.0, "{}"))
+                eid += 1
+    sf2 = _events(spark, tmp_path / "i", indep)
+    assert REGISTRY["g_test"].fn(spark, sf2).collect()[0].g_stat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_theil_u_directions(spark, tmp_path):
+    """Perfect type↔weekday mapping → both uncertainty coefficients = 1;
+    independence → both ≈ 0; and on a many-to-one mapping (two types per
+    weekday) the coefficients must be ASYMMETRIC: dow fully determines
+    nothing about type beyond the pair, while type determines dow
+    exactly → U(dow|type) = 1 > U(type|dow)."""
+    types = ["click", "view", "purchase", "error"]
+    # many-to-one: types 0,1 -> Mon, types 2,3 -> Tue
+    m2o = [
+        (i, f"2024-01-{1 + (i % 4) // 2:02d} 12:00:00", i, types[i % 4], 1.0, "{}")
+        for i in range(400)
+    ]
+    sf = _events(spark, tmp_path, m2o)
+    r = REGISTRY["theil_u"].fn(spark, sf).collect()[0]
+    assert r.u_dow_given_type == pytest.approx(1.0, abs=1e-6)
+    assert r.u_type_given_dow == pytest.approx(0.5, abs=1e-6)  # ln2/ln4
+
+
+def test_embedding_anisotropy_planted_cone(spark, tmp_path):
+    """All vectors along ONE direction → every deterministic pair cosine
+    is exactly 1 and std is 0 (the degenerate cone); mean_norm must be
+    the planted scale mean."""
+    rows = []
+    for i in range(256):  # 4 vectors per vec_id%64 bucket → 3 pairs each
+        scale = float(1 + (i % 4))
+        rows.append((i, [scale] + [0.0] * 63, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    r = REGISTRY["embedding_anisotropy"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.mean_cos == pytest.approx(1.0, abs=1e-9)
+    assert r.std_cos == pytest.approx(0.0, abs=1e-6)
+    assert r.n_pairs > 0
+
+
+def test_length_quality_profile_monotone(spark, tmp_path):
+    """Planted: lengths strictly increase with doc id, long docs are
+    English → mean_chars monotone across deciles, en_share 0 in the
+    short half and 1 in the long half."""
+    rows = []
+    for i in range(100):
+        text = "word " * (5 + i)
+        rows.append((text.strip(), "en" if i >= 50 else "de", "s"))
+    sf = _src_docs(spark, tmp_path, rows)
+    out = REGISTRY["length_quality_profile"].fn(spark, sf).collect()
+    assert [r.decile for r in out] == list(range(1, 11))
+    chars = [r.mean_chars for r in out]
+    assert chars == sorted(chars)
+    assert all(r.en_share == 0.0 for r in out[:5])
+    assert all(r.en_share == 1.0 for r in out[5:])
+
+
+def test_markov2_detects_second_order_memory(spark, tmp_path):
+    """Planted memory: (A,B)→X and (C,B)→Y deterministically while B alone
+    is 50/50 → both contexts must surface with lift ≈ 2."""
+    rows = []
+    eid = 0
+    for u in range(40):
+        pat = ["click", "view", "purchase"] if u % 2 == 0 else ["error", "view", "signup"]
+        for rep in range(12):
+            for k, t in enumerate(pat):
+                rows.append(
+                    (eid, f"2024-01-01 {rep:02d}:{k:02d}:00", u, t, 1.0, "{}")
+                )
+                eid += 1
+    sf = _events(spark, tmp_path, rows)
+    out = REGISTRY["markov2_transitions"].fn(spark, sf).collect()
+    lifts = {(r.prev2, r.prev1, r.next_type): r.lift for r in out}
+    assert lifts[("click", "view", "purchase")] == pytest.approx(2.0, rel=0.1)
+    assert lifts[("error", "view", "signup")] == pytest.approx(2.0, rel=0.1)
