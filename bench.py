@@ -303,6 +303,12 @@ HEADLINE = [
     "markov2_transitions",
     "embedding_anisotropy",
     "length_quality_profile",
+    "jarque_bera",
+    "evalue_sensitivity",
+    "rmst",
+    "chow_break_test",
+    "raking_weights",
+    "qld_retrieval",
 ]
 
 

@@ -59,6 +59,12 @@ ROUND3_WINDOW = [
     "markov2_transitions",
     "embedding_anisotropy",
     "length_quality_profile",
+    "jarque_bera",
+    "evalue_sensitivity",
+    "rmst",
+    "chow_break_test",
+    "raking_weights",
+    "qld_retrieval",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",
@@ -72,17 +78,18 @@ ROUND3_WINDOW = [
     # re-parameterized vacuous gates (round-2 verdict item 2)
     "important_part_value",
     "dominant_suppliers",
+    # √n quantizer rewrite (round-2 verdict item 3)
+    "semantic_dedup",
+    # position 51+: certified by the suite's own parity sweep (and, for the
+    # re-parameterized gates, by r1/r2 driver windows plus planted tests);
+    # the driver window holds 50 and never-certified code takes precedence
+    "similarity_mmr",
     "robust_outliers",
     "max_drawdown",
     "retention_cohorts",
     "cohort_ltv",
     "heaps_law",
     "bilateral_trade_volume",
-    # √n quantizer rewrite (round-2 verdict item 3)
-    "semantic_dedup",
-    # position 51+: certified by the suite's own parity sweep; the driver
-    # window holds 50 and newer code takes precedence
-    "similarity_mmr",
 ]
 
 

@@ -1967,3 +1967,156 @@ FROM zc
 
 
 REGISTRY["mann_kendall"] = QuerySpec(q_mann_kendall, MANN_KENDALL_SQL)
+
+
+def q_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily-revenue trend at the series
+    midpoint: does one OLS line y = a + b·t fit the whole calendar, or do
+    the two halves demand different lines? F = ((SSR_p − SSR₁ − SSR₂)/k) /
+    ((SSR₁+SSR₂)/(n−2k)), k = 2 — the REGRESSION-form break test next to
+    cusum_changepoint's mean-shift detector and the RD design's known
+    cutoff (this one asks about a hypothesized break date, here the
+    midpoint).
+
+    Exactness: the daily series is exact decimal; per-half sufficient
+    statistics (n, Σt, Σy, Σt², Σy², Σty) come from ONE conditional
+    aggregate over the row_number-indexed series (the acf/theilsen
+    calendar-bounded global-window contract); pooled stats are the sums
+    of the halves, every SSR is the identical IEEE expression, one 4-dp
+    snap on F."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    idx = daily.select(
+        F.row_number().over(w).alias("t"),
+        F.col("r").cast("decimal(20,2)").alias("y"),
+    )
+    n_all = idx.agg(F.count(F.lit(1)).alias("n_tot"))
+    half = F.col("t") <= F.col("n_tot") / 2
+    td = F.col("t").cast("decimal(20,2)")
+    stats = (
+        idx.crossJoin(F.broadcast(n_all))
+        .withColumn("h", F.when(half, 1).otherwise(2))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(td).alias("st"),
+            F.sum("y").alias("sy"),
+            F.sum(td * td).alias("stt"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(td * F.col("y")).alias("sty"),
+        )
+    )
+
+    def ssr(n, st, sy, stt, syy, sty):
+        nd = n.cast("double")
+        stt_c = stt.cast("double") - st.cast("double") * st.cast("double") / nd
+        syy_c = syy.cast("double") - sy.cast("double") * sy.cast("double") / nd
+        sty_c = sty.cast("double") - st.cast("double") * sy.cast("double") / nd
+        return syy_c - sty_c * sty_c / stt_c
+
+    h1 = stats.filter(F.col("h") == 1).select(
+        *[F.col(c).alias(c + "1") for c in ("n", "st", "sy", "stt", "syy", "sty")]
+    )
+    h2 = stats.filter(F.col("h") == 2).select(
+        *[F.col(c).alias(c + "2") for c in ("n", "st", "sy", "stt", "syy", "sty")]
+    )
+    j = h1.crossJoin(F.broadcast(h2))
+    ssr1 = ssr(F.col("n1"), F.col("st1"), F.col("sy1"), F.col("stt1"), F.col("syy1"), F.col("sty1"))
+    ssr2 = ssr(F.col("n2"), F.col("st2"), F.col("sy2"), F.col("stt2"), F.col("syy2"), F.col("sty2"))
+    ssrp = ssr(
+        F.col("n1") + F.col("n2"),
+        F.col("st1") + F.col("st2"),
+        F.col("sy1") + F.col("sy2"),
+        F.col("stt1") + F.col("stt2"),
+        F.col("syy1") + F.col("syy2"),
+        F.col("sty1") + F.col("sty2"),
+    )
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    syy_p = (F.col("syy1") + F.col("syy2")).cast("double") - (
+        F.col("sy1") + F.col("sy2")
+    ).cast("double") * (F.col("sy1") + F.col("sy2")).cast("double") / nd
+    # numerically-zero unrestricted SSR (a perfect per-half fit) makes F
+    # undefined: report NULL and decide the break on the restricted-vs-
+    # unrestricted gap instead — both engines branch on identical doubles
+    thresh = F.lit(1e-9) * syy_p
+    ssr_u = ssr1 + ssr2
+    f_raw = ((ssrp - ssr_u) / 2.0) / (ssr_u / (nd - 4.0))
+    f_stat = F.when(ssr_u > thresh, X.snap_round(f_raw, 4))
+    brk = F.when(ssr_u > thresh, X.snap_round(f_raw, 4) > 3.0).otherwise(
+        ssrp - ssr_u > thresh
+    )
+    return j.select(
+        (F.col("n1") + F.col("n2")).cast("bigint").alias("n_days"),
+        F.col("n1").cast("bigint").alias("n_first_half"),
+        f_stat.alias("f_stat"),
+        brk.alias("structural_break"),
+    )
+
+
+CHOW_BREAK_TEST_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, CAST(r AS DECIMAL(20,2)) AS y
+    FROM daily
+),
+n_all AS (SELECT COUNT(*) AS n_tot FROM idx),
+stats AS (
+    SELECT CASE WHEN t <= n_tot / 2 THEN 1 ELSE 2 END AS h,
+           COUNT(*) AS n,
+           SUM(CAST(t AS DECIMAL(20,2))) AS st,
+           SUM(y) AS sy,
+           SUM(CAST(t AS DECIMAL(20,2)) * CAST(t AS DECIMAL(20,2))) AS stt,
+           SUM(y * y) AS syy,
+           SUM(CAST(t AS DECIMAL(20,2)) * y) AS sty
+    FROM idx CROSS JOIN n_all
+    GROUP BY 1
+),
+j AS (
+    SELECT
+      h1.n AS n1, h1.st AS st1, h1.sy AS sy1, h1.stt AS stt1, h1.syy AS syy1, h1.sty AS sty1,
+      h2.n AS n2, h2.st AS st2, h2.sy AS sy2, h2.stt AS stt2, h2.syy AS syy2, h2.sty AS sty2
+    FROM (SELECT * FROM stats WHERE h = 1) h1
+    CROSS JOIN (SELECT * FROM stats WHERE h = 2) h2
+),
+calc AS (
+    SELECT n1, n2,
+      CAST(syy1 + syy2 AS DOUBLE)
+        - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+          / CAST(n1 + n2 AS DOUBLE) AS syy_p,
+      (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        - (CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          * (CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          / (CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS ssr1,
+      (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        - (CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          * (CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / (CAST(stt2 AS DOUBLE) - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS ssr2,
+      (CAST(syy1 + syy2 AS DOUBLE) - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        - (CAST(sty1 + sty2 AS DOUBLE) - CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * (CAST(sty1 + sty2 AS DOUBLE) - CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          / (CAST(stt1 + stt2 AS DOUBLE) - CAST(st1 + st2 AS DOUBLE) * CAST(st1 + st2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) AS ssrp
+    FROM j
+)
+SELECT CAST(n1 + n2 AS BIGINT) AS n_days,
+       CAST(n1 AS BIGINT) AS n_first_half,
+       CASE WHEN ssr1 + ssr2 > 1e-9 * syy_p THEN
+           CAST(ROUND(CAST(((ssrp - ssr1 - ssr2) / 2.0)
+                           / ((ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0))
+                           AS DECIMAL(28,8)), 4) AS DOUBLE)
+       END AS f_stat,
+       CASE WHEN ssr1 + ssr2 > 1e-9 * syy_p THEN
+           CAST(ROUND(CAST(((ssrp - ssr1 - ssr2) / 2.0)
+                           / ((ssr1 + ssr2) / (CAST(n1 + n2 AS DOUBLE) - 4.0))
+                           AS DECIMAL(28,8)), 4) AS DOUBLE) > 3.0
+       ELSE ssrp - (ssr1 + ssr2) > 1e-9 * syy_p
+       END AS structural_break
+FROM calc
+"""
+
+REGISTRY["chow_break_test"] = QuerySpec(q_chow_break_test, CHOW_BREAK_TEST_SQL)

@@ -2891,6 +2891,10 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = und.join(strength, "s").localCheckpoint(eager=True)
     nodes = und.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:  # empty corpus/graph: stable (term, rank) schema, zero rows
+        return nodes.select(
+            F.col("node").alias("term"), F.lit(0.0).alias("rank")
+        )
     base = (1.0 - 0.85) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(6):

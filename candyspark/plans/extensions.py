@@ -4315,3 +4315,75 @@ FROM sums
 REGISTRY["embedding_anisotropy"] = QuerySpec(
     q_embedding_anisotropy, EMBEDDING_ANISOTROPY_SQL
 )
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (τ = 14 days): the area under the
+    Kaplan-Meier curve up to two weeks — 'expected conversion-free days
+    in the first fortnight', the single clinically-standard number the
+    KM curve (q_kaplan_meier) and hazard (q_nelson_aalen) views reduce to
+    when two pipelines must be compared scalar-to-scalar. Completes the
+    survival triple: curve → hazard → integral.
+
+    Exactly the KM construction (shared censored per-user relation, same
+    snapped log-product survival), then the step-function integral as a
+    lead()-window segment sum over the ≤|days| relation: contribution =
+    S_i · (min(next_day, τ) − day_i) plus the initial S = 1 segment
+    [0, min(first_day, τ)). Products snap at 6 dp into an exact decimal
+    sum; τ caps every segment so late days contribute nothing."""
+    tau = 14
+    # the ≤|days| KM relation feeds two consumers (segment sum + first-day
+    # scalar); checkpoint once or each re-derives the 3-scan KM lineage
+    km = q_kaplan_meier(spark, sf_dir).select("day", "survival").localCheckpoint()
+    w = Window.orderBy("day")
+    seg = (
+        km.withColumn("nxt", F.coalesce(F.lead("day").over(w), F.lit(tau)))
+        .filter(F.col("day") < tau)
+        .select(
+            X.snap_round(
+                F.col("survival")
+                * (F.least(F.col("nxt"), F.lit(tau)) - F.col("day")).cast("double"),
+                6,
+            ).cast("decimal(18,6)").alias("contrib")
+        )
+    )
+    first = km.agg(F.min("day").alias("d1"))
+    head = first.select(
+        F.least(F.col("d1"), F.lit(tau)).cast("double").cast("decimal(18,6)").alias(
+            "contrib"
+        )
+    )
+    total = seg.unionByName(head).agg(F.sum("contrib").alias("rmst_sum"))
+    return total.crossJoin(F.broadcast(first)).select(
+        F.lit(tau).cast("int").alias("tau_days"),
+        F.col("d1").cast("int").alias("first_event_day"),
+        X.snap_round(F.col("rmst_sum").cast("double"), 6).alias("rmst_days"),
+        X.snap_round(F.col("rmst_sum").cast("double") / tau, 6).alias("rmst_share"),
+    )
+
+
+RMST_SQL = f"""
+WITH km AS ({KAPLAN_MEIER_SQL.replace("ORDER BY day", "")}),
+seg AS (
+    SELECT CAST(ROUND(CAST(
+               survival * CAST(LEAST(COALESCE(LEAD(day) OVER (ORDER BY day), 14), 14) - day AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS contrib,
+           day
+    FROM km
+),
+first AS (SELECT MIN(day) AS d1 FROM km),
+total AS (
+    SELECT SUM(contrib) AS rmst_sum FROM (
+        SELECT contrib FROM seg WHERE day < 14
+        UNION ALL
+        SELECT CAST(CAST(LEAST(d1, 14) AS DOUBLE) AS DECIMAL(18,6)) FROM first
+    )
+)
+SELECT CAST(14 AS INTEGER) AS tau_days,
+       CAST(first.d1 AS INTEGER) AS first_event_day,
+       CAST(ROUND(CAST(CAST(total.rmst_sum AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS rmst_days,
+       CAST(ROUND(CAST(CAST(total.rmst_sum AS DOUBLE) / 14 AS DECIMAL(28,8)), 6) AS DOUBLE) AS rmst_share
+FROM total CROSS JOIN first
+"""
+
+REGISTRY["rmst"] = QuerySpec(q_rmst, RMST_SQL)

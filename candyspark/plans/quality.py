@@ -3746,3 +3746,297 @@ FROM agg
 REGISTRY["rr_frequency_estimate"] = QuerySpec(
     q_rr_frequency_estimate, RR_FREQUENCY_ESTIMATE_SQL
 )
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on lineitem extended price — the
+    moments-based gate (JB = n/6·(S² + K²/4), χ²₂ under H₀) that decides
+    whether the z-score machinery (zscore_outliers, ab_ztest's CLT
+    appeal) is even applicable to a column. Retail price is famously
+    right-skewed; the test quantifies by HOW much (the skew/kurtosis
+    numbers are the diagnosis, the flag is the verdict).
+
+    Exactness: raw power sums Σx..Σx⁴ as exact decimals in ONE pass (the
+    stats_moments discipline extended to fourth order), central moments
+    via the identical IEEE expansion both engines, two 6-dp snaps on the
+    shape numbers and one 4-dp snap on JB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    x2 = (x * x).cast("decimal(30,4)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum((x2 * x).cast("decimal(38,6)")).alias("s3"),
+        F.sum((x2 * x2).cast("decimal(38,8)")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    # central moments from raw sums — identical IEEE chains both engines
+    m2 = F.col("s2").cast("double") / n - m * m
+    m3 = F.col("s3").cast("double") / n - 3.0 * m * (F.col("s2").cast("double") / n) + 2.0 * m * m * m
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4.0 * m * (F.col("s3").cast("double") / n)
+        + 6.0 * m * m * (F.col("s2").cast("double") / n)
+        - 3.0 * m * m * m * m
+    )
+    skew = snap_round(m3 / F.sqrt(m2 * m2 * m2), 6)
+    kurt = snap_round(m4 / (m2 * m2) - 3.0, 6)
+    jb = snap_round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 4)
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis_excess"),
+        jb.alias("jb_stat"),
+        (jb <= 5.99).alias("looks_normal"),  # χ²₂ at 5%
+    )
+
+
+JARQUE_BERA_SQL = """
+WITH sums AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s1,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS s2,
+           SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))
+                    * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,6))) AS s3,
+           SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))
+                    * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))
+                    AS DECIMAL(38,8))) AS s4
+    FROM lineitem
+),
+mom AS (
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(
+             (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / SQRT((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+             AS DECIMAL(28,8)), 6) AS DOUBLE) AS skewness,
+           CAST(ROUND(CAST(
+             (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0
+             AS DECIMAL(28,8)), 6) AS DOUBLE) AS kurtosis_excess,
+           CAST(n AS DOUBLE) AS nd
+    FROM sums
+)
+SELECT n_rows, skewness, kurtosis_excess,
+       CAST(ROUND(CAST(nd / 6.0 * (skewness * skewness + kurtosis_excess * kurtosis_excess / 4.0)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) AS jb_stat,
+       CAST(ROUND(CAST(nd / 6.0 * (skewness * skewness + kurtosis_excess * kurtosis_excess / 4.0)
+                       AS DECIMAL(28,8)), 4) AS DOUBLE) <= 5.99 AS looks_normal
+FROM mom
+"""
+
+REGISTRY["jarque_bera"] = QuerySpec(q_jarque_bera, JARQUE_BERA_SQL)
+
+
+def q_evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele & Ding 2017) for the
+    observed discount→return risk ratio: the MINIMUM strength of
+    unmeasured confounding (on the risk-ratio scale, with both exposure
+    and outcome) needed to explain the association away — the robustness
+    number the observational causal family (ips_ate / aipw_ate /
+    propensity_overlap) should publish next to every estimate.
+    E = RR* + √(RR*·(RR*−1)) with RR* = max(RR, 1/RR).
+
+    One conditional aggregate over lineitem (exposed = discount > 0.05),
+    exact counts, three snapped scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exposed = (F.col("l_discount").cast("decimal(12,2)") > 0.05).cast("int")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    agg = li.agg(
+        F.sum(exposed * ret).cast("long").alias("e_ret"),
+        F.sum(exposed).cast("long").alias("e_n"),
+        F.sum((1 - exposed) * ret).cast("long").alias("u_ret"),
+        F.sum(1 - exposed).cast("long").alias("u_n"),
+    )
+    p1 = F.col("e_ret").cast("double") / F.col("e_n").cast("double")
+    p0 = F.col("u_ret").cast("double") / F.col("u_n").cast("double")
+    rr = snap_round(p1 / p0, 6)
+    rr_star = F.greatest(rr, snap_round(F.lit(1.0) / rr, 6))
+    ev = snap_round(rr_star + F.sqrt(rr_star * (rr_star - 1.0)), 6)
+    return agg.select(
+        F.col("e_n").alias("n_exposed"),
+        F.col("u_n").alias("n_unexposed"),
+        snap_round(p1, 6).alias("risk_exposed"),
+        snap_round(p0, 6).alias("risk_unexposed"),
+        rr.alias("risk_ratio"),
+        ev.alias("e_value"),
+    )
+
+
+EVALUE_SENSITIVITY_SQL = """
+WITH agg AS (
+    SELECT CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(12,2)) > 0.05
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS e_ret,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(12,2)) > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS e_n,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(12,2)) <= 0.05
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS u_ret,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(12,2)) <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS u_n
+    FROM lineitem
+),
+rates AS (
+    SELECT e_n AS n_exposed, u_n AS n_unexposed,
+           CAST(ROUND(CAST(CAST(e_ret AS DOUBLE) / CAST(e_n AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS risk_exposed,
+           CAST(ROUND(CAST(CAST(u_ret AS DOUBLE) / CAST(u_n AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS risk_unexposed,
+           CAST(ROUND(CAST((CAST(e_ret AS DOUBLE) / CAST(e_n AS DOUBLE))
+                           / (CAST(u_ret AS DOUBLE) / CAST(u_n AS DOUBLE))
+                           AS DECIMAL(28,8)), 6) AS DOUBLE) AS risk_ratio
+    FROM agg
+),
+star AS (
+    SELECT *,
+           GREATEST(risk_ratio,
+                    CAST(ROUND(CAST(1.0 / risk_ratio AS DECIMAL(28,8)), 6) AS DOUBLE)) AS rr_star
+    FROM rates
+)
+SELECT n_exposed, n_unexposed, risk_exposed, risk_unexposed, risk_ratio,
+       CAST(ROUND(CAST(rr_star + SQRT(rr_star * (rr_star - 1.0))
+                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS e_value
+FROM star
+"""
+
+REGISTRY["evalue_sensitivity"] = QuerySpec(
+    q_evalue_sensitivity, EVALUE_SENSITIVITY_SQL
+)
+
+
+def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting: per-cell weights
+    that calibrate the (market segment × balance bucket) sample to
+    UNIFORM target margins on both axes — the weighting estimator the
+    causal family (ips_ate) and dataset mix family (mix_weights) both
+    border on: IPF is matrix scaling toward fixed margins (Sinkhorn).
+    Three full row→column rounds, unrolled in the oracle (the set-cover/
+    markov precedent); IPF converges geometrically, and the 3-round
+    DEVIATION from the target margin is itself reported, so the gate
+    shows how far scaling got rather than pretending a fixpoint.
+
+    Exactness: weights live as DECIMAL(20,10) between half-steps; each
+    margin mass Σ n·w is an exact decimal window sum over the ≤15-cell
+    relation, and every rescale w·target/mass is the identical IEEE
+    expression snapped back to decimal. Scale: ONE customer scan into the
+    cell aggregate; everything after is ≤|segments|·|buckets| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    bkt = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"), bkt.alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    nseg = Window.partitionBy("seg")
+    nbkt = Window.partitionBy("bkt")
+    whole = Window.partitionBy()
+    cells = cells.withColumn("w", F.lit(1.0).cast("decimal(20,10)"))
+    n_tot = F.sum("n").over(whole).cast("double")
+    k_seg = F.size(F.collect_set("seg").over(whole)).cast("double")
+    k_bkt = F.size(F.collect_set("bkt").over(whole)).cast("double")
+    for _ in range(3):
+        row_mass = F.sum(F.col("n").cast("decimal(20,2)") * F.col("w")).over(nseg)
+        cells = cells.withColumn(
+            "w",
+            F.round(
+                (
+                    F.col("w").cast("double")
+                    * (n_tot / k_seg)
+                    / row_mass.cast("double")
+                ).cast("decimal(20,10)"),
+                10,
+            ),
+        )
+        col_mass = F.sum(F.col("n").cast("decimal(20,2)") * F.col("w")).over(nbkt)
+        cells = cells.withColumn(
+            "w",
+            F.round(
+                (
+                    F.col("w").cast("double")
+                    * (n_tot / k_bkt)
+                    / col_mass.cast("double")
+                ).cast("decimal(20,10)"),
+                10,
+            ),
+        )
+    final_row_share = F.sum(F.col("n").cast("decimal(20,2)") * F.col("w")).over(
+        nseg
+    ).cast("double") / n_tot
+    return cells.select(
+        "seg",
+        "bkt",
+        F.col("n").cast("long").alias("n"),
+        snap_round(F.col("w").cast("double"), 6).alias("weight"),
+        snap_round(final_row_share, 6).alias("seg_share_after"),
+    ).orderBy("seg", "bkt")
+
+
+def _raking_sql(rounds: int = 3) -> str:
+    parts = [
+        """cells AS (
+    SELECT c_mktsegment AS seg,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bkt,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+)""",
+        """k AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS n_tot,
+           CAST(COUNT(DISTINCT seg) AS DOUBLE) AS k_seg,
+           CAST(COUNT(DISTINCT bkt) AS DOUBLE) AS k_bkt
+    FROM cells
+)""",
+        """w0 AS (SELECT seg, bkt, n, CAST(1.0 AS DECIMAL(20,10)) AS w FROM cells)""",
+    ]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""wr{r} AS (
+    SELECT seg, bkt, n,
+           CAST(ROUND(CAST(
+               CAST(w AS DOUBLE) * (k.n_tot / k.k_seg)
+               / CAST(SUM(CAST(n AS DECIMAL(20,2)) * w)
+                      OVER (PARTITION BY seg) AS DOUBLE)
+               AS DECIMAL(20,10)), 10) AS DECIMAL(20,10)) AS w
+    FROM {prev} CROSS JOIN k
+)"""
+        )
+        parts.append(
+            f"""wc{r} AS (
+    SELECT seg, bkt, n,
+           CAST(ROUND(CAST(
+               CAST(w AS DOUBLE) * (k.n_tot / k.k_bkt)
+               / CAST(SUM(CAST(n AS DECIMAL(20,2)) * w)
+                      OVER (PARTITION BY bkt) AS DOUBLE)
+               AS DECIMAL(20,10)), 10) AS DECIMAL(20,10)) AS w
+    FROM wr{r} CROSS JOIN k
+)"""
+        )
+        prev = f"wc{r}"
+    return f"""
+WITH {','.join(parts)}
+SELECT seg, bkt, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(CAST(CAST(w AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE) AS weight,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(n AS DECIMAL(20,2)) * w) OVER (PARTITION BY seg) AS DOUBLE)
+           / k.n_tot
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS seg_share_after
+FROM {prev} CROSS JOIN k
+ORDER BY seg, bkt
+"""
+
+
+RAKING_WEIGHTS_SQL = _raking_sql()
+
+REGISTRY["raking_weights"] = QuerySpec(q_raking_weights, RAKING_WEIGHTS_SQL)

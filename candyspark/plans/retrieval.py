@@ -1556,3 +1556,112 @@ ORDER BY rank
 REGISTRY["query_expansion_prf"] = QuerySpec(
     q_query_expansion_prf, QUERY_EXPANSION_PRF_SQL
 )
+
+
+def q_qld_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ = 300,
+    Zhai & Lafferty 2001) — the language-modeling ranker beside BM25's
+    tf-idf one; the two disagree exactly where smoothing matters (short
+    docs, rare terms), which is why evaluation stacks run both. Scores
+    EVERY document (a no-hit doc still earns the smoothed background
+    mass — restricting to postings would let short no-hit docs be
+    mis-dropped): score(d) = C − |Q|·ln(dl+μ) + Σ_hits ln(1 + tf/(μ·p_q)),
+    C = Σ_q ln(μ·p_q) a query constant.
+
+    Exactness: p_q ratios and every ln run on identical doubles; hit
+    bonuses snap at 9 dp into an exact decimal sum, C assembles from
+    per-term 9-dp snaps, the total snaps at 6. Scale: tokenize ONCE
+    (the bm25 contract — dl and query-term tf materialize via
+    localCheckpoint), the shuffle carries query-term hits only, top-10
+    is TakeOrdered."""
+    query_terms = ("hash", "join", "stream", "spark")
+    mu = 300.0
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint()
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = dl.agg(F.sum("dl").cast("long").alias("coll_len"))
+    cf = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cf"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            (F.col("cf").cast("double") / F.col("coll_len").cast("double")).alias("pq"),
+        )
+    )
+    c_const = cf.select(
+        snap_round(F.log(F.lit(mu) * F.col("pq")), 9).cast("decimal(18,9)").alias("t")
+    ).agg(F.sum("t").cast("double").alias("c"))
+    bonus = (
+        tf.join(F.broadcast(cf), "term")
+        .select(
+            "doc_id",
+            snap_round(
+                F.log(F.lit(1.0) + F.col("tf").cast("double") / (F.lit(mu) * F.col("pq"))),
+                9,
+            ).cast("decimal(18,9)").alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("b").alias("bonus"))
+    )
+    scored = (
+        dl.join(bonus, "doc_id", "left")
+        .crossJoin(F.broadcast(c_const))
+        .select(
+            "doc_id",
+            "dl",
+            snap_round(
+                F.col("c")
+                + F.coalesce(F.col("bonus").cast("double"), F.lit(0.0))
+                - 4.0 * F.log(F.col("dl").cast("double") + mu),
+                6,
+            ).alias("ql_score"),
+        )
+    )
+    return scored.orderBy(F.desc("ql_score"), "doc_id").limit(10)
+
+
+QLD_RETRIEVAL_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY doc_id, term
+),
+totals AS (SELECT CAST(SUM(dl) AS BIGINT) AS coll_len FROM dl),
+cf AS (
+    SELECT term, CAST(SUM(tf) AS DOUBLE) / CAST(totals.coll_len AS DOUBLE) AS pq
+    FROM tf CROSS JOIN totals GROUP BY term, totals.coll_len
+),
+c_const AS (
+    SELECT CAST(SUM(CAST(ROUND(CAST(LN(300.0 * pq) AS DECIMAL(28,8)), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS c
+    FROM cf
+),
+bonus AS (
+    SELECT tf.doc_id,
+           SUM(CAST(ROUND(CAST(LN(1.0 + CAST(tf.tf AS DOUBLE) / (300.0 * cf.pq))
+                               AS DECIMAL(28,8)), 9) AS DECIMAL(18,9))) AS bonus
+    FROM tf JOIN cf USING (term)
+    GROUP BY tf.doc_id
+)
+SELECT dl.doc_id, dl.dl,
+       CAST(ROUND(CAST(
+           c_const.c + COALESCE(CAST(bonus.bonus AS DOUBLE), 0.0)
+           - 4.0 * LN(CAST(dl.dl AS DOUBLE) + 300.0)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS ql_score
+FROM dl LEFT JOIN bonus ON dl.doc_id = bonus.doc_id
+CROSS JOIN c_const
+ORDER BY ql_score DESC, dl.doc_id
+LIMIT 10
+"""
+
+REGISTRY["qld_retrieval"] = QuerySpec(q_qld_retrieval, QLD_RETRIEVAL_SQL)

@@ -629,3 +629,114 @@ def test_markov2_detects_second_order_memory(spark, tmp_path):
     lifts = {(r.prev2, r.prev1, r.next_type): r.lift for r in out}
     assert lifts[("click", "view", "purchase")] == pytest.approx(2.0, rel=0.1)
     assert lifts[("error", "view", "signup")] == pytest.approx(2.0, rel=0.1)
+
+
+def test_jarque_bera_two_point_distribution(spark, tmp_path):
+    """A symmetric two-point distribution has skew 0 and kurtosis excess
+    exactly −2 → JB = n/6·(K²/4) = n/6 — hand math, no RNG."""
+    rows = [
+        (i, 1, "N", "F", 1.0, 10.0 if i % 2 == 0 else 20.0, 0.0, 0.0, 1, 1)
+        for i in range(120)
+    ]
+    sf = _lineitem(spark, tmp_path, rows)
+    r = REGISTRY["jarque_bera"].fn(spark, sf).collect()[0]
+    assert r.skewness == pytest.approx(0.0, abs=1e-9)
+    assert r.kurtosis_excess == pytest.approx(-2.0, abs=1e-9)
+    assert r.jb_stat == pytest.approx(120 / 6.0, abs=1e-3)
+    assert not r.looks_normal
+
+
+def test_evalue_planted_rr2(spark, tmp_path):
+    """RR = 2 exactly → E-value = 2 + √2 (VanderWeele-Ding closed form)."""
+    import math as m
+
+    rows = []
+    for i in range(100):  # exposed: discount 0.10, 50% returns
+        rows.append((i, 1, "R" if i < 50 else "N", "F", 1.0, 10.0, 0.10, 0.0, 1, 1))
+    for i in range(100):  # unexposed: discount 0, 25% returns
+        rows.append((200 + i, 1, "R" if i < 25 else "N", "F", 1.0, 10.0, 0.0, 0.0, 1, 1))
+    sf = _lineitem(spark, tmp_path, rows)
+    r = REGISTRY["evalue_sensitivity"].fn(spark, sf).collect()[0]
+    assert r.risk_ratio == pytest.approx(2.0, abs=1e-9)
+    assert r.e_value == pytest.approx(2.0 + m.sqrt(2.0), abs=1e-6)
+
+
+def test_rmst_hand_curve(spark, tmp_path):
+    """Two users: one converts at day 0 (S drops to 0.5), one censored at
+    day 2 → RMST(14) = 0.5·2 + 0.5·12 = 7 exactly."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "signup", 0.0, "{}"),
+        (1, "2024-01-01 01:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 00:00:00", 2, "signup", 0.0, "{}"),
+        (3, "2024-01-03 00:00:00", 2, "click", 0.0, "{}"),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    r = REGISTRY["rmst"].fn(spark, sf).collect()[0]
+    assert r.first_event_day == 0
+    assert r.rmst_days == pytest.approx(7.0, abs=1e-6)
+
+
+def test_chow_detects_planted_break(spark, tmp_path):
+    """Flat first half + steep second half → F must blow past the 3.0
+    bound; one unbroken line → F ≈ 0."""
+    broken = []
+    for i in range(120):
+        y = 100.0 if i < 60 else 100.0 + 50.0 * (i - 59)
+        y += float(i % 3)  # wiggle so the per-half SSRs are nonzero
+        broken.append((i, 1, y, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}"))
+    r = REGISTRY["chow_break_test"].fn(
+        spark, _orders(spark, tmp_path, broken)
+    ).collect()[0]
+    assert r.structural_break and r.f_stat > 100
+
+    line = [(i, 1, 100.0 + 3.0 * i, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}")
+            for i in range(120)]
+    r2 = REGISTRY["chow_break_test"].fn(
+        spark, _orders(spark, tmp_path / "line", line)
+    ).collect()[0]
+    # a perfect line fits both halves exactly: F is undefined (NULL) and
+    # the restricted-vs-unrestricted gap decides — no break
+    assert not r2.structural_break
+    assert r2.f_stat is None
+
+
+def test_raking_balanced_table_is_identity(spark, tmp_path):
+    """A table already AT the uniform margins must rake to weight 1.0
+    everywhere (IPF fixed point)."""
+    rows = []
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    bals = [-100.0, 1000.0, 9000.0]
+    ck = 0
+    for s in segs:
+        for b in bals:
+            for _ in range(10):
+                rows.append((ck, f"c{ck}", "addr", 1, "p", b, s, "c"))
+                ck += 1
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_address string, c_nationkey int, "
+        "c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = REGISTRY["raking_weights"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.weight == pytest.approx(1.0, abs=1e-6)
+        assert r.seg_share_after == pytest.approx(0.2, abs=1e-6)
+
+
+def test_qld_ranking_semantics(spark, tmp_path):
+    """More query-term mass ranks higher; at equal term counts the
+    SHORTER document wins (Dirichlet length normalization)."""
+    docs = [
+        ("hash join stream spark " * 3 + "alpha beta", "en", "s"),   # heavy hits
+        ("hash join " + "filler " * 30, "en", "s"),                  # few hits, long
+        ("hash join alpha", "en", "s"),                              # few hits, short
+        ("nothing relevant here at all " * 5, "en", "s"),            # no hits
+    ]
+    sf = _src_docs(spark, tmp_path, docs)
+    rows = REGISTRY["qld_retrieval"].fn(spark, sf).collect()
+    order = [r.doc_id for r in rows]
+    assert order[0] == 0                       # heaviest query mass first
+    assert order.index(2) < order.index(1)     # same hits, shorter wins
+    assert order.index(1) < order.index(3)     # any hits beat none here
