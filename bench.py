@@ -309,6 +309,7 @@ HEADLINE = [
     "chow_break_test",
     "raking_weights",
     "qld_retrieval",
+    "negative_binomial_fit",
 ]
 
 
@@ -340,6 +341,8 @@ STREAMING = [
     "streaming_upsert",
     "streaming_cms",
     "streaming_quality_gate",
+    "streaming_topk_users",
+    "streaming_daily_bars",
 ]
 
 

@@ -65,13 +65,13 @@ ROUND3_WINDOW = [
     "chow_break_test",
     "raking_weights",
     "qld_retrieval",
+    "streaming_topk_users",
+    "streaming_daily_bars",
+    "negative_binomial_fit",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",
-    "kmeans_clusters",
     "bpe_train_merges",
-    "bpe_encode",
-    "label_propagation",
     "pagerank_parts",
     "kcore_parts",
     "hits_customers_parts",
@@ -84,6 +84,9 @@ ROUND3_WINDOW = [
     # re-parameterized gates, by r1/r2 driver windows plus planted tests);
     # the driver window holds 50 and never-certified code takes precedence
     "similarity_mmr",
+    "kmeans_clusters",
+    "bpe_encode",
+    "label_propagation",
     "robust_outliers",
     "max_drawdown",
     "retention_cohorts",

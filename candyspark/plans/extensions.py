@@ -4387,3 +4387,100 @@ FROM total CROSS JOIN first
 """
 
 REGISTRY["rmst"] = QuerySpec(q_rmst, RMST_SQL)
+
+
+def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running top-5 most-active users maintained as streaming state: the
+    per-user event counters accumulate across micro-batches (complete-
+    mode aggregate), the top-k read happens on the result table — the
+    live-leaderboard shape (trending items, hot keys, abuse monitors).
+    State is one row per OBSERVED user; at 100-TB streams swap the exact
+    counter map for streaming_cms's bounded sketch and feed THIS query's
+    top-k from the candidate set — the read-side logic is unchanged.
+    Batch-equivalence is the contract the oracle checks (same counts,
+    same (count desc, user_id) tiebreak)."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import read_events_stream, run_available_now
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    stream = read_events_stream(spark, src)
+    counts = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    run_available_now(counts, ckpt, query_name=name)
+    return (
+        spark.table(name)
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(5)
+    )
+
+
+STREAMING_TOPK_USERS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 5
+"""
+
+REGISTRY["streaming_topk_users"] = QuerySpec(
+    q_streaming_topk_users, STREAMING_TOPK_USERS_SQL
+)
+
+
+def q_streaming_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value bars (min/max/count/exact-decimal sum per day×type)
+    maintained as streaming state — the continuous-ingest form of the
+    batch ohlc_bars family restricted to the ORDER-FREE statistics
+    (open/close need event order across micro-batches, which a complete-
+    mode aggregate cannot promise; min/max/sum/count are commutative, so
+    stream and batch agree bit-for-bit — the same reasoning that puts
+    decimal sums everywhere else). State is calendar×type-bounded.
+    """
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import read_events_stream, run_available_now
+
+    events = load_table(spark, sf_dir, "events")
+    src = _land_once(spark, events)
+    name = f"stream_bars_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    stream = read_events_stream(spark, src)
+    bars = stream.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.col("value").cast("decimal(18,4)")).cast("double").alias("lo"),
+        F.max(F.col("value").cast("decimal(18,4)")).cast("double").alias("hi"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+    )
+    run_available_now(bars, ckpt, query_name=name)
+    return spark.table(name).orderBy("day", "event_type")
+
+
+STREAMING_DAILY_BARS_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hi,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+REGISTRY["streaming_daily_bars"] = QuerySpec(
+    q_streaming_daily_bars, STREAMING_DAILY_BARS_SQL
+)

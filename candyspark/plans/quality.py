@@ -4040,3 +4040,82 @@ ORDER BY seg, bkt
 RAKING_WEIGHTS_SQL = _raking_sql()
 
 REGISTRY["raking_weights"] = QuerySpec(q_raking_weights, RAKING_WEIGHTS_SQL)
+
+
+def q_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of per-day event counts,
+    per type — the MODEL the overdispersion gate (q_overdispersion_check)
+    says you need when s² > x̄: r = x̄²/(s² − x̄), p = x̄/s², the standard
+    MoM estimators. Near-Poisson types (s² ≤ x̄, where NB degenerates)
+    report NULL r/p with poisson_like = true — the honest branch, not a
+    clamped fake fit. A capacity planner consumes (r, p) directly for
+    tail quantiles of tomorrow's load.
+
+    Exactness: per-(type, day) counts are integers; per-type Σc and Σc²
+    are exact decimals from the calendar-bounded daily relation; x̄, s²
+    (population form, matching overdispersion_check) and the two
+    estimators are identical IEEE, snapped at 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cd = F.col("c").cast("decimal(20,2)")
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(cd).alias("sc"),
+        F.sum(cd * cd).alias("scc"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sc").cast("double") / n
+    var = F.col("scc").cast("double") / n - mean * mean
+    over = var > mean
+    r = F.when(over, snap_round(mean * mean / (var - mean), 6))
+    p = F.when(over, snap_round(mean / var, 6))
+    return per.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        snap_round(mean, 6).alias("mean_daily"),
+        snap_round(var, 6).alias("var_daily"),
+        r.alias("nb_r"),
+        p.alias("nb_p"),
+        (~over).alias("poisson_like"),
+    ).orderBy("event_type")
+
+
+NEGATIVE_BINOMIAL_FIT_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+per AS (
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           SUM(CAST(c AS DECIMAL(20,2))) AS sc,
+           SUM(CAST(c AS DECIMAL(20,2)) * CAST(c AS DECIMAL(20,2))) AS scc
+    FROM daily GROUP BY event_type
+),
+mom AS (
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_d,
+           CAST(scc AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)) AS var_d
+    FROM per
+)
+SELECT event_type, n_days,
+       CAST(ROUND(CAST(mean_d AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_daily,
+       CAST(ROUND(CAST(var_d AS DECIMAL(28,8)), 6) AS DOUBLE) AS var_daily,
+       CASE WHEN var_d > mean_d THEN
+           CAST(ROUND(CAST(mean_d * mean_d / (var_d - mean_d) AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS nb_r,
+       CASE WHEN var_d > mean_d THEN
+           CAST(ROUND(CAST(mean_d / var_d AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS nb_p,
+       NOT (var_d > mean_d) AS poisson_like
+FROM mom
+ORDER BY event_type
+"""
+
+REGISTRY["negative_binomial_fit"] = QuerySpec(
+    q_negative_binomial_fit, NEGATIVE_BINOMIAL_FIT_SQL
+)

@@ -740,3 +740,28 @@ def test_qld_ranking_semantics(spark, tmp_path):
     assert order[0] == 0                       # heaviest query mass first
     assert order.index(2) < order.index(1)     # same hits, shorter wins
     assert order.index(1) < order.index(3)     # any hits beat none here
+
+
+def test_negative_binomial_branches(spark, tmp_path):
+    """Constant daily counts (var 0) must take the honest Poisson-like
+    branch (NULL r/p); an alternating 1/99 series is massively
+    overdispersed and must fit r = 2500/2351 by hand."""
+    rows = []
+    eid = 0
+    for d in range(10):
+        for _ in range(5):  # 'view': exactly 5/day -> var 0
+            rows.append((eid, f"2024-01-{d + 1:02d} 12:00:00", eid, "view", 1.0, "{}"))
+            eid += 1
+        burst = 1 if d % 2 == 0 else 99  # 'click': wild overdispersion
+        for _ in range(burst):
+            rows.append((eid, f"2024-01-{d + 1:02d} 13:00:00", eid, "click", 1.0, "{}"))
+            eid += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in
+           REGISTRY["negative_binomial_fit"].fn(spark, sf).collect()}
+    assert got["view"].poisson_like and got["view"].nb_r is None
+    c = got["click"]
+    assert not c.poisson_like
+    assert c.mean_daily == pytest.approx(50.0)
+    assert c.var_daily == pytest.approx(2401.0)
+    assert c.nb_r == pytest.approx(2500.0 / 2351.0, abs=1e-4)

@@ -470,3 +470,49 @@ def test_streaming_cms_merges_across_batches(spark, tmp_path):
         (r["r"], r["b"]): r["cnt"] for r in streaming_cms_cells(both).collect()
     }
     assert got == expect
+
+
+def test_streaming_topk_counters_accumulate_across_batches(spark, tmp_path):
+    """The leaderboard counters must ACCUMULATE across micro-batches (the
+    complete-mode state store, not per-batch counts): user 10 appears in
+    both batches and must total 3 events / 2 purchases."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from candyspark.streaming.stream import read_events_stream, run_available_now
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    batch1 = [
+        (1, ts, 10, "purchase", 1.0, "{}"),
+        (2, ts, 10, "click", 2.0, "{}"),
+        (3, ts, 11, "view", 3.0, "{}"),
+    ]
+    batch2 = [
+        (4, ts, 10, "purchase", 4.0, "{}"),
+        (5, ts, 12, "error", 5.0, "{}"),
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = str(src / f"b{i}.parquet")
+        _os.rename(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = spark.readStream.schema(EVENTS).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    counts = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    run_available_now(counts, str(tmp_path / "ckpt"), query_name="topk_carry")
+    got = {r.user_id: (r.n_events, r.n_purchases)
+           for r in spark.sql("SELECT * FROM topk_carry").collect()}
+    assert got == {10: (3, 2), 11: (1, 0), 12: (1, 0)}
