@@ -310,6 +310,8 @@ HEADLINE = [
     "raking_weights",
     "qld_retrieval",
     "negative_binomial_fit",
+    "mv_join_delta_refresh",
+    "hurst_exponent",
 ]
 
 

@@ -68,12 +68,12 @@ ROUND3_WINDOW = [
     "streaming_topk_users",
     "streaming_daily_bars",
     "negative_binomial_fit",
+    "mv_join_delta_refresh",
+    "hurst_exponent",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",
     "bpe_train_merges",
-    "pagerank_parts",
-    "kcore_parts",
     "hits_customers_parts",
     # re-parameterized vacuous gates (round-2 verdict item 2)
     "important_part_value",
@@ -87,6 +87,8 @@ ROUND3_WINDOW = [
     "kmeans_clusters",
     "bpe_encode",
     "label_propagation",
+    "pagerank_parts",
+    "kcore_parts",
     "robust_outliers",
     "max_drawdown",
     "retention_cohorts",

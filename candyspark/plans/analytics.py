@@ -2120,3 +2120,178 @@ FROM calc
 """
 
 REGISTRY["chow_break_test"] = QuerySpec(q_chow_break_test, CHOW_BREAK_TEST_SQL)
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily-revenue series by rescaled-range (R/S)
+    analysis over window sizes 16/32/64 — the LONG-memory diagnostic the
+    acf (short lags) and spectral (fixed period) views can't give:
+    H ≈ 0.5 is a random walk, H > 0.5 persistent trending, H < 0.5
+    mean-reverting. The number decides whether tomorrow's forecast should
+    extrapolate momentum or fade it.
+
+    Determinism of every float: segment means and variances come from
+    EXACT decimal power sums (Σy, Σy² per segment window — never a float
+    sum over an unordered frame); the cumulative deviation runs in the
+    explicit (ORDER BY t) frame, so both engines add in the same order;
+    each segment's R/S snaps at 9 dp into exact decimal means per size;
+    the 3-point log-log slope is one fixed-order IEEE expression. Scale:
+    everything after the daily rollup is the ≤|calendar|×3 relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w_t = Window.orderBy("o_orderdate")
+    idx = daily.select(
+        F.row_number().over(w_t).alias("t"),
+        F.col("r").cast("decimal(20,2)").alias("y"),
+    )
+    sizes = spark.createDataFrame([(16,), (32,), (64,)], "w int")
+    g = idx.crossJoin(F.broadcast(sizes)).withColumn(
+        "seg", F.floor((F.col("t") - 1) / F.col("w"))
+    )
+    p = Window.partitionBy("w", "seg")
+    po = Window.partitionBy("w", "seg").orderBy("t")
+    g = (
+        g.withColumn("cnt", F.count(F.lit(1)).over(p))
+        .filter(F.col("cnt") == F.col("w"))  # full segments only
+        .withColumn("sy", F.sum("y").over(p))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(p))
+        .withColumn(
+            "dev",
+            F.col("y").cast("double")
+            - F.col("sy").cast("double") / F.col("w").cast("double"),
+        )
+        .withColumn("cum", F.sum("dev").over(po))
+    )
+    wd = F.col("w").cast("double")
+    s2 = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / wd
+    ) / wd
+    # materialize R and rn BEFORE filtering: window expressions evaluate
+    # over the relation they're selected from, and a post-filter partition
+    # would hold one row (R would read 0)
+    seg_rows = (
+        g.withColumn("rng", F.max("cum").over(p) - F.min("cum").over(p))
+        .withColumn("s2", s2)
+        .withColumn("rn", F.row_number().over(po))
+        .filter((F.col("rn") == 1) & (F.col("s2") > 0))
+        .select(
+            "w",
+            X.snap_round(F.col("rng") / F.sqrt(F.col("s2")), 9)
+            .cast("decimal(18,9)")
+            .alias("rs"),
+        )
+    )
+    per_w = seg_rows.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        (F.sum("rs").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_rs"),
+    )
+    one = per_w.agg(
+        *[
+            F.max(F.when(F.col("w") == w, F.col("mean_rs"))).alias(f"rs{w}")
+            for w in (16, 32, 64)
+        ]
+    )
+    import math as _m
+
+    lw16, lw32, lw64 = _m.log(16.0), _m.log(32.0), _m.log(64.0)
+    sx = F.lit(lw16 + lw32 + lw64)
+    sxx = F.lit(lw16 * lw16 + lw32 * lw32 + lw64 * lw64)
+    ly16, ly32, ly64 = (F.log(F.col(f"rs{w}")) for w in (16, 32, 64))
+    sy_ = ly16 + ly32 + ly64
+    sxy = F.lit(lw16) * ly16 + F.lit(lw32) * ly32 + F.lit(lw64) * ly64
+    hurst = X.snap_round(
+        (F.lit(3.0) * sxy - sx * sy_) / (F.lit(3.0) * sxx - sx * sx), 6
+    )
+    return one.select(
+        X.snap_round(F.col("rs16"), 6).alias("rs16"),
+        X.snap_round(F.col("rs32"), 6).alias("rs32"),
+        X.snap_round(F.col("rs64"), 6).alias("rs64"),
+        hurst.alias("hurst"),
+        F.when(hurst > 0.55, "persistent")
+        .when(hurst < 0.45, "mean_reverting")
+        .otherwise("random_walk")
+        .alias("regime"),
+    )
+
+
+HURST_EXPONENT_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, CAST(r AS DECIMAL(20,2)) AS y
+    FROM daily
+),
+g0 AS (
+    SELECT idx.t, idx.y, s.w, CAST(FLOOR((idx.t - 1) / s.w) AS BIGINT) AS seg
+    FROM idx CROSS JOIN (SELECT unnest([16, 32, 64]) AS w) s
+),
+g1 AS (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY w, seg) AS cnt,
+           SUM(y) OVER (PARTITION BY w, seg) AS sy,
+           SUM(y * y) OVER (PARTITION BY w, seg) AS syy
+    FROM g0
+),
+g2 AS (
+    SELECT *,
+           CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(w AS DOUBLE) AS dev
+    FROM g1 WHERE cnt = w
+),
+g3 AS (
+    SELECT *,
+           SUM(dev) OVER (PARTITION BY w, seg ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM g2
+),
+g4 AS (
+    SELECT *,
+           MAX(cum) OVER (PARTITION BY w, seg)
+             - MIN(cum) OVER (PARTITION BY w, seg) AS rng,
+           (CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+           / CAST(w AS DOUBLE) AS s2,
+           ROW_NUMBER() OVER (PARTITION BY w, seg ORDER BY t) AS rn
+    FROM g3
+),
+seg_rows AS (
+    SELECT w,
+           CAST(ROUND(CAST(rng / SQRT(s2) AS DECIMAL(28,8)), 9)
+                AS DECIMAL(18,9)) AS rs
+    FROM g4 WHERE rn = 1 AND s2 > 0
+),
+per_w AS (
+    SELECT w, CAST(SUM(rs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rs
+    FROM seg_rows GROUP BY w
+),
+one AS (
+    SELECT MAX(CASE WHEN w = 16 THEN mean_rs END) AS rs16,
+           MAX(CASE WHEN w = 32 THEN mean_rs END) AS rs32,
+           MAX(CASE WHEN w = 64 THEN mean_rs END) AS rs64
+    FROM per_w
+),
+fit AS (
+    SELECT rs16, rs32, rs64,
+           CAST(ROUND(CAST(
+               (3.0 * (LN(16.0) * LN(rs16) + LN(32.0) * LN(rs32) + LN(64.0) * LN(rs64))
+                - (LN(16.0) + LN(32.0) + LN(64.0)) * (LN(rs16) + LN(rs32) + LN(rs64)))
+               / (3.0 * (LN(16.0) * LN(16.0) + LN(32.0) * LN(32.0) + LN(64.0) * LN(64.0))
+                  - (LN(16.0) + LN(32.0) + LN(64.0)) * (LN(16.0) + LN(32.0) + LN(64.0)))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS hurst
+    FROM one
+)
+SELECT CAST(ROUND(CAST(rs16 AS DECIMAL(28,8)), 6) AS DOUBLE) AS rs16,
+       CAST(ROUND(CAST(rs32 AS DECIMAL(28,8)), 6) AS DOUBLE) AS rs32,
+       CAST(ROUND(CAST(rs64 AS DECIMAL(28,8)), 6) AS DOUBLE) AS rs64,
+       hurst,
+       CASE WHEN hurst > 0.55 THEN 'persistent'
+            WHEN hurst < 0.45 THEN 'mean_reverting'
+            ELSE 'random_walk' END AS regime
+FROM fit
+"""
+
+REGISTRY["hurst_exponent"] = QuerySpec(q_hurst_exponent, HURST_EXPONENT_SQL)

@@ -1049,3 +1049,79 @@ ORDER BY channel
 REGISTRY["timedecay_attribution"] = QuerySpec(
     q_timedecay_attribution, TIMEDECAY_ATTRIBUTION_SQL
 )
+
+
+def q_mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the bilinear delta rule
+    Δ(L ⋈ O) = ΔL⋈O₀ ∪ L₀⋈ΔO ∪ ΔL⋈ΔO applied to the per-priority revenue
+    aggregate over lineitem ⋈ orders: the stored MV term (L₀⋈O₀, here
+    recomputed since nothing persists between driver runs) absorbs three
+    DELTA-sized joins instead of a full-history rejoin. The single-table
+    additive case is q_mv_incremental_refresh; this is the IVM identity a
+    join view actually needs, and the oracle is the FULL recompute — the
+    four-term merge must be semantically invisible.
+
+    Deltas are INDEPENDENT axes so all four quadrants carry rows and the
+    identity is exercised, not vacuously zero: orders split on the date
+    cutoff (new orders arrive), lineitems on line number ≥ 4 (late-
+    arriving lines land on existing orders — the real CDC shape where a
+    child-table delta references parents on BOTH sides of the parent
+    delta). Exact decimal revenue partials make the merge bit-identical
+    to the recompute.
+
+    Scale: at 100 TB the L₀⋈O₀ term IS the stored MV (zero cost); the
+    three delta joins each broadcast-or-shuffle only delta-sized inputs.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+    o_old = o.filter(F.to_date("o_orderdate") < cutoff)
+    o_new = o.filter(F.to_date("o_orderdate") >= cutoff)
+    li_old = li.filter(F.col("l_linenumber") < 4)
+    li_new = li.filter(F.col("l_linenumber") >= 4)  # late-arriving lines
+
+    def agg(lines: DataFrame, orders: DataFrame) -> DataFrame:
+        return (
+            lines.join(orders, lines["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(money("l_extendedprice")).alias("s"),
+            )
+        )
+
+    quadrants = [
+        agg(li_old, o_old),  # the stored MV term L₀ ⋈ O₀
+        agg(li_new, o_old),  # ΔL ⋈ O₀ — late lines on existing orders
+        agg(li_old, o_new),  # L₀ ⋈ ΔO — old-class lines of new orders
+        agg(li_new, o_new),  # ΔL ⋈ ΔO — late lines of new orders
+    ]
+    merged = quadrants[0]
+    for qd in quadrants[1:]:
+        merged = merged.unionByName(qd)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.sum("s").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MV_JOIN_DELTA_REFRESH_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+REGISTRY["mv_join_delta_refresh"] = QuerySpec(
+    q_mv_join_delta_refresh, MV_JOIN_DELTA_REFRESH_SQL
+)

@@ -765,3 +765,46 @@ def test_negative_binomial_branches(spark, tmp_path):
     assert c.mean_daily == pytest.approx(50.0)
     assert c.var_daily == pytest.approx(2401.0)
     assert c.nb_r == pytest.approx(2500.0 / 2351.0, abs=1e-4)
+
+
+def test_hurst_recovers_regimes(spark, tmp_path):
+    """A strong linear trend must read persistent (H near 1); a strict
+    ±1 alternation must read mean-reverting (H near 0)."""
+    trend = [(i, 1, 1000.0 + 10.0 * i, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}")
+             for i in range(128)]
+    r = REGISTRY["hurst_exponent"].fn(
+        spark, _orders(spark, tmp_path, trend)
+    ).collect()[0]
+    assert r.regime == "persistent" and r.hurst > 0.9
+
+    alt = [(i, 1, 100.0 + (1.0 if i % 2 == 0 else -1.0),
+            f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}") for i in range(128)]
+    r2 = REGISTRY["hurst_exponent"].fn(
+        spark, _orders(spark, tmp_path / "alt", alt)
+    ).collect()[0]
+    assert r2.regime == "mean_reverting" and r2.hurst < 0.2
+
+
+def test_mv_join_delta_merge_equals_recompute(spark):
+    """The four-quadrant bilinear merge must equal the direct join
+    recompute bit-for-bit (the IVM identity it implements)."""
+    from candyspark.functions.numeric import money
+    from candyspark.sources.readers import load_table
+
+    got = {r.o_orderpriority: (r.n_lines, r.revenue)
+           for r in REGISTRY["mv_join_delta_refresh"].fn(spark, SF1).collect()}
+    o = load_table(spark, SF1, "orders")
+    li = load_table(spark, SF1, "lineitem")
+    direct = {
+        r.o_orderpriority: (r.n_lines, r.revenue)
+        for r in (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == direct
