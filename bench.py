@@ -312,6 +312,9 @@ HEADLINE = [
     "negative_binomial_fit",
     "mv_join_delta_refresh",
     "hurst_exponent",
+    "mcnemar_test",
+    "wilcoxon_signed_rank",
+    "cronbach_alpha",
 ]
 
 

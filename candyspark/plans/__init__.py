@@ -70,6 +70,9 @@ ROUND3_WINDOW = [
     "negative_binomial_fit",
     "mv_join_delta_refresh",
     "hurst_exponent",
+    "mcnemar_test",
+    "wilcoxon_signed_rank",
+    "cronbach_alpha",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

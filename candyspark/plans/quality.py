@@ -4119,3 +4119,372 @@ ORDER BY event_type
 REGISTRY["negative_binomial_fit"] = QuerySpec(
     q_negative_binomial_fit, NEGATIVE_BINOMIAL_FIT_SQL
 )
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — the within-subject
+    counterpart of the two-proportion z-test (which assumes independent
+    samples and is simply wrong on before/after or A-vs-B-same-user
+    designs). Pairs are user-days; the two binary outcomes are "clicked
+    that day" and "purchased that day". Only the DISCORDANT cells carry
+    information: b = click-only days, c = purchase-only days, and the
+    continuity-corrected statistic (|b−c|−1)²/(b+c) ~ χ²(1).
+
+    Everything is integer until the single final division: the pair grain
+    is one boolean-max aggregate on (user_id, day), the 2×2 cells are four
+    conditional counts of that relation, and the χ² assembles from exact
+    int64 in one fixed-order double expression (snapped at 6 dp). The
+    b + c = 0 degenerate (no discordant pairs) takes an honest NULL, not
+    a fake 0 — the test is undefined there, and both engines share the
+    integer branch predicate.
+
+    Scale: one keyed exchange on (user_id, day) — partial bool-max
+    combines map-side — then a 4-cell global aggregate. Nothing holistic,
+    nothing driver-side."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            (F.col("event_type") == "click").alias("is_click"),
+            (F.col("event_type") == "purchase").alias("is_buy"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.max("is_click").alias("clicked"),
+            F.max("is_buy").alias("bought"),
+        )
+    )
+    cells = pairs.agg(
+        F.sum(F.when(F.col("clicked") & F.col("bought"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_yes"),
+        F.sum(F.when(F.col("clicked") & ~F.col("bought"), 1).otherwise(0))
+        .cast("long")
+        .alias("click_only"),
+        F.sum(F.when(~F.col("clicked") & F.col("bought"), 1).otherwise(0))
+        .cast("long")
+        .alias("buy_only"),
+        F.sum(F.when(~F.col("clicked") & ~F.col("bought"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_no"),
+    )
+    b, c = F.col("click_only"), F.col("buy_only")
+    num = (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+    chi2 = F.when(
+        b + c > 0, snap_round(num.cast("double") / (b + c).cast("double"), 6)
+    )
+    return cells.select(
+        "both_yes",
+        "click_only",
+        "buy_only",
+        "both_no",
+        chi2.alias("chi2_cc"),
+        F.when(b + c > 0, chi2 > 3.841).alias("significant"),
+    )
+
+
+MCNEMAR_TEST_SQL = """
+WITH pairs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AS clicked,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS bought
+    FROM events GROUP BY 1, 2
+),
+cells AS (
+    SELECT
+      CAST(SUM(CASE WHEN clicked AND bought THEN 1 ELSE 0 END) AS BIGINT) AS both_yes,
+      CAST(SUM(CASE WHEN clicked AND NOT bought THEN 1 ELSE 0 END) AS BIGINT) AS click_only,
+      CAST(SUM(CASE WHEN NOT clicked AND bought THEN 1 ELSE 0 END) AS BIGINT) AS buy_only,
+      CAST(SUM(CASE WHEN NOT clicked AND NOT bought THEN 1 ELSE 0 END) AS BIGINT) AS both_no
+    FROM pairs
+)
+SELECT both_yes, click_only, buy_only, both_no,
+       CASE WHEN click_only + buy_only > 0 THEN
+         CAST(ROUND(CAST(
+             CAST((ABS(click_only - buy_only) - 1)
+                  * (ABS(click_only - buy_only) - 1) AS DOUBLE)
+             / CAST(click_only + buy_only AS DOUBLE)
+             AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS chi2_cc,
+       CASE WHEN click_only + buy_only > 0 THEN
+         CAST(ROUND(CAST(
+             CAST((ABS(click_only - buy_only) - 1)
+                  * (ABS(click_only - buy_only) - 1) AS DOUBLE)
+             / CAST(click_only + buy_only AS DOUBLE)
+             AS DECIMAL(28,8)), 6) AS DOUBLE) > 3.841
+       END AS significant
+FROM cells
+"""
+
+REGISTRY["mcnemar_test"] = QuerySpec(q_mcnemar_test, MCNEMAR_TEST_SQL)
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED nonparametric test beside
+    Mann-Whitney's unpaired one (q_mann_whitney): did per-customer average
+    order value shift between the calendar halves (split 1998-01-01),
+    using each customer as their own control? No normality assumption;
+    heavy-tailed spend is exactly where the paired t-test misleads.
+
+    Determinism: each half's mean is ONE IEEE divide of an exact decimal
+    sum by a count, the difference snaps at 9 dp (so both engines agree
+    on zero-drop and tie grouping), and ranks use the DOUBLED-midrank
+    trick over the per-|d|-value aggregate (r2 = 2·|{<v}| + n(v) + 1 —
+    exact int64, the q_mann_whitney discipline), so 2·W⁺ = Σ pos(v)·r2
+    is exact integer algebra. Tie correction Σ(t³−t) runs in
+    DECIMAL(38,0). z assembles in one fixed-order double expression and
+    snaps at 6 dp.
+
+    Scale: the rank window runs over the per-|d|-VALUE relation — at most
+    one row per distinct snapped difference, already aggregated from the
+    ≤|customers| paired relation; the customer aggregate itself is one
+    keyed exchange with map-side partials. (The full-resolution global
+    sort a naive rank implementation needs never happens.)"""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    per_c = (
+        o.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("d") < cut, F.col("p"))).alias("s1"),
+            F.count(F.when(F.col("d") < cut, 1)).alias("n1"),
+            F.sum(F.when(F.col("d") >= cut, F.col("p"))).alias("s2"),
+            F.count(F.when(F.col("d") >= cut, 1)).alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    d = snap_round(
+        F.col("s2").cast("double") / F.col("n2").cast("double")
+        - F.col("s1").cast("double") / F.col("n1").cast("double"),
+        9,
+    )
+    diffs = per_c.select(d.alias("d")).filter(F.col("d") != 0.0)
+    per_v = diffs.groupBy(F.abs(F.col("d")).alias("av")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos_v"),
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+    )
+    w = Window.orderBy("av").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "pos_v",
+        "n_v",
+        (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1).alias(
+            "r2"
+        ),
+    )
+    sums = ranked.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(F.col("pos_v") * F.col("r2")).cast("long").alias("w2"),
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)")
+            * F.col("n_v").cast("decimal(38,0)")
+            * F.col("n_v").cast("decimal(38,0)")
+            - F.col("n_v").cast("decimal(38,0)")
+        ).alias("t_sum"),
+    )
+    nd = F.col("n").cast("double")
+    w_plus = F.col("w2").cast("double") / 2.0
+    mu = nd * (nd + 1.0) / 4.0
+    var = nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0 - F.col(
+        "t_sum"
+    ).cast("double") / 48.0
+    z = (w_plus - mu) / F.sqrt(var)
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        w_plus.alias("w_plus"),
+        snap_round(z, 6).alias("z"),
+        (F.abs(snap_round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+WILCOXON_SIGNED_RANK_SQL = """
+WITH per_c AS (
+    SELECT o_custkey,
+           SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS s1,
+           COUNT(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                      THEN 1 END) AS n1,
+           SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS s2,
+           COUNT(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                      THEN 1 END) AS n2
+    FROM orders GROUP BY 1
+),
+diffs AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               AS DECIMAL(28,8)), 9) AS DOUBLE) AS d
+    FROM per_c WHERE n1 > 0 AND n2 > 0
+),
+per_v AS (
+    SELECT ABS(d) AS av,
+           CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_v,
+           CAST(COUNT(*) AS BIGINT) AS n_v
+    FROM diffs WHERE d <> 0.0
+    GROUP BY 1
+),
+ranked AS (
+    SELECT pos_v, n_v,
+           2 * COALESCE(SUM(n_v) OVER
+               (ORDER BY av ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + n_v + 1 AS r2
+    FROM per_v
+),
+sums AS (
+    SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+           CAST(SUM(pos_v * r2) AS BIGINT) AS w2,
+           SUM(CAST(n_v AS DECIMAL(38,0)) * CAST(n_v AS DECIMAL(38,0))
+               * CAST(n_v AS DECIMAL(38,0)) - CAST(n_v AS DECIMAL(38,0))) AS t_sum
+    FROM ranked
+)
+SELECT n AS n_pairs,
+       CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+       CAST(ROUND(CAST(
+           (CAST(w2 AS DOUBLE) / 2.0
+            - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+           / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                  - CAST(t_sum AS DOUBLE) / 48.0)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS z,
+       ABS(CAST(ROUND(CAST(
+           (CAST(w2 AS DOUBLE) / 2.0
+            - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+           / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                  - CAST(t_sum AS DOUBLE) / 48.0)
+           AS DECIMAL(28,8)), 6) AS DOUBLE)) > 1.96 AS significant
+FROM sums
+"""
+
+REGISTRY["wilcoxon_signed_rank"] = QuerySpec(
+    q_wilcoxon_signed_rank, WILCOXON_SIGNED_RANK_SQL
+)
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a k-item
+    scale, here treating the five event types as items scored by per-user
+    activity counts: do the per-type engagement counts move together
+    (one underlying "engagement" trait) or independently? The metric
+    gates composite-score construction the same way it gates survey
+    scales: α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(total)).
+
+    Everything before the final expression is exact: item scores are
+    int64 conditional counts on the single (user) aggregate, variances
+    come from exact decimal power sums (population form, n divisor —
+    both engines share the convention), and α assembles in one
+    fixed-order double expression snapped at 6 dp.
+
+    Scale: ONE keyed exchange on user_id (conditional-count partials
+    combine map-side), then a global aggregate of k+1 power sums over
+    the ≤|users| relation. The item list is a fixed schema constant —
+    no pivot-discovery job."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    e = load_table(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{t}")
+            for t in types
+        ]
+    )
+    total = functools_reduce_add([F.col(f"c_{t}") for t in types]).alias("tot")
+    scored = per_u.select("user_id", *[f"c_{t}" for t in types], total)
+
+    def pow_sums(col: str) -> list:
+        c = F.col(col).cast("decimal(38,0)")
+        return [
+            F.sum(c).alias(f"s_{col}"),
+            F.sum(c * c).alias(f"ss_{col}"),
+        ]
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")]
+    for t in types:
+        aggs.extend(pow_sums(f"c_{t}"))
+    aggs.extend(pow_sums("tot"))
+    sums = scored.agg(*aggs)
+
+    nd = F.col("n_users").cast("double")
+
+    def var_of(col: str):
+        s = F.col(f"s_{col}").cast("double")
+        ss = F.col(f"ss_{col}").cast("double")
+        return ss / nd - (s / nd) * (s / nd)
+
+    item_var_sum = functools_reduce_add([var_of(f"c_{t}") for t in types])
+    k = float(len(types))
+    alpha = (k / (k - 1.0)) * (1.0 - item_var_sum / var_of("tot"))
+    return sums.select(
+        F.lit(len(types)).alias("k_items"),
+        F.col("n_users"),
+        snap_round(item_var_sum, 6).alias("sum_item_var"),
+        snap_round(var_of("tot"), 6).alias("total_var"),
+        snap_round(alpha, 6).alias("cronbach_alpha"),
+    )
+
+
+def functools_reduce_add(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+_CRONBACH_ITEMS = ["click", "error", "purchase", "signup", "view"]
+_CRONBACH_CNT = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{t}"
+    for t in _CRONBACH_ITEMS
+)
+_CRONBACH_PS = ",\n           ".join(
+    f"SUM(CAST(c_{t} AS DECIMAL(38,0))) AS s_c_{t},\n           "
+    f"SUM(CAST(c_{t} AS DECIMAL(38,0)) * CAST(c_{t} AS DECIMAL(38,0))) AS ss_c_{t}"
+    for t in _CRONBACH_ITEMS
+)
+_CRONBACH_VAR = " + ".join(
+    f"(CAST(ss_c_{t} AS DOUBLE) / CAST(n_users AS DOUBLE)"
+    f" - (CAST(s_c_{t} AS DOUBLE) / CAST(n_users AS DOUBLE))"
+    f" * (CAST(s_c_{t} AS DOUBLE) / CAST(n_users AS DOUBLE)))"
+    for t in _CRONBACH_ITEMS
+)
+_CRONBACH_TOT = " + ".join(f"c_{t}" for t in _CRONBACH_ITEMS)
+
+CRONBACH_ALPHA_SQL = f"""
+WITH per_u AS (
+    SELECT user_id,
+           {_CRONBACH_CNT}
+    FROM events GROUP BY 1
+),
+scored AS (
+    SELECT *, {_CRONBACH_TOT} AS tot FROM per_u
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           {_CRONBACH_PS},
+           SUM(CAST(tot AS DECIMAL(38,0))) AS s_tot,
+           SUM(CAST(tot AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0))) AS ss_tot
+    FROM scored
+)
+SELECT 5 AS k_items, n_users,
+       CAST(ROUND(CAST({_CRONBACH_VAR} AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS sum_item_var,
+       CAST(ROUND(CAST(
+           CAST(ss_tot AS DOUBLE) / CAST(n_users AS DOUBLE)
+           - (CAST(s_tot AS DOUBLE) / CAST(n_users AS DOUBLE))
+             * (CAST(s_tot AS DOUBLE) / CAST(n_users AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS total_var,
+       CAST(ROUND(CAST(
+           (5.0 / 4.0) * (1.0 - ({_CRONBACH_VAR})
+               / (CAST(ss_tot AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  - (CAST(s_tot AS DOUBLE) / CAST(n_users AS DOUBLE))
+                    * (CAST(s_tot AS DOUBLE) / CAST(n_users AS DOUBLE))))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cronbach_alpha
+FROM sums
+"""
+
+REGISTRY["cronbach_alpha"] = QuerySpec(q_cronbach_alpha, CRONBACH_ALPHA_SQL)

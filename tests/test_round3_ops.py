@@ -808,3 +808,83 @@ def test_mv_join_delta_merge_equals_recompute(spark):
         )
     }
     assert got == direct
+
+
+def test_mcnemar_hand_counts(spark, tmp_path):
+    """Hand-checkable 2×2: 3 click-only days, 9 purchase-only days,
+    1 both, 1 neither → chi2_cc = (|3−9|−1)²/12 = 25/12."""
+    rows = []
+    eid = 0
+    # user u, day d encoded as 2024-01-(d+1)
+    def ev(u, d, t):
+        nonlocal eid
+        eid += 1
+        return (eid, f"2024-01-{d + 1:02d} 10:00:00", u, t, 1.0, "{}")
+
+    for d in range(3):  # click-only
+        rows.append(ev(1, d, "click"))
+    for d in range(3, 12):  # purchase-only
+        rows.append(ev(2, d, "purchase"))
+    rows.append(ev(3, 12, "click"))
+    rows.append(ev(3, 12, "purchase"))  # both on one day
+    rows.append(ev(4, 13, "view"))  # neither
+    out = REGISTRY["mcnemar_test"].fn(spark, _events(spark, tmp_path, rows)).collect()[0]
+    assert (out.both_yes, out.click_only, out.buy_only, out.both_no) == (1, 3, 9, 1)
+    assert out.chi2_cc == pytest.approx(25.0 / 12.0, abs=1e-6)
+    assert out.significant is False
+
+
+def test_mcnemar_no_discordance_is_null(spark, tmp_path):
+    """b + c = 0 → the statistic is undefined: honest NULL, not 0."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "purchase", 1.0, "{}"),
+    ]
+    out = REGISTRY["mcnemar_test"].fn(spark, _events(spark, tmp_path, rows)).collect()[0]
+    assert out.chi2_cc is None and out.significant is None
+
+
+def test_wilcoxon_recovers_planted_shift(spark, tmp_path):
+    """Every customer's H2 average is lifted by a customer-specific
+    positive amount → all signs positive, W⁺ = n(n+1)/2, z > 1.96; a
+    symmetric half-up/half-down plant with equal |d| ranks must sit at
+    exactly z = 0 (ties in |d| take midranks)."""
+    up = []
+    for c in range(1, 31):
+        up.append((c * 2, c, 1000.0, "1997-06-01"))
+        up.append((c * 2 + 1, c, 1000.0 + 7.0 * c, "1999-06-01"))
+    r = REGISTRY["wilcoxon_signed_rank"].fn(
+        spark, _orders(spark, tmp_path, up)
+    ).collect()[0]
+    assert r.n_pairs == 30
+    assert r.w_plus == 30 * 31 / 2.0
+    assert r.significant is True and r.z > 1.96
+
+    sym = []
+    for c in range(1, 21):
+        delta = 5.0 if c % 2 == 0 else -5.0  # same |d| for every pair
+        sym.append((c * 2, c, 1000.0, "1997-06-01"))
+        sym.append((c * 2 + 1, c, 1000.0 + delta, "1999-06-01"))
+    r2 = REGISTRY["wilcoxon_signed_rank"].fn(
+        spark, _orders(spark, tmp_path / "sym", sym)
+    ).collect()[0]
+    assert r2.z == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cronbach_alpha_extremes(spark, tmp_path):
+    """Perfectly parallel items (every user's five type-counts are equal)
+    → α = 1 exactly: Σ item var = 5v, total var = 25v, so
+    (5/4)(1 − 5v/25v) = 1. That pins the formula's moving parts."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+    eid = 0
+    for u in range(1, 7):
+        for t in types:
+            for _ in range(u):  # user u does u of EACH type
+                eid += 1
+                rows.append((eid, "2024-01-05 10:00:00", u, t, 1.0, "{}"))
+    out = REGISTRY["cronbach_alpha"].fn(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.n_users == 6 and out.k_items == 5
+    assert out.cronbach_alpha == pytest.approx(1.0, abs=1e-6)
