@@ -315,6 +315,9 @@ HEADLINE = [
     "mcnemar_test",
     "wilcoxon_signed_rank",
     "cronbach_alpha",
+    "matching_att",
+    "granger_lead_lag",
+    "hill_tail_index",
 ]
 
 

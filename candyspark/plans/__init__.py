@@ -73,6 +73,9 @@ ROUND3_WINDOW = [
     "mcnemar_test",
     "wilcoxon_signed_rank",
     "cronbach_alpha",
+    "matching_att",
+    "granger_lead_lag",
+    "hill_tail_index",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

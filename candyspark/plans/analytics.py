@@ -2295,3 +2295,303 @@ FROM fit
 """
 
 REGISTRY["hurst_exponent"] = QuerySpec(q_hurst_exponent, HURST_EXPONENT_SQL)
+
+
+def q_granger_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag test between the daily click and purchase
+    count series, BOTH directions: does yesterday's click count improve a
+    purchase forecast beyond purchase's own lag (and vice versa)? The
+    causal-direction companion of the lead-lag cross-correlation view —
+    correlation at a lag says the series co-move; this asks whether the
+    cross term survives once the target's own memory is in the model.
+
+    Mechanics: restricted OLS z_t ~ (1, z_{t−1}) vs unrestricted
+    z_t ~ (1, z_{t−1}, c_{t−1}), both solved in closed form (2×2 directly,
+    3×3 by Cramer) from EXACT integer power sums — daily counts are
+    integers, so every Σ, Σ², Σ·cross is exact DECIMAL(38,0) with zero
+    float drift; coefficients snap at 8 dp, RSS comes from the algebraic
+    identity RSS = Σz² − b·(X'z) evaluated in one fixed operand order,
+    and F = (RSSᵣ−RSSᵤ)/(RSSᵤ/(n−3)) snaps at 6 dp. The lag-1 alignment
+    is one self-join of the tiny daily relation on t = t'+1; both
+    directions share it via a broadcast 2-row direction dimension (one
+    plan, one scan). The 'leads' flag uses F > 4.35 — conservative vs
+    the F(1, 20+) 5% critical band (4.24–4.35), so it never overclaims
+    on short calendars.
+
+    Scale: events collapse to ≤|calendar| rows in the single keyed
+    exchange; everything after is constant-size algebra."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    )
+    w_t = Window.orderBy("d")
+    ser = daily.select(F.row_number().over(w_t).alias("t"), "cx", "cy")
+    lagged = ser.alias("cur").join(
+        ser.alias("prv"), F.col("cur.t") == F.col("prv.t") + 1
+    )
+    dirs = spark.createDataFrame(
+        [("clicks_lead_purchases",), ("purchases_lead_clicks",)],
+        "direction string",
+    )
+    is_xy = F.col("direction") == "clicks_lead_purchases"
+    rows = lagged.crossJoin(F.broadcast(dirs)).select(
+        "direction",
+        F.when(is_xy, F.col("cur.cy")).otherwise(F.col("cur.cx"))
+        .cast("decimal(38,0)")
+        .alias("z"),
+        F.when(is_xy, F.col("prv.cy")).otherwise(F.col("prv.cx"))
+        .cast("decimal(38,0)")
+        .alias("o"),
+        F.when(is_xy, F.col("prv.cx")).otherwise(F.col("prv.cy"))
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    sums = rows.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum("o").alias("so"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("o") * F.col("o")).alias("soo"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("o") * F.col("c")).alias("soc"),
+        F.sum(F.col("z") * F.col("o")).alias("szo"),
+        F.sum(F.col("z") * F.col("c")).alias("szc"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    nd = F.col("n").cast("double")
+    sz, so, sc = (F.col(x).cast("double") for x in ("sz", "so", "sc"))
+    soo, scc, soc = (F.col(x).cast("double") for x in ("soo", "scc", "soc"))
+    szo, szc, szz = (F.col(x).cast("double") for x in ("szo", "szc", "szz"))
+
+    def snap8(col):
+        return F.round(col.cast("decimal(28,8)"), 8).cast("double")
+
+    # restricted: z ~ 1 + o  (2x2 normal equations)
+    a1 = snap8((nd * szo - so * sz) / (nd * soo - so * so))
+    a0 = snap8((sz - a1 * so) / nd)
+    rss_r = szz - a0 * sz - a1 * szo
+    # unrestricted: z ~ 1 + o + c  (3x3 Cramer, first-row cofactors;
+    # X'X = [[n,So,Sc],[So,Soo,Soc],[Sc,Soc,Scc]], X'z = [Sz,Szo,Szc])
+    det_u = (
+        nd * (soo * scc - soc * soc)
+        - so * (so * scc - soc * sc)
+        + sc * (so * soc - soo * sc)
+    )
+    b1 = snap8(
+        (
+            nd * (szo * scc - soc * szc)
+            - sz * (so * scc - soc * sc)
+            + sc * (so * szc - szo * sc)
+        )
+        / det_u
+    )
+    b2 = snap8(
+        (
+            nd * (soo * szc - szo * soc)
+            - so * (so * szc - szo * sc)
+            + sz * (so * soc - soo * sc)
+        )
+        / det_u
+    )
+    b0 = snap8((sz - b1 * so - b2 * sc) / nd)
+    rss_u = szz - b0 * sz - b1 * szo - b2 * szc
+    f_stat = X.snap_round((rss_r - rss_u) / (rss_u / (nd - 3.0)), 6)
+    return sums.select(
+        "direction",
+        F.col("n").alias("n_days"),
+        b2.alias("cross_lag_coef"),
+        X.snap_round(rss_r, 4).alias("rss_restricted"),
+        X.snap_round(rss_u, 4).alias("rss_unrestricted"),
+        f_stat.alias("f_stat"),
+        (f_stat > 4.35).alias("leads"),
+    ).orderBy("direction")
+
+
+_GRANGER_FIT = """
+    SELECT direction, n,
+           CAST(ROUND(CAST((sz - b1 * so - b2 * sc) / n_d AS DECIMAL(28,8)), 8)
+                AS DOUBLE) AS b0,
+           b1, b2, a0, a1, sz, szo, szc, szz
+    FROM (
+        SELECT *,
+               CAST(ROUND(CAST((sz - a1 * so) / n_d AS DECIMAL(28,8)), 8)
+                    AS DOUBLE) AS a0,
+               CAST(ROUND(CAST(
+                   (n_d * (szo * scc - soc * szc)
+                    - sz * (so * scc - soc * sc)
+                    + sc * (so * szc - szo * sc)) / det_u
+                   AS DECIMAL(28,8)), 8) AS DOUBLE) AS b1,
+               CAST(ROUND(CAST(
+                   (n_d * (soo * szc - szo * soc)
+                    - so * (so * szc - szo * sc)
+                    + sz * (so * soc - soo * sc)) / det_u
+                   AS DECIMAL(28,8)), 8) AS DOUBLE) AS b2
+        FROM (
+            SELECT *,
+                   CAST(ROUND(CAST((n_d * szo - so * sz) / (n_d * soo - so * so)
+                        AS DECIMAL(28,8)), 8) AS DOUBLE) AS a1,
+                   n_d * (soo * scc - soc * soc)
+                     - so * (so * scc - soc * sc)
+                     + sc * (so * soc - soo * sc) AS det_u
+            FROM casted
+        )
+    )
+"""
+
+GRANGER_LEAD_LAG_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cx,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cy
+    FROM events GROUP BY 1
+),
+ser AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cx, cy FROM daily
+),
+lagged AS (
+    SELECT cur.cx AS cx_t, cur.cy AS cy_t, prv.cx AS cx_l, prv.cy AS cy_l
+    FROM ser cur JOIN ser prv ON cur.t = prv.t + 1
+),
+rows_ AS (
+    SELECT direction,
+           CAST(CASE WHEN direction = 'clicks_lead_purchases' THEN cy_t
+                     ELSE cx_t END AS DECIMAL(38,0)) AS z,
+           CAST(CASE WHEN direction = 'clicks_lead_purchases' THEN cy_l
+                     ELSE cx_l END AS DECIMAL(38,0)) AS o,
+           CAST(CASE WHEN direction = 'clicks_lead_purchases' THEN cx_l
+                     ELSE cy_l END AS DECIMAL(38,0)) AS c
+    FROM lagged CROSS JOIN
+         (SELECT unnest(['clicks_lead_purchases', 'purchases_lead_clicks'])
+          AS direction)
+),
+sums AS (
+    SELECT direction,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(z) AS sz, SUM(o) AS so, SUM(c) AS sc,
+           SUM(o * o) AS soo, SUM(c * c) AS scc, SUM(o * c) AS soc,
+           SUM(z * o) AS szo, SUM(z * c) AS szc, SUM(z * z) AS szz
+    FROM rows_ GROUP BY direction
+),
+casted AS (
+    SELECT direction, n, CAST(n AS DOUBLE) AS n_d,
+           CAST(sz AS DOUBLE) AS sz, CAST(so AS DOUBLE) AS so,
+           CAST(sc AS DOUBLE) AS sc, CAST(soo AS DOUBLE) AS soo,
+           CAST(scc AS DOUBLE) AS scc, CAST(soc AS DOUBLE) AS soc,
+           CAST(szo AS DOUBLE) AS szo, CAST(szc AS DOUBLE) AS szc,
+           CAST(szz AS DOUBLE) AS szz
+    FROM sums
+),
+fit AS ({_GRANGER_FIT}),
+rss AS (
+    SELECT direction, n, b2,
+           szz - a0 * sz - a1 * szo AS rss_r,
+           szz - b0 * sz - b1 * szo - b2 * szc AS rss_u
+    FROM fit
+)
+SELECT direction,
+       n AS n_days,
+       b2 AS cross_lag_coef,
+       CAST(ROUND(CAST(rss_r AS DECIMAL(28,8)), 4) AS DOUBLE) AS rss_restricted,
+       CAST(ROUND(CAST(rss_u AS DECIMAL(28,8)), 4) AS DOUBLE) AS rss_unrestricted,
+       CAST(ROUND(CAST((rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3.0))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS f_stat,
+       CAST(ROUND(CAST((rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3.0))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) > 4.35 AS leads
+FROM rss
+ORDER BY direction
+"""
+
+REGISTRY["granger_lead_lag"] = QuerySpec(q_granger_lead_lag, GRANGER_LEAD_LAG_SQL)
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of order values — the
+    TAIL companion of the Zipf (rank-frequency) and Pareto-share views:
+    α̂ = 1 / mean(ln(x₍ᵢ₎/x₍ₖ₊₁₎)) over the k = 100 largest order totals.
+    α below ~2 means infinite variance — quantities like 'mean order
+    value' stop concentrating, and the pipeline should switch to
+    median/trimmed summaries (the robust_stats family).
+
+    Determinism: the k+1 tail values are a TakeOrdered by (price DESC,
+    orderkey) — a value-deterministic multiset; each log-ratio snaps to
+    DECIMAL(18,9) before the EXACT decimal mean, and α = 1/H snaps at
+    6 dp. The only float ops are the ln and one division, both on
+    identical inputs in both engines.
+
+    Scale: TakeOrderedAndProject keeps k+1 rows per partition and merges
+    — no global sort, no full shuffle; the estimator's cost is the scan."""
+    k = 100
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").cast("decimal(12,2)").alias("p"), "o_orderkey")
+        .orderBy(F.desc("p"), "o_orderkey")
+        .limit(k + 1)
+        # k+1 rows reused by the cutoff lookup AND the log-ratio branch:
+        # materialize once so the TakeOrdered scan of orders runs once
+        .localCheckpoint()
+    )
+    w_r = Window.orderBy(F.desc("p"), "o_orderkey")
+    ranked = top.select("p", F.row_number().over(w_r).alias("rk"))
+    xmin = ranked.filter(F.col("rk") == k + 1).select(
+        F.col("p").alias("x_k1")
+    )
+    lr = (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(xmin))
+        .select(
+            F.round(
+                F.log(F.col("p").cast("double") / F.col("x_k1").cast("double")).cast(
+                    "decimal(18,9)"
+                ),
+                9,
+            ).alias("lnr"),
+            "x_k1",
+        )
+    )
+    agg = lr.groupBy("x_k1").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("lnr").alias("s"),
+    )
+    h = F.col("s").cast("double") / F.col("k").cast("double")
+    return agg.select(
+        F.col("k"),
+        F.col("x_k1").cast("double").alias("tail_cutoff"),
+        X.snap_round(h, 6).alias("hill_h"),
+        X.snap_round(F.lit(1.0) / h, 6).alias("hill_alpha"),
+    )
+
+
+HILL_TAIL_INDEX_SQL = """
+WITH top AS (
+    SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+           ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC,
+                              o_orderkey) AS rk
+    FROM orders
+    ORDER BY p DESC, o_orderkey LIMIT 101
+),
+xmin AS (
+    SELECT p AS x_k1 FROM top WHERE rk = 101
+),
+lr AS (
+    SELECT CAST(ROUND(CAST(LN(CAST(p AS DOUBLE) / CAST(x_k1 AS DOUBLE))
+                AS DECIMAL(18,9)), 9) AS DECIMAL(18,9)) AS lnr,
+           x_k1
+    FROM top CROSS JOIN xmin WHERE rk <= 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(ANY_VALUE(x_k1) AS DOUBLE) AS tail_cutoff,
+       CAST(ROUND(CAST(CAST(SUM(lnr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS hill_h,
+       CAST(ROUND(CAST(1.0 / (CAST(SUM(lnr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS hill_alpha
+FROM lr GROUP BY x_k1
+"""
+
+REGISTRY["hill_tail_index"] = QuerySpec(q_hill_tail_index, HILL_TAIL_INDEX_SQL)

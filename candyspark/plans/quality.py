@@ -4488,3 +4488,146 @@ FROM sums
 """
 
 REGISTRY["cronbach_alpha"] = QuerySpec(q_cronbach_alpha, CRONBACH_ALPHA_SQL)
+
+
+def q_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate-matching ATT — the third member of the
+    observational-causal family beside inverse-propensity (q_ipw_ate) and
+    doubly-robust (q_aipw_ate): instead of reweighting, each TREATED unit
+    (customer with ≥1 URGENT order) is paired with the nearest CONTROL on
+    the account-balance covariate within the same nation block, and the
+    effect is the mean treated-minus-matched-control spend gap.
+
+    The nearest-neighbor search is NOT a cross join: one window pass over
+    the (nation, acctbal, custkey)-ordered per-customer relation carries
+    the last-control-before and first-control-after each treated row
+    (IGNORE NULLS frames), and the nearer of the two wins — ties on exact
+    decimal distance break toward the earlier neighbor, a rule both
+    engines state identically. Outcomes and distances stay exact decimals
+    until the single snapped division.
+
+    Scale: one keyed exchange builds the per-customer aggregate, one
+    range-ordered window per nation block matches every treated unit in
+    a single pass — the O(T·C) per-block scan a naive matcher pays never
+    materializes. With-replacement matching (a control may serve many
+    treated) is the standard Abadie-Imbens form."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("treated"),
+        )
+        .join(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_nationkey",
+                F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal", "o_custkey")
+    ctrl = F.when(F.col("treated") == 0, F.struct("bal", "spend"))
+    m = per.select(
+        "o_custkey",
+        "c_nationkey",
+        "bal",
+        "spend",
+        "treated",
+        F.last(ctrl, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev"),
+        F.first(ctrl, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("nxt"),
+    ).filter(F.col("treated") == 1)
+    dp = F.abs(F.col("bal") - F.col("prev.bal"))
+    dn = F.abs(F.col("bal") - F.col("nxt.bal"))
+    matched = m.select(
+        "o_custkey",
+        "spend",
+        F.when(F.col("nxt").isNull(), F.col("prev.spend"))
+        .when(F.col("prev").isNull(), F.col("nxt.spend"))
+        .when(dp <= dn, F.col("prev.spend"))
+        .otherwise(F.col("nxt.spend"))
+        .alias("ctrl_spend"),
+        F.when(F.col("nxt").isNull(), dp)
+        .when(F.col("prev").isNull(), dn)
+        .otherwise(F.least(dp, dn))
+        .alias("gap"),
+    ).filter(F.col("ctrl_spend").isNotNull())
+    agg = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(F.col("spend") - F.col("ctrl_spend")).alias("sdiff"),
+        F.sum("spend").alias("st"),
+        F.sum("ctrl_spend").alias("sc"),
+        F.sum("gap").alias("sgap"),
+    )
+    nd = F.col("n_matched").cast("double")
+    return agg.select(
+        "n_matched",
+        snap_round(F.col("sdiff").cast("double") / nd, 4).alias("att"),
+        snap_round(F.col("st").cast("double") / nd, 4).alias("mean_treated"),
+        snap_round(F.col("sc").cast("double") / nd, 4).alias("mean_matched_ctrl"),
+        snap_round(F.col("sgap").cast("double") / nd, 4).alias("mean_covariate_gap"),
+    )
+
+
+MATCHING_ATT_SQL = """
+WITH per AS (
+    SELECT o.o_custkey,
+           SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS spend,
+           MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS treated,
+           ANY_VALUE(c.c_nationkey) AS c_nationkey,
+           ANY_VALUE(CAST(c.c_acctbal AS DECIMAL(12,2))) AS bal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+),
+m AS (
+    SELECT o_custkey, bal, spend, treated,
+           LAST_VALUE(CASE WHEN treated = 0 THEN bal END IGNORE NULLS) OVER
+             (PARTITION BY c_nationkey ORDER BY bal, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_bal,
+           LAST_VALUE(CASE WHEN treated = 0 THEN spend END IGNORE NULLS) OVER
+             (PARTITION BY c_nationkey ORDER BY bal, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_spend,
+           FIRST_VALUE(CASE WHEN treated = 0 THEN bal END IGNORE NULLS) OVER
+             (PARTITION BY c_nationkey ORDER BY bal, o_custkey
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_bal,
+           FIRST_VALUE(CASE WHEN treated = 0 THEN spend END IGNORE NULLS) OVER
+             (PARTITION BY c_nationkey ORDER BY bal, o_custkey
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_spend
+    FROM per
+),
+matched AS (
+    SELECT o_custkey, spend,
+           CASE WHEN nxt_bal IS NULL THEN prev_spend
+                WHEN prev_bal IS NULL THEN nxt_spend
+                WHEN ABS(bal - prev_bal) <= ABS(bal - nxt_bal) THEN prev_spend
+                ELSE nxt_spend END AS ctrl_spend,
+           CASE WHEN nxt_bal IS NULL THEN ABS(bal - prev_bal)
+                WHEN prev_bal IS NULL THEN ABS(bal - nxt_bal)
+                ELSE LEAST(ABS(bal - prev_bal), ABS(bal - nxt_bal)) END AS gap
+    FROM m WHERE treated = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(ROUND(CAST(CAST(SUM(spend - ctrl_spend) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS att,
+       CAST(ROUND(CAST(CAST(SUM(spend) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS mean_treated,
+       CAST(ROUND(CAST(CAST(SUM(ctrl_spend) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS mean_matched_ctrl,
+       CAST(ROUND(CAST(CAST(SUM(gap) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS mean_covariate_gap
+FROM matched WHERE ctrl_spend IS NOT NULL
+"""
+
+REGISTRY["matching_att"] = QuerySpec(q_matching_att, MATCHING_ATT_SQL)

@@ -888,3 +888,99 @@ def test_cronbach_alpha_extremes(spark, tmp_path):
     ).collect()[0]
     assert out.n_users == 6 and out.k_items == 5
     assert out.cronbach_alpha == pytest.approx(1.0, abs=1e-6)
+
+
+def _orders_pri(spark, tmp_path, rows):
+    """orders fixture with priority:
+    (o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority)."""
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_matching_att_hand_pairs(spark, tmp_path):
+    """Hand-checkable matches: nation 1's two treated pick the nearer
+    control (|100−105| < |100−90|; |200−105| for the far one); nation 2
+    plants an exact distance tie, which must break toward the EARLIER
+    neighbor (the prev-on-tie rule). ATT = mean of the three hand diffs."""
+    cust = spark.createDataFrame(
+        [
+            (1, 1, 100.0),  # treated
+            (2, 1, 90.0),   # control, spend 200
+            (3, 1, 105.0),  # control, spend 300
+            (4, 1, 200.0),  # treated
+            (5, 2, 100.0),  # treated, tie case
+            (6, 2, 95.0),   # control, spend 50  (prev)
+            (7, 2, 105.0),  # control, spend 950 (next, same distance)
+        ],
+        "c_custkey long, c_nationkey long, c_acctbal double",
+    )
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        (10, 1, 500.0, "1997-01-01", "1-URGENT"),
+        (11, 2, 200.0, "1997-01-02", "3-MEDIUM"),
+        (12, 3, 300.0, "1997-01-03", "3-MEDIUM"),
+        (13, 4, 1000.0, "1997-01-04", "1-URGENT"),
+        (14, 5, 400.0, "1997-01-05", "1-URGENT"),
+        (15, 6, 50.0, "1997-01-06", "3-MEDIUM"),
+        (16, 7, 950.0, "1997-01-07", "3-MEDIUM"),
+    ]
+    _orders_pri(spark, tmp_path, orders)
+    out = REGISTRY["matching_att"].fn(spark, str(tmp_path)).collect()[0]
+    # diffs: T1: 500-300=200 (C3 nearer), T4: 1000-300=700 (C3 nearer),
+    # T5: 400-50=350 (tie -> prev C6)
+    assert out.n_matched == 3
+    assert out.att == pytest.approx((200.0 + 700.0 + 350.0) / 3.0, abs=1e-4)
+    assert out.mean_covariate_gap == pytest.approx((5.0 + 95.0 + 5.0) / 3.0, abs=1e-4)
+
+
+def test_granger_recovers_planted_lead(spark, tmp_path):
+    """Purchases are yesterday's clicks plus a ±1 wiggle → the click→
+    purchase direction must clear the F gate and dominate the reverse."""
+    digits = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4,
+              6, 2, 6, 4, 3, 3, 8, 3, 2, 7, 9, 5, 2, 8, 8, 4, 1, 9, 7, 1]
+    rows, eid = [], 0
+    for t, x in enumerate(digits):
+        day = f"2024-{1 + t // 28:02d}-{1 + t % 28:02d}"
+        for _ in range(x):  # x_t clicks
+            eid += 1
+            rows.append((eid, f"{day} 10:00:00", 1, "click", 1.0, "{}"))
+        y = (digits[t - 1] if t > 0 else 2) + (t % 2)  # y_t = x_{t-1} + wiggle
+        for _ in range(y):
+            eid += 1
+            rows.append((eid, f"{day} 11:00:00", 1, "purchase", 1.0, "{}"))
+    out = {
+        r.direction: r
+        for r in REGISTRY["granger_lead_lag"].fn(
+            spark, _events(spark, tmp_path, rows)
+        ).collect()
+    }
+    fwd = out["clicks_lead_purchases"]
+    rev = out["purchases_lead_clicks"]
+    assert fwd.leads is True and fwd.f_stat > 4.35
+    assert fwd.f_stat > rev.f_stat
+    assert fwd.rss_unrestricted < fwd.rss_restricted
+
+
+def test_hill_recovers_planted_pareto(spark, tmp_path):
+    """An exact Pareto(α=1.5) order-statistic plant: p_i = C·(N/i)^(1/1.5)
+    → α̂ = 1.5·k / Σ_{i≤k} ln((k+1)/i), computable by hand."""
+    import math as m
+
+    n = 200
+    rows = [
+        (i, 1, 1000.0 * (n / i) ** (1.0 / 1.5),
+         f"1997-{1 + i % 12:02d}-{1 + i % 28:02d}")
+        for i in range(1, n + 1)
+    ]
+    out = REGISTRY["hill_tail_index"].fn(
+        spark, _orders(spark, tmp_path, rows)
+    ).collect()[0]
+    expected_h = sum(m.log(101.0 / i) for i in range(1, 101)) / 100.0 / 1.5
+    assert out.k == 100
+    assert out.hill_h == pytest.approx(expected_h, abs=1e-3)
+    assert out.hill_alpha == pytest.approx(1.0 / expected_h, rel=1e-3)
