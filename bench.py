@@ -318,6 +318,8 @@ HEADLINE = [
     "matching_att",
     "granger_lead_lag",
     "hill_tail_index",
+    "binary_quantization_recall",
+    "personalized_pagerank",
 ]
 
 
@@ -351,6 +353,7 @@ STREAMING = [
     "streaming_quality_gate",
     "streaming_topk_users",
     "streaming_daily_bars",
+    "streaming_chained_windows",
 ]
 
 

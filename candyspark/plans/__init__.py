@@ -76,6 +76,9 @@ ROUND3_WINDOW = [
     "matching_att",
     "granger_lead_lag",
     "hill_tail_index",
+    "binary_quantization_recall",
+    "personalized_pagerank",
+    "streaming_chained_windows",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

@@ -4484,3 +4484,279 @@ ORDER BY day, event_type
 REGISTRY["streaming_daily_bars"] = QuerySpec(
     q_streaming_daily_bars, STREAMING_DAILY_BARS_SQL
 )
+
+
+def q_binary_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization with Hamming shortlist +
+    exact rerank — the 32×-compression retrieval pattern (64 floats →
+    two int64 words): rank by Hamming distance on the packed sign bits,
+    keep a 50-candidate shortlist, rerank it with full-precision cosine,
+    and measure recall@10 of BOTH stages against the exact top-10. The
+    eval completes the quantization family (int8 scalar quantization,
+    Matryoshka prefix truncation) with the cheapest index of all — XOR +
+    popcount, SIMD-trivial at serving time.
+
+    Determinism: bit packing is a sign comparison (exact on any float);
+    Hamming is integer; the rerank cosine is the shared sequential-fold
+    6-dp snap; every ranking tiebreaks (key, neighbor_id). Scale: the
+    packed corpus is computed IN the scan stage (two int64s per row —
+    this is the point: the shortlist pass never touches the float
+    vectors); queries broadcast; the rerank join feeds from the same
+    checkpointed pair relation the truth ranking uses, so the corpus
+    scans once."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pack(vec, lo: int) -> F.Column:
+        bits = F.transform(
+            F.slice(vec, lo + 1, 32),
+            # 2^i is exact in double up to 2^53, so the pow-cast is the
+            # same int64 both engines' shifts produce (i <= 31 here)
+            lambda x, i: F.when(
+                x > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        pack(F.col("embedding"), 0).alias("q_lo"),
+        pack(F.col("embedding"), 32).alias("q_hi"),
+    )
+    c = fan_out(e.filter(F.col("vec_id") >= 50)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        pack(F.col("embedding"), 0).alias("c_lo"),
+        pack(F.col("embedding"), 32).alias("c_hi"),
+    )
+    from candyspark.operators.similarity import cosine
+
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+            ).alias("hamming"),
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+        .localCheckpoint()  # feeds truth, hamming-top10, and shortlist
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    truth = (
+        pairs.withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    ham10 = (
+        pairs.withColumn("r", F.row_number().over(w_ham))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        pairs.withColumn("r", F.row_number().over(w_ham))
+        .filter(F.col("r") <= 50)
+        .withColumn("r2", F.row_number().over(w_cos))
+        .filter(F.col("r2") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    n_q = truth.select("query_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    h_hits = ham10.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("hits_hamming")
+    )
+    r_hits = rerank.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("hits_reranked")
+    )
+    out = n_q.crossJoin(h_hits).crossJoin(r_hits)
+    denom = F.col("n_queries").cast("double") * 10.0
+    return out.select(
+        "n_queries",
+        "hits_hamming",
+        "hits_reranked",
+        X.snap_round(F.col("hits_hamming").cast("double") / denom, 6).alias(
+            "recall_hamming_at_10"
+        ),
+        X.snap_round(F.col("hits_reranked").cast("double") / denom, 6).alias(
+            "recall_reranked_at_10"
+        ),
+    )
+
+
+def _bq_pack(vec: str, lo: int) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 33), i -> CASE WHEN "
+        f"{vec}[i + {lo}] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), "
+        "(a, b) -> a + b)"
+    )
+
+
+BINARY_QUANTIZATION_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id AS query_id, v AS q_vec,
+           {_bq_pack("v", 0)} AS q_lo, {_bq_pack("v", 32)} AS q_hi
+    FROM e WHERE vec_id < 50
+),
+c AS (
+    SELECT vec_id AS neighbor_id, v AS c_vec,
+           {_bq_pack("v", 0)} AS c_lo, {_bq_pack("v", 32)} AS c_hi
+    FROM e WHERE vec_id >= 50
+),
+pairs AS (
+    SELECT query_id, neighbor_id,
+           bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi)) AS hamming,
+           {_COS_SQL} AS sim
+    FROM c CROSS JOIN q
+),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+        FROM pairs
+    ) WHERE r <= 10
+),
+ham10 AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r
+        FROM pairs
+    ) WHERE r <= 10
+),
+rerank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r2
+        FROM (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r
+                FROM pairs
+            ) WHERE r <= 50
+        )
+    ) WHERE r2 <= 10
+),
+nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM truth),
+hh AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS hits_hamming
+    FROM ham10 JOIN truth USING (query_id, neighbor_id)
+),
+rh AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS hits_reranked
+    FROM rerank JOIN truth USING (query_id, neighbor_id)
+)
+SELECT n_queries, hits_hamming, hits_reranked,
+       CAST(ROUND(CAST(CAST(hits_hamming AS DOUBLE)
+            / (CAST(n_queries AS DOUBLE) * 10.0) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS recall_hamming_at_10,
+       CAST(ROUND(CAST(CAST(hits_reranked AS DOUBLE)
+            / (CAST(n_queries AS DOUBLE) * 10.0) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS recall_reranked_at_10
+FROM nq CROSS JOIN hh CROSS JOIN rh
+"""
+
+REGISTRY["binary_quantization_recall"] = QuerySpec(
+    q_binary_quantization_recall, BINARY_QUANTIZATION_RECALL_SQL
+)
+
+
+def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregations (Spark 3.4+ multiple stateful
+    operators): a 6-hour tumbling count per event type feeds a SECOND
+    stateful aggregation — per day×type, how many 6-hour buckets landed
+    and the busiest bucket's count (the burst monitor: daily peak of the
+    intra-day rate). Before 3.4 this took two jobs with an intermediate
+    sink; here it is one streaming query with two state stores.
+
+    Chaining REQUIRES append mode (a second stateful stage cannot consume
+    complete-mode retractions), and append emits a window only once the
+    watermark passes its end — so the landing adds one far-future SENTINEL
+    row whose watermark flushes every real window through both stages in
+    the final no-data batch, and the sentinel's own windows are filtered
+    from the result. The batch oracle never sees the sentinel (it reads
+    the real events table), which proves the flush trick is semantically
+    invisible. The inner day bucketing uses window_time() — the closed
+    window's event-time representative — the documented idiom for
+    window-over-window.
+
+    Scale: state is bounded by live (6h-bucket × type) + (day × type)
+    windows inside the watermark horizon; both stages emit-and-evict as
+    the watermark advances — the unbounded-stream contract."""
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_available_now_append,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sentinel_ts = events.agg(
+        F.date_add(F.max(F.to_date("ts")), 30).cast("timestamp").alias("t")
+    )
+    sentinel = sentinel_ts.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("t").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    src = _land_once(spark, events.unionByName(sentinel))
+    name = f"stream_chained_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    stream = read_events_stream(spark, src)
+    hourly = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n_events").alias("max_bucket_events"),
+        )
+    )
+    run_available_now_append(daily, ckpt, query_name=name)
+    out = spark.table(name)
+    real_max = events.agg(F.max(F.to_date("ts")).alias("mx"))
+    return (
+        out.select(
+            F.to_date(F.col("d.start")).alias("day"),
+            "event_type",
+            "n_buckets",
+            "max_bucket_events",
+        )
+        .join(F.broadcast(real_max), F.col("day") <= F.col("mx"), "left_semi")
+        .orderBy("day", "event_type")
+    )
+
+
+STREAMING_CHAINED_WINDOWS_SQL = """
+WITH hourly AS (
+    SELECT to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
+               AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(to_timestamp(FLOOR(epoch(bucket) / 86400) * 86400) AS DATE) AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       MAX(n_events) AS max_bucket_events
+FROM hourly
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+REGISTRY["streaming_chained_windows"] = QuerySpec(
+    q_streaming_chained_windows, STREAMING_CHAINED_WINDOWS_SQL
+)

@@ -1173,3 +1173,150 @@ ORDER BY hop
 BFS_HOP_HISTOGRAM_SQL = _bfs_hop_histogram_sql()
 
 REGISTRY["bfs_hop_histogram"] = QuerySpec(q_bfs_hop_histogram, BFS_HOP_HISTOGRAM_SQL)
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the co-purchase graph: the teleport
+    vector concentrates on a seed set (the 10 lowest part ids in the
+    graph — the deterministic stand-in for "the promoted collection"), so
+    rank measures proximity to the seeds, not global centrality — the
+    recommendation/related-items form of PageRank (global PR answers
+    "what is central"; PPR answers "what is central NEAR these"). 8
+    rounds, top 50 by (rank desc, part).
+
+    Numerics: the ENTIRE iteration is int64 — ranks live at scale 10¹²,
+    per-edge contributions at scale 10¹⁴ via half-up integer division
+    ((2a+b) DIV 2b), and the damping update is 85·mass at scale-shift
+    10⁴, again half-up. Zero floats inside the loop means zero cross-
+    engine tie hazard: the global pagerank's DECIMAL(24,14) double-cast
+    snap was measured to flip the 12th digit on 2/50 nodes at sf0.01
+    when the teleport term is sparse (ties sit ON the cast boundary);
+    integer state makes the 8-round unrolled DuckDB oracle bit-exact BY
+    CONSTRUCTION, not empirically. The one float op is the final
+    rank = r12/10¹² display conversion.
+
+    Scale: identical loop shape to operators/pagerank.py — ONE keyed
+    shuffle per round over (node, r12), degree pre-joined outside the
+    loop, per-round eager localCheckpoint truncating lineage; int64
+    headroom is ample (contribution sums ≤ 10¹⁴, damping product
+    ≤ 1.7·10¹⁶)."""
+    from candyspark.operators.components import symmetrize
+
+    edges = symmetrize(_copurchase_edges(spark, sf_dir), "u", "v")
+    e = edges.select(F.col("a").alias("s"), F.col("b").alias("t"))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
+    ew = e.join(deg, "s").localCheckpoint(eager=True)
+    nodes = e.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seeds = nodes.orderBy("node").limit(10).localCheckpoint(eager=True)
+    ns = seeds.count()
+    if ns == 0:
+        return spark.createDataFrame([], "part bigint, rank double")
+    scale = 10**12
+    init12 = (2 * scale + ns) // (2 * ns)  # round(1/ns at 12dp), half-up
+    base12 = (2 * 15 * 10**10 + ns) // (2 * ns)  # round(0.15/ns at 12dp)
+    nodes_p = (
+        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes_p.select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(init12))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r12"),
+    )
+    for _ in range(8):
+        contribs = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node"),
+                F.expr("(r12 * 200 + out_deg) div (2 * out_deg)").alias("c14"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c14").alias("m14"))
+        )
+        ranks = (
+            nodes_p.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base12)).otherwise(F.lit(0))
+                    + F.expr(
+                        "(85 * coalesce(m14, 0L) * 2 + 10000) div 20000"
+                    )
+                ).cast("long").alias("r12"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("part"),
+            (F.col("r12").cast("double") / F.lit(float(scale))).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "part")
+        .limit(50)
+    )
+
+
+def _personalized_pagerank_sql(iterations: int = 8) -> str:
+    """Unrolled integer-state PPR oracle: ranks at scale 10^12, half-up
+    integer division mirrored as (2a+b)//(2b) — every round's state is
+    int64, so the chain is bit-exact with the Spark loop by construction."""
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+        """und AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v AS a, u AS b FROM e0)""",
+        """deg AS (SELECT a AS s, CAST(COUNT(*) AS BIGINT) AS out_deg FROM und GROUP BY a)""",
+        """nodes AS (SELECT DISTINCT a AS node FROM und)""",
+        """seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 10)""",
+        """ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM seeds)""",
+        """np AS MATERIALIZED (
+    SELECT nodes.node,
+           CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+           (2 * 1000000000000 + ns.m) // (2 * ns.m) AS init12,
+           (2 * 150000000000 + ns.m) // (2 * ns.m) AS base12
+    FROM nodes CROSS JOIN ns LEFT JOIN seeds s ON s.node = nodes.node
+)""",
+        """r0 AS (SELECT node, CASE WHEN is_seed = 1 THEN init12 ELSE 0 END AS r12 FROM np)""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+    SELECT und.b AS node,
+           SUM((rr.r12 * 200 + d.out_deg) // (2 * d.out_deg)) AS m14
+    FROM und
+    JOIN r{r - 1} rr ON und.a = rr.node
+    JOIN deg d ON d.s = und.a
+    GROUP BY und.b
+)"""
+        )
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+    SELECT np.node,
+           CAST(CASE WHEN np.is_seed = 1 THEN np.base12 ELSE 0 END
+                + (85 * COALESCE(m.m14, 0) * 2 + 10000) // 20000 AS BIGINT)
+               AS r12
+    FROM np LEFT JOIN m{r} m ON m.node = np.node
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT node AS part, CAST(r12 AS DOUBLE) / 1000000000000.0 AS rank
+FROM r{iterations}
+ORDER BY rank DESC, part
+LIMIT 50
+"""
+
+
+PERSONALIZED_PAGERANK_SQL = _personalized_pagerank_sql()
+
+REGISTRY["personalized_pagerank"] = QuerySpec(
+    q_personalized_pagerank, PERSONALIZED_PAGERANK_SQL
+)

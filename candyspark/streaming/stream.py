@@ -313,3 +313,23 @@ def streaming_cms_cells(
     from candyspark.operators.sketch import cms_cells
 
     return cms_cells(events.select("user_id"), "user_id", d_rows, width)
+
+
+def run_available_now_append(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "events_agg"
+) -> None:
+    """Append-mode drain: required for MULTIPLE stateful operators in one
+    query (chained windowed aggregations) — complete mode cannot host a
+    second stateful stage. Append emits a window only once the watermark
+    passes its end, so callers that want every real window flushed land a
+    far-future sentinel row and filter its windows from the result (the
+    final no-data batch then finds watermark > every real window end)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -984,3 +984,92 @@ def test_hill_recovers_planted_pareto(spark, tmp_path):
     assert out.k == 100
     assert out.hill_h == pytest.approx(expected_h, abs=1e-3)
     assert out.hill_alpha == pytest.approx(1.0 / expected_h, rel=1e-3)
+
+
+def test_binary_quantization_perfect_when_signs_rank(spark, tmp_path):
+    """Plant where sign bits carry the full ranking: query = all-ones,
+    candidate k flips its first k coords to −1 → cosine = (64−2k)/64
+    strictly decreasing while Hamming = k strictly increasing — the two
+    orders coincide, so BOTH stages must hit recall 1.0 exactly."""
+    rows = [(0, [1.0] * 64, 0)]
+    for k in range(15):
+        rows.append((50 + k, [-1.0] * k + [1.0] * (64 - k), 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = REGISTRY["binary_quantization_recall"].fn(spark, str(tmp_path)).collect()[0]
+    assert out.n_queries == 1
+    assert out.recall_hamming_at_10 == 1.0
+    assert out.recall_reranked_at_10 == 1.0
+
+
+def test_binary_quantization_rerank_never_hurts(spark):
+    """Structural guarantee: the exact-cosine rerank of the Hamming-50
+    shortlist contains every truth item the Hamming-10 head contains, so
+    reranked recall ≥ raw Hamming recall — assert it on the real corpus."""
+    out = REGISTRY["binary_quantization_recall"].fn(
+        spark, SF1
+    ).collect()[0]
+    assert out.recall_reranked_at_10 >= out.recall_hamming_at_10
+    assert 0.0 < out.recall_reranked_at_10 <= 1.0
+
+
+def _lineitem_pairs(spark, tmp_path, order_parts):
+    """lineitem fixture holding only the co-purchase columns:
+    order_parts = list of (orderkey, [partkeys])."""
+    rows = []
+    ln = 0
+    for ok, parts in order_parts:
+        for p in parts:
+            ln += 1
+            rows.append((ok, p))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark, tmp_path):
+    """Two components; the 10 seeds (lowest ids) all sit in component A
+    (parts 1..12) → component B (101, 102) gets NO teleport and NO inflow,
+    so its integer rank is exactly 0; component A's ranks are positive and
+    (by symmetry of the chain ends) the seed region dominates."""
+    orders = []
+    ok = 0
+    for rep in range(2):  # every edge needs >= 2 shared orders
+        for i in range(1, 12):  # chain 1-2-...-12
+            ok += 1
+            orders.append((ok + rep * 1000, [i, i + 1]))
+        ok += 1
+        orders.append((ok + rep * 1000, [101, 102]))
+    out = REGISTRY["personalized_pagerank"].fn(
+        spark, _lineitem_pairs(spark, tmp_path, orders)
+    ).collect()
+    ranks = {r.part: r.rank for r in out}
+    assert ranks[101] == 0.0 and ranks[102] == 0.0
+    in_a = [ranks[p] for p in range(1, 13)]
+    assert all(r > 0.0 for r in in_a)
+    # total mass conserved up to integer rounding (dangling-free graph)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_streaming_chained_windows_hand_counts(spark, tmp_path):
+    """Two days, hand-placed 6-hour buckets: day 1 has clicks in two
+    buckets (3 then 5) → (n_buckets=2, max=5); day 2 has one bucket of 7.
+    The far-future flush sentinel must never surface in the output."""
+    rows, eid = [], 0
+    for _ in range(3):
+        eid += 1
+        rows.append((eid, "2024-01-01 01:00:00", 1, "click", 1.0, "{}"))
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, "2024-01-01 13:00:00", 1, "click", 1.0, "{}"))
+    for _ in range(7):
+        eid += 1
+        rows.append((eid, "2024-01-02 05:00:00", 1, "click", 1.0, "{}"))
+    out = REGISTRY["streaming_chained_windows"].fn(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()
+    got = {(str(r.day), r.event_type): (r.n_buckets, r.max_bucket_events) for r in out}
+    assert got == {
+        ("2024-01-01", "click"): (2, 5),
+        ("2024-01-02", "click"): (1, 7),
+    }
