@@ -320,6 +320,7 @@ HEADLINE = [
     "hill_tail_index",
     "binary_quantization_recall",
     "personalized_pagerank",
+    "fisher_exact_test",
 ]
 
 

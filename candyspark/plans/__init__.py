@@ -79,6 +79,7 @@ ROUND3_WINDOW = [
     "binary_quantization_recall",
     "personalized_pagerank",
     "streaming_chained_windows",
+    "fisher_exact_test",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

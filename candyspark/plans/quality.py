@@ -4631,3 +4631,220 @@ FROM matched WHERE ctrl_spend IS NOT NULL
 """
 
 REGISTRY["matching_att"] = QuerySpec(q_matching_att, MATCHING_ATT_SQL)
+
+
+def q_fisher_exact_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test on the urgent × high-value 2×2 (is an URGENT
+    order more likely to be a >$300k order?) — the exact-inference member
+    of the association family: χ²/G-test are asymptotic and break on
+    sparse cells; Fisher sums the hypergeometric tail itself, two-sided
+    by the standard "all tables at most as probable as the observed one"
+    rule.
+
+    The classically-driver-side factorials become RELATIONAL: a
+    log-factorial LADDER lf(i) = Σ_{j≤i} ln j is one cumulative window
+    over range(0, n], with each ln snapped to DECIMAL(18,8) so the ladder
+    — and therefore every table log-probability lp(k) = Σ ±9 ladder
+    lookups — is EXACT decimal algebra, bit-identical across engines (no
+    float sum ever happens; the two-sided selection lp(k) ≤ lp(obs) is
+    an exact-decimal comparison, no epsilon needed). The tail sum shifts
+    by the selected max M (terms exp(lp−M) ∈ (0,1] snap at 12 dp —
+    sub-1e-12 tables vanish identically in both engines), so
+    ln p = M + ln Σ is stable even when p underflows a double.
+    Accuracy: the 8-dp ladder snap bounds |lp error| ≤ 9n·5e-9 — ~1e-3
+    in log space at the bench SFs, irrelevant to the 0.05 gate and
+    IDENTICAL in both engines by construction.
+
+    Scale contract: the ladder is O(n) rows for n observations — this is
+    the small-to-moderate-count EXACT test (its statistical niche); at
+    counts where the ladder is big, the χ² family is the right tool and
+    this plan's single range-window is the only part that grows. The
+    four cell counts are one conditional aggregate (bounded 1-row
+    collect, the set-cover precedent); everything else is ≤|support|
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "r1"
+        ),
+        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias("c1"),
+        F.sum(
+            F.when(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > 300000),
+                1,
+            ).otherwise(0)
+        ).alias("a"),
+    ).collect()[0]
+    n, r1, c1, a_obs = int(cells.n), int(cells.r1), int(cells.c1), int(cells.a)
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    ladder = (
+        spark.range(0, n + 1)
+        .select(
+            F.col("id").alias("i"),
+            F.when(F.col("id") == 0, F.lit(0).cast("decimal(18,8)"))
+            .otherwise(F.round(F.log(F.col("id").cast("double")).cast("decimal(18,8)"), 8))
+            .alias("ln_i"),
+        )
+        .select(
+            "i",
+            F.sum("ln_i")
+            .over(
+                Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("decimal(28,8)")
+            .alias("lf"),
+        )
+        .localCheckpoint()  # 5 lookup joins reuse it; the range scans once
+    )
+    consts = ladder.agg(
+        *[
+            F.max(F.when(F.col("i") == v, F.col("lf"))).alias(nm)
+            for nm, v in [
+                ("lf_r1", r1),
+                ("lf_nr1", n - r1),
+                ("lf_c1", c1),
+                ("lf_nc1", n - c1),
+                ("lf_n", n),
+            ]
+        ]
+    )
+    ks = spark.range(lo, hi + 1).select(F.col("id").alias("k"))
+
+    def look(expr, nm):
+        return ladder.select(F.col("i").alias(f"i_{nm}"), F.col("lf").alias(nm))
+
+    lp = (
+        ks.join(look(None, "lf_k"), F.col("k") == F.col("i_lf_k"))
+        .join(look(None, "lf_r1k"), F.lit(r1) - F.col("k") == F.col("i_lf_r1k"))
+        .join(look(None, "lf_c1k"), F.lit(c1) - F.col("k") == F.col("i_lf_c1k"))
+        .join(
+            look(None, "lf_rest"),
+            F.lit(n - r1 - c1) + F.col("k") == F.col("i_lf_rest"),
+        )
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "k",
+            (
+                F.col("lf_r1")
+                + F.col("lf_nr1")
+                + F.col("lf_c1")
+                + F.col("lf_nc1")
+                - F.col("lf_n")
+                - F.col("lf_k")
+                - F.col("lf_r1k")
+                - F.col("lf_c1k")
+                - F.col("lf_rest")
+            ).cast("decimal(28,8)").alias("lp"),
+        )
+        .localCheckpoint()  # reused: observed row, selection, max-shift
+    )
+    lp_obs = lp.filter(F.col("k") == a_obs).select(F.col("lp").alias("lp_obs"))
+    sel = lp.crossJoin(F.broadcast(lp_obs)).filter(F.col("lp") <= F.col("lp_obs"))
+    m_row = sel.agg(F.max("lp").alias("m"), F.count(F.lit(1)).alias("support"))
+    summed = (
+        sel.crossJoin(F.broadcast(m_row))
+        .select(
+            "m",
+            "support",
+            F.round(
+                F.exp((F.col("lp") - F.col("m")).cast("double")).cast(
+                    "decimal(14,12)"
+                ),
+                12,
+            ).alias("term"),
+        )
+        .groupBy("m", "support")
+        .agg(F.sum("term").alias("s"))
+    )
+    lnp = F.col("m").cast("double") + F.round(
+        F.log(F.col("s").cast("double")).cast("decimal(18,9)"), 9
+    ).cast("double")
+    return summed.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(r1).cast("long").alias("n_urgent"),
+        F.lit(c1).cast("long").alias("n_highvalue"),
+        F.lit(a_obs).cast("long").alias("a_obs"),
+        F.col("support").cast("long").alias("tables_in_tail"),
+        snap_round(lnp, 6).alias("ln_p"),
+        snap_round(F.exp(lnp), 6).alias("p_value"),
+        (lnp < -2.995732273553991).alias("significant"),  # ln 0.05
+    )
+
+
+FISHER_EXACT_TEST_SQL = """
+WITH cells AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                          AND o_totalprice > 300000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a
+    FROM orders
+),
+ladder AS (
+    SELECT i,
+           CAST(SUM(CASE WHEN i = 0 THEN CAST(0 AS DECIMAL(18,8))
+                         ELSE ROUND(CAST(LN(CAST(i AS DOUBLE)) AS DECIMAL(18,8)), 8)
+                    END)
+               OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,8)) AS lf
+    FROM range(0, 1000001) t(i)
+    WHERE i <= (SELECT n FROM cells)
+),
+consts AS (
+    SELECT MAX(CASE WHEN i = (SELECT r1 FROM cells) THEN lf END) AS lf_r1,
+           MAX(CASE WHEN i = (SELECT n - r1 FROM cells) THEN lf END) AS lf_nr1,
+           MAX(CASE WHEN i = (SELECT c1 FROM cells) THEN lf END) AS lf_c1,
+           MAX(CASE WHEN i = (SELECT n - c1 FROM cells) THEN lf END) AS lf_nc1,
+           MAX(CASE WHEN i = (SELECT n FROM cells) THEN lf END) AS lf_n
+    FROM ladder
+),
+ks AS (
+    SELECT i AS k FROM range(0, 1000001) t(i)
+    WHERE i >= (SELECT GREATEST(0, r1 + c1 - n) FROM cells)
+      AND i <= (SELECT LEAST(r1, c1) FROM cells)
+),
+lp AS (
+    SELECT k,
+           CAST(consts.lf_r1 + consts.lf_nr1 + consts.lf_c1 + consts.lf_nc1
+                - consts.lf_n
+                - k_l.lf - r1k.lf - c1k.lf - rest.lf AS DECIMAL(28,8)) AS lp
+    FROM ks
+    CROSS JOIN consts
+    JOIN ladder k_l ON k_l.i = ks.k
+    JOIN ladder r1k ON r1k.i = (SELECT r1 FROM cells) - ks.k
+    JOIN ladder c1k ON c1k.i = (SELECT c1 FROM cells) - ks.k
+    JOIN ladder rest ON rest.i = (SELECT n - r1 - c1 FROM cells) + ks.k
+),
+obs AS (SELECT lp AS lp_obs FROM lp WHERE k = (SELECT a FROM cells)),
+sel AS (SELECT lp.* FROM lp CROSS JOIN obs WHERE lp <= lp_obs),
+m_row AS (SELECT MAX(lp) AS m, CAST(COUNT(*) AS BIGINT) AS support FROM sel),
+summed AS (
+    SELECT m, support,
+           SUM(ROUND(CAST(EXP(CAST(lp - m AS DOUBLE)) AS DECIMAL(14,12)), 12)) AS s
+    FROM sel CROSS JOIN m_row
+    GROUP BY m, support
+)
+SELECT (SELECT n FROM cells) AS n,
+       (SELECT r1 FROM cells) AS n_urgent,
+       (SELECT c1 FROM cells) AS n_highvalue,
+       (SELECT a FROM cells) AS a_obs,
+       support AS tables_in_tail,
+       CAST(ROUND(CAST(
+           CAST(m AS DOUBLE)
+           + CAST(ROUND(CAST(LN(CAST(s AS DOUBLE)) AS DECIMAL(18,9)), 9) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS ln_p,
+       CAST(ROUND(CAST(EXP(
+           CAST(m AS DOUBLE)
+           + CAST(ROUND(CAST(LN(CAST(s AS DOUBLE)) AS DECIMAL(18,9)), 9) AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value,
+       (CAST(m AS DOUBLE)
+        + CAST(ROUND(CAST(LN(CAST(s AS DOUBLE)) AS DECIMAL(18,9)), 9) AS DOUBLE))
+           < -2.995732273553991 AS significant
+FROM summed
+"""
+
+REGISTRY["fisher_exact_test"] = QuerySpec(q_fisher_exact_test, FISHER_EXACT_TEST_SQL)

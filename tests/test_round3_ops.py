@@ -1073,3 +1073,36 @@ def test_streaming_chained_windows_hand_counts(spark, tmp_path):
         ("2024-01-01", "click"): (2, 5),
         ("2024-01-02", "click"): (1, 7),
     }
+
+
+def test_fisher_exact_matches_comb_math(spark, tmp_path):
+    """Hand 2×2 (a=8, b=2, c=1, d=9): the engine's ladder-based two-sided
+    p must match the exact math.comb hypergeometric computation — the
+    from-first-principles pin on the whole log-factorial machinery."""
+    from fractions import Fraction
+    from math import comb
+
+    rows = []
+    ok = 0
+    def add(k, urgent, high):
+        nonlocal ok
+        for _ in range(k):
+            ok += 1
+            rows.append(
+                (ok, ok, 400000.0 if high else 100000.0,
+                 "1997-01-01", "1-URGENT" if urgent else "3-MEDIUM")
+            )
+    add(8, True, True)    # a
+    add(2, True, False)   # b
+    add(1, False, True)   # c
+    add(9, False, False)  # d
+    out = REGISTRY["fisher_exact_test"].fn(
+        spark, _orders_pri(spark, tmp_path, rows)
+    ).collect()[0]
+    assert (out.n, out.n_urgent, out.n_highvalue, out.a_obs) == (20, 10, 9, 8)
+    n, r1, c1 = 20, 10, 9
+    denom = comb(n, c1)
+    p = [Fraction(comb(r1, k) * comb(n - r1, c1 - k), denom) for k in range(0, 10)]
+    p_two = float(sum(pk for pk in p if pk <= p[8]))
+    assert out.p_value == pytest.approx(p_two, rel=1e-4)
+    assert out.significant == (p_two < 0.05)
