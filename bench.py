@@ -321,6 +321,8 @@ HEADLINE = [
     "binary_quantization_recall",
     "personalized_pagerank",
     "fisher_exact_test",
+    "brier_decomposition",
+    "randomization_inference",
 ]
 
 

@@ -80,6 +80,8 @@ ROUND3_WINDOW = [
     "personalized_pagerank",
     "streaming_chained_windows",
     "fisher_exact_test",
+    "brier_decomposition",
+    "randomization_inference",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

@@ -4848,3 +4848,352 @@ FROM summed
 """
 
 REGISTRY["fisher_exact_test"] = QuerySpec(q_fisher_exact_test, FISHER_EXACT_TEST_SQL)
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — the diagnostic BEHIND the
+    calibration/reliability table: train a binned purchase-propensity
+    model on the first calendar half (per user-day activity bin → rate of
+    purchase days), score the second half, and split the Brier score into
+    REL − RES + UNC (miscalibration − discrimination + irreducible base
+    uncertainty). The identity column `check` = rel − res + unc is
+    emitted so the oracle certifies the decomposition, not just the
+    score (it holds exactly because predictions are constant per bin).
+
+    Exactness: outcomes and bin counts are integers; the per-bin
+    prediction is ONE divide of ints; every Σ(p̂−o)² expands to
+    n_b·p̂² − 2·p̂·k_b + k_b (ints and one double each — no row-level
+    float accumulation anywhere); the four statistics snap at 6 dp.
+    Unseen-in-train bins are EXCLUDED (documented: the model abstains
+    rather than inventing a prior).
+
+    Scale: one keyed (user, day) exchange with map-side partials, then a
+    ≤|bins| relation — the train and eval halves are conditional
+    aggregates of the same pass, so the fact table scans once."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    ud = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "bought"
+            ),
+        )
+        .select(
+            F.when(F.col("n_ev") <= 1, "a_1")
+            .when(F.col("n_ev") <= 3, "b_2_3")
+            .when(F.col("n_ev") <= 7, "c_4_7")
+            .otherwise("d_8p")
+            .alias("bin"),
+            (F.col("day") < cut).alias("is_train"),
+            "bought",
+        )
+    )
+    per_bin = ud.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_tr"),
+        F.sum(F.when(F.col("is_train"), F.col("bought")).otherwise(0))
+        .cast("long")
+        .alias("k_tr"),
+        F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_ev"),
+        F.sum(F.when(~F.col("is_train"), F.col("bought")).otherwise(0))
+        .cast("long")
+        .alias("k_ev"),
+    ).filter((F.col("n_tr") > 0) & (F.col("n_ev") > 0))
+    p_hat = F.col("k_tr").cast("double") / F.col("n_tr").cast("double")
+    o_bar_b = F.col("k_ev").cast("double") / F.col("n_ev").cast("double")
+    staged = per_bin.select(
+        "n_ev",
+        "k_ev",
+        F.round(p_hat.cast("decimal(18,9)"), 9).alias("p_hat"),
+        F.round(o_bar_b.cast("decimal(18,9)"), 9).alias("o_bar_b"),
+    ).localCheckpoint()  # ≤|bins| rows feeding the Brier/REL pass AND the
+    # ō-centered RES pass: materialize so events scans exactly once
+    sums = staged.agg(
+        F.sum("n_ev").cast("long").alias("n"),
+        F.sum("k_ev").cast("long").alias("k"),
+        F.sum(
+            F.round(
+                (
+                    F.col("n_ev").cast("double")
+                    * F.col("p_hat").cast("double")
+                    * F.col("p_hat").cast("double")
+                    - 2.0 * F.col("p_hat").cast("double") * F.col("k_ev").cast("double")
+                    + F.col("k_ev").cast("double")
+                ).cast("decimal(28,9)"),
+                9,
+            )
+        ).alias("brier_num"),
+        F.sum(
+            F.round(
+                (
+                    F.col("n_ev").cast("double")
+                    * (F.col("p_hat") - F.col("o_bar_b")).cast("double")
+                    * (F.col("p_hat") - F.col("o_bar_b")).cast("double")
+                ).cast("decimal(28,9)"),
+                9,
+            )
+        ).alias("rel_num"),
+    )
+    n_d = F.col("n").cast("double")
+    o_bar = F.col("k").cast("double") / n_d
+    # RES needs ō: second tiny pass over the staged relation via crossJoin
+    res_num = staged.crossJoin(F.broadcast(sums.select("n", "k"))).select(
+        F.round(
+            (
+                F.col("n_ev").cast("double")
+                * (
+                    F.col("o_bar_b").cast("double")
+                    - F.col("k").cast("double") / F.col("n").cast("double")
+                )
+                * (
+                    F.col("o_bar_b").cast("double")
+                    - F.col("k").cast("double") / F.col("n").cast("double")
+                )
+            ).cast("decimal(28,9)"),
+            9,
+        ).alias("t")
+    ).agg(F.sum("t").alias("res_num"))
+    out = sums.crossJoin(F.broadcast(res_num))
+    brier = F.col("brier_num").cast("double") / n_d
+    rel = F.col("rel_num").cast("double") / n_d
+    res = F.col("res_num").cast("double") / n_d
+    unc = o_bar * (F.lit(1.0) - o_bar)
+    return out.select(
+        "n",
+        snap_round(brier, 6).alias("brier"),
+        snap_round(rel, 6).alias("reliability"),
+        snap_round(res, 6).alias("resolution"),
+        snap_round(unc, 6).alias("uncertainty"),
+        snap_round(rel - res + unc, 6).alias("check"),
+    )
+
+
+BRIER_DECOMPOSITION_SQL = """
+WITH ud AS (
+    SELECT CASE WHEN COUNT(*) <= 1 THEN 'a_1'
+                WHEN COUNT(*) <= 3 THEN 'b_2_3'
+                WHEN COUNT(*) <= 7 THEN 'c_4_7'
+                ELSE 'd_8p' END AS bin,
+           CAST(ts AS DATE) < DATE '2024-01-16' AS is_train,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+per_bin AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+           CAST(SUM(CASE WHEN is_train THEN bought ELSE 0 END) AS BIGINT) AS k_tr,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_ev,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE bought END) AS BIGINT) AS k_ev
+    FROM ud GROUP BY bin
+    HAVING SUM(CASE WHEN is_train THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN is_train THEN 0 ELSE 1 END) > 0
+),
+staged AS (
+    SELECT n_ev, k_ev,
+           ROUND(CAST(CAST(k_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                 AS DECIMAL(18,9)), 9) AS p_hat,
+           ROUND(CAST(CAST(k_ev AS DOUBLE) / CAST(n_ev AS DOUBLE)
+                 AS DECIMAL(18,9)), 9) AS o_bar_b
+    FROM per_bin
+),
+sums AS (
+    SELECT CAST(SUM(n_ev) AS BIGINT) AS n,
+           CAST(SUM(k_ev) AS BIGINT) AS k,
+           SUM(ROUND(CAST(
+               CAST(n_ev AS DOUBLE) * CAST(p_hat AS DOUBLE) * CAST(p_hat AS DOUBLE)
+               - 2.0 * CAST(p_hat AS DOUBLE) * CAST(k_ev AS DOUBLE)
+               + CAST(k_ev AS DOUBLE)
+               AS DECIMAL(28,9)), 9)) AS brier_num,
+           SUM(ROUND(CAST(
+               CAST(n_ev AS DOUBLE)
+               * CAST(p_hat - o_bar_b AS DOUBLE) * CAST(p_hat - o_bar_b AS DOUBLE)
+               AS DECIMAL(28,9)), 9)) AS rel_num
+    FROM staged
+),
+resn AS (
+    SELECT SUM(ROUND(CAST(
+               CAST(n_ev AS DOUBLE)
+               * (CAST(o_bar_b AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o_bar_b AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+               AS DECIMAL(28,9)), 9)) AS res_num
+    FROM staged CROSS JOIN sums
+)
+SELECT n,
+       CAST(ROUND(CAST(CAST(brier_num AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS brier,
+       CAST(ROUND(CAST(CAST(rel_num AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS reliability,
+       CAST(ROUND(CAST(CAST(res_num AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS resolution,
+       CAST(ROUND(CAST(
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS uncertainty,
+       CAST(ROUND(CAST(
+           CAST(rel_num AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(res_num AS DOUBLE) / CAST(n AS DOUBLE)
+           + (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS check
+FROM sums CROSS JOIN resn
+"""
+
+REGISTRY["brier_decomposition"] = QuerySpec(
+    q_brier_decomposition, BRIER_DECOMPOSITION_SQL
+)
+
+
+def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisherian randomization inference on the urgent-vs-not order-value
+    gap: re-draw the treatment assignment B = 200 times as EXACT
+    margin-preserving permutations (per draw, the r1 orders ranked lowest
+    by md5(draw:orderkey) are 'treated' — a true label shuffle, not a
+    Bernoulli approximation), recompute the mean gap under each, and
+    report p = (1 + #{|gap_b| ≥ |gap_obs|}) / (B + 1) — the add-one
+    Monte-Carlo form. This is the design-based companion of the model
+    t-test family: no variance formula, no normality, the assignment
+    mechanism itself is the null.
+
+    Determinism: md5 is the engines' shared hash, so all 200 permutations
+    are identical in both; per-draw sums are exact decimals; each gap
+    snaps at 6 dp before the |·| ≥ |·| comparison, so the extreme-count
+    is integer-identical. Scale: the B×n relation partitions by draw (one
+    keyed window each, embarrassingly parallel, B bounded); at corpus
+    sizes where B×n hurts, the documented swap-in is the Bernoulli-hash
+    assignment (scan-stage, margins approximate)."""
+    b_draws = 200
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("treated"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("y"),
+    )
+
+    obs = o.agg(
+        F.sum(F.when(F.col("treated"), F.col("y"))).alias("s1"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("treated"), F.col("y"))).alias("s0"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("long").alias("n0"),
+    ).select(
+        snap_round(
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double"),
+            6,
+        ).alias("gap_obs"),
+        (F.col("n1") + F.col("n0")).alias("n"),
+        F.col("n1"),
+    )
+    draws = spark.range(0, b_draws).select(F.col("id").alias("b"))
+    fan = o.crossJoin(F.broadcast(draws)).select(
+        "b",
+        "y",
+        F.md5(
+            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    w_b = Window.partitionBy("b").orderBy("h")
+    ranked = fan.withColumn("rk", F.row_number().over(w_b)).crossJoin(
+        F.broadcast(obs.select("n1"))
+    )
+    per_b = (
+        ranked.select(
+            "b",
+            (F.col("rk") <= F.col("n1")).alias("t_b"),
+            "y",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("t_b"), F.col("y"))).alias("s1"),
+            F.sum(F.when(F.col("t_b"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(~F.col("t_b"), F.col("y"))).alias("s0"),
+            F.sum(F.when(~F.col("t_b"), 1).otherwise(0)).cast("long").alias("n0"),
+        )
+        .select(
+            snap_round(
+                F.col("s1").cast("double") / F.col("n1").cast("double")
+                - F.col("s0").cast("double") / F.col("n0").cast("double"),
+                6,
+            ).alias("gap_b")
+        )
+    )
+    counted = per_b.crossJoin(F.broadcast(obs.select("gap_obs"))).agg(
+        F.sum(
+            F.when(F.abs(F.col("gap_b")) >= F.abs(F.col("gap_obs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+        F.count(F.lit(1)).cast("long").alias("b_total"),
+    )
+    return counted.crossJoin(F.broadcast(obs)).select(
+        F.col("n"),
+        F.col("n1").alias("n_treated"),
+        "gap_obs",
+        "b_total",
+        "n_extreme",
+        snap_round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("b_total") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+RANDOMIZATION_INFERENCE_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           o_orderpriority = '1-URGENT' AS treated,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS y
+    FROM orders
+),
+obs AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(SUM(CASE WHEN treated THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN NOT treated THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS gap_obs,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM o
+),
+fan AS (
+    SELECT d.b, o.y,
+           md5(concat(CAST(d.b AS VARCHAR), ':', CAST(o.o_orderkey AS VARCHAR))) AS h
+    FROM o CROSS JOIN (SELECT unnest(range(200)) AS b) d
+),
+ranked AS (
+    SELECT b, y,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY h) AS rk
+    FROM fan
+),
+per_b AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(SUM(CASE WHEN rk <= obs.n1 THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN rk <= obs.n1 THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN rk > obs.n1 THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN rk > obs.n1 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS gap_b
+    FROM ranked CROSS JOIN obs
+    GROUP BY b
+),
+counted AS (
+    SELECT CAST(SUM(CASE WHEN ABS(gap_b) >= ABS(obs.gap_obs) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           CAST(COUNT(*) AS BIGINT) AS b_total
+    FROM per_b CROSS JOIN obs
+)
+SELECT obs.n,
+       obs.n1 AS n_treated,
+       obs.gap_obs,
+       counted.b_total,
+       counted.n_extreme,
+       CAST(ROUND(CAST(
+           CAST(counted.n_extreme + 1 AS DOUBLE)
+           / CAST(counted.b_total + 1 AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value
+FROM counted CROSS JOIN obs
+"""
+
+REGISTRY["randomization_inference"] = QuerySpec(
+    q_randomization_inference, RANDOMIZATION_INFERENCE_SQL
+)

@@ -1106,3 +1106,40 @@ def test_fisher_exact_matches_comb_math(spark, tmp_path):
     p_two = float(sum(pk for pk in p if pk <= p[8]))
     assert out.p_value == pytest.approx(p_two, rel=1e-4)
     assert out.significant == (p_two < 0.05)
+
+
+def test_brier_murphy_identity_and_perfect_model(spark):
+    """On the real corpus the Murphy identity REL − RES + UNC must equal
+    the directly-computed Brier score (both to the snap) — the
+    decomposition's own checksum."""
+    out = REGISTRY["brier_decomposition"].fn(spark, SF1).collect()[0]
+    assert out.check == pytest.approx(out.brier, abs=2e-6)
+    assert out.reliability >= 0.0 and out.resolution >= 0.0
+    assert 0.0 <= out.uncertainty <= 0.25
+
+
+def test_randomization_inference_detects_planted_effect(spark, tmp_path):
+    """A huge planted treatment gap: urgent orders pay 10×; no label
+    shuffle can reproduce that gap, so p must bottom out at 1/(B+1); a
+    no-effect plant (identical outcomes) must give p = 1."""
+    strong = []
+    for i in range(1, 41):
+        urgent = i <= 20
+        strong.append(
+            (i, i, 10000.0 if urgent else 1000.0, "1997-01-01",
+             "1-URGENT" if urgent else "3-MEDIUM")
+        )
+    r = REGISTRY["randomization_inference"].fn(
+        spark, _orders_pri(spark, tmp_path, strong)
+    ).collect()[0]
+    assert r.p_value == pytest.approx(1.0 / 201.0, abs=1e-6)
+    assert r.n_extreme == 0
+
+    flat = [
+        (i, i, 1000.0, "1997-01-01", "1-URGENT" if i <= 20 else "3-MEDIUM")
+        for i in range(1, 41)
+    ]
+    r2 = REGISTRY["randomization_inference"].fn(
+        spark, _orders_pri(spark, tmp_path / "flat", flat)
+    ).collect()[0]
+    assert r2.gap_obs == 0.0 and r2.p_value == 1.0
