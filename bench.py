@@ -323,6 +323,22 @@ HEADLINE = [
     "fisher_exact_test",
     "brier_decomposition",
     "randomization_inference",
+    # session-3 additions
+    "ks_test",
+    "bartlett_test",
+    "runs_test",
+    "effect_sizes",
+    "linear_cka",
+    "frechet_embedding_distance",
+    "mrr_eval",
+    "err_eval",
+    "ljung_box",
+    "permutation_entropy",
+    "oaxaca_decomposition",
+    "ams_f2_sketch",
+    "rake_keywords",
+    "cumulative_incidence",
+    "event_study",
 ]
 
 

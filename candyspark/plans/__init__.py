@@ -27,6 +27,22 @@ class QuerySpec:
 #: its new and materially-changed queries in — CORRECTNESS_r{N} then
 #: certifies code no prior round certified (round-2 verdict item 6).
 ROUND3_WINDOW = [
+    # new operators (session 3)
+    "rake_keywords",
+    "cumulative_incidence",
+    "event_study",
+    "ljung_box",
+    "permutation_entropy",
+    "oaxaca_decomposition",
+    "ams_f2_sketch",
+    "linear_cka",
+    "frechet_embedding_distance",
+    "mrr_eval",
+    "err_eval",
+    "ks_test",
+    "bartlett_test",
+    "runs_test",
+    "effect_sizes",
     # new operators this round
     "yules_k",
     "kruskal_wallis",
@@ -128,8 +144,10 @@ def collect_registry() -> dict[str, QuerySpec]:
         quality,
         relational,
         retrieval,
+        retrieval2,
         sequences,
         sketches,
+        stats2,
         temporal,
         tpch,
         tpch2,
@@ -152,10 +170,12 @@ def collect_registry() -> dict[str, QuerySpec]:
         quality,
         graph,
         retrieval,
+        retrieval2,
         sketches,
         outliers,
         behavior,
         sequences,
+        stats2,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

@@ -3161,3 +3161,164 @@ ORDER BY decile
 REGISTRY["length_quality_profile"] = QuerySpec(
     q_length_quality_profile, LENGTH_QUALITY_PROFILE_SQL
 )
+
+
+_RAKE_STOPWORDS = (
+    "the a an and or of to in on for with is are was were be as at by it "
+    "this that from not but have has had will would can could"
+).split()
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus — the
+    degree/frequency keyword scorer that complements textrank_keywords
+    (co-occurrence PageRank) and tfidf_top_terms (corpus contrast): RAKE
+    rewards words that appear inside LONG multi-word phrases, which
+    surfaces technical noun phrases single-word statistics miss.
+
+    Candidate phrases are maximal runs of non-stopword tokens (capped at
+    4 words, the standard guard): posexplode keeps token positions,
+    phrase ids are a cumulative stopword count per document (one window
+    keyed by doc_id), and the phrase text reassembles with an
+    array_sort-by-position — deterministic, never a collect_list order
+    gamble. Word score = degree/frequency where degree sums the lengths
+    of containing phrases; phrase score sums its word scores (exact
+    integer degrees, one snapped division per word, decimal phrase sums).
+    Top-15 is a TakeOrdered on (score, phrase) — never a global sort.
+
+    Scale: every shuffle is keyed (doc for phrase assembly, word for
+    stats, phrase text for dedup); phrase relation ≈ token relation in
+    size, so the whole plan is ~3 keyed passes over the token stream.
+    """
+    from candyspark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
+    ).select(
+        "doc_id",
+        "pos",
+        "word",
+        F.col("word").isin(*_RAKE_STOPWORDS).alias("is_stop"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        "is_stop",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wd).alias("phrase_id"),
+    ).filter(~F.col("is_stop"))
+    phrases = (
+        marked.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= 4)
+        .localCheckpoint()  # consumers: word stats + phrase scoring
+    )
+    words = phrases.select(
+        "doc_id", "phrase_id", "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    wstats = (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "word",
+            snap_round(
+                F.col("deg").cast("double") / F.col("freq").cast("double"), 6
+            )
+            .cast("decimal(14,6)")
+            .alias("wscore"),
+        )
+    )
+    scored = (
+        words.join(wstats, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore").alias("pscore"))
+        .join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.max(F.col("pscore").cast("double")).alias("score_raw"),
+            F.max("plen").alias("n_words"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_words",
+            "occurrences",
+            snap_round(F.col("score_raw"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(15)
+    )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+RAKE_KEYWORDS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_FRAGMENT} AS toks FROM documents),
+tok AS (
+    SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS word
+    FROM t
+),
+marked AS (
+    SELECT doc_id, pos, word,
+           SUM(CASE WHEN word IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+    FROM tok
+    QUALIFY word NOT IN ({_RAKE_STOP_SQL})
+),
+phrases AS (
+    SELECT doc_id, phrase_id,
+           string_agg(word, ' ' ORDER BY pos) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS plen
+    FROM marked
+    GROUP BY doc_id, phrase_id
+    HAVING COUNT(*) <= 4
+),
+words AS (
+    SELECT doc_id, phrase_id, plen, unnest(string_split(phrase, ' ')) AS word
+    FROM phrases
+),
+wstats AS (
+    SELECT word,
+           CAST(ROUND(CAST(
+               CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DECIMAL(14,6)) AS wscore
+    FROM words
+    GROUP BY word
+),
+pscored AS (
+    SELECT doc_id, phrase_id, SUM(wscore) AS pscore
+    FROM words JOIN wstats USING (word)
+    GROUP BY doc_id, phrase_id
+),
+scored AS (
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS occurrences,
+           MAX(CAST(pscore AS DOUBLE)) AS score_raw,
+           MAX(plen) AS n_words
+    FROM pscored JOIN phrases USING (doc_id, phrase_id)
+    GROUP BY phrase
+)
+SELECT phrase, n_words, occurrences,
+       CAST(ROUND(CAST(score_raw AS DECIMAL(28,8)), 6) AS DOUBLE) AS rake_score
+FROM scored
+ORDER BY rake_score DESC, phrase
+LIMIT 15
+"""
+
+REGISTRY["rake_keywords"] = QuerySpec(q_rake_keywords, RAKE_KEYWORDS_SQL)

@@ -4677,7 +4677,14 @@ def q_fisher_exact_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("a"),
     ).collect()[0]
-    n, r1, c1, a_obs = int(cells.n), int(cells.r1), int(cells.c1), int(cells.a)
+    # empty input: the conditional SUMs come back NULL — an empty corpus is
+    # the degenerate 0/0/0/0 table (p = 1), not a crash
+    n, r1, c1, a_obs = (
+        int(cells.n or 0),
+        int(cells.r1 or 0),
+        int(cells.c1 or 0),
+        int(cells.a or 0),
+    )
     lo, hi = max(0, r1 + c1 - n), min(r1, c1)
     ladder = (
         spark.range(0, n + 1)

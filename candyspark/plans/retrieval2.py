@@ -1,0 +1,284 @@
+"""Round-3 retrieval-evaluation additions: MRR and ERR.
+
+ndcg_eval (plans/retrieval.py) grades a single ranking against graded
+judgments; this module adds the two other standard ranking metrics a
+retrieval pipeline reports — Mean Reciprocal Rank (first-relevant position,
+the navigational-query metric) and Expected Reciprocal Rank (Chapelle 2009's
+cascade-model metric, which discounts a position by the probability the
+user already stopped at a more relevant document above it).
+
+Both run MULTI-QUERY (the batch_retrieval posture): the query set is a
+relation joined against one shared tokenize-once tf index, so 4 queries or
+40,000 produce the same plan shape. Per-query ranking is one window
+partitioned BY QUERY (a keyed sort, never global); everything after the
+top-10 filter is a ≤10-row-per-query relation. Determinism: scores and
+per-position gains are single closed-form double expressions on exact
+integer aggregates, snapped through decimals; ERR's cascade product uses an
+exact-decimal cumulative sum of snapped ln(1−R) terms (R ≤ 7/8 < 1 by
+construction, so the log never sees zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.operators.text import snap_round, tokens
+from candyspark.plans import QuerySpec
+from candyspark.plans.extensions import _TOKS
+from candyspark.sources.readers import fan_out, load_table
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+_QUERY_TERMS = ("hash", "join", "stream", "spark")
+
+
+def _per_term_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaffold: per (term, doc) tf over the 4-term query relation,
+    length-normalized score, per-term rank (window keyed by term), top-10."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            snap_round(
+                (2 * F.col("tf")).cast("double")
+                * F.col("sumdl").cast("double")
+                / (
+                    (2 * F.col("tf")).cast("double") * F.col("sumdl").cast("double")
+                    + 3.0 * F.col("dl").cast("double") * F.col("n_docs").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    )
+    return scored.select("term", "doc_id", "tf", pos.cast("long").alias("pos")).filter(
+        F.col("pos") <= 10
+    )
+
+
+_RANKED_SQL = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+tf AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY term, doc_id
+),
+scored AS (
+    SELECT term, doc_id, tf,
+           CAST(ROUND(CAST(
+               CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
+               / (CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
+                  + 3.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS score
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN totals
+),
+ranked AS (
+    SELECT term, doc_id, tf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS pos
+    FROM scored
+    QUALIFY pos <= 10
+)
+"""
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank @10 of the length-normalized tf ranker over the
+    4-term query set: relevance is binary (tf ≥ 4 — the grade-≥2 band of
+    ndcg_eval's judgments), RR = 1/position of the FIRST relevant document
+    in the top 10 (0 if none). One row per query plus the '__mean__'
+    summary row — both the per-query diagnostic and the headline number a
+    ranking dashboard wants, in one frame.
+    """
+    ranked = _per_term_ranked(spark, sf_dir)
+    per_term = ranked.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") >= 4, 1).otherwise(0)).cast("long").alias(
+            "n_relevant_top10"
+        ),
+        F.min(F.when(F.col("tf") >= 4, F.col("pos"))).alias("first_pos_raw"),
+    )
+    rows = per_term.select(
+        "term",
+        "n_relevant_top10",
+        F.coalesce(F.col("first_pos_raw"), F.lit(0)).cast("long").alias("first_pos"),
+        F.coalesce(
+            snap_round(F.lit(1.0) / F.col("first_pos_raw").cast("double"), 6),
+            F.lit(0.0),
+        ).alias("rr"),
+    )
+    mean_row = rows.agg(
+        F.lit("__mean__").alias("term"),
+        F.sum("n_relevant_top10").cast("long").alias("n_relevant_top10"),
+        F.lit(0).cast("long").alias("first_pos"),
+        snap_round(
+            F.sum(F.col("rr").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("rr"),
+    )
+    return rows.unionByName(mean_row)
+
+
+MRR_EVAL_SQL = f"""
+WITH {_RANKED_SQL},
+per_term AS (
+    SELECT term,
+           CAST(SUM(CASE WHEN tf >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant_top10,
+           MIN(CASE WHEN tf >= 4 THEN pos END) AS first_pos_raw
+    FROM ranked
+    GROUP BY term
+),
+rows_ AS (
+    SELECT term, n_relevant_top10,
+           CAST(COALESCE(first_pos_raw, 0) AS BIGINT) AS first_pos,
+           COALESCE(CAST(ROUND(CAST(1.0 / CAST(first_pos_raw AS DOUBLE)
+                    AS DECIMAL(28,8)), 6) AS DOUBLE), 0.0) AS rr
+    FROM per_term
+)
+SELECT term, n_relevant_top10, first_pos, rr FROM rows_
+UNION ALL
+SELECT '__mean__' AS term,
+       CAST(SUM(n_relevant_top10) AS BIGINT) AS n_relevant_top10,
+       CAST(0 AS BIGINT) AS first_pos,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(rr AS DECIMAL(10,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rr
+FROM rows_
+"""
+
+REGISTRY["mrr_eval"] = QuerySpec(q_mrr_eval, MRR_EVAL_SQL)
+
+
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @10 (Chapelle 2009): the cascade-model
+    ranking metric — ERR = Σᵢ (1/i)·Rᵢ·Πⱼ<ᵢ(1−Rⱼ), where Rᵢ =
+    (2^gradeᵢ−1)/2^max_grade is the stop probability at position i. Unlike
+    NDCG's position discount, a highly-relevant document ABSORBS the credit
+    of everything ranked below it — the metric that actually penalizes
+    burying the answer under near-duplicates.
+
+    Grades reuse ndcg_eval's tf bands (≥8→3, ≥4→2, ≥2→1, else 0), so
+    R ≤ 7/8 and ln(1−R) is finite; the cascade product is
+    exp(exact-decimal cumsum of 9-dp-snapped logs) per position — both
+    engines run identical algebra on identical integers. Per-query
+    windows over ≤10 rows; one '__mean__' summary row.
+    """
+    ranked = _per_term_ranked(spark, sf_dir)
+    graded = ranked.select(
+        "term",
+        "pos",
+        F.when(F.col("tf") >= 8, 3)
+        .when(F.col("tf") >= 4, 2)
+        .when(F.col("tf") >= 2, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("g"),
+    ).select(
+        "term",
+        "pos",
+        "g",
+        ((F.pow(F.lit(2.0), F.col("g").cast("double")) - 1.0) / 8.0).alias("r"),
+    )
+    wp = (
+        Window.partitionBy("term")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ln1r = F.round(F.log(1.0 - F.col("r")).cast("decimal(18,9)"), 9)
+    terms = graded.select(
+        "term",
+        "g",
+        F.round(
+            (
+                F.col("r")
+                * F.exp(
+                    F.coalesce(F.sum(ln1r).over(wp), F.lit(0).cast("decimal(18,9)"))
+                    .cast("double")
+                )
+                / F.col("pos").cast("double")
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("contrib"),
+    )
+    per_term = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).cast("long").alias("n_graded"),
+        snap_round(F.sum("contrib").cast("double"), 6).alias("err_10"),
+    )
+    mean_row = per_term.agg(
+        F.lit("__mean__").alias("term"),
+        F.sum("n_graded").cast("long").alias("n_graded"),
+        snap_round(
+            F.sum(F.col("err_10").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("err_10"),
+    )
+    return per_term.unionByName(mean_row)
+
+
+ERR_EVAL_SQL = f"""
+WITH {_RANKED_SQL},
+graded AS (
+    SELECT term, pos,
+           CAST(CASE WHEN tf >= 8 THEN 3 WHEN tf >= 4 THEN 2
+                     WHEN tf >= 2 THEN 1 ELSE 0 END AS BIGINT) AS g,
+           (POW(2.0, CAST(CASE WHEN tf >= 8 THEN 3 WHEN tf >= 4 THEN 2
+                               WHEN tf >= 2 THEN 1 ELSE 0 END AS DOUBLE)) - 1.0)
+               / 8.0 AS r
+    FROM ranked
+),
+terms AS (
+    SELECT term, g,
+           ROUND(CAST(
+               r * EXP(CAST(COALESCE(SUM(ROUND(CAST(LN(1.0 - r) AS DECIMAL(18,9)), 9))
+                       OVER (PARTITION BY term ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(0 AS DECIMAL(18,9))) AS DOUBLE))
+               / CAST(pos AS DOUBLE)
+               AS DECIMAL(16,10)), 10) AS contrib
+    FROM graded
+),
+per_term AS (
+    SELECT term,
+           CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_graded,
+           CAST(ROUND(CAST(CAST(SUM(contrib) AS DOUBLE) AS DECIMAL(28,8)), 6)
+               AS DOUBLE) AS err_10
+    FROM terms
+    GROUP BY term
+)
+SELECT term, n_graded, err_10 FROM per_term
+UNION ALL
+SELECT '__mean__' AS term,
+       CAST(SUM(n_graded) AS BIGINT) AS n_graded,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(err_10 AS DECIMAL(10,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS err_10
+FROM per_term
+"""
+
+REGISTRY["err_eval"] = QuerySpec(q_err_eval, ERR_EVAL_SQL)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from candyspark.functions.numeric import snap_round
-from candyspark.operators.text import char_hash32
+from candyspark.operators.text import char_hash32, tokens
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -812,3 +812,103 @@ ORDER BY o_orderpriority
 
 
 REGISTRY["hll_md5_registers"] = QuerySpec(q_hll_md5_registers, HLL_MD5_REGISTERS_SQL)
+
+
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy 1996) second-frequency-moment sketch over
+    the corpus token distribution, audited against the exact F2 = Σ_t tf_t²
+    — the sketch family's "repeat rate / self-join size" member (HLL
+    estimates distinct counts = F0; this estimates F2, the quantity that
+    sizes a token-keyed self-join and measures corpus skew).
+
+    16 independent estimators: estimator r signs each term by the parity
+    of md5(r:term) (4-wise-independent stand-in both engines share
+    bit-for-bit), Z_r = Σ_t ±tf_t is one exact decimal aggregate, and
+    E[Z²] = F2. The median of the 16 Z² values (two middle order
+    statistics of a 16-row relation) is the variance-reduced estimate.
+    Scale: the tf relation shuffles once (term-keyed, map-side combined);
+    the 16-way sign expansion is a broadcast cross join — 16·|vocab|
+    rows, one more aggregate, constant-size tail.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("tf"))
+        .localCheckpoint()  # consumers: exact F2 + 16-estimator expansion
+    )
+    exact = tf.agg(F.sum(F.col("tf") * F.col("tf")).alias("f2_exact"))
+    rs = spark.range(1, 17).select(F.col("id").cast("int").alias("r"))
+    signed = tf.crossJoin(F.broadcast(rs)).select(
+        "r",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 0,
+            F.col("tf"),
+        )
+        .otherwise(-F.col("tf"))
+        .alias("z_term"),
+    )
+    zs = signed.groupBy("r").agg(F.sum("z_term").alias("z"))
+    est = zs.select((F.col("z") * F.col("z")).cast("decimal(38,0)").alias("est"))
+    wv = Window.orderBy("est")
+    mid = est.select("est", F.row_number().over(wv).alias("rk")).filter(
+        F.col("rk").isin(8, 9)
+    )
+    med = mid.agg((F.sum("est") / 2).cast("decimal(38,1)").alias("ams_median"))
+    out = med.crossJoin(F.broadcast(exact))
+    return out.select(
+        F.col("f2_exact").cast("double").alias("f2_exact"),
+        F.col("ams_median").cast("double").alias("ams_estimate"),
+        snap_round(
+            F.abs(
+                F.col("ams_median").cast("double") - F.col("f2_exact").cast("double")
+            )
+            / F.col("f2_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+_AMS_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x != '')"
+
+AMS_F2_SKETCH_SQL = f"""
+WITH tf AS (
+    SELECT term, CAST(COUNT(*) AS DECIMAL(18,0)) AS tf
+    FROM (SELECT unnest({_AMS_TOKS}) AS term FROM documents)
+    GROUP BY term
+),
+exact AS (SELECT SUM(tf * tf) AS f2_exact FROM tf),
+signed AS (
+    SELECT r,
+           CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), ':', term)), 1, 1))
+                     AS INTEGER) % 2 = 0
+                THEN tf ELSE -tf END AS z_term
+    FROM tf CROSS JOIN (SELECT unnest(range(1, 17)) AS r)
+),
+zs AS (SELECT r, SUM(z_term) AS z FROM signed GROUP BY r),
+est AS (SELECT CAST(z * z AS DECIMAL(38,0)) AS est FROM zs),
+mid AS (
+    SELECT est FROM (SELECT est, ROW_NUMBER() OVER (ORDER BY est) AS rk FROM est)
+    WHERE rk IN (8, 9)
+),
+med AS (SELECT CAST(SUM(est) / 2 AS DECIMAL(38,1)) AS ams_median FROM mid)
+SELECT CAST(f2_exact AS DOUBLE) AS f2_exact,
+       CAST(ams_median AS DOUBLE) AS ams_estimate,
+       CAST(ROUND(CAST(
+           ABS(CAST(ams_median AS DOUBLE) - CAST(f2_exact AS DOUBLE))
+           / CAST(f2_exact AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rel_error
+FROM med CROSS JOIN exact
+"""
+
+REGISTRY["ams_f2_sketch"] = QuerySpec(q_ams_f2_sketch, AMS_F2_SKETCH_SQL)

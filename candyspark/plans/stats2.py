@@ -1,0 +1,1678 @@
+"""Round-3 statistics additions: distribution-shape tests and effect sizes.
+
+The reference engine ships no statistics beyond COUNT/SUM/AVG
+(`/root/reference/src/data_processor.py` aggregates only); this module
+continues the extension family (quality.py's hypothesis tests) with the
+remaining standard two-sample / k-sample diagnostics a data pipeline runs
+before trusting a metric shift: Kolmogorov-Smirnov (distribution equality),
+Bartlett (variance homogeneity — the ANOVA precondition), Wald-Wolfowitz
+runs (serial randomness), and the effect-size panel (Cohen's d, Cliff's
+delta, Vargha-Delaney A) that turns "significant" into "how big".
+
+Determinism discipline (shared with quality.py): every statistic assembles
+from EXACT integer/decimal aggregates (bounded-support per-value counts,
+decimal power sums) so both engines feed the identical closed-form double
+expression identical inputs; the final double snaps through a wide decimal
+(`snap_round`) to absorb last-ulp conversion differences.
+
+Scale posture: KS and the effect sizes ride the bounded-support midrank
+trick (l_discount: 11 values, l_quantity: 50 values — the corpus collapses
+to a ≤50-row per-value aggregate, map-side combined; no global sort ever
+happens). Bartlett is one grouped power-sum pass. The runs test operates on
+the DERIVED daily series (one keyed aggregate over orders, then windows on
+~thousands of day rows — a driver-bounded relation by construction, same
+posture as the acf/pacf family in plans/analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candyspark.functions.numeric import snap_round
+from candyspark.plans import QuerySpec
+from candyspark.sources.readers import load_table
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: do returned ('R') line items draw
+    their discounts from the same distribution as kept ones? KS reads the
+    WHOLE CDF (location + spread + shape), complementing mann_whitney
+    (location only) and bartlett_test (spread only).
+
+    The discount support is bounded (TPC-H: 11 cent values), so both
+    ECDFs collapse to one ≤11-row per-value aggregate and the supremum
+    gap is an exact-integer argmax: D·n_a·n_b = max_v |cumA(v)·n_b −
+    cumB(v)·n_a| — no float ever enters the statistic. The asymptotic
+    p-value (Kolmogorov distribution, 8-term alternating series with the
+    Stephens small-sample correction) is ONE closed-form double
+    expression on the snapped λ, identical in both engines.
+
+    At 100 TB: one map-side-combined aggregate to ≤11 rows, then
+    constant-size algebra — the distributed sort a textbook ECDF
+    implementation pays never happens.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    totals = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    gaps = cums.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("gap"),
+    )
+    top = gaps.groupBy("n_a", "n_b").agg(F.max("gap").cast("long").alias("d_int"))
+    d = F.col("d_int").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+    ne = (F.col("n_a") * F.col("n_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    lam_raw = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+    lam = snap_round(lam_raw, 6)
+    l2 = lam * lam
+    p_raw = 2.0 * (
+        F.exp(-2.0 * l2)
+        - F.exp(-8.0 * l2)
+        + F.exp(-18.0 * l2)
+        - F.exp(-32.0 * l2)
+        + F.exp(-50.0 * l2)
+        - F.exp(-72.0 * l2)
+        + F.exp(-98.0 * l2)
+        - F.exp(-128.0 * l2)
+    )
+    # the 8-term alternating series needs λ ≳ 0.2 to converge; below that
+    # the true Kolmogorov survival is 1 to 3+ decimals (Q(0.2) ≈ 0.9999)
+    p = F.when(lam < 0.2, F.lit(1.0)).otherwise(F.least(F.lit(1.0), p_raw))
+    return top.select(
+        "n_a",
+        "n_b",
+        snap_round(d, 6).alias("d_stat"),
+        lam.alias("lambda_ks"),
+        snap_round(p, 6).alias("p_value"),
+        (snap_round(p, 6) < 0.05).alias("significant"),
+    )
+
+
+KS_TEST_SQL = """
+WITH per_v AS (
+    SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM lineitem
+    GROUP BY 1
+),
+cums AS (
+    SELECT SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+    FROM per_v
+),
+totals AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b
+    FROM per_v
+),
+top AS (
+    SELECT n_a, n_b, CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_int
+    FROM cums CROSS JOIN totals
+    GROUP BY n_a, n_b
+),
+stat AS (
+    SELECT n_a, n_b,
+           CAST(d_int AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d,
+           CAST(ROUND(CAST(
+               (SQRT(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                + 0.12
+                + 0.11 / SQRT(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+               * (CAST(d_int AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS lam
+    FROM top
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(d AS DECIMAL(28,8)), 6) AS DOUBLE) AS d_stat,
+       lam AS lambda_ks,
+       CAST(ROUND(CAST(CASE WHEN lam < 0.2 THEN 1.0 ELSE LEAST(1.0,
+           2.0 * (EXP(-2.0 * lam * lam) - EXP(-8.0 * lam * lam)
+                  + EXP(-18.0 * lam * lam) - EXP(-32.0 * lam * lam)
+                  + EXP(-50.0 * lam * lam) - EXP(-72.0 * lam * lam)
+                  + EXP(-98.0 * lam * lam) - EXP(-128.0 * lam * lam))) END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value,
+       CAST(ROUND(CAST(CASE WHEN lam < 0.2 THEN 1.0 ELSE LEAST(1.0,
+           2.0 * (EXP(-2.0 * lam * lam) - EXP(-8.0 * lam * lam)
+                  + EXP(-18.0 * lam * lam) - EXP(-32.0 * lam * lam)
+                  + EXP(-50.0 * lam * lam) - EXP(-72.0 * lam * lam)
+                  + EXP(-98.0 * lam * lam) - EXP(-128.0 * lam * lam))) END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) < 0.05 AS significant
+FROM stat
+"""
+
+REGISTRY["ks_test"] = QuerySpec(q_ks_test, KS_TEST_SQL)
+
+
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity for l_extendedprice across
+    the three return flags — the precondition check for pooled-variance
+    methods (anova_oneway assumes it; brown_forsythe is the robust
+    cousin, this is the exact-normal-theory one).
+
+    Per-group variances come from exact DECIMAL power sums (the
+    stats_moments discipline), each snapped to DECIMAL(28,8) BEFORE the
+    cross-group sums so Σ(n_i−1)s_i² and Σ(n_i−1)ln s_i² are exact
+    decimal algebra — order-independent on both engines regardless of
+    how the 3 group rows arrive. k=3 ⇒ df=2, so the χ² survival
+    function is the closed form exp(−T/2): no CDF machinery needed.
+
+    At 100 TB: one map-side-combined grouped power-sum pass; everything
+    after is 3-row algebra.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    per_g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n_i = F.col("n_i").cast("double")
+    var_raw = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n_i
+    ) / (n_i - 1.0)
+    snapped = per_g.select(
+        "n_i",
+        F.round(var_raw.cast("decimal(28,8)"), 8).alias("v_i"),
+        F.round(F.log(F.round(var_raw.cast("decimal(28,8)"), 8).cast("double"))
+                .cast("decimal(18,9)"), 9).alias("ln_v_i"),
+        F.round((1.0 / (n_i - 1.0)).cast("decimal(20,15)"), 15).alias("inv_df_i"),
+    )
+    sums = snapped.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum((F.col("n_i") - 1) * F.col("v_i")).alias("pooled_num"),
+        F.sum((F.col("n_i") - 1).cast("decimal(18,0)") * F.col("ln_v_i")).alias(
+            "sum_df_lnv"
+        ),
+        F.sum("inv_df_i").alias("sum_inv_df"),
+    )
+    nk = (F.col("n_total") - F.col("k")).cast("double")
+    ln_vp = F.log(F.col("pooled_num").cast("double") / nk)
+    c = 1.0 + (
+        F.col("sum_inv_df").cast("double") - 1.0 / nk
+    ) / (3.0 * (F.col("k").cast("double") - 1.0))
+    t = (nk * ln_vp - F.col("sum_df_lnv").cast("double")) / c
+    p = F.exp(-snap_round(t, 6) / 2.0)
+    return sums.select(
+        "k",
+        "n_total",
+        snap_round(t, 6).alias("bartlett_t"),
+        snap_round(p, 6).alias("p_value"),
+        (snap_round(p, 6) < 0.05).alias("significant"),
+    )
+
+
+BARTLETT_TEST_SQL = """
+WITH per_g AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_i,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx
+    FROM lineitem
+    GROUP BY l_returnflag
+),
+snapped AS (
+    SELECT n_i,
+           ROUND(CAST(
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n_i AS DOUBLE)) / (CAST(n_i AS DOUBLE) - 1.0)
+               AS DECIMAL(28,8)), 8) AS v_i,
+           ROUND(CAST(LN(CAST(ROUND(CAST(
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n_i AS DOUBLE)) / (CAST(n_i AS DOUBLE) - 1.0)
+               AS DECIMAL(28,8)), 8) AS DOUBLE)) AS DECIMAL(18,9)), 9) AS ln_v_i,
+           ROUND(CAST(1.0 / (CAST(n_i AS DOUBLE) - 1.0) AS DECIMAL(20,15)), 15)
+               AS inv_df_i
+    FROM per_g
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n_i) AS BIGINT) AS n_total,
+           SUM((n_i - 1) * v_i) AS pooled_num,
+           SUM(CAST(n_i - 1 AS DECIMAL(18,0)) * ln_v_i) AS sum_df_lnv,
+           SUM(inv_df_i) AS sum_inv_df
+    FROM snapped
+)
+SELECT k, n_total,
+       CAST(ROUND(CAST(
+           (CAST(n_total - k AS DOUBLE)
+            * LN(CAST(pooled_num AS DOUBLE) / CAST(n_total - k AS DOUBLE))
+            - CAST(sum_df_lnv AS DOUBLE))
+           / (1.0 + (CAST(sum_inv_df AS DOUBLE) - 1.0 / CAST(n_total - k AS DOUBLE))
+                    / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS bartlett_t,
+       CAST(ROUND(CAST(EXP(-CAST(ROUND(CAST(
+           (CAST(n_total - k AS DOUBLE)
+            * LN(CAST(pooled_num AS DOUBLE) / CAST(n_total - k AS DOUBLE))
+            - CAST(sum_df_lnv AS DOUBLE))
+           / (1.0 + (CAST(sum_inv_df AS DOUBLE) - 1.0 / CAST(n_total - k AS DOUBLE))
+                    / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) / 2.0) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS p_value,
+       CAST(ROUND(CAST(EXP(-CAST(ROUND(CAST(
+           (CAST(n_total - k AS DOUBLE)
+            * LN(CAST(pooled_num AS DOUBLE) / CAST(n_total - k AS DOUBLE))
+            - CAST(sum_df_lnv AS DOUBLE))
+           / (1.0 + (CAST(sum_inv_df AS DOUBLE) - 1.0 / CAST(n_total - k AS DOUBLE))
+                    / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) / 2.0) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           < 0.05 AS significant
+FROM sums
+"""
+
+REGISTRY["bartlett_test"] = QuerySpec(q_bartlett_test, BARTLETT_TEST_SQL)
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for serial randomness of daily order
+    revenue: too FEW runs of above/below-median days means momentum
+    (trending), too MANY means oscillation — either breaks the i.i.d.
+    assumption behind the bootstrap/CI queries. Complements
+    mann_kendall (monotone trend only) by catching any serial pattern.
+
+    The daily series is one keyed decimal aggregate (exact, order-free);
+    the exact median comes from the two middle order statistics of that
+    DERIVED ~thousands-row relation (decimal average — no float). Days
+    equal to the median drop (the standard treatment); the run count is
+    one lag window over the date order, and the z-score is closed-form
+    integer algebra.
+
+    Scale: the windows run on the day-count-bounded derived series, not
+    the fact table (the acf_daily_revenue posture) — one shuffle to
+    days, then single-digit-KB windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    )
+    wv = Window.orderBy("rev", "d")
+    ranked = daily.select(
+        "d", "rev", F.row_number().over(wv).alias("rk"), F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_days")
+    )
+    med = ranked.filter(
+        (F.col("rk") == F.floor((F.col("n_days") + 1) / 2))
+        | (F.col("rk") == F.floor((F.col("n_days") + 2) / 2))
+    ).agg((F.sum("rev") / F.count(F.lit(1))).cast("decimal(18,6)").alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev").cast("decimal(18,6)") != F.col("med"))
+        .select(
+            "d",
+            F.when(F.col("rev").cast("decimal(18,6)") > F.col("med"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    wd = Window.orderBy("d")
+    flips = signed.select(
+        "s",
+        F.when(F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    sums = flips.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n_above"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    # one-sided sign sets (n1·n2 = 0) have zero run variance — z undefined
+    z = F.when(var > 0, (F.col("runs").cast("double") - mu) / F.sqrt(var))
+    return sums.select(
+        "n_above",
+        "n_below",
+        "runs",
+        snap_round(mu, 6).alias("expected_runs"),
+        snap_round(z, 6).alias("z"),
+        F.coalesce(F.abs(snap_round(z, 6)) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders
+    GROUP BY 1
+),
+ranked AS (
+    SELECT d, rev,
+           ROW_NUMBER() OVER (ORDER BY rev, d) AS rk,
+           COUNT(*) OVER () AS n_days
+    FROM daily
+),
+med AS (
+    SELECT CAST(SUM(rev) / COUNT(*) AS DECIMAL(18,6)) AS med
+    FROM ranked
+    WHERE rk = (n_days + 1) // 2
+       OR rk = (n_days + 2) // 2
+),
+signed AS (
+    SELECT d, CASE WHEN CAST(rev AS DECIMAL(18,6)) > med THEN 1 ELSE -1 END AS s
+    FROM daily CROSS JOIN med
+    WHERE CAST(rev AS DECIMAL(18,6)) <> med
+),
+flips AS (
+    SELECT s,
+           CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                  OR LAG(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS new_run
+    FROM signed
+),
+sums AS (
+    SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(new_run) AS BIGINT) AS runs
+    FROM flips
+)
+SELECT n_above, n_below, runs,
+       CAST(ROUND(CAST(
+           2.0 * n_above * n_below / (n_above + n_below) + 1.0
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS expected_runs,
+       CASE WHEN 2.0 * n_above * n_below
+                 * (2.0 * n_above * n_below - n_above - n_below) > 0
+       THEN CAST(ROUND(CAST(
+           (CAST(runs AS DOUBLE)
+            - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+           / SQRT(2.0 * n_above * n_below
+                  * (2.0 * n_above * n_below - n_above - n_below)
+                  / (CAST((n_above + n_below) AS DOUBLE)
+                     * CAST((n_above + n_below) AS DOUBLE)
+                     * (CAST((n_above + n_below) AS DOUBLE) - 1.0)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) END AS z,
+       COALESCE(CASE WHEN 2.0 * n_above * n_below
+                     * (2.0 * n_above * n_below - n_above - n_below) > 0
+       THEN ABS(CAST(ROUND(CAST(
+           (CAST(runs AS DOUBLE)
+            - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+           / SQRT(2.0 * n_above * n_below
+                  * (2.0 * n_above * n_below - n_above - n_below)
+                  / (CAST((n_above + n_below) AS DOUBLE)
+                     * CAST((n_above + n_below) AS DOUBLE)
+                     * (CAST((n_above + n_below) AS DOUBLE) - 1.0)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE)) > 1.96 END, FALSE) AS significant
+FROM sums
+"""
+
+REGISTRY["runs_test"] = QuerySpec(q_runs_test, RUNS_TEST_SQL)
+
+
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size panel for returned-vs-kept line-item quantity: Cohen's d
+    (standardized mean difference), Cliff's delta and Vargha-Delaney A
+    (rank-based dominance — robust to the heavy tails that make d lie).
+    mann_whitney says WHETHER the distributions differ; this says by HOW
+    MUCH, which is what a 6M-row sample actually needs (everything is
+    "significant" at scale; effect size is the decision input).
+
+    Both rank statistics derive from the same exact-integer midrank
+    identity as mann_whitney (2U = Σ n_a(v)·R2(v) − n_a(n_a+1) over the
+    ≤50-row bounded-support aggregate): δ = (2U − n_a·n_b)/(n_a·n_b) and
+    A = U/(n_a·n_b) — tie pairs cancel algebraically, so no tie count is
+    needed. Cohen's d pools exact decimal power sums. One grouped pass,
+    ≤50-row algebra after; the magnitude label applies Romano's |δ|
+    thresholds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_v = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+            qty.alias("q"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+            F.sum(F.when(F.col("is_a"), F.col("q")).otherwise(F.lit(0))).alias("sqa"),
+            F.sum(F.when(F.col("is_a"), F.col("q") * F.col("q")).otherwise(F.lit(0))).alias("sqqa"),
+            F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("q"))).alias("sqb"),
+            F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("q") * F.col("q"))).alias("sqqb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "na_v",
+        "nb_v",
+        "sqa",
+        "sqqa",
+        "sqb",
+        "sqqb",
+        (
+            2 * F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0))
+            + (F.col("na_v") + F.col("nb_v"))
+            + 1
+        ).alias("r2"),
+    )
+    sums = ranked.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(F.col("na_v") * F.col("r2")).cast("long").alias("sum_r2a"),
+        F.sum("sqa").alias("sa"),
+        F.sum("sqqa").alias("saa"),
+        F.sum("sqb").alias("sb"),
+        F.sum("sqqb").alias("sbb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    u2 = (F.col("sum_r2a") - F.col("n_a") * (F.col("n_a") + 1)).cast("double")
+    delta = (u2 - na * nb) / (na * nb)
+    vda = u2 / (2.0 * na * nb)
+    var_a = (F.col("saa").cast("double") - F.col("sa").cast("double") ** 2 / na) / (na - 1.0)
+    var_b = (F.col("sbb").cast("double") - F.col("sb").cast("double") ** 2 / nb) / (nb - 1.0)
+    pooled = F.sqrt(((na - 1.0) * var_a + (nb - 1.0) * var_b) / (na + nb - 2.0))
+    d = (F.col("sa").cast("double") / na - F.col("sb").cast("double") / nb) / pooled
+    delta_s = snap_round(delta, 6)
+    return sums.select(
+        "n_a",
+        "n_b",
+        snap_round(d, 6).alias("cohens_d"),
+        delta_s.alias("cliffs_delta"),
+        snap_round(vda, 6).alias("vd_a"),
+        F.when(F.abs(delta_s) < 0.147, "negligible")
+        .when(F.abs(delta_s) < 0.33, "small")
+        .when(F.abs(delta_s) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+EFFECT_SIZES_SQL = """
+WITH per_v AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v,
+           SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END) AS sqa,
+           SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(12,2))
+                         * CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END) AS sqqa,
+           SUM(CASE WHEN l_returnflag = 'R'
+                    THEN 0 ELSE CAST(l_quantity AS DECIMAL(12,2)) END) AS sqb,
+           SUM(CASE WHEN l_returnflag = 'R'
+                    THEN 0 ELSE CAST(l_quantity AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2)) END) AS sqqb
+    FROM lineitem
+    GROUP BY 1
+),
+ranked AS (
+    SELECT na_v, nb_v, sqa, sqqa, sqb, sqqb,
+           2 * COALESCE(SUM(na_v + nb_v) OVER
+               (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (na_v + nb_v) + 1 AS r2
+    FROM per_v
+),
+sums AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+           CAST(SUM(nb_v) AS BIGINT) AS n_b,
+           CAST(SUM(na_v * r2) AS BIGINT) AS sum_r2a,
+           SUM(sqa) AS sa, SUM(sqqa) AS saa, SUM(sqb) AS sb, SUM(sqqb) AS sbb
+    FROM ranked
+),
+stat AS (
+    SELECT n_a, n_b,
+           CAST(sum_r2a - n_a * (n_a + 1) AS DOUBLE) AS u2,
+           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           CAST(sa AS DOUBLE) AS sa, CAST(saa AS DOUBLE) AS saa,
+           CAST(sb AS DOUBLE) AS sb, CAST(sbb AS DOUBLE) AS sbb
+    FROM sums
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(
+           (sa / na - sb / nb)
+           / SQRT(((na - 1.0) * ((saa - sa * sa / na) / (na - 1.0))
+                   + (nb - 1.0) * ((sbb - sb * sb / nb) / (nb - 1.0)))
+                  / (na + nb - 2.0))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cohens_d,
+       CAST(ROUND(CAST((u2 - na * nb) / (na * nb) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS cliffs_delta,
+       CAST(ROUND(CAST(u2 / (2.0 * na * nb) AS DECIMAL(28,8)), 6) AS DOUBLE) AS vd_a,
+       CASE
+           WHEN ABS(CAST(ROUND(CAST((u2 - na * nb) / (na * nb) AS DECIMAL(28,8)), 6)
+                    AS DOUBLE)) < 0.147 THEN 'negligible'
+           WHEN ABS(CAST(ROUND(CAST((u2 - na * nb) / (na * nb) AS DECIMAL(28,8)), 6)
+                    AS DOUBLE)) < 0.33 THEN 'small'
+           WHEN ABS(CAST(ROUND(CAST((u2 - na * nb) / (na * nb) AS DECIMAL(28,8)), 6)
+                    AS DOUBLE)) < 0.474 THEN 'medium'
+           ELSE 'large'
+       END AS magnitude
+FROM stat
+"""
+
+REGISTRY["effect_sizes"] = QuerySpec(q_effect_sizes, EFFECT_SIZES_SQL)
+
+
+def q_linear_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Centered Kernel Alignment (Kornblith et al. 2019) between the
+    first and last 32 dimensions of the embedding space — the standard
+    representation-similarity diagnostic (are two embedding VIEWS encoding
+    the same structure?). CKA = ‖Cxy‖²_F / (‖Cxx‖_F·‖Cyy‖_F) over the
+    centered cross-feature matrices; ≈1 means the halves are linear
+    transforms of each other, ≈0 means independent subspaces.
+
+    Feature-space form, never sample-space: the n×n Gram matrix of the
+    textbook definition would be quadratic in corpus size; the d×d
+    cross-covariance needs one explode (n·d rows) + one vec_id-keyed join
+    (n·d²/4 products) + a d²-cell aggregate — linear in n, constant in
+    output. Centering uses the algebraic identity Σ(x−x̄)(y−ȳ) =
+    Σxy − ΣxΣy/n so no per-feature mean join exists; all power sums are
+    exact DECIMAL (float32 inputs snap to DECIMAL(12,8) identically in
+    both engines), each covariance cell snaps at 6 dp, and the three
+    Frobenius sums are exact decimal squares — order-free end to end.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            "i",
+            F.round(F.col("x").cast("double").cast("decimal(28,8)"), 6)
+            .cast("decimal(12,6)")
+            .alias("xd"),
+        )
+        .localCheckpoint()  # 6 consumers (3 pair joins + 2 mean aggs); scan once
+    )
+    xs = ex.filter(F.col("i") < 32).select(
+        "vec_id", F.col("i").alias("ix"), F.col("xd").alias("x")
+    )
+    ys = ex.filter(F.col("i") >= 32).select(
+        "vec_id", (F.col("i") - 32).alias("iy"), F.col("xd").alias("y")
+    )
+    n_row = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mx = xs.groupBy("ix").agg(F.sum("x").alias("sx"))
+    my = ys.groupBy("iy").agg(F.sum("y").alias("sy"))
+
+    def frob(cells: DataFrame, s_left, s_right, key_l, key_r) -> DataFrame:
+        c = (
+            cells.join(F.broadcast(s_left), key_l)
+            .join(F.broadcast(s_right), key_r)
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                F.round(
+                    (
+                        F.col("spq").cast("double")
+                        - F.col("sl").cast("double")
+                        * F.col("sr").cast("double")
+                        / F.col("n").cast("double")
+                    ).cast("decimal(12,6)"),
+                    6,
+                ).alias("c")
+            )
+        )
+        return c.agg(F.sum(F.col("c") * F.col("c")).alias("f"))
+
+    xy = (
+        xs.join(ys, "vec_id")
+        .groupBy("ix", "iy")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("spq"))
+    )
+    xx = (
+        xs.join(
+            xs.select("vec_id", F.col("ix").alias("jx"), F.col("x").alias("x2")),
+            "vec_id",
+        )
+        .groupBy("ix", "jx")
+        .agg(F.sum(F.col("x") * F.col("x2")).alias("spq"))
+    )
+    yy = (
+        ys.join(
+            ys.select("vec_id", F.col("iy").alias("jy"), F.col("y").alias("y2")),
+            "vec_id",
+        )
+        .groupBy("iy", "jy")
+        .agg(F.sum(F.col("y") * F.col("y2")).alias("spq"))
+    )
+    fxy = frob(
+        xy,
+        mx.select(F.col("ix").alias("kl"), F.col("sx").alias("sl")),
+        my.select(F.col("iy").alias("kr"), F.col("sy").alias("sr")),
+        F.col("ix") == F.col("kl"),
+        F.col("iy") == F.col("kr"),
+    ).select(F.col("f").alias("fxy"))
+    fxx = frob(
+        xx,
+        mx.select(F.col("ix").alias("kl"), F.col("sx").alias("sl")),
+        mx.select(F.col("ix").alias("kr"), F.col("sx").alias("sr")),
+        F.col("ix") == F.col("kl"),
+        F.col("jx") == F.col("kr"),
+    ).select(F.col("f").alias("fxx"))
+    fyy = frob(
+        yy,
+        my.select(F.col("iy").alias("kl"), F.col("sy").alias("sl")),
+        my.select(F.col("iy").alias("kr"), F.col("sy").alias("sr")),
+        F.col("iy") == F.col("kl"),
+        F.col("jy") == F.col("kr"),
+    ).select(F.col("f").alias("fyy"))
+    out = fxy.crossJoin(F.broadcast(fxx)).crossJoin(F.broadcast(fyy)).crossJoin(
+        F.broadcast(n_row)
+    )
+    return out.select(
+        "n",
+        snap_round(F.col("fxy").cast("double"), 6).alias("hsic_xy"),
+        snap_round(
+            F.col("fxy").cast("double")
+            / (
+                F.sqrt(F.col("fxx").cast("double"))
+                * F.sqrt(F.col("fyy").cast("double"))
+            ),
+            6,
+        ).alias("cka"),
+    )
+
+
+LINEAR_CKA_SQL = """
+WITH ex AS (
+    SELECT vec_id, i - 1 AS i,
+           CAST(ROUND(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8)), 6)
+                AS DECIMAL(12,6)) AS xd
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+xs AS (SELECT vec_id, i AS ix, xd AS x FROM ex WHERE i < 32),
+ys AS (SELECT vec_id, i - 32 AS iy, xd AS y FROM ex WHERE i >= 32),
+n_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+mx AS (SELECT ix, SUM(x) AS sx FROM xs GROUP BY ix),
+my AS (SELECT iy, SUM(y) AS sy FROM ys GROUP BY iy),
+xy AS (
+    SELECT ix, iy, SUM(x * y) AS spq
+    FROM xs JOIN ys USING (vec_id) GROUP BY ix, iy
+),
+xx AS (
+    SELECT a.ix AS ix, b.ix AS jx, SUM(a.x * b.x) AS spq
+    FROM xs a JOIN xs b USING (vec_id) GROUP BY a.ix, b.ix
+),
+yy AS (
+    SELECT a.iy AS iy, b.iy AS jy, SUM(a.y * b.y) AS spq
+    FROM ys a JOIN ys b USING (vec_id) GROUP BY a.iy, b.iy
+),
+fxy AS (
+    SELECT SUM(c * c) AS fxy FROM (
+        SELECT ROUND(CAST(
+            CAST(spq AS DOUBLE)
+            - CAST(l.sx AS DOUBLE) * CAST(r.sy AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(12,6)), 6) AS c
+        FROM xy JOIN mx l USING (ix) JOIN my r USING (iy) CROSS JOIN n_row
+    )
+),
+fxx AS (
+    SELECT SUM(c * c) AS fxx FROM (
+        SELECT ROUND(CAST(
+            CAST(spq AS DOUBLE)
+            - CAST(l.sx AS DOUBLE) * CAST(r.sx AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(12,6)), 6) AS c
+        FROM xx JOIN mx l USING (ix) JOIN mx r ON xx.jx = r.ix CROSS JOIN n_row
+    )
+),
+fyy AS (
+    SELECT SUM(c * c) AS fyy FROM (
+        SELECT ROUND(CAST(
+            CAST(spq AS DOUBLE)
+            - CAST(l.sy AS DOUBLE) * CAST(r.sy AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(12,6)), 6) AS c
+        FROM yy JOIN my l USING (iy) JOIN my r ON yy.jy = r.iy CROSS JOIN n_row
+    )
+)
+SELECT n,
+       CAST(ROUND(CAST(CAST(fxy AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS hsic_xy,
+       CAST(ROUND(CAST(
+           CAST(fxy AS DOUBLE)
+           / (SQRT(CAST(fxx AS DOUBLE)) * SQRT(CAST(fyy AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS cka
+FROM fxy CROSS JOIN fxx CROSS JOIN fyy CROSS JOIN n_row
+"""
+
+REGISTRY["linear_cka"] = QuerySpec(q_linear_cka, LINEAR_CKA_SQL)
+
+
+def q_frechet_embedding_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Fréchet distance between the embedding
+    distributions of two label cohorts (labels 0–4 vs 5–9) — the FID-style
+    distribution-shift score for embedding spaces (a drift_psi for
+    vectors): FID_diag = ‖μ₁−μ₂‖² + Σᵢ(σ₁ᵢ + σ₂ᵢ − 2√(σ₁ᵢσ₂ᵢ)).
+
+    The full-FID matrix square root needs an eigendecomposition the
+    relational engine shouldn't own; the diagonal form is the standard
+    large-scale surrogate (exact when covariances commute) and is ONE
+    grouped power-sum pass: per (cohort, dim) Σx and Σx² in exact DECIMAL
+    from the float32 inputs, population variances in double, per-dim
+    terms snapped at 8 dp and summed as exact decimals. O(n·d) explode →
+    2d-row aggregate; no joins touch corpus-sized relations.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        (F.col("label") < 5).alias("is_a"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select("is_a", "i", F.round(F.col("x").cast("double").cast("decimal(28,8)"), 6)
+        .cast("decimal(12,6)")
+        .alias("xd"))
+    per = ex.groupBy("is_a", "i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / n
+    v = F.col("sxx").cast("double") / n - mu * mu
+    stats = per.select(
+        "is_a",
+        "i",
+        "n",
+        F.round(mu.cast("decimal(18,10)"), 10).alias("mu"),
+        F.round(v.cast("decimal(18,10)"), 10).alias("v"),
+    )
+    a = stats.filter("is_a").select(
+        "i", F.col("n").alias("n_a"), F.col("mu").alias("mu_a"), F.col("v").alias("v_a")
+    )
+    b = stats.filter(~F.col("is_a")).select(
+        "i", F.col("n").alias("n_b"), F.col("mu").alias("mu_b"), F.col("v").alias("v_b")
+    )
+    terms = a.join(b, "i").select(
+        "n_a",
+        "n_b",
+        F.round(
+            (
+                (F.col("mu_a").cast("double") - F.col("mu_b").cast("double"))
+                * (F.col("mu_a").cast("double") - F.col("mu_b").cast("double"))
+            ).cast("decimal(20,10)"),
+            10,
+        ).alias("mean_sq"),
+        F.round(
+            (
+                F.col("v_a").cast("double")
+                + F.col("v_b").cast("double")
+                - 2.0
+                * F.sqrt(F.col("v_a").cast("double") * F.col("v_b").cast("double"))
+            ).cast("decimal(20,10)"),
+            10,
+        ).alias("var_term"),
+    )
+    out = terms.groupBy("n_a", "n_b").agg(
+        F.sum("mean_sq").alias("sms"), F.sum("var_term").alias("svt")
+    )
+    return out.select(
+        F.col("n_a").alias("n_vec_a"),
+        F.col("n_b").alias("n_vec_b"),
+        snap_round(F.col("sms").cast("double"), 6).alias("mean_shift_sq"),
+        snap_round(F.col("svt").cast("double"), 6).alias("cov_gap"),
+        snap_round(
+            F.col("sms").cast("double") + F.col("svt").cast("double"), 6
+        ).alias("fid_diag"),
+    )
+
+
+FRECHET_EMBEDDING_DISTANCE_SQL = """
+WITH ex AS (
+    SELECT label < 5 AS is_a, i - 1 AS i,
+           CAST(ROUND(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8)), 6)
+                AS DECIMAL(12,6)) AS xd
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+per AS (
+    SELECT is_a, i, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(xd) AS sx, SUM(xd * xd) AS sxx
+    FROM ex GROUP BY is_a, i
+),
+stats AS (
+    SELECT is_a, i, n,
+           ROUND(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,10)), 10) AS mu,
+           ROUND(CAST(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS DECIMAL(18,10)), 10) AS v
+    FROM per
+),
+terms AS (
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(CAST(
+               (CAST(a.mu AS DOUBLE) - CAST(b.mu AS DOUBLE))
+               * (CAST(a.mu AS DOUBLE) - CAST(b.mu AS DOUBLE))
+               AS DECIMAL(20,10)), 10) AS mean_sq,
+           ROUND(CAST(
+               CAST(a.v AS DOUBLE) + CAST(b.v AS DOUBLE)
+               - 2.0 * SQRT(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
+               AS DECIMAL(20,10)), 10) AS var_term
+    FROM (SELECT * FROM stats WHERE is_a) a
+    JOIN (SELECT * FROM stats WHERE NOT is_a) b USING (i)
+),
+summed AS (
+    SELECT n_a, n_b, SUM(mean_sq) AS sms, SUM(var_term) AS svt
+    FROM terms GROUP BY n_a, n_b
+)
+SELECT n_a AS n_vec_a,
+       n_b AS n_vec_b,
+       CAST(ROUND(CAST(CAST(sms AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS mean_shift_sq,
+       CAST(ROUND(CAST(CAST(svt AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS cov_gap,
+       CAST(ROUND(CAST(CAST(sms AS DOUBLE) + CAST(svt AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS fid_diag
+FROM summed
+"""
+
+REGISTRY["frechet_embedding_distance"] = QuerySpec(
+    q_frechet_embedding_distance, FRECHET_EMBEDDING_DISTANCE_SQL
+)
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily order-revenue series:
+    Q = n(n+2)·Σ_{l≤8} ρ_l²/(n−l) — is there ANY autocorrelation in the
+    first 8 lags? acf_daily_revenue reports the individual ρ_l; this is
+    the joint test a forecasting pipeline gates on before trusting
+    residual-based intervals (conformal_interval assumes exchangeable
+    residuals — exactly what Ljung-Box falsifies).
+
+    Shares the ACF discipline (same daily collapse, snapped mean, exact
+    decimal product sums, lag equi-join against an 8-row broadcast —
+    never a window re-sort per lag). Each ρ_l snaps at 6 dp; the per-lag
+    terms ρ²/(n−l) snap at 12 dp and sum as exact decimals. df = 8 is
+    EVEN, so the χ² survival function is the closed Poisson form
+    exp(−Q/2)·Σ_{k≤3}(Q/2)^k/k! — no incomplete-gamma machinery, one
+    identical double expression in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    series = daily.select(F.row_number().over(w).alias("t"), "r")
+    mu_stats = series.agg(
+        F.round(
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("mu"),
+    )
+    ser = (
+        series.crossJoin(F.broadcast(mu_stats))
+        .select(
+            "t",
+            (F.col("r") - F.col("mu")).cast("decimal(16,6)").cast("double").alias("d"),
+        )
+        .localCheckpoint()  # 3 consumers: denominator + both join sides
+    )
+    den = ser.agg(
+        F.sum(F.round((F.col("d") * F.col("d")).cast("decimal(28,8)"), 6)).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lags = spark.range(1, 9).select(F.col("id").cast("int").alias("l"))
+    shifted = ser.crossJoin(F.broadcast(lags)).select(
+        (F.col("t") + F.col("l")).alias("t"), "l", F.col("d").alias("d2")
+    )
+    rho = (
+        ser.join(shifted, "t")
+        .groupBy("l")
+        .agg(
+            F.sum(F.round((F.col("d") * F.col("d2")).cast("decimal(28,8)"), 6)).alias(
+                "num"
+            )
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "l",
+            "n",
+            F.round(
+                (F.col("num").cast("double") / F.col("den").cast("double")).cast(
+                    "decimal(10,6)"
+                ),
+                6,
+            ).alias("rho"),
+        )
+    )
+    terms = rho.select(
+        "n",
+        F.round(
+            (
+                F.col("rho").cast("double")
+                * F.col("rho").cast("double")
+                / (F.col("n") - F.col("l")).cast("double")
+            ).cast("decimal(20,12)"),
+            12,
+        ).alias("term"),
+    )
+    summed = terms.groupBy("n").agg(F.sum("term").alias("s"))
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n").cast("double") + 2.0)
+        * F.col("s").cast("double")
+    )
+    qs = snap_round(q, 6)
+    h = qs / 2.0
+    p = F.exp(-h) * (1.0 + h + h * h / 2.0 + h * h * h / 6.0)
+    return summed.select(
+        F.col("n").alias("n_days"),
+        F.lit(8).cast("long").alias("lags"),
+        qs.alias("q_stat"),
+        snap_round(p, 6).alias("p_value"),
+        (snap_round(p, 6) < 0.05).alias("significant"),
+    )
+
+
+LJUNG_BOX_SQL = """
+WITH daily AS (
+    SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY o_orderdate
+),
+series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t, r FROM daily
+),
+mu_stats AS (
+    SELECT CAST(ROUND(CAST(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS mu
+    FROM series
+),
+ser AS (
+    SELECT t, CAST(CAST(r - mu AS DECIMAL(16,6)) AS DOUBLE) AS d
+    FROM series CROSS JOIN mu_stats
+),
+den AS (
+    SELECT SUM(ROUND(CAST(d * d AS DECIMAL(28,8)), 6)) AS den,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ser
+),
+shifted AS (
+    SELECT t + l AS t, l, d AS d2
+    FROM ser CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS l)
+),
+rho AS (
+    SELECT l, n,
+           ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 AS DECIMAL(10,6)), 6) AS rho
+    FROM (
+        SELECT l, SUM(ROUND(CAST(ser.d * shifted.d2 AS DECIMAL(28,8)), 6)) AS num
+        FROM ser JOIN shifted USING (t)
+        GROUP BY l
+    ) CROSS JOIN den
+),
+summed AS (
+    SELECT n,
+           SUM(ROUND(CAST(CAST(rho AS DOUBLE) * CAST(rho AS DOUBLE)
+                     / CAST(n - l AS DOUBLE) AS DECIMAL(20,12)), 12)) AS s
+    FROM rho
+    GROUP BY n
+),
+stat AS (
+    SELECT n,
+           CAST(ROUND(CAST(
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(s AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS q
+    FROM summed
+)
+SELECT n AS n_days,
+       CAST(8 AS BIGINT) AS lags,
+       q AS q_stat,
+       CAST(ROUND(CAST(
+           EXP(-q / 2.0) * (1.0 + q / 2.0 + (q / 2.0) * (q / 2.0) / 2.0
+                            + (q / 2.0) * (q / 2.0) * (q / 2.0) / 6.0)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value,
+       CAST(ROUND(CAST(
+           EXP(-q / 2.0) * (1.0 + q / 2.0 + (q / 2.0) * (q / 2.0) / 2.0
+                            + (q / 2.0) * (q / 2.0) * (q / 2.0) / 6.0)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) < 0.05 AS significant
+FROM stat
+"""
+
+REGISTRY["ljung_box"] = QuerySpec(q_ljung_box, LJUNG_BOX_SQL)
+
+
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe 2002, order 3) of daily order
+    revenue — the complexity measure of the forecast family: each
+    consecutive value triple maps to its ORDINAL pattern, and the Shannon
+    entropy of the pattern distribution separates regular (low H) from
+    noise-like (high H) dynamics. Ties get their own symbols (the
+    three-way comparison code 9·cmp(a,b) + 3·cmp(a,c) + cmp(b,c)), so
+    the statistic is EXACT integer bucketing — no epsilon, no tie-break
+    ambiguity, bit-identical across engines.
+
+    Pattern extraction is two LEAD windows over the bounded daily
+    relation (the acf posture); the entropy assembles from exact counts,
+    per-pattern −p·ln p terms snapped at 10 dp and summed as exact
+    decimals, normalized by ln 6 (the tie-free alphabet size).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    w = Window.orderBy("o_orderdate")
+    trip = daily.select(
+        F.col("r").alias("a"),
+        F.lead("r", 1).over(w).alias("b"),
+        F.lead("r", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+
+    def cmp3(x, y):
+        return F.when(x < y, 0).when(x == y, 1).otherwise(2)
+
+    pats = trip.select(
+        (
+            9 * cmp3(F.col("a"), F.col("b"))
+            + 3 * cmp3(F.col("a"), F.col("c"))
+            + cmp3(F.col("b"), F.col("c"))
+        )
+        .cast("long")
+        .alias("pattern")
+    )
+    counts = pats.groupBy("pattern").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "n_triples",
+        "n_patterns",
+        "top_count",
+        F.round(
+            (
+                -(F.col("c").cast("double") / F.col("n_triples").cast("double"))
+                * F.log(F.col("c").cast("double") / F.col("n_triples").cast("double"))
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("term"),
+    )
+    out = terms.groupBy("n_triples", "n_patterns", "top_count").agg(
+        F.sum("term").alias("h")
+    )
+    return out.select(
+        "n_triples",
+        "n_patterns",
+        snap_round(F.col("h").cast("double"), 6).alias("entropy"),
+        snap_round(
+            F.col("h").cast("double") / float(__import__("math").log(6.0)), 6
+        ).alias("normalized_entropy"),
+        snap_round(
+            F.col("top_count").cast("double") / F.col("n_triples").cast("double"), 6
+        ).alias("top_pattern_share"),
+    )
+
+
+PERMUTATION_ENTROPY_SQL = """
+WITH daily AS (
+    SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY o_orderdate
+),
+trip AS (
+    SELECT r AS a,
+           LEAD(r, 1) OVER (ORDER BY o_orderdate) AS b,
+           LEAD(r, 2) OVER (ORDER BY o_orderdate) AS c
+    FROM daily
+    QUALIFY c IS NOT NULL
+),
+pats AS (
+    SELECT CAST(
+        9 * (CASE WHEN a < b THEN 0 WHEN a = b THEN 1 ELSE 2 END)
+        + 3 * (CASE WHEN a < c THEN 0 WHEN a = c THEN 1 ELSE 2 END)
+        + (CASE WHEN b < c THEN 0 WHEN b = c THEN 1 ELSE 2 END) AS BIGINT)
+        AS pattern
+    FROM trip
+),
+counts AS (
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS c FROM pats GROUP BY pattern
+),
+tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_triples,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           CAST(MAX(c) AS BIGINT) AS top_count
+    FROM counts
+),
+summed AS (
+    SELECT n_triples, n_patterns, top_count,
+           SUM(ROUND(CAST(
+               -(CAST(c AS DOUBLE) / CAST(n_triples AS DOUBLE))
+               * LN(CAST(c AS DOUBLE) / CAST(n_triples AS DOUBLE))
+               AS DECIMAL(16,10)), 10)) AS h
+    FROM counts CROSS JOIN tot
+    GROUP BY n_triples, n_patterns, top_count
+)
+SELECT n_triples, n_patterns,
+       CAST(ROUND(CAST(CAST(h AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS entropy,
+       CAST(ROUND(CAST(CAST(h AS DOUBLE) / LN(6.0) AS DECIMAL(28,8)), 6)
+           AS DOUBLE) AS normalized_entropy,
+       CAST(ROUND(CAST(CAST(top_count AS DOUBLE) / CAST(n_triples AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS top_pattern_share
+FROM summed
+"""
+
+REGISTRY["permutation_entropy"] = QuerySpec(
+    q_permutation_entropy, PERMUTATION_ENTROPY_SQL
+)
+
+
+def q_oaxaca_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the order-value gap between URGENT
+    and non-urgent orders: how much of the mean o_totalprice difference is
+    EXPLAINED by urgent orders simply having more line items (the
+    endowment x = per-order line count), and how much is a genuine
+    pricing difference (the coefficient part)? The standard gap-auditing
+    tool (wage-gap econometrics) applied to the order book — diff_in_diff
+    needs a time dimension, this decomposes a cross-section.
+
+    Two-fold form with the non-urgent group as reference: gap = ȳ_A−ȳ_B =
+    β_B·(x̄_A−x̄_B)  [explained]  +  (α_A−α_B) + (β_A−β_B)·x̄_A
+    [unexplained]. Both one-regressor OLS fits are closed-form from exact
+    DECIMAL power sums (n, Σx, Σy, Σxy, Σx²) — one grouped pass over the
+    order-level join, 2-row algebra after; the identity
+    gap ≡ explained + unexplained holds exactly by construction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nlines = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    per_order = o.join(nlines, "o_orderkey").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+        F.col("x").cast("decimal(10,0)").alias("x"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("y"),
+    )
+    g = per_order.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    # zero within-group x-variance → slope undefined (degenerate input)
+    beta = F.when(
+        n * sxx - sx * sx != 0.0, (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    )
+    fit = g.select(
+        "is_a",
+        "n",
+        F.round((sx / n).cast("decimal(18,8)"), 8).alias("xbar"),
+        F.round((sy / n).cast("decimal(18,8)"), 8).alias("ybar"),
+        F.round(beta.cast("decimal(18,8)"), 8).alias("beta"),
+    )
+    a = fit.filter("is_a").select(
+        F.col("n").alias("n_a"),
+        F.col("xbar").alias("xbar_a"),
+        F.col("ybar").alias("ybar_a"),
+        F.col("beta").alias("beta_a"),
+    )
+    b = fit.filter(~F.col("is_a")).select(
+        F.col("n").alias("n_b"),
+        F.col("xbar").alias("xbar_b"),
+        F.col("ybar").alias("ybar_b"),
+        F.col("beta").alias("beta_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    gap = F.col("ybar_a").cast("double") - F.col("ybar_b").cast("double")
+    explained = F.col("beta_b").cast("double") * (
+        F.col("xbar_a").cast("double") - F.col("xbar_b").cast("double")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        snap_round(gap, 4).alias("gap"),
+        snap_round(explained, 4).alias("explained"),
+        snap_round(gap - explained, 4).alias("unexplained"),
+        snap_round(100.0 * explained / gap, 4).alias("pct_explained"),
+        snap_round(F.col("beta_a").cast("double"), 6).alias("slope_urgent"),
+        snap_round(F.col("beta_b").cast("double"), 6).alias("slope_other"),
+    )
+
+
+OAXACA_DECOMPOSITION_SQL = """
+WITH nlines AS (
+    SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+    FROM lineitem GROUP BY l_orderkey
+),
+per_order AS (
+    SELECT o_orderpriority = '1-URGENT' AS is_a,
+           CAST(x AS DECIMAL(10,0)) AS x,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS y
+    FROM orders JOIN nlines USING (o_orderkey)
+),
+g AS (
+    SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM per_order GROUP BY is_a
+),
+fit AS (
+    SELECT is_a, n,
+           ROUND(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,8)), 8) AS xbar,
+           ROUND(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,8)), 8) AS ybar,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+           THEN ROUND(CAST(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS DECIMAL(18,8)), 8) END AS beta
+    FROM g
+),
+j AS (
+    SELECT a.n AS n_a, b.n AS n_b,
+           CAST(a.ybar AS DOUBLE) - CAST(b.ybar AS DOUBLE) AS gap,
+           CAST(b.beta AS DOUBLE)
+               * (CAST(a.xbar AS DOUBLE) - CAST(b.xbar AS DOUBLE)) AS explained,
+           CAST(a.beta AS DOUBLE) AS beta_a, CAST(b.beta AS DOUBLE) AS beta_b
+    FROM (SELECT * FROM fit WHERE is_a) a
+    CROSS JOIN (SELECT * FROM fit WHERE NOT is_a) b
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(gap AS DECIMAL(28,8)), 4) AS DOUBLE) AS gap,
+       CAST(ROUND(CAST(explained AS DECIMAL(28,8)), 4) AS DOUBLE) AS explained,
+       CAST(ROUND(CAST(gap - explained AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS unexplained,
+       CAST(ROUND(CAST(100.0 * explained / gap AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS pct_explained,
+       CAST(ROUND(CAST(beta_a AS DECIMAL(28,8)), 6) AS DOUBLE) AS slope_urgent,
+       CAST(ROUND(CAST(beta_b AS DECIMAL(28,8)), 6) AS DOUBLE) AS slope_other
+FROM j
+"""
+
+REGISTRY["oaxaca_decomposition"] = QuerySpec(
+    q_oaxaca_decomposition, OAXACA_DECOMPOSITION_SQL
+)
+
+
+def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS: from each
+    user's signup, the first 'purchase' and the first 'error' race — the
+    CIF of each cause at each event hour. kaplan_meier treats the other
+    cause as censoring, which is BIASED under competing risks (1−KM
+    overstates incidence); Aalen-Johansen allocates the at-risk mass
+    correctly: CIF_k(t) = Σ_{s≤t} S(s⁻)·d_k(s)/n(s). Users with neither
+    event administratively censor at the observation end.
+
+    The survival prefix S(s⁻) is exp(exact-decimal cumsum of 9-dp-snapped
+    ln(1−d/n)) — the err_eval cascade discipline; per-time CIF increments
+    snap at 10 dp and accumulate as exact decimals, so the curve is
+    bit-identical across engines. All counts collapse to the per-hour
+    event table first (one keyed aggregate); the windows run over that
+    bounded relation (≤ observation hours), the acf posture.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    firsts = (
+        ev.join(t0, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+            F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+        )
+    )
+    admin = ev.agg(F.max("ts").alias("t_end"))
+    per_user = (
+        t0.join(firsts.drop("t0"), "user_id", "left")
+        .crossJoin(F.broadcast(admin))
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNotNull()
+                & (F.col("te").isNull() | (F.col("tp") <= F.col("te"))),
+                1,
+            )
+            .when(F.col("te").isNotNull(), 2)
+            .otherwise(0)
+            .alias("cause"),
+            F.floor(
+                (
+                    F.unix_timestamp(
+                        F.coalesce(F.least("tp", "te"), F.col("t_end"))
+                    )
+                    - F.unix_timestamp("t0")
+                )
+                / 3600
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    per_h = per_user.groupBy("h").agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(F.col("cause") == 0, 1).otherwise(0)).cast("long").alias("c"),
+    )
+    n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_h.crossJoin(F.broadcast(n_tot)).select(
+        "h",
+        "d1",
+        "d2",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum(F.col("d1") + F.col("d2") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    d_tot = F.col("d1") + F.col("d2")
+    lnterm = F.when(
+        d_tot < F.col("n_risk"),
+        F.round(
+            F.log(1.0 - d_tot.cast("double") / F.col("n_risk").cast("double")).cast(
+                "decimal(18,9)"
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    with_s = risk.select(
+        "h",
+        "d1",
+        "d2",
+        "n_risk",
+        F.exp(
+            F.coalesce(
+                F.sum(lnterm).over(w_prev), F.lit(0).cast("decimal(18,9)")
+            ).cast("double")
+        ).alias("s_prev"),
+    )
+    inc = with_s.select(
+        "h",
+        "d1",
+        "d2",
+        "n_risk",
+        F.round(
+            (
+                F.col("s_prev") * F.col("d1").cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("i1"),
+        F.round(
+            (
+                F.col("s_prev") * F.col("d2").cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("i2"),
+    )
+    out = inc.select(
+        "h",
+        "d1",
+        "d2",
+        "n_risk",
+        F.sum("i1").over(w_cur).cast("double").alias("cif1"),
+        F.sum("i2").over(w_cur).cast("double").alias("cif2"),
+    ).filter((F.col("d1") + F.col("d2")) > 0)
+    return out.select(
+        F.col("h").alias("hours_since_signup"),
+        F.col("n_risk").alias("at_risk"),
+        F.col("d1").alias("d_purchase"),
+        F.col("d2").alias("d_error"),
+        snap_round(F.col("cif1"), 6).alias("cif_purchase"),
+        snap_round(F.col("cif2"), 6).alias("cif_error"),
+    ).orderBy("hours_since_signup")
+
+
+CUMULATIVE_INCIDENCE_SQL = """
+WITH t0 AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+firsts AS (
+    SELECT e.user_id,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+           MIN(CASE WHEN event_type = 'error' THEN ts END) AS te
+    FROM events e JOIN t0 ON e.user_id = t0.user_id
+    WHERE e.ts > t0.t0 AND event_type IN ('purchase', 'error')
+    GROUP BY e.user_id
+),
+admin AS (SELECT MAX(ts) AS t_end FROM events),
+per_user AS (
+    SELECT t0.user_id,
+           CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+                WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause,
+           CAST(FLOOR(EPOCH(COALESCE(LEAST(tp, te), t_end) - t0) / 3600)
+               AS BIGINT) AS h
+    FROM t0 LEFT JOIN firsts USING (user_id) CROSS JOIN admin
+),
+per_h AS (
+    SELECT h,
+           CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM per_user GROUP BY h
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user),
+risk AS (
+    SELECT h, d1, d2, c,
+           CAST(n_users - COALESCE(SUM(d1 + d2 + c) OVER
+               (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+    FROM per_h CROSS JOIN n_tot
+),
+with_s AS (
+    SELECT h, d1, d2, n_risk,
+           EXP(CAST(COALESCE(SUM(
+               CASE WHEN d1 + d2 < n_risk
+               THEN ROUND(CAST(LN(1.0 - CAST(d1 + d2 AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,9)), 9)
+               ELSE CAST(0 AS DECIMAL(18,9)) END) OVER
+               (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(18,9))) AS DOUBLE)) AS s_prev
+    FROM risk
+),
+inc AS (
+    SELECT h, d1, d2, n_risk,
+           ROUND(CAST(s_prev * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                 AS DECIMAL(16,10)), 10) AS i1,
+           ROUND(CAST(s_prev * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                 AS DECIMAL(16,10)), 10) AS i2
+    FROM with_s
+),
+curve AS (
+    SELECT h, d1, d2, n_risk,
+           CAST(SUM(i1) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cif1,
+           CAST(SUM(i2) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cif2
+    FROM inc
+)
+SELECT h AS hours_since_signup,
+       n_risk AS at_risk,
+       d1 AS d_purchase,
+       d2 AS d_error,
+       CAST(ROUND(CAST(cif1 AS DECIMAL(28,8)), 6) AS DOUBLE) AS cif_purchase,
+       CAST(ROUND(CAST(cif2 AS DECIMAL(28,8)), 6) AS DOUBLE) AS cif_error
+FROM curve
+WHERE d1 + d2 > 0
+ORDER BY hours_since_signup
+"""
+
+REGISTRY["cumulative_incidence"] = QuerySpec(
+    q_cumulative_incidence, CUMULATIVE_INCIDENCE_SQL
+)
+
+
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study (dynamic treatment-effect) curve around each user's
+    FIRST PURCHASE: for relative days −5..+5, the mean gap between a
+    purchasing user's daily engagement value (click+view value sum) and
+    the same-calendar-day mean of never-purchasing users. diff_in_diff
+    reports one pooled effect; the event-study curve shows the PATH —
+    pre-trends (r < 0 should hover near the pre-mean) and the
+    post-adoption lift, the standard identification diagnostic.
+
+    Calendar-day confounding is removed by the control baseline join
+    (never-purchasers' per-day mean over a FIXED user denominator, zeros
+    implicit); treated user-days materialize as (user × relative-day)
+    pairs clamped to the observation window, left-joined to actual
+    activity so silent days count as 0, not missing. All joins are keyed
+    (day / user-day); exact decimal value sums; one snapped subtraction
+    per cell, decimal re-aggregation per relative day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    ).localCheckpoint()  # consumers: treated days, control baseline, bounds
+    first_buy = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("d").alias("event_day"))
+    )
+    bounds = base.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    engage = (
+        base.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "d")
+        .agg(F.sum("v").alias("y"))
+    )
+    ctrl_users = base.select("user_id").distinct().join(
+        first_buy, "user_id", "left_anti"
+    )
+    n_ctrl = ctrl_users.agg(F.count(F.lit(1)).cast("long").alias("n_ctrl"))
+    baseline = (
+        engage.join(ctrl_users, "user_id")
+        .groupBy("d")
+        .agg(F.sum("y").alias("sy"))
+        .crossJoin(F.broadcast(n_ctrl))
+        .select(
+            "d",
+            F.round(
+                (F.col("sy").cast("double") / F.col("n_ctrl").cast("double")).cast(
+                    "decimal(16,6)"
+                ),
+                6,
+            ).alias("base_y"),
+        )
+    )
+    rels = spark.range(-5, 6).select(F.col("id").cast("int").alias("r"))
+    panel = (
+        first_buy.crossJoin(F.broadcast(rels))
+        .select("user_id", "r", F.date_add(F.col("event_day"), F.col("r")).alias("d"))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("d") >= F.col("d_lo")) & (F.col("d") <= F.col("d_hi")))
+    )
+    cells = (
+        panel.join(engage, ["user_id", "d"], "left")
+        .join(baseline, "d", "left")
+        .select(
+            "r",
+            F.round(
+                (
+                    F.coalesce(F.col("y").cast("double"), F.lit(0.0))
+                    - F.coalesce(F.col("base_y").cast("double"), F.lit(0.0))
+                ).cast("decimal(16,6)"),
+                6,
+            ).alias("gap"),
+        )
+    )
+    out = cells.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.sum("gap").alias("sgap"),
+    )
+    return out.select(
+        F.col("r").alias("relative_day"),
+        "n_user_days",
+        snap_round(
+            F.col("sgap").cast("double") / F.col("n_user_days").cast("double"), 6
+        ).alias("effect"),
+    ).orderBy("relative_day")
+
+
+EVENT_STUDY_SQL = """
+WITH base AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+           CAST(value AS DECIMAL(12,2)) AS v
+    FROM events
+),
+first_buy AS (
+    SELECT user_id, MIN(d) AS event_day FROM base
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+bounds AS (SELECT MIN(d) AS d_lo, MAX(d) AS d_hi FROM base),
+engage AS (
+    SELECT user_id, d, SUM(v) AS y FROM base
+    WHERE event_type IN ('click', 'view') GROUP BY user_id, d
+),
+ctrl_users AS (
+    SELECT DISTINCT user_id FROM base
+    WHERE user_id NOT IN (SELECT user_id FROM first_buy)
+),
+n_ctrl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ctrl FROM ctrl_users),
+baseline AS (
+    SELECT d,
+           ROUND(CAST(CAST(SUM(y) AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+                 AS DECIMAL(16,6)), 6) AS base_y
+    FROM engage JOIN ctrl_users USING (user_id) CROSS JOIN n_ctrl
+    GROUP BY d, n_ctrl
+),
+panel AS (
+    SELECT user_id, r, event_day + CAST(r AS INTEGER) AS d
+    FROM first_buy
+    CROSS JOIN (SELECT unnest(range(-5, 6)) AS r)
+    CROSS JOIN bounds
+    WHERE event_day + CAST(r AS INTEGER) >= d_lo
+      AND event_day + CAST(r AS INTEGER) <= d_hi
+),
+cells AS (
+    SELECT r,
+           ROUND(CAST(
+               COALESCE(CAST(y AS DOUBLE), 0.0)
+               - COALESCE(CAST(base_y AS DOUBLE), 0.0)
+               AS DECIMAL(16,6)), 6) AS gap
+    FROM panel
+    LEFT JOIN engage USING (user_id, d)
+    LEFT JOIN baseline USING (d)
+)
+SELECT CAST(r AS INTEGER) AS relative_day,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days,
+       CAST(ROUND(CAST(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS effect
+FROM cells
+GROUP BY r
+ORDER BY relative_day
+"""
+
+REGISTRY["event_study"] = QuerySpec(q_event_study, EVENT_STUDY_SQL)
