@@ -339,6 +339,13 @@ HEADLINE = [
     "rake_keywords",
     "cumulative_incidence",
     "event_study",
+    "wasserstein_distance",
+    "energy_distance",
+    "cochran_q",
+    "page_hinkley",
+    "pot_gpd_fit",
+    "rbo_rank_agreement",
+    "synthetic_control",
 ]
 
 

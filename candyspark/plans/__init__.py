@@ -28,6 +28,13 @@ class QuerySpec:
 #: certifies code no prior round certified (round-2 verdict item 6).
 ROUND3_WINDOW = [
     # new operators (session 3)
+    "wasserstein_distance",
+    "energy_distance",
+    "cochran_q",
+    "page_hinkley",
+    "pot_gpd_fit",
+    "rbo_rank_agreement",
+    "synthetic_control",
     "rake_keywords",
     "cumulative_incidence",
     "event_study",

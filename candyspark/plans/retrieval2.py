@@ -282,3 +282,180 @@ FROM per_term
 """
 
 REGISTRY["err_eval"] = QuerySpec(q_err_eval, ERR_EVAL_SQL)
+
+
+def q_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber 2010, p = 0.9, depth 10) between two
+    length-penalty variants of the ranker (mild b=0.5 vs strong b=1.5
+    normalization) for each query — the top-weighted ranking-agreement
+    metric a retrieval pipeline uses to quantify how much a scorer CHANGE
+    reshuffles what users actually see (Kendall's τ weights all positions
+    equally; RBO decays by p^d, matching inspection probability).
+
+    RBO_min = (1−p)·Σ_{d≤10} p^{d−1}·X_d/d, with X_d the prefix-overlap
+    size. Only documents in BOTH top-10s contribute, so X_d =
+    |{docs: max(rank_A, rank_B) ≤ d}| — one join of the two per-query
+    top-10 relations against a 10-row depth table, left-joined back to
+    the query list so zero-overlap queries still report rbo = 0. Exact
+    integer overlaps, snapped p-power weights, exact decimal sums;
+    '__mean__' row appended. Ranks are keyed windows (per query).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+    def score(b_times_2: int) -> F.Column:
+        return snap_round(
+            (2 * F.col("tf")).cast("double") * F.col("sumdl").cast("double")
+            / (
+                (2 * F.col("tf")).cast("double") * F.col("sumdl").cast("double")
+                + float(b_times_2)
+                * F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+            ),
+            6,
+        )
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select("term", "doc_id", score(1).alias("sa"), score(3).alias("sb"))
+        .localCheckpoint()  # two rank consumers
+    )
+    ra = F.row_number().over(Window.partitionBy("term").orderBy(F.desc("sa"), "doc_id"))
+    rb = F.row_number().over(Window.partitionBy("term").orderBy(F.desc("sb"), "doc_id"))
+    top_a = scored.select("term", "doc_id", ra.cast("long").alias("ra")).filter(
+        F.col("ra") <= 10
+    )
+    top_b = scored.select("term", "doc_id", rb.cast("long").alias("rb")).filter(
+        F.col("rb") <= 10
+    )
+    both = top_a.join(top_b, ["term", "doc_id"]).select(
+        "term", F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, 11).select(F.col("id").cast("long").alias("dpt"))
+    contribs = (
+        both.crossJoin(F.broadcast(depths))
+        .filter(F.col("m") <= F.col("dpt"))
+        .groupBy("term", "dpt")
+        .agg(F.count(F.lit(1)).cast("long").alias("x_d"))
+        .select(
+            "term",
+            F.round(
+                (
+                    0.1
+                    * F.pow(F.lit(0.9), (F.col("dpt") - 1).cast("double"))
+                    * F.col("x_d").cast("double")
+                    / F.col("dpt").cast("double")
+                ).cast("decimal(16,10)"),
+                10,
+            ).alias("contrib"),
+        )
+        .groupBy("term")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    qterms = scored.select("term").distinct()
+    per_term = qterms.join(contribs, "term", "left").select(
+        "term",
+        F.coalesce(snap_round(F.col("s").cast("double"), 6), F.lit(0.0)).alias("rbo"),
+    )
+    mean_row = per_term.agg(
+        F.lit("__mean__").alias("term"),
+        snap_round(
+            F.sum(F.col("rbo").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("rbo"),
+    )
+    return per_term.unionByName(mean_row)
+
+
+RBO_RANK_AGREEMENT_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+tf AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY term, doc_id
+),
+scored AS (
+    SELECT term, doc_id,
+           CAST(ROUND(CAST(
+               CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
+               / (CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
+                  + 1.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS sa,
+           CAST(ROUND(CAST(
+               CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
+               / (CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
+                  + 3.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS sb
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN totals
+),
+top_a AS (
+    SELECT term, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY sa DESC, doc_id) AS BIGINT) AS ra
+    FROM scored
+    QUALIFY ra <= 10
+),
+top_b AS (
+    SELECT term, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY sb DESC, doc_id) AS BIGINT) AS rb
+    FROM scored
+    QUALIFY rb <= 10
+),
+both_r AS (
+    SELECT term, GREATEST(ra, rb) AS m
+    FROM top_a JOIN top_b USING (term, doc_id)
+),
+contribs AS (
+    SELECT term, SUM(contrib) AS s
+    FROM (
+        SELECT term,
+               ROUND(CAST(0.1 * POW(0.9, CAST(dpt - 1 AS DOUBLE))
+                          * CAST(x_d AS DOUBLE) / CAST(dpt AS DOUBLE)
+                     AS DECIMAL(16,10)), 10) AS contrib
+        FROM (
+            SELECT term, dpt, CAST(COUNT(*) AS BIGINT) AS x_d
+            FROM both_r CROSS JOIN (SELECT unnest(range(1, 11)) AS dpt)
+            WHERE m <= dpt
+            GROUP BY term, dpt
+        )
+    )
+    GROUP BY term
+),
+per_term AS (
+    SELECT term,
+           COALESCE(CAST(ROUND(CAST(CAST(s AS DOUBLE) AS DECIMAL(28,8)), 6)
+                    AS DOUBLE), 0.0) AS rbo
+    FROM (SELECT DISTINCT term FROM scored)
+    LEFT JOIN contribs USING (term)
+)
+SELECT term, rbo FROM per_term
+UNION ALL
+SELECT '__mean__' AS term,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(rbo AS DECIMAL(10,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rbo
+FROM per_term
+"""
+
+
+REGISTRY["rbo_rank_agreement"] = QuerySpec(
+    q_rbo_rank_agreement, RBO_RANK_AGREEMENT_SQL
+)

@@ -1676,3 +1676,812 @@ ORDER BY relative_day
 """
 
 REGISTRY["event_study"] = QuerySpec(q_event_study, EVENT_STUDY_SQL)
+
+
+def q_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the returned and kept
+    discount distributions — the TRANSPORT-COST companion to ks_test: KS
+    reads the largest CDF gap, W₁ = ∫|F_a−F_b| integrates ALL of it, so a
+    broad small shift (which KS underweights) shows up here.
+
+    On the bounded cent support the integral is the exact rational
+    Σ_v |cumA(v)·n_b − cumB(v)·n_a|·Δv / (n_a·n_b): integer cumulative
+    counts, integer gap-weighted sum (decimal vs int64 overflow guard),
+    ONE division at the end. Also reports the mean-shift lower bound
+    |μ_a−μ_b| (W₁ ≥ |Δμ| always — a free internal consistency check).
+    One ≤11-row aggregate past the scan, same posture as ks_test.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        "v",
+        F.sum("na_v").over(wc).alias("ca"),
+        F.sum("nb_v").over(wc).alias("cb"),
+        (F.lead("v").over(w) - F.col("v")).alias("dv"),
+    ).filter(F.col("dv").isNotNull())
+    totals = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(F.col("v") * F.col("na_v")).cast("long").alias("sa"),
+        F.sum(F.col("v") * F.col("nb_v")).cast("long").alias("sb"),
+    )
+    summed = (
+        cums.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b", "sa", "sb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ca").cast("decimal(28,0)") * F.col("n_b")
+                    - F.col("cb").cast("decimal(28,0)") * F.col("n_a")
+                )
+                * F.col("dv")
+            ).alias("num")
+        )
+    )
+    nab = (F.col("n_a") * F.col("n_b")).cast("double")
+    w1_cents = F.col("num").cast("double") / nab
+    mean_gap = F.abs(
+        F.col("sa").cast("double") / F.col("n_a").cast("double")
+        - F.col("sb").cast("double") / F.col("n_b").cast("double")
+    )
+    return summed.select(
+        "n_a",
+        "n_b",
+        snap_round(w1_cents / 100.0, 8).alias("wasserstein"),
+        snap_round(mean_gap / 100.0, 8).alias("mean_shift_bound"),
+        (snap_round(w1_cents / 100.0, 8) >= snap_round(mean_gap / 100.0, 8)).alias(
+            "bound_holds"
+        ),
+    )
+
+
+WASSERSTEIN_DISTANCE_SQL = """
+WITH per_v AS (
+    SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM lineitem GROUP BY 1
+),
+cums AS (
+    SELECT v,
+           SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+           LEAD(v) OVER (ORDER BY v) - v AS dv
+    FROM per_v
+    QUALIFY dv IS NOT NULL
+),
+totals AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b,
+           CAST(SUM(v * na_v) AS BIGINT) AS sa, CAST(SUM(v * nb_v) AS BIGINT) AS sb
+    FROM per_v
+),
+summed AS (
+    SELECT n_a, n_b, sa, sb,
+           SUM(ABS(CAST(ca AS DECIMAL(28,0)) * n_b
+                   - CAST(cb AS DECIMAL(28,0)) * n_a) * dv) AS num
+    FROM cums CROSS JOIN totals
+    GROUP BY n_a, n_b, sa, sb
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) / 100.0
+            AS DECIMAL(28,8)), 8) AS DOUBLE) AS wasserstein,
+       CAST(ROUND(CAST(ABS(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 100.0
+            AS DECIMAL(28,8)), 8) AS DOUBLE) AS mean_shift_bound,
+       CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) / 100.0
+            AS DECIMAL(28,8)), 8) AS DOUBLE)
+       >= CAST(ROUND(CAST(ABS(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                              - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 100.0
+            AS DECIMAL(28,8)), 8) AS DOUBLE) AS bound_holds
+FROM summed
+"""
+
+REGISTRY["wasserstein_distance"] = QuerySpec(
+    q_wasserstein_distance, WASSERSTEIN_DISTANCE_SQL
+)
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely's energy distance between the returned and kept quantity
+    distributions: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the all-moments
+    two-sample statistic (E = 0 ⟺ identical distributions), rounding out
+    the family: mann_whitney (location), bartlett (spread), ks/wasserstein
+    (CDF), energy (characteristic function, rotation-free).
+
+    The textbook form is O(n²) pairwise distances; on the bounded
+    quantity support every expectation collapses to a |support|² = 50²
+    cross join of per-value counts — Σ_{u,v} c(u)c(v)|u−v| in EXACT
+    integers (decimal against int64 overflow at 100 TB counts), three
+    expectations from one product relation, one division each at the end.
+    Also reports the test statistic T = (n_a·n_b/(n_a+n_b))·E.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+        .localCheckpoint()  # both sides of the 50×50 product + totals
+    )
+    o = per_v.select(
+        F.col("v").alias("u"),
+        F.col("na_v").alias("na_u"),
+        F.col("nb_v").alias("nb_u"),
+    )
+    prod = per_v.crossJoin(o).select(
+        F.abs(F.col("v") - F.col("u")).cast("decimal(28,0)").alias("dist"),
+        F.col("na_v").cast("decimal(28,0)").alias("na_v"),
+        F.col("nb_v").cast("decimal(28,0)").alias("nb_v"),
+        F.col("na_u").cast("decimal(28,0)").alias("na_u"),
+        F.col("nb_u").cast("decimal(28,0)").alias("nb_u"),
+    )
+    sums = prod.agg(
+        F.sum(F.col("dist") * F.col("na_v") * F.col("nb_u")).alias("sab"),
+        F.sum(F.col("dist") * F.col("na_v") * F.col("na_u")).alias("saa"),
+        F.sum(F.col("dist") * F.col("nb_v") * F.col("nb_u")).alias("sbb"),
+    )
+    totals = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    j = sums.crossJoin(F.broadcast(totals))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    e = (
+        2.0 * F.col("sab").cast("double") / (na * nb)
+        - F.col("saa").cast("double") / (na * na)
+        - F.col("sbb").cast("double") / (nb * nb)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        snap_round(e, 8).alias("energy_distance"),
+        snap_round(na * nb / (na + nb) * e, 6).alias("t_stat"),
+    )
+
+
+ENERGY_DISTANCE_SQL = """
+WITH per_v AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM lineitem GROUP BY 1
+),
+prod AS (
+    SELECT CAST(ABS(a.v - b.v) AS DECIMAL(28,0)) AS dist,
+           CAST(a.na_v AS DECIMAL(28,0)) AS na_v,
+           CAST(a.nb_v AS DECIMAL(28,0)) AS nb_v,
+           CAST(b.na_v AS DECIMAL(28,0)) AS na_u,
+           CAST(b.nb_v AS DECIMAL(28,0)) AS nb_u
+    FROM per_v a CROSS JOIN per_v b
+),
+sums AS (
+    SELECT SUM(dist * na_v * nb_u) AS sab,
+           SUM(dist * na_v * na_u) AS saa,
+           SUM(dist * nb_v * nb_u) AS sbb
+    FROM prod
+),
+totals AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b
+    FROM per_v
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(
+           2.0 * CAST(sab AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           - CAST(saa AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+           - CAST(sbb AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS energy_distance,
+       CAST(ROUND(CAST(
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           * (2.0 * CAST(sab AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              - CAST(saa AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+              - CAST(sbb AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS t_stat
+FROM sums CROSS JOIN totals
+"""
+
+REGISTRY["energy_distance"] = QuerySpec(q_energy_distance, ENERGY_DISTANCE_SQL)
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the three engagement actions (click / view /
+    purchase, each a per-user binary "did it ≥15 times"): do the three
+    action rates differ across the SAME users? The repeated-measures
+    member of the association family — mcnemar_test is its k=2 special
+    case; χ² would wrongly treat the columns as independent samples.
+
+    Q = k(k−1)·Σ_j(G_j − T/k)² / (k·T − Σ_i L_i²) with column totals G_j,
+    row sums L_i, grand total T — ALL exact integers from one per-user
+    conditional aggregate (user-keyed, map-side combined) and one ≤3-row
+    summary. k = 3 ⇒ df = 2, so the survival function is exp(−Q/2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 15, 1
+            )
+            .otherwise(0)
+            .alias("g1"),
+            F.when(
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)) >= 15, 1
+            )
+            .otherwise(0)
+            .alias("g2"),
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15,
+                1,
+            )
+            .otherwise(0)
+            .alias("g3"),
+        )
+    )
+    sums = per_user.select(
+        "g1",
+        "g2",
+        "g3",
+        (F.col("g1") + F.col("g2") + F.col("g3")).alias("l"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+        F.sum("g3").cast("long").alias("c3"),
+        F.sum("l").cast("long").alias("t"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("l2"),
+    )
+    k = F.lit(3.0)
+    tbar = F.col("t").cast("double") / k
+    ss = (
+        (F.col("c1").cast("double") - tbar) * (F.col("c1").cast("double") - tbar)
+        + (F.col("c2").cast("double") - tbar) * (F.col("c2").cast("double") - tbar)
+        + (F.col("c3").cast("double") - tbar) * (F.col("c3").cast("double") - tbar)
+    )
+    den = k * F.col("t").cast("double") - F.col("l2").cast("double")
+    # every row-sum 0 or k (no within-user variation) → Q degenerates to 0
+    q = F.when(den > 0.0, k * (k - 1.0) * ss / den).otherwise(F.lit(0.0))
+    qs = snap_round(q, 6)
+    p = F.exp(-qs / 2.0)
+    return sums.select(
+        "n_users",
+        F.col("c1").alias("n_click"),
+        F.col("c2").alias("n_view"),
+        F.col("c3").alias("n_purchase"),
+        qs.alias("q_stat"),
+        snap_round(p, 6).alias("p_value"),
+        (snap_round(p, 6) < 0.05).alias("significant"),
+    )
+
+
+COCHRAN_Q_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 15
+                THEN 1 ELSE 0 END AS g1,
+           CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) >= 15
+                THEN 1 ELSE 0 END AS g2,
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                THEN 1 ELSE 0 END AS g3
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY user_id
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(g1) AS BIGINT) AS c1,
+           CAST(SUM(g2) AS BIGINT) AS c2,
+           CAST(SUM(g3) AS BIGINT) AS c3,
+           CAST(SUM(g1 + g2 + g3) AS BIGINT) AS t,
+           CAST(SUM((g1 + g2 + g3) * (g1 + g2 + g3)) AS BIGINT) AS l2
+    FROM per_user
+),
+stat AS (
+    SELECT n_users, c1, c2, c3,
+           CAST(ROUND(CAST(
+               CASE WHEN 3.0 * CAST(t AS DOUBLE) - CAST(l2 AS DOUBLE) > 0.0
+               THEN 3.0 * 2.0
+               * ((CAST(c1 AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+                  * (CAST(c1 AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+                  + (CAST(c2 AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+                  * (CAST(c2 AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+                  + (CAST(c3 AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+                  * (CAST(c3 AS DOUBLE) - CAST(t AS DOUBLE) / 3.0))
+               / (3.0 * CAST(t AS DOUBLE) - CAST(l2 AS DOUBLE))
+               ELSE 0.0 END
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS q
+    FROM sums
+)
+SELECT n_users,
+       c1 AS n_click, c2 AS n_view, c3 AS n_purchase,
+       q AS q_stat,
+       CAST(ROUND(CAST(EXP(-q / 2.0) AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value,
+       CAST(ROUND(CAST(EXP(-q / 2.0) AS DECIMAL(28,8)), 6) AS DOUBLE) < 0.05
+           AS significant
+FROM stat
+"""
+
+REGISTRY["cochran_q"] = QuerySpec(q_cochran_q, COCHRAN_Q_SQL)
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change detection on daily order revenue — the
+    SEQUENTIAL drift monitor of the family (cusum_changepoint locates one
+    retrospective break; PH is the online rule a monitoring job replays):
+    m_t = Σ_{i≤t}(x_i − x̄_i − δ) with the RUNNING prefix mean x̄_i, alarm
+    when m_t − min_{s≤t} m_s exceeds λ. δ and λ derive from the global
+    snapped mean/std (δ = 1% of mean, λ = 5σ), so the rule is
+    deterministic and scale-free.
+
+    Every prefix quantity is a window over the bounded daily relation:
+    prefix means snap at 6 dp, the deviation terms accumulate as exact
+    decimals, the running minimum and the max excursion are two more
+    windows — the replay is bit-identical across engines. Reports the
+    max excursion, the λ threshold, the first alarm day, and the verdict.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    gstats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sr").cast("double") / n
+    sd = F.sqrt(F.col("srr").cast("double") / n - mu * mu)
+    consts = gstats.select(
+        F.round((0.01 * mu).cast("decimal(18,6)"), 6).alias("delta"),
+        F.round((5.0 * sd).cast("decimal(18,6)"), 6).alias("lam"),
+    )
+    w = Window.orderBy("d")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.crossJoin(F.broadcast(consts)).select(
+        "d",
+        "r",
+        "delta",
+        "lam",
+        F.round(
+            (
+                F.sum("r").over(wc).cast("double")
+                / F.count(F.lit(1)).over(wc).cast("double")
+            ).cast("decimal(18,6)"),
+            6,
+        ).alias("xbar"),
+    )
+    terms = pref.select(
+        "d",
+        "lam",
+        (
+            F.col("r").cast("decimal(18,6)")
+            - F.col("xbar")
+            - F.col("delta")
+        ).alias("dev"),
+    )
+    cum = terms.select(
+        "d",
+        "lam",
+        F.sum("dev").over(wc).alias("m"),
+    )
+    exc = cum.select(
+        "d",
+        "lam",
+        (F.col("m") - F.min("m").over(wc)).cast("decimal(28,6)").alias("excursion"),
+    )
+    out = exc.agg(
+        F.max(F.col("excursion").cast("double")).alias("max_exc"),
+        F.max("lam").cast("double").alias("lam"),
+        F.min(
+            F.when(
+                F.col("excursion").cast("double") > F.col("lam").cast("double"),
+                F.col("d"),
+            )
+        ).alias("first_alarm_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return out.select(
+        "n_days",
+        snap_round(F.col("max_exc"), 4).alias("max_excursion"),
+        snap_round(F.col("lam"), 4).alias("lambda_threshold"),
+        F.coalesce(
+            F.col("first_alarm_raw").cast("string"), F.lit("none")
+        ).alias("first_alarm_day"),
+        (F.col("max_exc") > F.col("lam")).alias("drift_detected"),
+    )
+
+
+PAGE_HINKLEY_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY 1
+),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r) AS sr, SUM(r * r) AS srr
+    FROM daily
+),
+consts AS (
+    SELECT ROUND(CAST(0.01 * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,6)), 6) AS delta,
+           ROUND(CAST(5.0 * SQRT(CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))
+                 AS DECIMAL(18,6)), 6) AS lam
+    FROM gstats
+),
+pref AS (
+    SELECT d, r, delta, lam,
+           ROUND(CAST(
+               CAST(SUM(r) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(COUNT(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS DECIMAL(18,6)), 6) AS xbar
+    FROM daily CROSS JOIN consts
+),
+cum AS (
+    SELECT d, lam,
+           SUM(CAST(r AS DECIMAL(18,6)) - xbar - delta)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m
+    FROM pref
+),
+exc AS (
+    SELECT d, lam,
+           CAST(m - MIN(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(28,6)) AS excursion
+    FROM cum
+),
+summed AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(CAST(excursion AS DOUBLE)) AS max_exc,
+           MAX(CAST(lam AS DOUBLE)) AS lam,
+           MIN(CASE WHEN CAST(excursion AS DOUBLE) > CAST(lam AS DOUBLE)
+                    THEN d END) AS first_alarm_raw
+    FROM exc
+)
+SELECT n_days,
+       CAST(ROUND(CAST(max_exc AS DECIMAL(28,8)), 4) AS DOUBLE) AS max_excursion,
+       CAST(ROUND(CAST(lam AS DECIMAL(28,8)), 4) AS DOUBLE) AS lambda_threshold,
+       COALESCE(CAST(first_alarm_raw AS VARCHAR), 'none') AS first_alarm_day,
+       max_exc > lam AS drift_detected
+FROM summed
+"""
+
+REGISTRY["page_hinkley"] = QuerySpec(q_page_hinkley, PAGE_HINKLEY_SQL)
+
+
+def q_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold Generalized Pareto fit to the upper tail of
+    daily order revenue — the extreme-value companion to hill_tail_index
+    (Hill assumes a pure power law; the GPD's shape ξ also admits the
+    exponential (ξ=0) and bounded (ξ<0) tails a revenue series actually
+    has). Threshold u = the 95th-percentile order statistic of the daily
+    series; exceedances y = x−u fit by method of moments:
+    ξ = (1 − m²/s²)/2, σ = m(m²/s² + 1)/2.
+
+    The order statistic is one row_number over the bounded daily relation
+    (the runs_test posture); exceedance moments are exact decimal power
+    sums; the implied 10× rarer return level u + σ/ξ·(10^ξ − 1) checks
+    the fit against intuition. One snapped formula each — deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    wv = Window.orderBy(F.desc("r"), "d")
+    ranked = daily.select(
+        "r",
+        F.row_number().over(wv).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_days"),
+    )
+    thresh = ranked.filter(
+        F.col("rk") == F.ceil(F.col("n_days") * 0.05).cast("int")
+    ).select(F.col("r").alias("u"))
+    exceed = (
+        daily.crossJoin(F.broadcast(thresh))
+        .filter(F.col("r") > F.col("u"))
+        .select("u", (F.col("r") - F.col("u")).cast("decimal(18,2)").alias("y"))
+    )
+    sums = exceed.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    ne = F.col("n_exc").cast("double")
+    m = F.col("sy").cast("double") / ne
+    s2 = F.col("syy").cast("double") / ne - m * m
+    ratio = m * m / s2
+    xi = snap_round((1.0 - ratio) / 2.0, 6)
+    sigma = snap_round(m * (ratio + 1.0) / 2.0, 4)
+    return sums.select(
+        F.col("u").cast("double").alias("threshold"),
+        "n_exc",
+        xi.alias("xi_shape"),
+        sigma.alias("sigma_scale"),
+        snap_round(
+            F.col("u").cast("double")
+            + sigma / xi * (F.pow(F.lit(10.0), xi) - 1.0),
+            2,
+        ).alias("return_level_10x"),
+        (xi < 0.5).alias("finite_variance_tail"),
+    )
+
+
+POT_GPD_FIT_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, d) AS rk,
+           COUNT(*) OVER () AS n_days
+    FROM daily
+),
+thresh AS (
+    SELECT r AS u FROM ranked
+    WHERE rk = CAST(CEIL(n_days * 0.05) AS INTEGER)
+),
+exceed AS (
+    SELECT u, CAST(r - u AS DECIMAL(18,2)) AS y
+    FROM daily CROSS JOIN thresh
+    WHERE r > u
+),
+sums AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS n_exc,
+           SUM(y) AS sy, SUM(y * y) AS syy
+    FROM exceed GROUP BY u
+),
+fit AS (
+    SELECT CAST(u AS DOUBLE) AS threshold, n_exc,
+           CAST(ROUND(CAST(
+               (1.0 - (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                      / (CAST(syy AS DOUBLE) / CAST(n_exc AS DOUBLE)
+                         - (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                           * (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE)))) / 2.0
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS xi_shape,
+           CAST(ROUND(CAST(
+               (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+               * ((CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                  * (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                  / (CAST(syy AS DOUBLE) / CAST(n_exc AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))) + 1.0) / 2.0
+               AS DECIMAL(28,8)), 4) AS DOUBLE) AS sigma_scale
+    FROM sums
+)
+SELECT threshold, n_exc, xi_shape, sigma_scale,
+       CAST(ROUND(CAST(
+           threshold + sigma_scale / xi_shape * (POW(10.0, xi_shape) - 1.0)
+           AS DECIMAL(28,8)), 2) AS DOUBLE) AS return_level_10x,
+       xi_shape < 0.5 AS finite_variance_tail
+FROM fit
+"""
+
+REGISTRY["pot_gpd_fit"] = QuerySpec(q_pot_gpd_fit, POT_GPD_FIT_SQL)
+
+
+def q_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-control estimate of NATION_0's post-period monthly revenue
+    effect: a weighted blend of the 24 donor nations, weights softmaxed on
+    pre-period fit (w_j ∝ exp(−MSE_j/τ), τ = the donors' mean MSE — the
+    deterministic closed-form surrogate for Abadie's constrained
+    regression, which needs a QP solver the relational engine shouldn't
+    own). diff_in_diff assumes parallel trends; synthetic control BUILDS
+    the parallel counterfactual and shows the gap month by month.
+
+    Monthly nation revenue is one keyed aggregate off the orders×customer
+    join; the pre-period split is the month-index midpoint (dense_rank
+    over the bounded month relation); per-donor MSEs are exact decimal
+    power sums of snapped monthly gaps; weights snap at 10 dp so the
+    blend Σw_j·y_j(t) is exact decimal algebra. Output: every post month
+    with actual, synthetic, and gap, plus the pre-period mean gap as a
+    fit diagnostic in each row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+        .localCheckpoint()  # consumers: treated path, donors, month index
+    )
+    months = monthly.select("m").distinct()
+    wm = Window.orderBy("m")
+    idx = months.select(
+        "m",
+        F.row_number().over(wm).alias("mi"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_m"),
+    ).select("m", "mi", (F.col("mi") <= F.floor(F.col("n_m") / 2)).alias("is_pre"))
+    series = monthly.join(F.broadcast(idx), "m")
+    treated = series.filter(F.col("nk") == 0).select(
+        "m", "mi", "is_pre", F.col("rev").alias("y_t")
+    )
+    donors = series.filter(F.col("nk") != 0).select(
+        "nk", "m", F.col("rev").alias("y_d")
+    )
+    pre_fit = (
+        donors.join(treated.filter("is_pre").select("m", "y_t"), "m")
+        .groupBy("nk")
+        .agg(
+            F.sum(
+                F.round(
+                    (
+                        (F.col("y_d") - F.col("y_t")).cast("double")
+                        * (F.col("y_d") - F.col("y_t")).cast("double")
+                    ).cast("decimal(30,4)"),
+                    4,
+                )
+            ).alias("sse"),
+            F.count(F.lit(1)).cast("long").alias("n_pre"),
+        )
+        .select(
+            "nk",
+            F.round(
+                (F.col("sse").cast("double") / F.col("n_pre").cast("double")).cast(
+                    "decimal(30,4)"
+                ),
+                4,
+            ).alias("mse"),
+        )
+        .localCheckpoint()  # consumers: tau + weights
+    )
+    tau = pre_fit.agg(
+        F.round(
+            (F.sum("mse") / F.count(F.lit(1))).cast("decimal(30,4)"), 4
+        ).alias("tau")
+    )
+    # tau = 0 ⟺ every donor fits the pre-period perfectly → uniform blend
+    raw_w = pre_fit.crossJoin(F.broadcast(tau)).select(
+        "nk",
+        F.when(F.col("tau") == 0, F.lit(1).cast("decimal(16,10)"))
+        .otherwise(
+            F.round(
+                F.exp(
+                    -(F.col("mse").cast("double") / F.col("tau").cast("double"))
+                ).cast("decimal(16,10)"),
+                10,
+            )
+        )
+        .alias("rw"),
+    )
+    z = raw_w.agg(F.sum("rw").alias("z"))
+    weights = raw_w.crossJoin(F.broadcast(z)).select(
+        "nk",
+        F.round(
+            (F.col("rw").cast("double") / F.col("z").cast("double")).cast(
+                "decimal(16,10)"
+            ),
+            10,
+        ).alias("w"),
+    )
+    synth = (
+        donors.join(F.broadcast(weights), "nk")
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("w").cast("double") * F.col("y_d").cast("double")).cast(
+                        "decimal(24,6)"
+                    ),
+                    6,
+                )
+            ).alias("y_s")
+        )
+    )
+    joined = treated.join(synth, "m").localCheckpoint()
+    pre_gap = joined.filter("is_pre").agg(
+        F.round(
+            (
+                F.sum((F.col("y_t").cast("decimal(24,6)") - F.col("y_s")))
+                / F.count(F.lit(1))
+            ).cast("decimal(24,6)"),
+            4,
+        ).alias("pre_mean_gap")
+    )
+    return (
+        joined.filter(~F.col("is_pre"))
+        .crossJoin(F.broadcast(pre_gap))
+        .select(
+            F.col("m").alias("month"),
+            F.col("y_t").cast("double").alias("actual"),
+            snap_round(F.col("y_s").cast("double"), 2).alias("synthetic"),
+            snap_round(
+                F.col("y_t").cast("double") - F.col("y_s").cast("double"), 2
+            ).alias("gap"),
+            F.col("pre_mean_gap").cast("double").alias("pre_mean_gap"),
+        )
+        .orderBy("month")
+    )
+
+
+SYNTHETIC_CONTROL_SQL = """
+WITH monthly AS (
+    SELECT c_nationkey AS nk,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+           SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+idx AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS mi, COUNT(*) OVER () AS n_m
+    FROM (SELECT DISTINCT m FROM monthly)
+),
+idx2 AS (SELECT m, mi, mi <= n_m // 2 AS is_pre FROM idx),
+series AS (SELECT nk, monthly.m, rev, is_pre FROM monthly JOIN idx2 USING (m)),
+treated AS (SELECT m, is_pre, rev AS y_t FROM series WHERE nk = 0),
+donors AS (SELECT nk, m, rev AS y_d FROM series WHERE nk <> 0),
+pre_fit AS (
+    SELECT nk,
+           ROUND(CAST(CAST(SUM(ROUND(CAST(
+               CAST(y_d - y_t AS DOUBLE) * CAST(y_d - y_t AS DOUBLE)
+               AS DECIMAL(30,4)), 4)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS DECIMAL(30,4)), 4) AS mse
+    FROM donors JOIN (SELECT m, y_t FROM treated WHERE is_pre) USING (m)
+    GROUP BY nk
+),
+tau AS (SELECT ROUND(CAST(SUM(mse) / COUNT(*) AS DECIMAL(30,4)), 4) AS tau
+        FROM pre_fit),
+raw_w AS (
+    SELECT nk,
+           CASE WHEN tau = 0 THEN CAST(1 AS DECIMAL(16,10))
+                ELSE ROUND(CAST(EXP(-(CAST(mse AS DOUBLE) / CAST(tau AS DOUBLE)))
+                     AS DECIMAL(16,10)), 10) END AS rw
+    FROM pre_fit CROSS JOIN tau
+),
+z AS (SELECT SUM(rw) AS z FROM raw_w),
+weights AS (
+    SELECT nk,
+           ROUND(CAST(CAST(rw AS DOUBLE) / CAST(z AS DOUBLE)
+                 AS DECIMAL(16,10)), 10) AS w
+    FROM raw_w CROSS JOIN z
+),
+synth AS (
+    SELECT m,
+           SUM(ROUND(CAST(CAST(w AS DOUBLE) * CAST(y_d AS DOUBLE)
+               AS DECIMAL(24,6)), 6)) AS y_s
+    FROM donors JOIN weights USING (nk)
+    GROUP BY m
+),
+joined AS (
+    SELECT m, is_pre, y_t, y_s FROM treated JOIN synth USING (m)
+),
+pre_gap AS (
+    SELECT ROUND(CAST(SUM(CAST(y_t AS DECIMAL(24,6)) - y_s) / COUNT(*)
+                 AS DECIMAL(24,6)), 4) AS pre_mean_gap
+    FROM joined WHERE is_pre
+)
+SELECT m AS month,
+       CAST(y_t AS DOUBLE) AS actual,
+       CAST(ROUND(CAST(CAST(y_s AS DOUBLE) AS DECIMAL(28,8)), 2) AS DOUBLE)
+           AS synthetic,
+       CAST(ROUND(CAST(CAST(y_t AS DOUBLE) - CAST(y_s AS DOUBLE)
+            AS DECIMAL(28,8)), 2) AS DOUBLE) AS gap,
+       CAST(pre_mean_gap AS DOUBLE) AS pre_mean_gap
+FROM joined CROSS JOIN pre_gap
+WHERE NOT is_pre
+ORDER BY month
+"""
+
+REGISTRY["synthetic_control"] = QuerySpec(q_synthetic_control, SYNTHETIC_CONTROL_SQL)

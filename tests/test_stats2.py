@@ -405,3 +405,154 @@ def test_rake_scores_multiword_phrases(spark, tmp_path):
         assert not (set(r.phrase.split()) & stop), r.phrase
     # degree/freq: 'execution' deg=(3+3) freq=2 → 3.0 per word, phrase = 9.0
     assert by_phrase["adaptive query execution"].rake_score == pytest.approx(9.0, abs=1e-6)
+
+
+def test_wasserstein_exact_point_mass_transport(spark, tmp_path):
+    """All returned mass at 0.10, all kept at 0.00 → W₁ = 0.10 exactly
+    (move everything 10 cents); identical distributions → 0; and the
+    mean-shift lower bound must hold with equality for point masses."""
+    rows = [_li_row(i, "R", 10, 100, 0.10) for i in range(50)] + [
+        _li_row(100 + i, "N", 10, 100, 0.00) for i in range(50)
+    ]
+    r = REGISTRY["wasserstein_distance"].fn(
+        spark, _lineitem(spark, tmp_path, rows)
+    ).collect()[0]
+    assert r.wasserstein == pytest.approx(0.10, abs=1e-9)
+    assert r.mean_shift_bound == pytest.approx(0.10, abs=1e-9)
+    assert r.bound_holds
+
+    same = [_li_row(i, "R", 10, 100, (i % 3) / 100.0) for i in range(50)] + [
+        _li_row(100 + i, "N", 10, 100, (i % 3) / 100.0) for i in range(50)
+    ]
+    r = REGISTRY["wasserstein_distance"].fn(
+        spark, _lineitem(spark, tmp_path, same)
+    ).collect()[0]
+    assert r.wasserstein == 0.0
+
+
+def test_energy_distance_brute_force(spark, tmp_path):
+    """Energy distance recomputed pairwise in Python must match; identical
+    distributions give exactly 0."""
+    qa = [5 + i % 3 for i in range(30)]
+    qb = [30 + i % 3 for i in range(40)]
+    rows = [_li_row(i, "R", q, 100, 0.0) for i, q in enumerate(qa)] + [
+        _li_row(100 + i, "N", q, 100, 0.0) for i, q in enumerate(qb)
+    ]
+    r = REGISTRY["energy_distance"].fn(
+        spark, _lineitem(spark, tmp_path, rows)
+    ).collect()[0]
+    eab = sum(abs(x - y) for x in qa for y in qb) / (len(qa) * len(qb))
+    eaa = sum(abs(x - y) for x in qa for y in qa) / (len(qa) ** 2)
+    ebb = sum(abs(x - y) for x in qb for y in qb) / (len(qb) ** 2)
+    assert r.energy_distance == pytest.approx(2 * eab - eaa - ebb, abs=1e-6)
+
+    same = [_li_row(i, "R", 10 + i % 4, 100, 0.0) for i in range(40)] + [
+        _li_row(100 + i, "N", 10 + i % 4, 100, 0.0) for i in range(40)
+    ]
+    r = REGISTRY["energy_distance"].fn(
+        spark, _lineitem(spark, tmp_path, same)
+    ).collect()[0]
+    assert r.energy_distance == 0.0
+
+
+def test_cochran_q_brute_force(spark, tmp_path):
+    """Q recomputed from the textbook formula on a planted binary table
+    (every user clicks ≥15×, none purchases ≥15×, views split) matches."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    patterns = []
+    for u in range(24):
+        g = (1, 1 if u % 2 == 0 else 0, 0)
+        patterns.append(g)
+        for typ, flag in zip(("click", "view", "purchase"), g):
+            n_ev = 20 if flag else 2
+            for i in range(n_ev):
+                rows.append((eid, t0 + dt.timedelta(hours=eid % 700), u, typ, 1.0, "{}"))
+                eid += 1
+    r = REGISTRY["cochran_q"].fn(spark, _events(spark, tmp_path, rows)).collect()[0]
+    k = 3
+    cols = [sum(p[j] for p in patterns) for j in range(k)]
+    t = sum(cols)
+    l2 = sum(sum(p) ** 2 for p in patterns)
+    q = k * (k - 1) * sum((c - t / k) ** 2 for c in cols) / (k * t - l2)
+    assert r.q_stat == pytest.approx(q, abs=1e-4)
+    assert r.significant  # click=24, view=12, purchase=0 is a huge split
+
+
+def test_page_hinkley_detects_planted_level_shift(spark, tmp_path):
+    """A 10× jump mid-series must alarm shortly after the shift; a flat
+    series must not."""
+    days = [f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}" for i in range(84)]
+    shift = [(i, 1, 100.0 + (900.0 if i >= 56 else 0.0) + i % 5, days[i]) for i in range(84)]
+    r = REGISTRY["page_hinkley"].fn(spark, _orders(spark, tmp_path, shift)).collect()[0]
+    assert r.drift_detected
+    assert r.first_alarm_day >= "2024-03-01"  # after the day-56 shift
+
+    flat = [(i, 1, 100.0 + i % 5, days[i]) for i in range(84)]
+    r = REGISTRY["page_hinkley"].fn(spark, _orders(spark, tmp_path, flat)).collect()[0]
+    assert not r.drift_detected and r.first_alarm_day == "none"
+
+
+def test_pot_gpd_moments_match_hand_computation(spark, tmp_path):
+    """MoM GPD fit on a planted tail: xi and sigma recomputed from the
+    exceedance mean/variance in Python must match exactly."""
+    days = [f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}" for i in range(100)]
+    # 95 body days at <=1000, 5 tail days: threshold = 5th largest
+    vals = [100.0 + i % 7 for i in range(95)] + [2000.0, 3000.0, 4500.0, 7000.0, 11000.0]
+    rows = [(i, 1, vals[i], days[i]) for i in range(100)]
+    r = REGISTRY["pot_gpd_fit"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    u = sorted(vals)[-5]  # rank ceil(0.05·100)=5 from the top
+    exc = [v - u for v in vals if v > u]
+    m = sum(exc) / len(exc)
+    s2 = sum(x * x for x in exc) / len(exc) - m * m
+    xi = (1 - m * m / s2) / 2
+    sigma = m * (m * m / s2 + 1) / 2
+    assert r.threshold == u and r.n_exc == len(exc)
+    assert r.xi_shape == pytest.approx(xi, abs=1e-4)
+    assert r.sigma_scale == pytest.approx(sigma, abs=1e-2)
+
+
+def test_rbo_full_agreement_is_one_minus_p_pow_depth(spark, tmp_path):
+    """When both length penalties produce the SAME ranking (all docs equal
+    length), truncated RBO = (1−p)Σp^{d−1} = 1 − p^10 exactly."""
+    # every doc same length, distinct tf for 'hash' → identical rankings
+    texts = ["hash " * (i + 1) + "pad " * (12 - i) for i in range(12)]
+    texts = [" ".join(t.split()[:12]) for t in texts]  # exactly 12 tokens each
+    sf = _docs(spark, tmp_path, texts)
+    rows = {r.term: r.rbo for r in REGISTRY["rbo_rank_agreement"].fn(spark, sf).collect()}
+    assert rows["hash"] == pytest.approx(1 - 0.9 ** 10, abs=1e-5)
+
+
+def test_synthetic_control_recovers_planted_post_effect(spark, tmp_path):
+    """Treated nation tracks the donor pool exactly pre-period, then adds
+    +1000/month post: pre_mean_gap ≈ 0 and every post gap ≈ +1000."""
+    cust, orders = [], []
+    ok = 0
+    n_nations, n_months = 6, 12
+    for nk in range(n_nations):
+        cust.append((nk + 1, f"C{nk}", nk, 100.0, "BUILDING"))
+    for mi in range(n_months):
+        month = f"2024-{mi + 1:02d}-15"
+        for nk in range(n_nations):
+            ok += 1
+            base = 5000.0  # identical paths → perfect pre fit
+            lift = 1000.0 if (nk == 0 and mi >= 6) else 0.0
+            orders.append((ok, nk + 1, base + lift, month))
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    rows = REGISTRY["synthetic_control"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 6  # post months
+    for r in rows:
+        assert r.pre_mean_gap == pytest.approx(0.0, abs=1e-3)
+        assert r.gap == pytest.approx(1000.0, abs=1e-3)
