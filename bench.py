@@ -346,6 +346,14 @@ HEADLINE = [
     "pot_gpd_fit",
     "rbo_rank_agreement",
     "synthetic_control",
+    "markov_entropy_rate",
+    "woe_information_value",
+    "poisson_rate_test",
+    "interleave_eval",
+    "stl_strength",
+    "rich_club",
+    "poisson_rate_ratio",
+    "weibull_fit",
 ]
 
 

@@ -28,6 +28,14 @@ class QuerySpec:
 #: certifies code no prior round certified (round-2 verdict item 6).
 ROUND3_WINDOW = [
     # new operators (session 3)
+    "stl_strength",
+    "rich_club",
+    "poisson_rate_ratio",
+    "weibull_fit",
+    "markov_entropy_rate",
+    "woe_information_value",
+    "poisson_rate_test",
+    "interleave_eval",
     "wasserstein_distance",
     "energy_distance",
     "cochran_q",

@@ -314,14 +314,21 @@ def q_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
 
-    def score(b_times_2: int) -> F.Column:
+    def score(b: float) -> F.Column:
+        # BM25 saturation (k1 = 1.2): orderings for different b genuinely
+        # differ — any pure function of tf/dl would rank identically
         return snap_round(
-            (2 * F.col("tf")).cast("double") * F.col("sumdl").cast("double")
+            F.col("tf").cast("double")
             / (
-                (2 * F.col("tf")).cast("double") * F.col("sumdl").cast("double")
-                + float(b_times_2)
-                * F.col("dl").cast("double")
-                * F.col("n_docs").cast("double")
+                F.col("tf").cast("double")
+                + 1.2
+                * (
+                    (1.0 - b)
+                    + b
+                    * F.col("dl").cast("double")
+                    * F.col("n_docs").cast("double")
+                    / F.col("sumdl").cast("double")
+                )
             ),
             6,
         )
@@ -329,7 +336,7 @@ def q_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(totals))
-        .select("term", "doc_id", score(1).alias("sa"), score(3).alias("sb"))
+        .select("term", "doc_id", score(0.25).alias("sa"), score(0.75).alias("sb"))
         .localCheckpoint()  # two rank consumers
     )
     ra = F.row_number().over(Window.partitionBy("term").orderBy(F.desc("sa"), "doc_id"))
@@ -394,14 +401,16 @@ tf AS (
 scored AS (
     SELECT term, doc_id,
            CAST(ROUND(CAST(
-               CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
-               / (CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
-                  + 1.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+               CAST(tf AS DOUBLE)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.25) + 0.25 * CAST(dl AS DOUBLE)
+                           * CAST(n_docs AS DOUBLE) / CAST(sumdl AS DOUBLE)))
                AS DECIMAL(28,8)), 6) AS DOUBLE) AS sa,
            CAST(ROUND(CAST(
-               CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
-               / (CAST(2 * tf AS DOUBLE) * CAST(sumdl AS DOUBLE)
-                  + 3.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+               CAST(tf AS DOUBLE)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
+                           * CAST(n_docs AS DOUBLE) / CAST(sumdl AS DOUBLE)))
                AS DECIMAL(28,8)), 6) AS DOUBLE) AS sb
     FROM tf JOIN dl USING (doc_id) CROSS JOIN totals
 ),
@@ -459,3 +468,195 @@ FROM per_term
 REGISTRY["rbo_rank_agreement"] = QuerySpec(
     q_rbo_rank_agreement, RBO_RANK_AGREEMENT_SQL
 )
+
+
+def q_interleave_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-interleaving online evaluation (Joachims 2003) of the two
+    BM25 length-normalization ranker variants (b=0.25 vs b=0.75): merge both top-10s by best rank,
+    simulate clicks with the tf ≥ 4 relevance model on the interleaved
+    top-10, and credit each click to the ranker that placed the document
+    higher — the A/B-free way retrieval teams compare rankers on live
+    traffic, here replayed deterministically. RBO says how much the
+    rankings DIFFER; interleaving says which one users would PREFER.
+
+    The interleaved order is one keyed window over the ≤20-row-per-query
+    union (rank = min of the two positions, absent docs at +∞, exact
+    integer tie-breaks — no sequential pick loop: balanced interleaving
+    admits this closed relational form, unlike team-draft's stateful
+    drafting). Per-query credit counts are exact integers; the verdict
+    row per query plus the '__wins__' summary.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+    def score(b: float) -> F.Column:
+        # BM25 saturation (k1 = 1.2) — see q_rbo_rank_agreement
+        return snap_round(
+            F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + 1.2
+                * (
+                    (1.0 - b)
+                    + b
+                    * F.col("dl").cast("double")
+                    * F.col("n_docs").cast("double")
+                    / F.col("sumdl").cast("double")
+                )
+            ),
+            6,
+        )
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select("term", "doc_id", "tf", score(0.25).alias("sa"), score(0.75).alias("sb"))
+        .localCheckpoint()
+    )
+    ra = F.row_number().over(Window.partitionBy("term").orderBy(F.desc("sa"), "doc_id"))
+    rb = F.row_number().over(Window.partitionBy("term").orderBy(F.desc("sb"), "doc_id"))
+    both = (
+        scored.select(
+            "term",
+            "doc_id",
+            "tf",
+            F.when(ra <= 10, ra).otherwise(F.lit(99)).cast("long").alias("ra_c"),
+            F.when(rb <= 10, rb).otherwise(F.lit(99)).cast("long").alias("rb_c"),
+        )
+        .filter((F.col("ra_c") < 99) | (F.col("rb_c") < 99))
+    )
+    ipos = F.row_number().over(
+        Window.partitionBy("term").orderBy(
+            F.least("ra_c", "rb_c"),
+            (F.col("ra_c") <= F.col("rb_c")).cast("int"),
+            "doc_id",
+        )
+    )
+    inter = both.select(
+        "term",
+        "tf",
+        "ra_c",
+        "rb_c",
+        ipos.cast("long").alias("ipos"),
+    ).filter(F.col("ipos") <= 10)
+    per_term = inter.groupBy("term").agg(
+        F.sum(
+            F.when((F.col("tf") >= 4) & (F.col("ra_c") < F.col("rb_c")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("clicks_a"),
+        F.sum(
+            F.when((F.col("tf") >= 4) & (F.col("rb_c") < F.col("ra_c")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("clicks_b"),
+    )
+    rows = per_term.select(
+        "term",
+        "clicks_a",
+        "clicks_b",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), "A")
+        .when(F.col("clicks_b") > F.col("clicks_a"), "B")
+        .otherwise("tie")
+        .alias("winner"),
+    )
+    summary = rows.agg(
+        F.lit("__wins__").alias("term"),
+        F.sum(F.when(F.col("winner") == "A", 1).otherwise(0)).cast("long").alias(
+            "clicks_a"
+        ),
+        F.sum(F.when(F.col("winner") == "B", 1).otherwise(0)).cast("long").alias(
+            "clicks_b"
+        ),
+        F.lit("summary").alias("winner"),
+    )
+    return rows.unionByName(summary)
+
+
+INTERLEAVE_EVAL_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+tf AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ('hash', 'join', 'stream', 'spark')
+    GROUP BY term, doc_id
+),
+scored AS (
+    SELECT term, doc_id, tf,
+           CAST(ROUND(CAST(
+               CAST(tf AS DOUBLE)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.25) + 0.25 * CAST(dl AS DOUBLE)
+                           * CAST(n_docs AS DOUBLE) / CAST(sumdl AS DOUBLE)))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS sa,
+           CAST(ROUND(CAST(
+               CAST(tf AS DOUBLE)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
+                           * CAST(n_docs AS DOUBLE) / CAST(sumdl AS DOUBLE)))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS sb
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN totals
+),
+both_r AS (
+    SELECT term, doc_id, tf,
+           CASE WHEN ra0 <= 10 THEN ra0 ELSE 99 END AS ra_c,
+           CASE WHEN rb0 <= 10 THEN rb0 ELSE 99 END AS rb_c
+    FROM (
+        SELECT term, doc_id, tf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY sa DESC, doc_id) AS BIGINT) AS ra0,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY sb DESC, doc_id) AS BIGINT) AS rb0
+        FROM scored
+    )
+    WHERE ra0 <= 10 OR rb0 <= 10
+),
+inter AS (
+    SELECT term, tf, ra_c, rb_c,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY LEAST(ra_c, rb_c),
+                        CAST(ra_c <= rb_c AS INTEGER),
+                        doc_id) AS BIGINT) AS ipos
+    FROM both_r
+    QUALIFY ipos <= 10
+),
+per_term AS (
+    SELECT term,
+           CAST(SUM(CASE WHEN tf >= 4 AND ra_c < rb_c THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks_a,
+           CAST(SUM(CASE WHEN tf >= 4 AND rb_c < ra_c THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks_b
+    FROM inter
+    GROUP BY term
+),
+rows_ AS (
+    SELECT term, clicks_a, clicks_b,
+           CASE WHEN clicks_a > clicks_b THEN 'A'
+                WHEN clicks_b > clicks_a THEN 'B'
+                ELSE 'tie' END AS winner
+    FROM per_term
+)
+SELECT term, clicks_a, clicks_b, winner FROM rows_
+UNION ALL
+SELECT '__wins__' AS term,
+       CAST(SUM(CASE WHEN winner = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_a,
+       CAST(SUM(CASE WHEN winner = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_b,
+       'summary' AS winner
+FROM rows_
+"""
+
+REGISTRY["interleave_eval"] = QuerySpec(q_interleave_eval, INTERLEAVE_EVAL_SQL)

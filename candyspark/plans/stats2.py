@@ -2485,3 +2485,935 @@ ORDER BY month
 """
 
 REGISTRY["synthetic_control"] = QuerySpec(q_synthetic_control, SYNTHETIC_CONTROL_SQL)
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: H = −Σ_s π̂(s)
+    Σ_t p(t|s)·ln p(t|s), with π̂ the empirical from-state frequency —
+    the single number that says how PREDICTABLE user behavior is
+    (event_transitions shows the matrix; markov2_transitions asks if one
+    step of memory suffices; this is the chain's compression limit,
+    comparable across cohorts and over time). Also reports the 0-memory
+    baseline H₀ = −Σ p(s)·ln p(s) and the predictability gain H₀ − H.
+
+    Transitions are one lead() per user-keyed window over events; the
+    ≤k² transition matrix aggregates exactly; each −π·p·ln p term snaps
+    at 10 dp and sums as exact decimals. One keyed shuffle past the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # consumers: row sums, grand total, terms
+    )
+    row_tot = trans.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    grand = trans.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        trans.join(F.broadcast(row_tot), "s")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "n",
+            F.round(
+                (
+                    -(F.col("cs").cast("double") / F.col("n").cast("double"))
+                    * (F.col("c").cast("double") / F.col("cs").cast("double"))
+                    * F.log(F.col("c").cast("double") / F.col("cs").cast("double"))
+                ).cast("decimal(16,10)"),
+                10,
+            ).alias("h_term"),
+        )
+    )
+    h = terms.groupBy("n").agg(F.sum("h_term").alias("h"))
+    base_terms = row_tot.crossJoin(F.broadcast(grand)).select(
+        F.round(
+            (
+                -(F.col("cs").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("cs").cast("double") / F.col("n").cast("double"))
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("h0_term")
+    )
+    h0 = base_terms.agg(F.sum("h0_term").alias("h0"))
+    out = h.crossJoin(F.broadcast(h0))
+    return out.select(
+        F.col("n").alias("n_transitions"),
+        snap_round(F.col("h").cast("double"), 6).alias("entropy_rate"),
+        snap_round(F.col("h0").cast("double"), 6).alias("zero_memory_entropy"),
+        snap_round(
+            F.col("h0").cast("double") - F.col("h").cast("double"), 6
+        ).alias("predictability_gain"),
+    )
+
+
+MARKOV_ENTROPY_RATE_SQL = """
+WITH trans AS (
+    SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT event_type AS s,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events
+    )
+    WHERE t IS NOT NULL
+    GROUP BY s, t
+),
+row_tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM trans GROUP BY s),
+grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans),
+h AS (
+    SELECT n, SUM(ROUND(CAST(
+        -(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+        * LN(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+        AS DECIMAL(16,10)), 10)) AS h
+    FROM trans JOIN row_tot USING (s) CROSS JOIN grand
+    GROUP BY n
+),
+h0 AS (
+    SELECT SUM(ROUND(CAST(
+        -(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+        * LN(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+        AS DECIMAL(16,10)), 10)) AS h0
+    FROM row_tot CROSS JOIN grand
+)
+SELECT n AS n_transitions,
+       CAST(ROUND(CAST(CAST(h AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS entropy_rate,
+       CAST(ROUND(CAST(CAST(h0 AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS zero_memory_entropy,
+       CAST(ROUND(CAST(CAST(h0 AS DOUBLE) - CAST(h AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS predictability_gain
+FROM h CROSS JOIN h0
+"""
+
+REGISTRY["markov_entropy_rate"] = QuerySpec(
+    q_markov_entropy_rate, MARKOV_ENTROPY_RATE_SQL
+)
+
+
+def q_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value of quantity bands for
+    predicting a return — the credit-scoring feature-screening standard
+    (IV < 0.02 useless, 0.1–0.3 medium, > 0.5 suspicious) that
+    complements info_gain_brand (entropy split) with the log-odds view a
+    scorecard actually uses. WOE_b = ln((good_b/G)/(bad_b/B)); IV =
+    Σ_b (good_b/G − bad_b/B)·WOE_b.
+
+    Quantity's bounded support folds into 5 fixed 10-wide bands in ONE
+    conditional aggregate (map-side combined); each band's WOE is one
+    snapped log-ratio of exact integer shares, and the IV terms snap and
+    sum as decimals carried on every row (the long-format report a
+    feature dashboard joins against). Zero-cell bands take the standard
+    0.5 Laplace adjustment so the log never sees 0 — identically in both
+    engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.least(
+            F.lit(4), ((F.col("l_quantity").cast("long") - 1) / 10).cast("long")
+        ).alias("band"),
+        (F.col("l_returnflag") == "R").alias("bad"),
+    )
+    per_band = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("bad"), 0).otherwise(1)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_bad"),
+    )
+    tot = per_band.agg(
+        F.sum("n_good").cast("long").alias("g"),
+        F.sum("n_bad").cast("long").alias("b"),
+    )
+    adj = lambda c: F.when(c == 0, 0.5).otherwise(c.cast("double"))  # noqa: E731
+    rows = per_band.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_good",
+        "n_bad",
+        F.round(
+            F.log(
+                (adj(F.col("n_good")) / F.col("g").cast("double"))
+                / (adj(F.col("n_bad")) / F.col("b").cast("double"))
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("woe_raw"),
+        F.round(
+            (
+                adj(F.col("n_good")) / F.col("g").cast("double")
+                - adj(F.col("n_bad")) / F.col("b").cast("double")
+            ).cast("decimal(16,10)"),
+            10,
+        ).alias("share_gap"),
+    )
+    terms = rows.select(
+        "band",
+        "n_good",
+        "n_bad",
+        "woe_raw",
+        (F.col("share_gap") * F.col("woe_raw")).cast("decimal(20,12)").alias("iv_term"),
+    )
+    iv = terms.agg(F.sum("iv_term").alias("iv"))
+    return (
+        terms.crossJoin(F.broadcast(iv))
+        .select(
+            (F.col("band") * 10 + 1).cast("long").alias("band_lo"),
+            ((F.col("band") + 1) * 10).cast("long").alias("band_hi"),
+            "n_good",
+            "n_bad",
+            snap_round(F.col("woe_raw").cast("double"), 6).alias("woe"),
+            snap_round(F.col("iv").cast("double"), 6).alias("information_value"),
+        )
+        .orderBy("band_lo")
+    )
+
+
+WOE_INFORMATION_VALUE_SQL = """
+WITH banded AS (
+    SELECT LEAST(4, (CAST(l_quantity AS BIGINT) - 1) // 10) AS band,
+           l_returnflag = 'R' AS bad
+    FROM lineitem
+),
+per_band AS (
+    SELECT band,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+    FROM banded GROUP BY band
+),
+tot AS (
+    SELECT CAST(SUM(n_good) AS BIGINT) AS g, CAST(SUM(n_bad) AS BIGINT) AS b
+    FROM per_band
+),
+rows_ AS (
+    SELECT band, n_good, n_bad,
+           ROUND(CAST(LN(
+               (CASE WHEN n_good = 0 THEN 0.5 ELSE CAST(n_good AS DOUBLE) END
+                / CAST(g AS DOUBLE))
+               / (CASE WHEN n_bad = 0 THEN 0.5 ELSE CAST(n_bad AS DOUBLE) END
+                  / CAST(b AS DOUBLE))) AS DECIMAL(16,10)), 10) AS woe_raw,
+           ROUND(CAST(
+               CASE WHEN n_good = 0 THEN 0.5 ELSE CAST(n_good AS DOUBLE) END
+               / CAST(g AS DOUBLE)
+               - CASE WHEN n_bad = 0 THEN 0.5 ELSE CAST(n_bad AS DOUBLE) END
+                 / CAST(b AS DOUBLE)
+               AS DECIMAL(16,10)), 10) AS share_gap
+    FROM per_band CROSS JOIN tot
+),
+terms AS (
+    SELECT band, n_good, n_bad, woe_raw,
+           CAST(share_gap * woe_raw AS DECIMAL(20,12)) AS iv_term
+    FROM rows_
+),
+iv AS (SELECT SUM(iv_term) AS iv FROM terms)
+SELECT CAST(band * 10 + 1 AS BIGINT) AS band_lo,
+       CAST((band + 1) * 10 AS BIGINT) AS band_hi,
+       n_good, n_bad,
+       CAST(ROUND(CAST(CAST(woe_raw AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS woe,
+       CAST(ROUND(CAST(CAST(iv AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS information_value
+FROM terms CROSS JOIN iv
+ORDER BY band_lo
+"""
+
+REGISTRY["woe_information_value"] = QuerySpec(
+    q_woe_information_value, WOE_INFORMATION_VALUE_SQL
+)
+
+
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conditional test (the C-test) comparing the error-event rate
+    between the first and second half of the observation window: given
+    x₁ + x₂ = n errors over equal exposures, x₁ ~ Binomial(n, 1/2) under
+    H₀ (equal rates) — the EXACT inference χ² only approximates, and the
+    natural companion to fisher_exact_test for COUNT data (incidents,
+    failures, alerts).
+
+    The two-sided p-value reuses the log-factorial-ladder discipline
+    (quality.fisher_exact_test): lf(i) is one cumulative window of
+    8-dp-snapped logs, each table's log-probability lp(k) = lf(n) −
+    lf(k) − lf(n−k) − n·ln2 is exact decimal algebra, the two-sided
+    selection lp(k) ≤ lp(x₁) is an exact-decimal comparison, and the
+    max-shifted tail sum is stable even when p underflows. The midpoint
+    split is derived from the data's own min/max timestamp — no
+    calendar constant to disagree on (exact integer microseconds — the
+    engines' timestamp/interval midpoint semantics differ, epoch_us does
+    not).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("us_lo"),
+        F.max(F.unix_micros("ts")).alias("us_hi"),
+    ).select(
+        F.floor((F.col("us_lo") + F.col("us_hi")) / 2).cast("long").alias("us_mid")
+    )
+    counts = (
+        ev.filter(F.col("event_type") == "error")
+        .crossJoin(F.broadcast(bounds))
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < F.col("us_mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x1"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()[0]
+    )
+    x1, n = int(counts.x1 or 0), int(counts.n or 0)
+    ladder = (
+        spark.range(0, n + 1)
+        .select(
+            F.col("id").alias("i"),
+            F.when(F.col("id") == 0, F.lit(0).cast("decimal(18,8)"))
+            .otherwise(
+                F.round(F.log(F.col("id").cast("double")).cast("decimal(18,8)"), 8)
+            )
+            .alias("ln_i"),
+        )
+        .select(
+            "i",
+            F.sum("ln_i")
+            .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(28,8)")
+            .alias("lf"),
+        )
+        .localCheckpoint()  # 3 lookups per k-row reuse it
+    )
+    lf_n = ladder.filter(F.col("i") == n).select(F.col("lf").alias("lf_n"))
+    ln2 = F.round(F.log(F.lit(2.0)).cast("decimal(18,8)"), 8)
+    ks = spark.range(0, n + 1).select(F.col("id").alias("k"))
+    lp = (
+        ks.join(ladder.select(F.col("i").alias("ik"), F.col("lf").alias("lf_k")),
+                F.col("k") == F.col("ik"))
+        .join(
+            ladder.select(F.col("i").alias("ink"), F.col("lf").alias("lf_nk")),
+            F.lit(n) - F.col("k") == F.col("ink"),
+        )
+        .crossJoin(F.broadcast(lf_n))
+        .select(
+            "k",
+            (
+                F.col("lf_n")
+                - F.col("lf_k")
+                - F.col("lf_nk")
+                - (F.lit(n).cast("decimal(18,0)") * ln2).cast("decimal(28,8)")
+            )
+            .cast("decimal(28,8)")
+            .alias("lp"),
+        )
+        .localCheckpoint()  # observed row + selection + shift reuse it
+    )
+    lp_obs = lp.filter(F.col("k") == x1).select(F.col("lp").alias("lp_obs"))
+    sel = lp.crossJoin(F.broadcast(lp_obs)).filter(F.col("lp") <= F.col("lp_obs"))
+    m_row = sel.agg(F.max("lp").alias("m"), F.count(F.lit(1)).alias("support"))
+    summed = (
+        sel.crossJoin(F.broadcast(m_row))
+        .select(
+            "m",
+            "support",
+            F.round(
+                F.exp((F.col("lp") - F.col("m")).cast("double")).cast("decimal(14,12)"),
+                12,
+            ).alias("term"),
+        )
+        .groupBy("m", "support")
+        .agg(F.sum("term").alias("s"))
+    )
+    lnp = F.col("m").cast("double") + F.round(
+        F.log(F.col("s").cast("double")).cast("decimal(18,9)"), 9
+    ).cast("double")
+    return summed.select(
+        F.lit(n).cast("long").alias("n_errors"),
+        F.lit(x1).cast("long").alias("first_half"),
+        F.lit(n - x1).cast("long").alias("second_half"),
+        F.col("support").cast("long").alias("tables_in_tail"),
+        snap_round(F.exp(lnp), 6).alias("p_value"),
+        (lnp < -2.995732273553991).alias("significant"),  # ln 0.05
+    )
+
+
+POISSON_RATE_TEST_SQL = """
+WITH bounds AS (
+    SELECT CAST(FLOOR((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2.0) AS BIGINT)
+        AS us_mid
+    FROM events
+),
+counts AS (
+    SELECT CAST(SUM(CASE WHEN epoch_us(ts) < us_mid THEN 1 ELSE 0 END) AS BIGINT)
+        AS x1,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN bounds
+    WHERE event_type = 'error'
+),
+ladder AS (
+    SELECT i,
+           CAST(SUM(CASE WHEN i = 0 THEN CAST(0 AS DECIMAL(18,8))
+                         ELSE ROUND(CAST(LN(CAST(i AS DOUBLE)) AS DECIMAL(18,8)), 8)
+                    END)
+               OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,8)) AS lf
+    FROM range(0, 1000001) t(i)
+    WHERE i <= (SELECT n FROM counts)
+),
+lf_n AS (SELECT lf AS lf_n FROM ladder WHERE i = (SELECT n FROM counts)),
+lp AS (
+    SELECT ks.k,
+           CAST(lf_n
+                - k_l.lf - nk_l.lf
+                - CAST(CAST((SELECT n FROM counts) AS DECIMAL(18,0))
+                       * ROUND(CAST(LN(2.0) AS DECIMAL(18,8)), 8)
+                       AS DECIMAL(28,8))
+                AS DECIMAL(28,8)) AS lp
+    FROM (SELECT i AS k FROM range(0, 1000001) t(i)
+          WHERE i <= (SELECT n FROM counts)) ks
+    JOIN ladder k_l ON k_l.i = ks.k
+    JOIN ladder nk_l ON nk_l.i = (SELECT n FROM counts) - ks.k
+    CROSS JOIN lf_n
+),
+obs AS (SELECT lp AS lp_obs FROM lp WHERE k = (SELECT x1 FROM counts)),
+sel AS (SELECT lp.* FROM lp CROSS JOIN obs WHERE lp <= lp_obs),
+m_row AS (SELECT MAX(lp) AS m, CAST(COUNT(*) AS BIGINT) AS support FROM sel),
+summed AS (
+    SELECT m, support,
+           SUM(ROUND(CAST(EXP(CAST(lp - m AS DOUBLE)) AS DECIMAL(14,12)), 12)) AS s
+    FROM sel CROSS JOIN m_row
+    GROUP BY m, support
+)
+SELECT (SELECT n FROM counts) AS n_errors,
+       (SELECT x1 FROM counts) AS first_half,
+       (SELECT n - x1 FROM counts) AS second_half,
+       support AS tables_in_tail,
+       CAST(ROUND(CAST(EXP(
+           CAST(m AS DOUBLE)
+           + CAST(ROUND(CAST(LN(CAST(s AS DOUBLE)) AS DECIMAL(18,9)), 9) AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value,
+       (CAST(m AS DOUBLE)
+        + CAST(ROUND(CAST(LN(CAST(s AS DOUBLE)) AS DECIMAL(18,9)), 9) AS DOUBLE))
+           < -2.995732273553991 AS significant
+FROM summed
+"""
+
+REGISTRY["poisson_rate_test"] = QuerySpec(q_poisson_rate_test, POISSON_RATE_TEST_SQL)
+
+
+def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH of the daily revenue series (Hyndman's
+    STL diagnostics): F_trend = max(0, 1 − var(R)/var(T+R)) and
+    F_seasonal = max(0, 1 − var(R)/var(S+R)) over the seasonal_decompose
+    components — the two numbers that tell a forecasting pipeline which
+    model family to even consider (trend-dominated → drift terms,
+    seasonal-dominated → the day-of-week model forecast.py fits).
+
+    Recomputes the decomposition with temporal.seasonal_decompose's exact
+    discipline (decimal 7-day trend frames, snapped detrended values,
+    dow-mean seasonal), then takes variances of the SNAPPED component
+    columns via decimal power sums — every input to the final ratios is
+    bit-identical across engines. Bounded daily relation throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    daily = (
+        o.select(d.alias("d"), F.col("o_totalprice").cast("decimal(12,2)").alias("p"))
+        .groupBy("d")
+        .agg(F.sum("p").cast("decimal(18,2)").alias("y"))
+    )
+    wd = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(wd) == 7,
+            F.round((F.sum("y").over(wd).cast("double") / 7.0).cast("decimal(28,8)"), 6)
+            .cast("decimal(18,6)"),
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    det = trended.select(
+        "d",
+        "trend",
+        (F.col("y").cast("decimal(18,6)") - F.col("trend")).alias("detrended"),
+        (F.col("d") % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(
+            (F.sum("detrended").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(18,6)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("seasonal")
+    )
+    # T+R = y − seasonal = trend + resid: recompute from components
+    with_tr = (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            (F.col("detrended") - F.col("seasonal")).alias("resid"),
+            (F.col("trend") + F.col("detrended") - F.col("seasonal")).alias("tr"),
+            F.col("detrended").alias("sr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("resid").alias("s_r"),
+            # squares snap through double per term (identical in both
+            # engines) then sum as exact decimals — a direct decimal
+            # product overflows DuckDB's 38-digit cap at wide scales
+            F.sum(
+                F.round(
+                    (F.col("resid").cast("double") * F.col("resid").cast("double"))
+                    .cast("decimal(30,6)"),
+                    6,
+                )
+            ).alias("ss_r"),
+            F.sum("tr").alias("s_tr"),
+            F.sum(
+                F.round(
+                    (F.col("tr").cast("double") * F.col("tr").cast("double")).cast(
+                        "decimal(30,6)"
+                    ),
+                    6,
+                )
+            ).alias("ss_tr"),
+            F.sum("sr").alias("s_sr"),
+            F.sum(
+                F.round(
+                    (F.col("sr").cast("double") * F.col("sr").cast("double")).cast(
+                        "decimal(30,6)"
+                    ),
+                    6,
+                )
+            ).alias("ss_sr"),
+        )
+    )
+    n = F.col("n").cast("double")
+
+    def vr(s_, ss_, n_):
+        return ss_.cast("double") / n_ - (s_.cast("double") / n_) * (
+            s_.cast("double") / n_
+        )
+
+    var_r = vr(F.col("s_r"), F.col("ss_r"), n)
+    var_tr = vr(F.col("s_tr"), F.col("ss_tr"), n)
+    var_sr = vr(F.col("s_sr"), F.col("ss_sr"), n)
+    # a component variance below 1e-6 means that signal is absent at the
+    # snap resolution — strength is 0 by convention, not a 0/0 gamble
+    return with_tr.select(
+        F.col("n").alias("n_days"),
+        F.when(
+            var_tr > 1e-6,
+            snap_round(F.greatest(F.lit(0.0), 1.0 - var_r / var_tr), 6),
+        )
+        .otherwise(0.0)
+        .alias("trend_strength"),
+        F.when(
+            var_sr > 1e-6,
+            snap_round(F.greatest(F.lit(0.0), 1.0 - var_r / var_sr), 6),
+        )
+        .otherwise(0.0)
+        .alias("seasonal_strength"),
+    )
+
+
+STL_STRENGTH_SQL = """
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS y
+    FROM orders GROUP BY 1
+),
+trended AS (
+    SELECT d, y,
+           CASE WHEN COUNT(*) OVER w = 7
+                THEN CAST(ROUND(CAST(CAST(SUM(y) OVER w AS DOUBLE) / 7.0
+                          AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    QUALIFY trend IS NOT NULL
+),
+det AS (
+    SELECT d, trend,
+           CAST(y AS DECIMAL(18,6)) - trend AS detrended,
+           d % 7 AS dow
+    FROM trended
+),
+seas AS (
+    SELECT dow,
+           CAST(ROUND(CAST(CAST(SUM(detrended) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS seasonal
+    FROM det GROUP BY dow
+),
+with_tr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(detrended - seasonal) AS s_r,
+           SUM(ROUND(CAST(CAST(detrended - seasonal AS DOUBLE)
+               * CAST(detrended - seasonal AS DOUBLE) AS DECIMAL(30,6)), 6)) AS ss_r,
+           SUM(trend + detrended - seasonal) AS s_tr,
+           SUM(ROUND(CAST(CAST(trend + detrended - seasonal AS DOUBLE)
+               * CAST(trend + detrended - seasonal AS DOUBLE)
+               AS DECIMAL(30,6)), 6)) AS ss_tr,
+           SUM(detrended) AS s_sr,
+           SUM(ROUND(CAST(CAST(detrended AS DOUBLE) * CAST(detrended AS DOUBLE)
+               AS DECIMAL(30,6)), 6)) AS ss_sr
+    FROM det JOIN seas USING (dow)
+)
+SELECT n AS n_days,
+       CASE WHEN (CAST(ss_tr AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))) > 1e-6
+       THEN CAST(ROUND(CAST(GREATEST(0.0,
+           1.0 - (CAST(ss_r AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(ss_tr AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) ELSE 0.0 END AS trend_strength,
+       CASE WHEN (CAST(ss_sr AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))) > 1e-6
+       THEN CAST(ROUND(CAST(GREATEST(0.0,
+           1.0 - (CAST(ss_r AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(ss_sr AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) ELSE 0.0 END AS seasonal_strength
+FROM with_tr
+"""
+
+REGISTRY["stl_strength"] = QuerySpec(q_stl_strength, STL_STRENGTH_SQL)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the part co-purchase graph: φ(k) = density
+    of the subgraph induced by parts with degree > k, for k ∈ {2, 4, 8,
+    16} — do the best-connected parts preferentially connect to EACH
+    OTHER (φ rising with k), the hub-interconnection diagnostic that
+    complements graph_assortativity (a single correlation) with the
+    full club profile.
+
+    Edges are distinct part pairs co-occurring in an order (bounded
+    pairs-per-order — ≤C(7,2) for TPC-H line counts, never quadratic in
+    the table); degrees are one keyed aggregate over the deduped edge
+    set; each club's edge count is the edge relation joined against the
+    club membership on BOTH endpoints (broadcast of the shrinking node
+    set). Exact integer counts, one snapped density per k.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").join(
+        li.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+        ),
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_partkey") < F.col("p2")),
+    )
+    edges = (
+        pairs.select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+        .localCheckpoint()  # consumers: degrees + per-club edge counts
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ks = spark.range(1, 5).select(
+        F.pow(F.lit(2.0), F.col("id").cast("double")).cast("long").alias("k")
+    )
+    club = deg.crossJoin(F.broadcast(ks)).filter(F.col("deg") > F.col("k")).select(
+        "k", "v"
+    )
+    n_club = club.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    # every threshold reports, including empty clubs (left join from ks)
+    e_club = (
+        edges.join(club.select("k", F.col("v").alias("a")), "a")
+        .join(club.select(F.col("k").alias("k2"), F.col("v").alias("b")), "b")
+        .filter(F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    out = (
+        ks.join(n_club, "k", "left")
+        .join(e_club, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_k"), F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias("e_k"),
+        )
+    )
+    phi = F.when(
+        F.col("n_k") > 1,
+        snap_round(
+            (2 * F.col("e_k")).cast("double")
+            / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        F.col("k").alias("degree_threshold"),
+        F.col("n_k").alias("club_size"),
+        F.col("e_k").alias("club_edges"),
+        phi.alias("phi"),
+    ).orderBy("degree_threshold")
+
+
+RICH_CLUB_SQL = """
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+    GROUP BY v
+),
+ks AS (SELECT CAST(POW(2.0, k) AS BIGINT) AS k
+       FROM (SELECT unnest(range(1, 5)) AS k)),
+club AS (
+    SELECT k, v FROM deg CROSS JOIN ks WHERE deg > k
+),
+n_club AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k),
+e_club AS (
+    SELECT ca.k, CAST(COUNT(*) AS BIGINT) AS e_k
+    FROM edges
+    JOIN club ca ON edges.a = ca.v
+    JOIN club cb ON edges.b = cb.v AND ca.k = cb.k
+    GROUP BY ca.k
+)
+SELECT ks.k AS degree_threshold,
+       CAST(COALESCE(n_k, 0) AS BIGINT) AS club_size,
+       CAST(COALESCE(e_k, 0) AS BIGINT) AS club_edges,
+       CASE WHEN COALESCE(n_k, 0) > 1 THEN
+           CAST(ROUND(CAST(CAST(2 * COALESCE(e_k, 0) AS DOUBLE)
+                / CAST(n_k * (n_k - 1) AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+       END AS phi
+FROM ks LEFT JOIN n_club ON ks.k = n_club.k
+LEFT JOIN e_club ON ks.k = e_club.k
+ORDER BY degree_threshold
+"""
+
+REGISTRY["rich_club"] = QuerySpec(q_rich_club, RICH_CLUB_SQL)
+
+
+def q_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM with a binary regressor, in closed form: the per-order
+    line-item COUNT modeled as ln μ = α + β·[urgent] — the count-data
+    member of the regression family (ols_price_model is Gaussian,
+    logistic_newton is Bernoulli; β here is the log RATE RATIO, the
+    quantity an ops team quotes as "urgent orders carry e^β× the
+    lines"). With one binary covariate the MLE is exact: e^β =
+    ȳ_urgent/ȳ_other, Wald se(β) = √(1/Σy₁ + 1/Σy₀) — no Newton loop,
+    no iteration to unroll.
+
+    Two exact integer group sums (one keyed aggregate over the
+    order-level join), one snapped formula each for β, its CI, and the
+    rate ratio. The LR statistic against the null (common rate) is the
+    closed-form Poisson deviance difference on the same sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nlines = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    g = (
+        o.join(nlines, "o_orderkey")
+        .groupBy((F.col("o_orderpriority") == "1-URGENT").alias("is_a"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    a = g.filter("is_a").select(
+        F.col("n").alias("n1"), F.col("sy").alias("s1")
+    )
+    b = g.filter(~F.col("is_a")).select(
+        F.col("n").alias("n0"), F.col("sy").alias("s0")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    mu1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    mu0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    beta = F.log(mu1 / mu0)
+    se = F.sqrt(
+        1.0 / F.col("s1").cast("double") + 1.0 / F.col("s0").cast("double")
+    )
+    # LR: 2·[Σy₁·ln μ₁ + Σy₀·ln μ₀ − (Σy₁+Σy₀)·ln μ̄]
+    mubar = (F.col("s1") + F.col("s0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    ).cast("double")
+    lr = 2.0 * (
+        F.col("s1").cast("double") * F.log(mu1)
+        + F.col("s0").cast("double") * F.log(mu0)
+        - (F.col("s1") + F.col("s0")).cast("double") * F.log(mubar)
+    )
+    bs = snap_round(beta, 6)
+    return j.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n0").alias("n_other"),
+        snap_round(F.exp(beta), 6).alias("rate_ratio"),
+        bs.alias("log_rate_ratio"),
+        snap_round(se, 6).alias("se"),
+        snap_round(F.exp(beta - 1.96 * se), 6).alias("rr_ci_lo"),
+        snap_round(F.exp(beta + 1.96 * se), 6).alias("rr_ci_hi"),
+        snap_round(lr, 6).alias("lr_stat"),
+        (F.abs(bs / snap_round(se, 6)) > 1.96).alias("significant"),
+    )
+
+
+POISSON_RATE_RATIO_SQL = """
+WITH nlines AS (
+    SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+    FROM lineitem GROUP BY l_orderkey
+),
+g AS (
+    SELECT o_orderpriority = '1-URGENT' AS is_a,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy
+    FROM orders JOIN nlines USING (o_orderkey)
+    GROUP BY 1
+),
+j AS (
+    SELECT a.n AS n1, a.sy AS s1, b.n AS n0, b.sy AS s0
+    FROM (SELECT * FROM g WHERE is_a) a
+    CROSS JOIN (SELECT * FROM g WHERE NOT is_a) b
+)
+SELECT n1 AS n_urgent, n0 AS n_other,
+       CAST(ROUND(CAST(
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rate_ratio,
+       CAST(ROUND(CAST(LN(
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS log_rate_ratio,
+       CAST(ROUND(CAST(SQRT(1.0 / CAST(s1 AS DOUBLE) + 1.0 / CAST(s0 AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS se,
+       CAST(ROUND(CAST(EXP(
+           LN((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+           - 1.96 * SQRT(1.0 / CAST(s1 AS DOUBLE) + 1.0 / CAST(s0 AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rr_ci_lo,
+       CAST(ROUND(CAST(EXP(
+           LN((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+           + 1.96 * SQRT(1.0 / CAST(s1 AS DOUBLE) + 1.0 / CAST(s0 AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rr_ci_hi,
+       CAST(ROUND(CAST(2.0 * (
+           CAST(s1 AS DOUBLE) * LN(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           + CAST(s0 AS DOUBLE) * LN(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           - CAST(s1 + s0 AS DOUBLE)
+             * LN(CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS lr_stat,
+       ABS(CAST(ROUND(CAST(LN(
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+           AS DECIMAL(28,8)), 6) AS DOUBLE)
+           / CAST(ROUND(CAST(SQRT(1.0 / CAST(s1 AS DOUBLE)
+                                  + 1.0 / CAST(s0 AS DOUBLE))
+             AS DECIMAL(28,8)), 6) AS DOUBLE)) > 1.96 AS significant
+FROM j
+"""
+
+REGISTRY["poisson_rate_ratio"] = QuerySpec(
+    q_poisson_rate_ratio, POISSON_RATE_RATIO_SQL
+)
+
+
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of per-user inter-event gaps via the Gumbel moment
+    trick: if Y ~ Weibull(k, λ) then ln Y is Gumbel, so k = π/(σ_lnY·√6)
+    and λ = exp(μ_lnY + γ/k) in CLOSED FORM (γ = Euler-Mascheroni) — the
+    parametric member of the survival family (kaplan_meier/nelson_aalen
+    are nonparametric; the Weibull shape k says whether user activity
+    hazards rise (k>1) or decay (k<1) with idle time, the churn-model
+    input). The true MLE needs iteration; the log-moment estimator is
+    the standard one-pass surrogate at scale.
+
+    Gaps are one lead() per user-keyed window (exact integer seconds);
+    ln-gap moments are decimal power sums of 8-dp-snapped logs; the two
+    closed-form parameters snap once each. Also reports the implied
+    median λ·(ln 2)^{1/k} in hours for sanity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us") > 0)
+        .select(
+            F.round(
+                F.log(F.col("gap_us").cast("double") / 3.6e9).cast("decimal(18,8)"), 8
+            ).alias("lny")  # gap in HOURS
+        )
+    )
+    sums = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lny").alias("s"),
+        F.sum(F.col("lny") * F.col("lny")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / n
+    sd = F.sqrt(F.col("ss").cast("double") / n - mu * mu)
+    k = snap_round(3.141592653589793 / (sd * F.sqrt(F.lit(6.0))), 6)
+    lam = snap_round(F.exp(mu + 0.5772156649015329 / k), 6)
+    return sums.select(
+        F.col("n").alias("n_gaps"),
+        k.alias("shape_k"),
+        lam.alias("scale_lambda_hours"),
+        snap_round(
+            lam * F.pow(F.lit(0.6931471805599453), 1.0 / k), 6
+        ).alias("median_gap_hours"),
+        (k < 1.0).alias("decreasing_hazard"),
+    )
+
+
+WEIBULL_FIT_SQL = """
+WITH gaps AS (
+    SELECT ROUND(CAST(LN(CAST(gap_us AS DOUBLE) / 3.6e9) AS DECIMAL(18,8)), 8)
+        AS lny
+    FROM (
+        SELECT LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+        FROM events
+    )
+    WHERE gap_us > 0
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(lny) AS s, SUM(lny * lny) AS ss
+    FROM gaps
+),
+fit AS (
+    SELECT n,
+           CAST(ROUND(CAST(
+               3.141592653589793
+               / (SQRT(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * SQRT(6.0))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS shape_k,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+    FROM sums
+),
+fit2 AS (
+    SELECT n, shape_k,
+           CAST(ROUND(CAST(EXP(mu + 0.5772156649015329 / shape_k)
+                AS DECIMAL(28,8)), 6) AS DOUBLE) AS scale_lambda_hours
+    FROM fit
+)
+SELECT n AS n_gaps, shape_k, scale_lambda_hours,
+       CAST(ROUND(CAST(
+           scale_lambda_hours * POW(0.6931471805599453, 1.0 / shape_k)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS median_gap_hours,
+       shape_k < 1.0 AS decreasing_hazard
+FROM fit2
+"""
+
+REGISTRY["weibull_fit"] = QuerySpec(q_weibull_fit, WEIBULL_FIT_SQL)

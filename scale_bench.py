@@ -63,6 +63,22 @@ BOUNDS = {
     # edge build is the linear pair aggregate; 4 frontier rounds join
     # node-sized relations against edges → edge-linear
     "bfs_hop_histogram": 1.2,
+    # session-3 additions that touch corpus/event-scale relations:
+    # phrase assembly ≈ token relation; 3 keyed passes → linear
+    "rake_keywords": 1.0,
+    # tf shuffle + 16× vocab expansion → linear in tokens
+    "ams_f2_sketch": 1.0,
+    # n·d explode + n·d²/4 pair join, d fixed → linear in vectors
+    "linear_cka": 1.0,
+    # one lead() window per user + k² aggregate → linear in events
+    "markov_entropy_rate": 1.0,
+    # per-user firsts + hour-bounded windows → linear in events
+    "cumulative_incidence": 1.0,
+    # tokenize + two keyed rank windows over per-term candidates → linear
+    "interleave_eval": 1.0,
+    # part co-purchase pairs bounded per order; club joins on shrinking
+    # node sets → pair-linear
+    "rich_club": 1.2,
 }
 MARGIN = 0.25  # host noise allowance on a log10 scale (~78% wall-time slack)
 

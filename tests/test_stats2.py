@@ -556,3 +556,219 @@ def test_synthetic_control_recovers_planted_post_effect(spark, tmp_path):
     for r in rows:
         assert r.pre_mean_gap == pytest.approx(0.0, abs=1e-3)
         assert r.gap == pytest.approx(1000.0, abs=1e-3)
+
+
+def test_markov_entropy_rate_deterministic_vs_uniform_chain(spark, tmp_path):
+    """A strictly cyclic chain (A→B→C→A…) has entropy rate 0 and maximal
+    predictability gain ln 3; an i.i.d. uniform alternation has H ≈ H₀
+    (memory buys nothing)."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["click", "view", "purchase"]
+    cyc = [
+        (i, t0 + dt.timedelta(minutes=i), 1, types[i % 3], 1.0, "{}")
+        for i in range(90)
+    ]
+    r = REGISTRY["markov_entropy_rate"].fn(
+        spark, _events(spark, tmp_path, cyc)
+    ).collect()[0]
+    assert r.entropy_rate == 0.0
+    # 89 transitions → from-state counts 30/30/29, so the empirical π̂ sits
+    # ~1e-4 off uniform
+    assert r.predictability_gain == pytest.approx(math.log(3), abs=1e-3)
+
+    # de Bruijn-ish: every (s, t) pair equally often → p(t|s) uniform
+    seq = []
+    for a in range(3):
+        for b in range(3):
+            seq.extend([types[a], types[b]])
+    iid = [
+        (i, t0 + dt.timedelta(minutes=i), 1, seq[i % len(seq)], 1.0, "{}")
+        for i in range(180)
+    ]
+    r = REGISTRY["markov_entropy_rate"].fn(
+        spark, _events(spark, tmp_path, iid)
+    ).collect()[0]
+    assert r.predictability_gain == pytest.approx(0.0, abs=0.02)
+
+
+def test_woe_iv_planted_predictive_band(spark, tmp_path):
+    """Quantities 41–50 are always returned, the rest never → that band's
+    WOE must be hugely negative (good share ≈ 0) and IV large; a flag
+    independent of quantity → IV ≈ 0."""
+    rows = [
+        _li_row(i, "R" if 41 <= 41 + i % 10 else "N", 41 + i % 10, 100, 0.0)
+        for i in range(100)
+    ] + [_li_row(200 + i, "N", 1 + i % 40, 100, 0.0) for i in range(400)]
+    r = {
+        (x.band_lo, x.band_hi): x
+        for x in REGISTRY["woe_information_value"]
+        .fn(spark, _lineitem(spark, tmp_path, rows))
+        .collect()
+    }
+    assert r[(41, 50)].n_good == 0 and r[(41, 50)].woe < -5
+    assert r[(41, 50)].information_value > 1.0  # "suspiciously strong"
+
+    indep = [_li_row(i, "R" if i % 5 == 0 else "N", 1 + i % 50, 100, 0.0) for i in range(500)]
+    r2 = REGISTRY["woe_information_value"].fn(
+        spark, _lineitem(spark, tmp_path, indep)
+    ).collect()
+    assert all(abs(x.information_value) < 0.05 for x in r2)
+
+
+def test_poisson_rate_test_brute_force_binomial(spark, tmp_path):
+    """p-value recomputed from the exact two-sided Binomial(n, 1/2) tail in
+    Python must match: planted 30 early errors vs 10 late."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "error", 1.0, "{}") for i in range(30)
+    ] + [
+        (100 + i, t0 + dt.timedelta(hours=900 + i), 1, "error", 1.0, "{}")
+        for i in range(10)
+    ]
+    # pad the window so the midpoint falls between the two bursts
+    rows.append((999, t0, 2, "view", 1.0, "{}"))
+    rows.append((998, t0 + dt.timedelta(hours=1000), 2, "view", 1.0, "{}"))
+    r = REGISTRY["poisson_rate_test"].fn(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()[0]
+    assert (r.first_half, r.second_half) == (30, 10)
+    n = 40
+    probs = [math.comb(n, k) * 0.5**n for k in range(n + 1)]
+    p_two = sum(p for p in probs if p <= probs[30] + 1e-15)
+    assert r.p_value == pytest.approx(p_two, rel=1e-3)
+    assert r.significant
+
+
+def test_interleave_eval_credits_better_ranker(spark, tmp_path):
+    """A corpus where the strongly-length-normalized ranker (B) surfaces
+    the relevant short docs higher must be credited: B's relevant docs
+    outrank A's on the interleaved list."""
+    # short docs with moderate tf (win under b=0.75), long docs with huge
+    # tf (win under b=0.25); only the short ones are NOT relevant (tf<4)
+    texts = (
+        [f"hash hash hash hash hash hash {'pad ' * 200}" for _ in range(6)]  # long, tf=6 rel
+        + ["hash hash hash x" for _ in range(6)]  # short, tf=3 not relevant
+        + ["join join join join join " + "pad " * 200 for _ in range(3)]
+        + ["join join y" for _ in range(3)]
+        + ["stream stream stream stream stream " + "pad " * 200 for _ in range(3)]
+        + ["stream z" for _ in range(3)]
+        + ["spark spark spark spark " + "pad " * 200 for _ in range(3)]
+        + ["spark w" for _ in range(3)]
+    )
+    sf = _docs(spark, tmp_path, texts)
+    rows = {r.term: r for r in REGISTRY["interleave_eval"].fn(spark, sf).collect()}
+    # relevant docs are the LONG ones — ranker A (mild normalization)
+    # places them higher, so A must collect the relevant clicks
+    assert rows["__wins__"].winner == "summary"
+    total_a = sum(rows[t].clicks_a for t in ("hash", "join", "stream", "spark"))
+    total_b = sum(rows[t].clicks_b for t in ("hash", "join", "stream", "spark"))
+    assert total_a > total_b
+
+
+def test_stl_strength_reads_planted_structure(spark, tmp_path):
+    """A pure weekly square wave (no trend) → seasonal strength ≈ 1,
+    trend strength ≈ 0; a pure ramp (no weekly pattern) → the reverse."""
+    import datetime as dt
+
+    # CONSECUTIVE calendar days — the fabricated 28-day months used
+    # elsewhere leave real-calendar gaps that break dow alignment
+    d0 = dt.date(2024, 1, 1)
+    days = [(d0 + dt.timedelta(days=i)).isoformat() for i in range(112)]
+    weekly = [(i, 1, 100.0 + (500.0 if i % 7 == 0 else 0.0), days[i]) for i in range(112)]
+    r = REGISTRY["stl_strength"].fn(spark, _orders(spark, tmp_path, weekly)).collect()[0]
+    assert r.seasonal_strength > 0.95 and r.trend_strength < 0.2
+
+    ramp = [(i, 1, 100.0 + 25.0 * i, days[i]) for i in range(112)]
+    r = REGISTRY["stl_strength"].fn(spark, _orders(spark, tmp_path, ramp)).collect()[0]
+    assert r.trend_strength > 0.95 and r.seasonal_strength < 0.2
+
+
+def test_rich_club_planted_hub_clique(spark, tmp_path):
+    """A clique of 6 hub parts (every pair co-ordered) plus many degree-1
+    spokes: φ must be 1.0 at thresholds the clique survives and the club
+    sizes must match."""
+    li = []
+    # clique: orders 1..15 each pair two hub parts (full K6 = 15 edges)
+    import itertools
+    hubs = list(range(100, 106))
+    for ok, (a, b) in enumerate(itertools.combinations(hubs, 2), start=1):
+        li.append((ok, 1, "N", "F", 1.0, 10.0, 0.0, 0.0, a, 1))
+        li.append((ok, 2, "N", "F", 1.0, 10.0, 0.0, 0.0, b, 1))
+    # spokes: each hub co-ordered once with a unique leaf part
+    ok = 100
+    for h in hubs:
+        for leaf in range(3):
+            ok += 1
+            li.append((ok, 1, "N", "F", 1.0, 10.0, 0.0, 0.0, h, 1))
+            li.append((ok, 2, "N", "F", 1.0, 10.0, 0.0, 0.0, 1000 + h * 10 + leaf, 1))
+    sf = _lineitem(spark, tmp_path, li)
+    rows = {r.degree_threshold: r for r in REGISTRY["rich_club"].fn(spark, sf).collect()}
+    # hubs have degree 5 + 3 = 8 > 4; leaves degree 1 → club at k=4 is K6
+    assert rows[4].club_size == 6 and rows[4].club_edges == 15
+    assert rows[4].phi == pytest.approx(1.0, abs=1e-9)
+    assert rows[8].club_size == 0  # nothing exceeds degree 8
+
+
+def test_poisson_rate_ratio_exact_mle(spark, tmp_path):
+    """Urgent orders planted with exactly 3× the line count: the rate
+    ratio must be 3.0 with a tight CI covering it."""
+    li, od = [], []
+    k = 0
+    for g, (nl, n_orders) in enumerate([(9, 60), (3, 60)]):
+        for o in range(n_orders):
+            k += 1
+            pri = "1-URGENT" if g == 0 else "3-MEDIUM"
+            od.append((k, 1, 100.0, f"2024-01-{1 + o % 28:02d}", pri))
+            for ln in range(nl):
+                li.append((k, ln + 1, "N", "F", 1.0, 100.0, 0.0, 0.0, 1, 1))
+    spark.createDataFrame(
+        od,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    sf = _lineitem(spark, tmp_path, li)
+    r = REGISTRY["poisson_rate_ratio"].fn(spark, sf).collect()[0]
+    assert r.rate_ratio == pytest.approx(3.0, abs=1e-9)
+    assert r.rr_ci_lo < 3.0 < r.rr_ci_hi and r.significant
+    assert r.lr_stat > 100  # massive separation
+
+
+def test_weibull_fit_recovers_exponential_shape(spark, tmp_path):
+    """Deterministic exponential-quantile gaps (inverse-CDF ladder) must
+    fit k ≈ 1 (the exponential is Weibull k=1) and a compressed
+    (less-variable) ladder must fit k > 1."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ladder(stretch):
+        # gaps = exponential quantiles at 99 evenly spaced probabilities,
+        # raised to 1/stretch: stretch=1 → k≈1, stretch>1 → k≈stretch
+        rows, eid, t = [], 0, t0
+        for rep in range(3):
+            for i in range(1, 100):
+                gap_h = (-math.log(1 - i / 100.0)) ** (1.0 / stretch)
+                t = t + dt.timedelta(hours=gap_h)
+                rows.append((eid, t, 1, "click", 1.0, "{}"))
+                eid += 1
+        return rows
+
+    r = REGISTRY["weibull_fit"].fn(
+        spark, _events(spark, tmp_path, ladder(1.0))
+    ).collect()[0]
+    assert r.shape_k == pytest.approx(1.0, abs=0.12)
+
+    r = REGISTRY["weibull_fit"].fn(
+        spark, _events(spark, tmp_path, ladder(2.0))
+    ).collect()[0]
+    assert r.shape_k == pytest.approx(2.0, abs=0.25)
+    assert not r.decreasing_hazard
