@@ -27,6 +27,25 @@ class QuerySpec:
 #: its new and materially-changed queries in — CORRECTNESS_r{N} then
 #: certifies code no prior round certified (round-2 verdict item 6).
 ROUND3_WINDOW = [
+    # new operators (session 4)
+    "cox_ph",
+    "friedman_test",
+    "mood_median_test",
+    "fleiss_kappa",
+    "tost_equivalence",
+    "dunn_posthoc",
+    "distance_correlation",
+    "bayesian_ab_beta",
+    "average_precision_eval",
+    "dickey_fuller",
+    "kpss_test",
+    "bradley_terry",
+    "abc_xyz",
+    "newsvendor_stock",
+    "katz_centrality",
+    "t_closeness",
+    "kish_ess",
+    "theil_inequality",
     # new operators (session 3)
     "stl_strength",
     "rich_club",
@@ -152,6 +171,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         extensions,
         geo,
         graph,
+        inventory,
         ml,
         mutation,
         outliers,
@@ -163,6 +183,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         sequences,
         sketches,
         stats2,
+        stats3,
         temporal,
         tpch,
         tpch2,
@@ -181,6 +202,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         tpch2,
         mutation,
         geo,
+        inventory,
         ml,
         quality,
         graph,
@@ -191,6 +213,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         behavior,
         sequences,
         stats2,
+        stats3,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:

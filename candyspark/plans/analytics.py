@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from candyspark.operators import text as X
 from candyspark.plans import QuerySpec
-from candyspark.functions.numeric import money, round2
+from candyspark.functions.numeric import money, round2, snap_round
 from candyspark.sources.readers import fan_out, load_table
 
 # --- deterministic hash sampling -------------------------------------------
@@ -2595,3 +2595,192 @@ FROM lr GROUP BY x_k1
 """
 
 REGISTRY["hill_tail_index"] = QuerySpec(q_hill_tail_index, HILL_TAIL_INDEX_SQL)
+
+
+def q_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer lifetime order value, decomposed
+    EXACTLY into between-nation and within-nation components - the
+    property gini_by_nation cannot offer (Gini does not decompose): is
+    spending inequality about WHERE customers are or about spread INSIDE
+    each market? T = T_between + sum_g s_g*T_g; per nation the two
+    contributions are s_g*T_g = (1/(n*mu)) * sum_{i in g} x*ln(x/mu_g)
+    and s_g*ln(mu_g/mu), which sum to the nation's share of total T -
+    the identity ships as the `theil_contrib` column so the oracle
+    certifies the decomposition itself (the brier_decomposition rule).
+
+    Per-customer totals are exact DECIMAL money; nation means snap at 6
+    dp BEFORE the row terms (so both engines feed ln identical doubles),
+    each x*ln(x/mu_g) term snaps at 6 dp before an exact decimal sum,
+    and the nation stage is a <=25-row relation. Zero-total customers
+    are excluded (non-participants, stated).
+
+    At 100 TB: one keyed customer reduction, one <=|nations| mean
+    rollup broadcast back, one more keyed pass, one 1-row assembly.
+    Rows: per-nation contributions plus '__total__'.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c.select("c_custkey", "c_nationkey"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("x"))
+        .filter(F.col("x") > 0)
+        # the per-customer rollup feeds the mean stage AND the term stage:
+        # checkpointed so the orders x customer reduction runs exactly once
+        .localCheckpoint()
+    )
+    nation_mu = per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("decimal(38,2)").alias("sx_g"),
+    ).select(
+        "c_nationkey",
+        "n_g",
+        "sx_g",
+        F.round(
+            (F.col("sx_g").cast("double") / F.col("n_g").cast("double")).cast(
+                "decimal(28,6)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mu_g"),
+    )
+    glob = nation_mu.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sx_g").cast("decimal(38,2)").alias("sx"),
+    ).select(
+        "n",
+        F.round(
+            (F.col("sx").cast("double") / F.col("n").cast("double")).cast(
+                "decimal(28,6)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mu"),
+    )
+    terms = per_cust.join(
+        F.broadcast(nation_mu.select("c_nationkey", "mu_g")), "c_nationkey"
+    ).select(
+        "c_nationkey",
+        F.round(
+            (
+                F.col("x").cast("double")
+                * F.log(F.col("x").cast("double") / F.col("mu_g"))
+            ).cast("decimal(28,6)"),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("t_term"),
+    )
+    per_nation = (
+        terms.groupBy("c_nationkey")
+        .agg(F.sum("t_term").cast("decimal(38,6)").alias("t_sum_g"))
+        .join(F.broadcast(nation_mu), "c_nationkey")
+        .crossJoin(F.broadcast(glob))
+    )
+    nation_rows = per_nation.select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        "n_g",
+        snap_round(
+            F.col("t_sum_g").cast("double")
+            / (F.col("n").cast("double") * F.col("mu")),
+            6,
+        ).alias("within_contrib"),
+        snap_round(
+            (
+                F.col("sx_g").cast("double")
+                / (F.col("n").cast("double") * F.col("mu"))
+            )
+            * F.log(F.col("mu_g") / F.col("mu")),
+            6,
+        ).alias("between_contrib"),
+    )
+    total = nation_rows.agg(
+        F.lit("__total__").alias("nation"),
+        F.sum("n_g").cast("long").alias("n_g"),
+        snap_round(
+            F.sum(F.col("within_contrib").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("within_contrib"),
+        snap_round(
+            F.sum(F.col("between_contrib").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("between_contrib"),
+    )
+    both = nation_rows.unionByName(total)
+    return both.select(
+        "nation",
+        "n_g",
+        "within_contrib",
+        "between_contrib",
+        snap_round(
+            F.col("within_contrib") + F.col("between_contrib"), 6
+        ).alias("theil_contrib"),
+    )
+
+
+THEIL_INEQUALITY_SQL = """
+WITH per_cust AS (
+    SELECT c.c_nationkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_nationkey
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 0
+),
+nation_mu AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(x) AS DECIMAL(38,2)) AS sx_g,
+           CAST(ROUND(CAST(CAST(SUM(x) AS DOUBLE) / COUNT(*)
+               AS DECIMAL(28,6)), 6) AS DOUBLE) AS mu_g
+    FROM per_cust GROUP BY 1
+),
+gmu AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST(SUM(sx_g) AS DOUBLE) / SUM(n_g)
+               AS DECIMAL(28,6)), 6) AS DOUBLE) AS mu
+    FROM nation_mu
+),
+terms AS (
+    SELECT p.c_nationkey,
+           CAST(ROUND(CAST(CAST(x AS DOUBLE)
+               * LN(CAST(x AS DOUBLE) / m.mu_g)
+               AS DECIMAL(28,6)), 6) AS DECIMAL(28,6)) AS t_term
+    FROM per_cust p JOIN nation_mu m ON p.c_nationkey = m.c_nationkey
+),
+per_nation AS (
+    SELECT t.c_nationkey,
+           CAST(SUM(t_term) AS DECIMAL(38,6)) AS t_sum_g
+    FROM terms t GROUP BY 1
+),
+nation_rows AS (
+    SELECT CAST(m.c_nationkey AS VARCHAR) AS nation,
+           m.n_g,
+           CAST(ROUND(CAST(CAST(p.t_sum_g AS DOUBLE)
+               / (CAST(g.n AS DOUBLE) * g.mu)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS within_contrib,
+           CAST(ROUND(CAST(
+               (CAST(m.sx_g AS DOUBLE) / (CAST(g.n AS DOUBLE) * g.mu))
+               * LN(m.mu_g / g.mu)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS between_contrib
+    FROM per_nation p
+    JOIN nation_mu m ON p.c_nationkey = m.c_nationkey
+    CROSS JOIN gmu g
+),
+both_ AS (
+    SELECT nation, n_g, within_contrib, between_contrib FROM nation_rows
+    UNION ALL
+    SELECT '__total__', CAST(SUM(n_g) AS BIGINT),
+           CAST(ROUND(CAST(CAST(SUM(CAST(within_contrib AS DECIMAL(18,6)))
+               AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE),
+           CAST(ROUND(CAST(CAST(SUM(CAST(between_contrib AS DECIMAL(18,6)))
+               AS DOUBLE) AS DECIMAL(28,8)), 6) AS DOUBLE)
+    FROM nation_rows
+)
+SELECT nation, n_g, within_contrib, between_contrib,
+       CAST(ROUND(CAST(within_contrib + between_contrib AS DECIMAL(28,8)), 6)
+           AS DOUBLE) AS theil_contrib
+FROM both_
+"""
+
+
+REGISTRY["theil_inequality"] = QuerySpec(q_theil_inequality, THEIL_INEQUALITY_SQL)

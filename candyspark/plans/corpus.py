@@ -3322,3 +3322,106 @@ LIMIT 15
 """
 
 REGISTRY["rake_keywords"] = QuerySpec(q_rake_keywords, RAKE_KEYWORDS_SQL)
+
+
+def q_kish_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the quality-weighted corpus mix:
+    when documents carry importance weights (quality² — the
+    q_importance_resampling knob), n weighted documents are worth only
+    ESS = (Σw)²/Σw² unweighted ones, and deff = 1 + cv²(w) is the
+    variance price of the weighting. THE receipt a weighted-mixture
+    pretraining run publishes next to its token counts: an efficiency
+    near 1 says the weights are mild; near 0 says a few documents
+    dominate the mixture.
+
+    Weights are the snapped 4-dp quality scores squared — exact
+    DECIMAL(18,8) per document, so Σw and Σw² are exact decimal sums and
+    both engines compute the identical ESS from identical integers-in-
+    disguise. Per-source rows plus the '__corpus__' rollup.
+
+    At 100 TB: scan-stage weight expression, one map-side-combined
+    ≤|sources| aggregate. Nothing else moves.
+    """
+    from candyspark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        (quality_score("text").cast("decimal(9,4)") * quality_score("text").cast("decimal(9,4)"))
+        .cast("decimal(18,8)")
+    )
+    rows = d.select("source", w.alias("w"))
+    per_source = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("decimal(38,8)").alias("sw"),
+        F.sum(
+            (F.col("w").cast("decimal(19,8)") * F.col("w").cast("decimal(19,8)"))
+        )
+        .cast("decimal(38,16)")
+        .alias("sw2"),
+    )
+    corpus = rows.agg(
+        F.lit("__corpus__").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("decimal(38,8)").alias("sw"),
+        F.sum(
+            (F.col("w").cast("decimal(19,8)") * F.col("w").cast("decimal(19,8)"))
+        )
+        .cast("decimal(38,16)")
+        .alias("sw2"),
+    )
+    both = per_source.unionByName(corpus)
+    ess = snap_round(
+        F.col("sw").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("sw2").cast("double"),
+        4,
+    )
+    return both.select(
+        "source",
+        "n_docs",
+        ess.alias("ess"),
+        snap_round(ess / F.col("n_docs").cast("double"), 6).alias("efficiency"),
+        snap_round(F.col("n_docs").cast("double") / ess, 6).alias("deff"),
+    )
+
+
+KISH_ESS_SQL = """
+WITH toked AS (
+    SELECT source, text, __TOKS__ AS toks FROM documents
+),
+rows_ AS (
+    SELECT source,
+           CAST(CAST(__QS__ AS DECIMAL(9,4)) * CAST(__QS__ AS DECIMAL(9,4))
+               AS DECIMAL(18,8)) AS w
+    FROM toked
+),
+per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS DECIMAL(38,8)) AS sw,
+           CAST(SUM(CAST(w AS DECIMAL(19,8)) * CAST(w AS DECIMAL(19,8)))
+               AS DECIMAL(38,16)) AS sw2
+    FROM rows_ GROUP BY 1
+    UNION ALL
+    SELECT '__corpus__', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(w) AS DECIMAL(38,8)),
+           CAST(SUM(CAST(w AS DECIMAL(19,8)) * CAST(w AS DECIMAL(19,8)))
+               AS DECIMAL(38,16))
+    FROM rows_
+)
+SELECT source, n_docs,
+       CAST(ROUND(CAST(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+           / CAST(sw2 AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS ess,
+       CAST(ROUND(CAST(
+           CAST(ROUND(CAST(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sw2 AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) / n_docs
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS efficiency,
+       CAST(ROUND(CAST(
+           n_docs / CAST(ROUND(CAST(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sw2 AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS deff
+FROM per
+"""
+
+REGISTRY["kish_ess"] = QuerySpec(
+    q_kish_ess, KISH_ESS_SQL.replace("__QS__", _AN_QUALITY).replace("__TOKS__", _TOKS_FRAGMENT)
+)

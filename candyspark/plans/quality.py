@@ -5204,3 +5204,180 @@ FROM counted CROSS JOIN obs
 REGISTRY["randomization_inference"] = QuerySpec(
     q_randomization_inference, RANDOMIZATION_INFERENCE_SQL
 )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit - the third privacy rung after
+    q_k_anonymity's k/l checks: an equivalence class can be k-anonymous
+    and l-diverse yet still leak (everyone in it is rich). t-closeness
+    bounds how far each class's SENSITIVE distribution sits from the
+    global one; for the ordinal balance band the right distance is the
+    ordered EMD: t = sum_i |cum_class(i) - cum_global(i)| / (m - 1)
+    (Li, Li & Venkatasubramanian 2007).
+
+    Quasi-identifiers mirror q_k_anonymity (nation x market segment -
+    the release grain); sensitive attribute = acctbal quartile band on
+    fixed 3000/6000/9000 boundaries (exact DECIMAL comparisons). Both
+    cumulatives are exact integer counts over a FIXED 4-band spine
+    (a broadcast 4-row relation, so classes missing a band still carry
+    its cumulative row); the only doubles are the final per-class t
+    (snapped) and the summary shares.
+
+    At 100 TB: one map-side-combined (QI x band) aggregate, a broadcast
+    band spine, windows over QI-cardinality rows. Returns one row per
+    class plus the '__summary__' row (max t, share of classes failing
+    t <= 0.2).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal").cast("decimal(12,2)") < 3000, 1)
+        .when(F.col("c_acctbal").cast("decimal(12,2)") < 6000, 2)
+        .when(F.col("c_acctbal").cast("decimal(12,2)") < 9000, 3)
+        .otherwise(4)
+    )
+    cells = (
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("band"),
+        )
+        .groupBy("nation", "segment", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spine = spark.range(1, 5).select(F.col("id").cast("int").alias("band"))
+    classes = cells.select("nation", "segment").distinct()
+    full = (
+        classes.crossJoin(F.broadcast(spine))
+        .join(cells, ["nation", "segment", "band"], "left")
+        .select(
+            "nation",
+            "segment",
+            "band",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    w_class = Window.partitionBy("nation", "segment").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_class_all = Window.partitionBy("nation", "segment")
+    staged = full.select(
+        "nation",
+        "segment",
+        "band",
+        F.sum("cnt").over(w_class).cast("long").alias("cum_c"),
+        F.sum("cnt").over(w_class_all).cast("long").alias("n_c"),
+    )
+    glob = (
+        cells.groupBy("band")
+        .agg(F.sum("cnt").cast("long").alias("g_cnt"))
+        .join(F.broadcast(spine), ["band"], "right")
+        .select("band", F.coalesce(F.col("g_cnt"), F.lit(0)).alias("g_cnt"))
+        .select(
+            "band",
+            F.sum("g_cnt")
+            .over(Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_g"),
+            F.sum("g_cnt").over(Window.partitionBy()).cast("long").alias("n_g"),
+        )
+    )
+    per_band = staged.join(F.broadcast(glob), "band").select(
+        "nation",
+        "segment",
+        "n_c",
+        # |cum_class/n_c - cum_global/n_g| exactly: integer cross-products
+        F.abs(
+            F.col("cum_c").cast("decimal(38,0)") * F.col("n_g").cast("decimal(38,0)")
+            - F.col("cum_g").cast("decimal(38,0)") * F.col("n_c").cast("decimal(38,0)")
+        ).alias("num"),
+        (F.col("n_c").cast("decimal(38,0)") * F.col("n_g").cast("decimal(38,0)")).alias(
+            "den"
+        ),
+    )
+    per_class = per_band.groupBy("nation", "segment", "n_c", "den").agg(
+        F.sum("num").alias("num_sum")
+    )
+    t = snap_round(
+        F.col("num_sum").cast("double") / (F.lit(3.0) * F.col("den").cast("double")),
+        6,
+    )
+    rows = per_class.select(
+        F.col("nation").cast("string").alias("class_nation"),
+        F.col("segment").alias("class_segment"),
+        F.col("n_c").alias("class_size"),
+        t.alias("t_distance"),
+        (t > 0.2).alias("fails_t02"),
+    )
+    summary = rows.agg(
+        F.lit("__summary__").alias("class_nation"),
+        F.lit("").alias("class_segment"),
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.max("t_distance").alias("t_distance"),
+        (F.max("t_distance") > 0.2).alias("fails_t02"),
+    )
+    return rows.unionByName(summary)
+
+
+T_CLOSENESS_SQL = """
+WITH cells AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment AS segment,
+           CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 3000 THEN 1
+                WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 6000 THEN 2
+                WHEN CAST(c_acctbal AS DECIMAL(12,2)) < 9000 THEN 3
+                ELSE 4 END AS band,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer GROUP BY 1, 2, 3
+),
+spine AS (SELECT UNNEST(generate_series(1, 4)) AS band),
+classes AS (SELECT DISTINCT nation, segment FROM cells),
+full_ AS (
+    SELECT cl.nation, cl.segment, s.band,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM classes cl CROSS JOIN spine s
+    LEFT JOIN cells c
+      ON c.nation = cl.nation AND c.segment = cl.segment AND c.band = s.band
+),
+staged AS (
+    SELECT nation, segment, band,
+           CAST(SUM(cnt) OVER (PARTITION BY nation, segment ORDER BY band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+           CAST(SUM(cnt) OVER (PARTITION BY nation, segment) AS BIGINT) AS n_c
+    FROM full_
+),
+gcum AS (
+    SELECT s.band,
+           CAST(SUM(COALESCE(g.g_cnt, 0)) OVER (ORDER BY s.band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+           CAST(SUM(COALESCE(g.g_cnt, 0)) OVER () AS BIGINT) AS n_g
+    FROM spine s
+    LEFT JOIN (
+        SELECT band, CAST(SUM(cnt) AS BIGINT) AS g_cnt FROM cells GROUP BY 1
+    ) g ON s.band = g.band
+),
+per_class AS (
+    SELECT nation, segment, n_c,
+           CAST(n_c AS DECIMAL(38,0)) * (SELECT MAX(n_g) FROM gcum) AS den,
+           SUM(ABS(CAST(cum_c AS DECIMAL(38,0)) * gl.n_g
+                   - CAST(gl.cum_g AS DECIMAL(38,0)) * n_c)) AS num_sum
+    FROM staged st JOIN gcum gl ON st.band = gl.band
+    GROUP BY 1, 2, 3
+),
+rows_ AS (
+    SELECT CAST(nation AS VARCHAR) AS class_nation,
+           segment AS class_segment,
+           n_c AS class_size,
+           CAST(ROUND(CAST(CAST(num_sum AS DOUBLE) / (3.0 * CAST(den AS DOUBLE))
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS t_distance
+    FROM per_class
+)
+SELECT class_nation, class_segment, class_size, t_distance,
+       t_distance > 0.2 AS fails_t02
+FROM rows_
+UNION ALL
+SELECT '__summary__', '', CAST(COUNT(*) AS BIGINT),
+       MAX(t_distance), MAX(t_distance) > 0.2
+FROM rows_
+"""
+
+REGISTRY["t_closeness"] = QuerySpec(q_t_closeness, T_CLOSENESS_SQL)

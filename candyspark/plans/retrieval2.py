@@ -660,3 +660,140 @@ FROM rows_
 """
 
 REGISTRY["interleave_eval"] = QuerySpec(q_interleave_eval, INTERLEAVE_EVAL_SQL)
+
+
+def q_average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision @10 over the 4-term query set: AP averages
+    precision AT EACH relevant position, so it rewards putting *all* the
+    relevant documents early, where MRR stops at the first and NDCG
+    discounts by raw position. The third leg of the eval triad, same
+    binary relevance band as mrr_eval (tf >= 4).
+
+    AP@10 = sum_{k<=10, rel_k} P@k / min(R_total, 10), with R_total the
+    CORPUS-wide relevant count per query (TREC convention) - so burying
+    relevant docs below the cutoff is punished, not forgotten. P@k rides
+    a per-query cumulative window over <=10 rows; R_total is one extra
+    conditional aggregate on the same scored relation. Exact integers
+    (cum-relevant, k, R) feed one snapped division per relevant hit,
+    summed in DECIMAL.
+
+    Scale: identical to mrr_eval - queries are a relation against the
+    tokenize-once tf index; per-query windows, never a global sort. The
+    corpus-wide R_total rollup is the only second aggregate, <=|terms|
+    rows out.
+    """
+    ranked = _per_term_ranked(spark, sf_dir)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    rel_total = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .filter(F.col("tf") >= 4)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("r_total"))
+    )
+    w = Window.partitionBy("term").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    contrib = ranked.select(
+        "term",
+        "pos",
+        (F.col("tf") >= 4).cast("long").alias("rel"),
+    ).select(
+        "term",
+        "pos",
+        "rel",
+        F.sum("rel").over(w).cast("long").alias("cum_rel"),
+    )
+    per_term = (
+        contrib.filter(F.col("rel") == 1)
+        .select(
+            "term",
+            F.round(
+                (F.col("cum_rel").cast("double") / F.col("pos").cast("double")).cast(
+                    "decimal(18,8)"
+                ),
+                8,
+            ).alias("p_at_k"),
+        )
+        .groupBy("term")
+        .agg(F.sum("p_at_k").cast("decimal(28,8)").alias("sum_p"))
+        .join(rel_total, "term", "right")
+    )
+    rows = per_term.select(
+        "term",
+        F.col("r_total").alias("n_relevant_corpus"),
+        F.coalesce(
+            snap_round(
+                F.col("sum_p").cast("double")
+                / F.least(F.col("r_total"), F.lit(10)).cast("double"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("ap"),
+    )
+    mean_row = rows.agg(
+        F.lit("__mean__").alias("term"),
+        F.sum("n_relevant_corpus").cast("long").alias("n_relevant_corpus"),
+        snap_round(
+            F.sum(F.col("ap").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("ap"),
+    )
+    return rows.unionByName(mean_row)
+
+
+AVERAGE_PRECISION_SQL = f"""
+WITH {_RANKED_SQL},
+rel_total AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS r_total
+    FROM (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        WHERE term IN ('hash', 'join', 'stream', 'spark')
+        GROUP BY term, doc_id
+    )
+    WHERE tf >= 4
+    GROUP BY term
+),
+contrib AS (
+    SELECT term, pos,
+           CASE WHEN tf >= 4 THEN 1 ELSE 0 END AS rel,
+           CAST(SUM(CASE WHEN tf >= 4 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY term ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_rel
+    FROM ranked
+),
+per_term AS (
+    SELECT term,
+           CAST(SUM(CAST(ROUND(CAST(CAST(cum_rel AS DOUBLE) / pos
+               AS DECIMAL(18,8)), 8) AS DECIMAL(18,8))) AS DECIMAL(28,8))
+               AS sum_p
+    FROM contrib
+    WHERE rel = 1
+    GROUP BY term
+),
+rows_ AS (
+    SELECT rt.term,
+           rt.r_total AS n_relevant_corpus,
+           COALESCE(CAST(ROUND(CAST(CAST(sum_p AS DOUBLE)
+               / LEAST(rt.r_total, 10) AS DECIMAL(28,8)), 6) AS DOUBLE), 0.0)
+               AS ap
+    FROM rel_total rt LEFT JOIN per_term p ON rt.term = p.term
+)
+SELECT term, n_relevant_corpus, ap FROM rows_
+UNION ALL
+SELECT '__mean__' AS term,
+       CAST(SUM(n_relevant_corpus) AS BIGINT) AS n_relevant_corpus,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(ap AS DECIMAL(10,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS ap
+FROM rows_
+"""
+
+REGISTRY["average_precision_eval"] = QuerySpec(
+    q_average_precision_eval, AVERAGE_PRECISION_SQL
+)

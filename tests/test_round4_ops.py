@@ -1,0 +1,915 @@
+"""Round-3 session-4 behavioral tests: planted-signal and hand-math checks
+for the inference staples added this session (cox_ph, friedman_test,
+mood_median_test, fleiss_kappa, tost_equivalence)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from candyspark.plans import collect_registry
+
+REGISTRY = collect_registry()
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def _customer(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+def _documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _lineitem(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# cox_ph
+# ---------------------------------------------------------------------------
+
+
+def _reference_cox(subjects, rounds=50):
+    """Textbook per-subject Breslow partial-likelihood Newton (binary x):
+    an INDEPENDENT implementation — per-subject loop over risk sets, not
+    the engine's relational per-day aggregates."""
+    beta = 0.0
+    times = sorted({t for t, e, _ in subjects if e})
+    for _ in range(rounds):
+        u = 0.0
+        info = 0.0
+        eb = math.exp(beta)
+        for td in times:
+            d = sum(1 for t, e, _ in subjects if e and t == td)
+            s1 = sum(x for t, e, x in subjects if e and t == td)
+            r1 = sum(x for t, _, x in subjects if t >= td)
+            r0 = sum(1 - x for t, _, x in subjects if t >= td)
+            denom = r0 + r1 * eb
+            u += s1 - d * r1 * eb / denom
+            info += d * r0 * r1 * eb / denom**2
+        if info <= 0:
+            break
+        beta += u / info
+    return beta
+
+
+def test_cox_recovers_planted_hazard_ratio(spark, tmp_path):
+    """Early cohort converts twice as fast (subject i at day i; late
+    subject j at day 2j): the engine's 4-round Newton must land on the
+    textbook per-subject MLE (independent implementation) and report a
+    hazard ratio materially above 1 for the early cohort."""
+    rows = []
+    eid = 0
+
+    def ev(u, day, hour, t):
+        nonlocal eid
+        eid += 1
+        return (eid, f"2024-01-{day:02d} {hour:02d}:00:00", u, t, 1.0, "{}")
+
+    subjects = []
+    # early cohort (x=1): signup Jan 1, convert after i days (i = 1..10)
+    for i in range(1, 11):
+        rows.append(ev(i, 1, 8, "signup"))
+        rows.append(ev(i, 1 + i, 8, "purchase"))
+        subjects.append((i, 1, 1))
+    # late cohort (x=0): signup Jan 5, convert after 2j days (j = 1..10)
+    for j in range(1, 11):
+        u = 100 + j
+        rows.append(ev(u, 5, 8, "signup"))
+        rows.append(ev(u, 5 + 2 * j, 8, "purchase"))
+        subjects.append((2 * j, 1, 0))
+    # horizon far past every conversion so nothing censors
+    rows.append(ev(999, 31, 23, "view"))
+
+    out = REGISTRY["cox_ph"].fn(spark, _events(spark, tmp_path, rows)).collect()[0]
+    ref = _reference_cox(subjects)
+    assert out.n_events == 20
+    assert out.beta == pytest.approx(ref, abs=5e-3)
+    assert out.hazard_ratio > 1.5  # early cohort converts faster
+
+
+def test_cox_null_covariate_is_flat(spark, tmp_path):
+    """Identical conversion-time distributions in both cohorts → β ≈ 0,
+    hazard ratio ≈ 1, score test quiet."""
+    rows = []
+    eid = 0
+
+    def ev(u, day, t):
+        nonlocal eid
+        eid += 1
+        return (eid, f"2024-01-{day:02d} 08:00:00", u, t, 1.0, "{}")
+
+    for i in range(1, 11):
+        rows.append(ev(i, 1, "signup"))
+        rows.append(ev(i, 1 + i, "purchase"))
+        u = 100 + i
+        rows.append(ev(u, 9, "signup"))
+        rows.append(ev(u, 9 + i, "purchase"))
+    rows.append(ev(999, 31, "view"))
+    out = REGISTRY["cox_ph"].fn(spark, _events(spark, tmp_path, rows)).collect()[0]
+    assert abs(out.beta) < 0.05
+    assert out.hazard_ratio == pytest.approx(1.0, abs=0.05)
+    assert out.significant is False
+
+
+# ---------------------------------------------------------------------------
+# friedman_test
+# ---------------------------------------------------------------------------
+
+
+def _month_days(year, month):
+    """First 7 dates of a month covering all 7 ISO weekdays (any 7
+    consecutive days do)."""
+    return [f"{year}-{month:02d}-{d:02d}" for d in range(1, 8)]
+
+
+def test_friedman_perfect_consistency_reaches_max(spark, tmp_path):
+    """Revenue strictly increasing in ISO weekday within every month →
+    every block ranks identically and Q hits its algebraic maximum 6n
+    (k = 7); with 4 blocks Q = 24 → significant."""
+    import datetime as dt
+
+    rows = []
+    ok = 0
+    for m in range(1, 5):
+        for ds in _month_days(2024, m):
+            isodow = dt.date.fromisoformat(ds).isoweekday()
+            ok += 1
+            rows.append((ok, 1, 100.0 * isodow, ds))
+    out = REGISTRY["friedman_test"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.n_blocks == 4
+    assert out.q_stat == pytest.approx(24.0, abs=1e-9)
+    assert out.significant is True
+
+
+def test_friedman_all_ties_is_zero(spark, tmp_path):
+    """Identical revenue on every weekday of every month → all midranks
+    equal → Q = 0 exactly, p = 1."""
+    rows = []
+    ok = 0
+    for m in range(1, 4):
+        for ds in _month_days(2024, m):
+            ok += 1
+            rows.append((ok, 1, 500.0, ds))
+    out = REGISTRY["friedman_test"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.q_stat == pytest.approx(0.0, abs=1e-9)
+    assert out.p_value == pytest.approx(1.0, abs=1e-9)
+    assert out.significant is False
+
+
+def test_friedman_incomplete_months_are_excluded(spark, tmp_path):
+    """A month missing a weekday must not enter the block count (the
+    balanced-design requirement)."""
+    import datetime as dt
+
+    rows = []
+    ok = 0
+    for m in (1, 2):
+        for ds in _month_days(2024, m):
+            isodow = dt.date.fromisoformat(ds).isoweekday()
+            ok += 1
+            rows.append((ok, 1, 100.0 * isodow, ds))
+    # March: only 3 weekdays present
+    for ds in ("2024-03-04", "2024-03-05", "2024-03-06"):
+        ok += 1
+        rows.append((ok, 1, 999.0, ds))
+    out = REGISTRY["friedman_test"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.n_blocks == 2
+
+
+# ---------------------------------------------------------------------------
+# mood_median_test
+# ---------------------------------------------------------------------------
+
+
+def _li_row(i, flag, qty):
+    return (i, 1, flag, "O", float(qty), 100.0, 0.0, 0.0, i, i)
+
+
+def test_mood_detects_planted_location_shift(spark, tmp_path):
+    """Returned quantities all 40-49, kept all 1-10 → every returned row
+    sits above the pooled median and χ² is large."""
+    rows = [_li_row(i, "R", 40 + i % 10) for i in range(50)]
+    rows += [_li_row(100 + i, "N", 1 + i % 10) for i in range(50)]
+    out = REGISTRY["mood_median_test"].fn(
+        spark, _lineitem(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.above_returned == 50 and out.above_kept == 0
+    assert out.significant is True
+
+
+def test_mood_identical_distributions_is_quiet(spark, tmp_path):
+    """Same quantity multiset in both groups → χ² = 0 exactly."""
+    rows = [_li_row(i, "R", 1 + i % 10) for i in range(50)]
+    rows += [_li_row(100 + i, "N", 1 + i % 10) for i in range(50)]
+    out = REGISTRY["mood_median_test"].fn(
+        spark, _lineitem(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert out.significant is False
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+
+_GOOD = ("word " * 50).strip()  # 249 chars, 50 words, alpha 200/249 > 0.6
+_BAD = "12345"  # fails all three gates
+
+
+def test_fleiss_perfect_agreement_is_one(spark, tmp_path):
+    """Every document either passes all three gates or fails all three →
+    κ = 1 exactly."""
+    rows = [(i, _GOOD, "en", "s", len(_GOOD)) for i in range(10)]
+    rows += [(100 + i, _BAD, "en", "s", len(_BAD)) for i in range(10)]
+    out = REGISTRY["fleiss_kappa"].fn(
+        spark, _documents(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.kappa == pytest.approx(1.0, abs=1e-9)
+    assert out.agreement == "substantial"
+
+
+def test_fleiss_systematic_disagreement_lowers_kappa(spark, tmp_path):
+    """Half the corpus is long digit noise (length gate says keep, word
+    and alpha gates say drop): agreement must fall well below the
+    perfect-corpus κ and the split must land at exactly n1 = 1."""
+    noise = "1" * 250
+    rows = [(i, _GOOD, "en", "s", len(_GOOD)) for i in range(10)]
+    rows += [(100 + i, noise, "en", "s", len(noise)) for i in range(10)]
+    out = REGISTRY["fleiss_kappa"].fn(
+        spark, _documents(spark, tmp_path, rows)
+    ).collect()[0]
+    # 10 docs at n1=3, 10 docs at n1=1: T=40, S=100, n=20
+    # p_bar = (100+60-120)/60 = 2/3; p_e = (1600+400)/3600 = 5/9
+    assert out.p_bar == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert out.p_e == pytest.approx(5.0 / 9.0, abs=1e-6)
+    assert out.kappa == pytest.approx(0.25, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# tost_equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_tost_identical_segments_are_equivalent(spark, tmp_path):
+    """Same order-value distribution in both segments with n = 200 per
+    side → both one-sided tests clear 1.645 and equivalence is claimed."""
+    cust = [(i, "BUILDING") for i in range(200)]
+    cust += [(1000 + i, "AUTOMOBILE") for i in range(200)]
+    orders = [(i, i, 1000.0 + (i % 20), "2024-01-01") for i in range(200)]
+    orders += [
+        (1000 + i, 1000 + i, 1000.0 + (i % 20), "2024-01-01") for i in range(200)
+    ]
+    sf = _orders(spark, tmp_path, orders)
+    _customer(spark, tmp_path, cust)
+    out = REGISTRY["tost_equivalence"].fn(spark, sf).collect()[0]
+    assert out.diff == pytest.approx(0.0, abs=1e-9)
+    assert out.equivalent is True
+
+
+def test_tost_large_gap_is_not_equivalent(spark, tmp_path):
+    """Means 30% apart (≫ the ±5% margin) → z_upper goes negative and
+    equivalence is refused, however tight the variances."""
+    cust = [(i, "BUILDING") for i in range(100)]
+    cust += [(1000 + i, "AUTOMOBILE") for i in range(100)]
+    orders = [(i, i, 1300.0 + (i % 5), "2024-01-01") for i in range(100)]
+    orders += [(1000 + i, 1000 + i, 1000.0 + (i % 5), "2024-01-01") for i in range(100)]
+    sf = _orders(spark, tmp_path, orders)
+    _customer(spark, tmp_path, cust)
+    out = REGISTRY["tost_equivalence"].fn(spark, sf).collect()[0]
+    assert out.equivalent is False
+    assert out.z_upper < 0
+
+
+# ---------------------------------------------------------------------------
+# dunn_posthoc
+# ---------------------------------------------------------------------------
+
+
+def test_dunn_separates_planted_groups(spark, tmp_path):
+    """Discounts: group A all at 1 cent, R all at 9 cents, N split across
+    both -> the A-R pair must be strongly significant and signed by the
+    rank order (R's mean rank higher)."""
+    rows = []
+    for i in range(60):
+        rows.append((i, 1, "A", "O", 10.0, 100.0, 0.01, 0.0, i, i))
+    for i in range(60):
+        rows.append((100 + i, 1, "R", "O", 10.0, 100.0, 0.09, 0.0, i, i))
+    for i in range(30):
+        rows.append((200 + i, 1, "N", "O", 10.0, 100.0, 0.01, 0.0, i, i))
+        rows.append((300 + i, 1, "N", "O", 10.0, 100.0, 0.09, 0.0, i, i))
+    out = {
+        (r.g1, r.g2): r
+        for r in REGISTRY["dunn_posthoc"].fn(
+            spark, _lineitem_disc(spark, tmp_path, rows)
+        ).collect()
+    }
+    ar = out[("A", "R")]
+    assert ar.z < -2.394 and ar.significant_bonferroni is True
+    assert ar.mean_rank_g1 < ar.mean_rank_g2
+    # N sits exactly between: |z| vs both A and R smaller than the A-R gap
+    an, nr = out[("A", "N")], out[("N", "R")]
+    assert abs(an.z) < abs(ar.z) and abs(nr.z) < abs(ar.z)
+
+
+def _lineitem_disc(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_dunn_identical_groups_are_quiet(spark, tmp_path):
+    """Same discount multiset in all three flags -> every pairwise z = 0."""
+    rows = []
+    k = 0
+    for g in ("A", "N", "R"):
+        for i in range(30):
+            rows.append((k, 1, g, "O", 10.0, 100.0, (i % 5) / 100.0, 0.0, i, i))
+            k += 1
+    out = REGISTRY["dunn_posthoc"].fn(
+        spark, _lineitem_disc(spark, tmp_path, rows)
+    ).collect()
+    assert all(r.z == pytest.approx(0.0, abs=1e-9) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# distance_correlation
+# ---------------------------------------------------------------------------
+
+
+def test_dcor_linear_relation_is_one(spark, tmp_path):
+    """Every order is exactly 100.0, so daily revenue = 100 * daily count:
+    distance correlation of a perfect linear relation is 1."""
+    rows = []
+    ok = 0
+    for d in range(1, 29):
+        for _ in range(1 + d % 7):
+            ok += 1
+            rows.append((ok, 1, 100.0, f"2024-01-{d:02d}"))
+    out = REGISTRY["distance_correlation"].fn(
+        spark, _orders(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.dcor == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dcor_constant_revenue_is_null(spark, tmp_path):
+    """One identical order per day -> zero distance variance on both
+    axes -> honest NULL, not a 0/0 artifact."""
+    rows = [(d, 1, 500.0, f"2024-01-{d:02d}") for d in range(1, 29)]
+    out = REGISTRY["distance_correlation"].fn(
+        spark, _orders(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.dcor is None
+    assert out.dvar_orders == pytest.approx(0.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# bayesian_ab_beta
+# ---------------------------------------------------------------------------
+
+
+def _exact_p_b_beats_a(xa, na, xb, nb):
+    """Independent exact computation: Evan Miller's closed form in pure
+    Fraction arithmetic (integer Beta functions are factorials)."""
+    from fractions import Fraction
+    from math import factorial
+
+    def beta(x, y):
+        return Fraction(
+            factorial(x - 1) * factorial(y - 1), factorial(x + y - 1)
+        )
+
+    aa, ba = xa + 1, na - xa + 1
+    ab, bb = xb + 1, nb - xb + 1
+    total = Fraction(0)
+    for i in range(ab):
+        total += beta(aa + i, ba + bb) / ((bb + i) * beta(1 + i, bb) * beta(aa, ba))
+    return float(total)
+
+
+def test_bayesian_ab_matches_exact_fraction_math(spark, tmp_path):
+    """The ladder-assembled posterior probability must agree with the
+    same closed form computed in exact rational arithmetic."""
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", u, "view", 1.0, "{}"))
+        if u % 3 == 0:
+            eid += 1
+            rows.append((eid, "2024-01-02 10:00:00", u, "purchase", 1.0, "{}"))
+    out = REGISTRY["bayesian_ab_beta"].fn(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()[0]
+    expected = _exact_p_b_beats_a(out.x_a, out.n_a, out.x_b, out.n_b)
+    assert out.p_b_beats_a == pytest.approx(expected, abs=1e-5)
+    assert out.n_a + out.n_b == 40
+
+
+def test_bayesian_ab_dominant_arm_is_decisive(spark, tmp_path):
+    """Plant conversions so one md5 arm converts ~90% and the other ~10%
+    with 60+ users per arm -> P(B beats A) leaves [0.05, 0.95]."""
+    from pyspark.sql import functions as FF
+
+    # discover arm assignment exactly as the engine does
+    probe = spark.createDataFrame(
+        [(u,) for u in range(1, 201)], "user_id long"
+    ).select(
+        "user_id",
+        (
+            FF.conv(
+                FF.substring(FF.md5(FF.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    arms = {r.user_id: r.arm for r in probe.collect()}
+    rows = []
+    eid = 0
+    for u in range(1, 201):
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", u, "view", 1.0, "{}"))
+        rate = 9 if arms[u] == 1 else 1  # arm B converts 90%, arm A 10%
+        if u % 10 < rate:
+            eid += 1
+            rows.append((eid, "2024-01-02 10:00:00", u, "purchase", 1.0, "{}"))
+    out = REGISTRY["bayesian_ab_beta"].fn(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.p_b_beats_a > 0.95
+    assert out.decisive is True
+    assert out.posterior_mean_lift > 0.5
+
+
+# ---------------------------------------------------------------------------
+# average_precision_eval
+# ---------------------------------------------------------------------------
+
+
+def test_average_precision_counts_corpus_relevance(spark, tmp_path):
+    """A short non-relevant doc (tf=2, dl=4) outscores the long relevant
+    one (tf=4, dl=100) under the length-normalized ranker, so the single
+    relevant doc lands at position 2: AP = (1/2)/min(R_total=1, 10) = 0.5."""
+    rel = "hash " * 4 + "pad " * 96  # tf=4, dl=100 -> relevant
+    non = "hash hash is fast"  # tf=2, dl=4 -> scores higher, not relevant
+    filler = "nothing to see here"
+    rows = [
+        (1, rel, "en", "s", len(rel)),
+        (2, non, "en", "s", len(non)),
+        (3, filler, "en", "s", len(filler)),
+    ]
+    out = {
+        r.term: r
+        for r in REGISTRY["average_precision_eval"].fn(
+            spark, _documents(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out["hash"].n_relevant_corpus == 1
+    assert out["hash"].ap == pytest.approx(0.5, abs=1e-9)
+    assert out["__mean__"].ap == pytest.approx(0.5, abs=1e-9)
+
+
+def test_average_precision_perfect_ranking_is_one(spark, tmp_path):
+    """All relevant docs ranked ahead of every non-relevant one (equal
+    lengths, score monotone in tf) -> AP = 1 exactly."""
+    docs = []
+    for i, tf in enumerate([8, 6, 5, 2, 1]):
+        body = "hash " * tf + "pad " * (20 - tf)
+        docs.append((i + 1, body, "en", "s", len(body)))
+    out = {
+        r.term: r
+        for r in REGISTRY["average_precision_eval"].fn(
+            spark, _documents(spark, tmp_path, docs)
+        ).collect()
+    }
+    assert out["hash"].n_relevant_corpus == 3
+    assert out["hash"].ap == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# dickey_fuller / kpss_test
+# ---------------------------------------------------------------------------
+
+
+def test_dickey_fuller_flags_mean_reversion(spark, tmp_path):
+    """A hard-alternating series (perfect mean reversion, gamma -> -2)
+    must reject the unit root decisively."""
+    rows = []
+    for d in range(1, 61):
+        price = 1000.0 if d % 2 == 0 else 3000.0
+        rows.append((d, 1, price + (d % 7), f"2024-{1 + (d - 1) // 28:02d}-{1 + (d - 1) % 28:02d}"))
+    out = REGISTRY["dickey_fuller"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.gamma < -1.5
+    assert out.tau < -2.86
+    assert out.stationary_5pct is True
+
+
+def test_dickey_fuller_perfect_trend_is_null_tau(spark, tmp_path):
+    """y_t = 100t: dy is constant, the regression fits perfectly and
+    rss = 0 -> honest NULL tau (the chow_break perfect-fit rule)."""
+    rows = [(d, 1, 100.0 * d, f"2024-01-{d:02d}") for d in range(1, 29)]
+    out = REGISTRY["dickey_fuller"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.tau is None
+    assert out.stationary_5pct is None
+
+
+def test_kpss_quadrants(spark, tmp_path):
+    """The DF/KPSS pairing: a level-stationary pseudo-noise series passes
+    KPSS (small eta) while a strong drift fails it (eta >> 0.463)."""
+    stat_rows = []
+    for d in range(1, 57):
+        price = 1000.0 + 700.0 * ((d * 3) % 7)  # bounded pseudo-noise
+        stat_rows.append((d, 1, price, f"2024-{1 + (d - 1) // 28:02d}-{1 + (d - 1) % 28:02d}"))
+    out = REGISTRY["kpss_test"].fn(spark, _orders(spark, tmp_path, stat_rows)).collect()[0]
+    assert out.level_stationary_5pct is True
+
+    drift_rows = [
+        (d, 1, 100.0 * d, f"2024-{1 + (d - 1) // 28:02d}-{1 + (d - 1) % 28:02d}")
+        for d in range(1, 57)
+    ]
+    out2 = REGISTRY["kpss_test"].fn(spark, _orders(spark, tmp_path, drift_rows)).collect()[0]
+    assert out2.kpss_stat > 0.463
+    assert out2.level_stationary_5pct is False
+
+
+def test_kpss_antipersistent_series_stays_finite(spark, tmp_path):
+    """A hard-alternating series pushes the Bartlett long-run variance
+    toward 0 (odd-lag autocovariances nearly cancel gamma_0; only window
+    edge effects keep it positive) - the statistic must come back finite,
+    never inf, and the s2_lr <= 0 guard must not misfire on it."""
+    import math
+
+    rows = []
+    for d in range(1, 57):
+        price = 1000.0 if d % 2 == 0 else 3000.0
+        rows.append((d, 1, price, f"2024-{1 + (d - 1) // 28:02d}-{1 + (d - 1) % 28:02d}"))
+    out = REGISTRY["kpss_test"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.kpss_stat is not None and math.isfinite(out.kpss_stat)
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry
+# ---------------------------------------------------------------------------
+
+
+def _li_parts(spark, tmp_path, rows, brands):
+    """lineitem rows: (orderkey, partkey, qty); part rows: (partkey, brand)."""
+    li = spark.createDataFrame(
+        [(ok, 1, "N", "O", float(q), 100.0, 0.0, 0.0, pk, 1) for ok, pk, q in rows],
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    p = spark.createDataFrame(
+        [(pk, f"n{pk}", b, "t", 1, 1.0) for pk, b in brands],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    p.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    return str(tmp_path)
+
+
+def test_bradley_terry_recovers_strict_dominance(spark, tmp_path):
+    """A beats B, B beats C, A beats C in every shared order -> strength
+    strictly ordered A > B > C with ranks 1, 2, 3."""
+    brands = [(1, "A"), (2, "B"), (3, "C")]
+    rows = []
+    ok = 0
+    for _ in range(10):
+        ok += 1
+        rows += [(ok, 1, 30), (ok, 2, 20), (ok, 3, 10)]
+    out = {r.brand: r for r in REGISTRY["bradley_terry"].fn(
+        spark, _li_parts(spark, tmp_path, rows, brands)
+    ).collect()}
+    assert out["A"].strength > out["B"].strength > out["C"].strength
+    assert (out["A"].rank, out["B"].rank, out["C"].rank) == (1, 2, 3)
+    assert out["A"].wins == 20 and out["C"].wins == 0
+
+
+def test_bradley_terry_balanced_round_robin_is_uniform(spark, tmp_path):
+    """Every pair splits its contests 1-1 -> all strengths equal 1/3."""
+    brands = [(1, "A"), (2, "B"), (3, "C")]
+    rows = []
+    ok = 0
+    for hi, lo in [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]:
+        ok += 1
+        rows += [(ok, hi, 30), (ok, lo, 10)]
+    out = REGISTRY["bradley_terry"].fn(
+        spark, _li_parts(spark, tmp_path, rows, brands)
+    ).collect()
+    for r in out:
+        assert r.strength == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# abc_xyz
+# ---------------------------------------------------------------------------
+
+
+def test_abc_xyz_pins_all_branches(spark, tmp_path):
+    """Three brands engineered one per XYZ class (steady / variable /
+    sporadic weekly demand) with revenue concentrated on the steady one:
+    the matrix must place them in distinct XYZ columns and the revenue
+    hog in class A."""
+    rows = []
+    ok = 0
+    # 8 ISO weeks of Mondays: 2024-01-01 is a Monday
+    import datetime as dt
+
+    mondays = [dt.date(2024, 1, 1) + dt.timedelta(weeks=w) for w in range(8)]
+    # brand X (part 1): identical demand every week, huge price -> class A
+    for m in mondays:
+        ok += 1
+        rows.append((ok, 1, 100, 90000.0, m))
+    # brand Y (part 2): alternating 10/30 (cv ~ 0.5-1)
+    for i, m in enumerate(mondays):
+        ok += 1
+        rows.append((ok, 2, 10 if i % 2 == 0 else 30, 100.0, m))
+    # brand Z (part 3): one giant spike week (cv > 1)
+    ok += 1
+    rows.append((ok, 3, 200, 100.0, mondays[0]))
+    li = spark.createDataFrame(
+        [
+            (ok_, 1, "N", "O", float(q), float(px), "N", pk)
+            for ok_, pk, q, px, m in [(r[0], r[1], r[2], r[3], r[4]) for r in rows]
+            for m in [None]
+        ],
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "x string, l_partkey long",
+    )
+    # simpler: build with shipdate directly
+    data = [
+        (r[0], 1, "N", "O", float(r[2]), float(r[3]), 0.0, 0.0, r[1], 1, str(r[4]))
+        for r in rows
+    ]
+    li = spark.createDataFrame(
+        data,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    p = spark.createDataFrame(
+        [(1, "n1", "BX", "t", 1, 1.0), (2, "n2", "BY", "t", 1, 1.0), (3, "n3", "BZ", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    p.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    cells = REGISTRY["abc_xyz"].fn(spark, str(tmp_path)).collect()
+    matrix = {(r.abc_class, r.xyz_class): r.n_brands for r in cells}
+    assert matrix.get(("A", "X")) == 1  # steady revenue hog
+    assert sum(n for (a, x), n in matrix.items() if x == "Y") == 1
+    assert sum(n for (a, x), n in matrix.items() if x == "Z") == 1
+
+
+# ---------------------------------------------------------------------------
+# newsvendor_stock
+# ---------------------------------------------------------------------------
+
+
+def test_newsvendor_hits_the_critical_fractile(spark, tmp_path):
+    """Demands 10,20,...,100 over ten days: the 0.8-fractile
+    (percentile_disc) is 80; service level 0.8; expected shortfall
+    ((90-80)+(100-80))/10 = 3."""
+    rows = []
+    for d in range(1, 11):
+        rows.append((d, 1, "N", "O", float(10 * d), 100.0, 0.0, 0.0, 1, 1,
+                     f"2024-01-{d:02d}"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    p = spark.createDataFrame(
+        [(1, "n1", "B1", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    p.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = REGISTRY["newsvendor_stock"].fn(spark, str(tmp_path)).collect()[0]
+    assert out.stock_q80 == 80
+    assert out.service_level == pytest.approx(0.8, abs=1e-9)
+    assert out.expected_daily_shortfall == pytest.approx(3.0, abs=1e-9)
+    assert out.mean_daily_demand == pytest.approx(55.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# katz_centrality
+# ---------------------------------------------------------------------------
+
+
+def _katz_reference(edges, rounds=6):
+    """Pure-Python mirror of the scale-12 integer iteration."""
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: [] for v in nodes}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    x = {v: 10**12 for v in nodes}
+    for _ in range(rounds):
+        x = {
+            v: 10**12 + (sum(x[u] for u in adj[v]) * 2 + 200) // 400
+            for v in nodes
+        }
+    return x
+
+
+def test_katz_star_matches_integer_reference(spark, tmp_path):
+    """A 6-spoke star: the engine's top-25 must equal the pure-Python
+    scale-12 integer iteration EXACTLY (bit-exact by construction), with
+    the hub on top."""
+    rows = []
+    ok = 0
+    for spoke in range(2, 8):  # orders pairing hub part 1 with each spoke
+        ok += 1
+        rows.append((ok, 1, 10))
+        rows.append((ok, spoke, 10))
+    out = {r.partkey: r for r in REGISTRY["katz_centrality"].fn(
+        spark, _li_parts(spark, tmp_path, rows, [(i, f"B{i}") for i in range(1, 8)])
+    ).collect()}
+    ref = _katz_reference([(1, s) for s in range(2, 8)])
+    for v, x12 in ref.items():
+        assert out[v].katz == pytest.approx(x12 / 1e12, abs=0), f"node {v}"
+    assert out[1].rank == 1
+    assert out[1].katz > max(out[s].katz for s in range(2, 8))
+
+
+# ---------------------------------------------------------------------------
+# t_closeness
+# ---------------------------------------------------------------------------
+
+
+def _customers_priv(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_acctbal double, c_mktsegment string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+def test_t_closeness_separates_leaky_class(spark, tmp_path):
+    """Global distribution uniform over the four balance bands; class
+    (0, SAFE) mirrors it exactly -> t = 0; class (1, LEAK) sits entirely
+    in the top band -> its ordered EMD must be large and flagged."""
+    rows = []
+    k = 0
+    bands = [1000.0, 4000.0, 7000.0, 10000.0]  # one per band
+    for rep in range(5):
+        for b in bands:
+            k += 1
+            rows.append((k, 0, b, "SAFE"))
+    for rep in range(20):
+        k += 1
+        rows.append((k, 1, 10000.0, "LEAK"))
+    out = {
+        (r.class_nation, r.class_segment): r
+        for r in REGISTRY["t_closeness"].fn(
+            spark, _customers_priv(spark, tmp_path, rows)
+        ).collect()
+    }
+    safe = out[("0", "SAFE")]
+    leak = out[("1", "LEAK")]
+    # global: 5,5,5,25 of 40 -> cums .125 .25 .375 1
+    # SAFE: uniform cums .25 .5 .75 1 -> sum|diff| = .125+.25+.375 = .75 -> t=.25
+    assert safe.t_distance == pytest.approx(0.25, abs=1e-9)
+    # LEAK: cums 0 0 0 1 -> sum|diff| = .125+.25+.375 = .75 -> t=.25? no:
+    # |0-.125|+|0-.25|+|0-.375|+0 = .75 -> t = .25 as well by symmetry here
+    assert leak.fails_t02 is True and safe.fails_t02 is True
+    assert out[("__summary__", "")].t_distance >= leak.t_distance
+
+
+def test_t_closeness_identical_class_is_zero(spark, tmp_path):
+    """A single class IS the global distribution -> t = 0 exactly."""
+    rows = [(k, 0, b, "ONLY") for k, b in enumerate([500.0, 3500.0, 6500.0, 9500.0] * 5)]
+    out = REGISTRY["t_closeness"].fn(
+        spark, _customers_priv(spark, tmp_path, rows)
+    ).collect()
+    for r in out:
+        assert r.t_distance == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# kish_ess
+# ---------------------------------------------------------------------------
+
+
+def test_kish_equal_weights_are_fully_efficient(spark, tmp_path):
+    """Identical documents -> identical weights -> ESS = n, deff = 1."""
+    text = "solid words " * 30
+    rows = [(i, text, "en", "s1", len(text)) for i in range(20)]
+    out = {r.source: r for r in REGISTRY["kish_ess"].fn(
+        spark, _documents(spark, tmp_path, rows)
+    ).collect()}
+    assert out["s1"].ess == pytest.approx(20.0, abs=1e-6)
+    assert out["s1"].efficiency == pytest.approx(1.0, abs=1e-6)
+    assert out["__corpus__"].deff == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kish_unequal_mixture_loses_efficiency(spark, tmp_path):
+    """A corpus mixing high- and low-quality sources must report
+    corpus-level efficiency < 1 while each homogeneous source stays 1."""
+    good = "solid words " * 30
+    bad = "x!!!"
+    rows = [(i, good, "en", "good", len(good)) for i in range(10)]
+    rows += [(100 + i, bad, "en", "bad", len(bad)) for i in range(10)]
+    out = {r.source: r for r in REGISTRY["kish_ess"].fn(
+        spark, _documents(spark, tmp_path, rows)
+    ).collect()}
+    assert out["good"].efficiency == pytest.approx(1.0, abs=1e-6)
+    assert out["bad"].efficiency == pytest.approx(1.0, abs=1e-6)
+    assert out["__corpus__"].efficiency < 0.95
+    assert out["__corpus__"].deff > 1.05
+
+
+# ---------------------------------------------------------------------------
+# theil_inequality
+# ---------------------------------------------------------------------------
+
+
+def test_theil_equal_values_are_zero(spark, tmp_path):
+    """Everyone spends the same -> every contribution is exactly 0."""
+    cust = [(i, i % 3, 100.0, "SEG") for i in range(30)]
+    orders = [(i, i, 5000.0, "2024-01-01") for i in range(30)]
+    sf = _orders(spark, tmp_path, orders)
+    spark.createDataFrame(
+        cust, "c_custkey long, c_nationkey long, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = REGISTRY["theil_inequality"].fn(spark, sf).collect()
+    for r in out:
+        assert r.theil_contrib == pytest.approx(0.0, abs=1e-9)
+
+
+def test_theil_between_only_decomposes_cleanly(spark, tmp_path):
+    """Two nations, equal spend WITHIN each, 4x gap BETWEEN: within
+    contributions ~0, between carries the whole index, and the total
+    matches the direct textbook T computed in the test."""
+    import math
+
+    cust = [(i, 0, 100.0, "SEG") for i in range(10)]
+    cust += [(100 + i, 1, 100.0, "SEG") for i in range(10)]
+    orders = [(i, i, 1000.0, "2024-01-01") for i in range(10)]
+    orders += [(1000 + i, 100 + i, 4000.0, "2024-01-01") for i in range(10)]
+    sf = _orders(spark, tmp_path, orders)
+    spark.createDataFrame(
+        cust, "c_custkey long, c_nationkey long, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = {r.nation: r for r in REGISTRY["theil_inequality"].fn(spark, sf).collect()}
+    tot = out["__total__"]
+    assert abs(tot.within_contrib) < 1e-6
+    xs = [1000.0] * 10 + [4000.0] * 10
+    mu = sum(xs) / len(xs)
+    t_direct = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    assert tot.theil_contrib == pytest.approx(t_direct, abs=1e-5)
+    assert tot.between_contrib == pytest.approx(t_direct, abs=1e-5)
