@@ -354,6 +354,33 @@ HEADLINE = [
     "rich_club",
     "poisson_rate_ratio",
     "weibull_fit",
+    # session-4 additions
+    "cox_ph",
+    "friedman_test",
+    "mood_median_test",
+    "fleiss_kappa",
+    "tost_equivalence",
+    "dunn_posthoc",
+    "distance_correlation",
+    "bayesian_ab_beta",
+    "average_precision_eval",
+    "dickey_fuller",
+    "kpss_test",
+    "bradley_terry",
+    "abc_xyz",
+    "newsvendor_stock",
+    "katz_centrality",
+    "t_closeness",
+    "kish_ess",
+    "theil_inequality",
+    "mincer_zarnowitz",
+    "diebold_mariano",
+    "hosmer_lemeshow",
+    "uplift_deciles",
+    "ivf_probe_curve",
+    "conformal_coverage",
+    "pinball_loss",
+    "mi_feature_ranking",
 ]
 
 

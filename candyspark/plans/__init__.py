@@ -46,6 +46,14 @@ ROUND3_WINDOW = [
     "t_closeness",
     "kish_ess",
     "theil_inequality",
+    "mincer_zarnowitz",
+    "diebold_mariano",
+    "hosmer_lemeshow",
+    "uplift_deciles",
+    "ivf_probe_curve",
+    "conformal_coverage",
+    "pinball_loss",
+    "mi_feature_ranking",
     # new operators (session 3)
     "stl_strength",
     "rich_club",

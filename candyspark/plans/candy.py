@@ -1136,3 +1136,487 @@ LIMIT 10
 
 
 REGISTRY["cooks_distance"] = QuerySpec(cooks_distance, COOKS_DISTANCE_SQL)
+
+
+def _backtest_origins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-origin one-step-ahead frame shared by the forecast-evaluation
+    pair (mincer_zarnowitz / diebold_mariano): for every origin day with a
+    30-day burn-in, the running-sum OLS prediction for t+1 (snapped at
+    4 dp), the realized value, and the snapped absolute errors of the OLS
+    and seasonal-naive forecasters — the forecast_backtest construction
+    re-exposed at origin grain."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("x")
+    pref = xy.select(
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_c"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.lead("x").over(wl).alias("x_next"),
+        F.lead("y").over(wl).alias("y_next"),
+        F.lag("y", 6).over(wl).alias("y_lag6"),
+    )
+    n = F.col("n_c").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    yhat = (sy - slope * sx) / n + slope * F.col("x_next").cast("double")
+    return pref.filter(
+        (F.col("n_c") >= 30)
+        & F.col("x_next").isNotNull()
+        & F.col("y_lag6").isNotNull()
+    ).select(
+        F.round(yhat.cast("decimal(28,4)"), 4).cast("decimal(20,4)").alias("p"),
+        F.col("y_next").cast("decimal(18,2)").alias("y_next"),
+        F.round(
+            F.abs(yhat - F.col("y_next").cast("double")).cast("decimal(28,6)"), 4
+        )
+        .cast("decimal(18,4)")
+        .alias("err_ols"),
+        F.round(
+            F.abs(
+                (F.col("y_lag6") - F.col("y_next")).cast("double")
+            ).cast("decimal(28,6)"),
+            4,
+        )
+        .cast("decimal(18,4)")
+        .alias("err_snaive"),
+    )
+
+
+_ORIGINS_SQL = """
+daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+              CAST(y AS DECIMAL(18,2)) AS y FROM daily),
+pref AS (
+    SELECT x, y,
+           CAST(COUNT(*) OVER wp AS BIGINT) AS n_c,
+           CAST(SUM(x) OVER wp AS BIGINT) AS sx,
+           SUM(y) OVER wp AS sy,
+           SUM(y * CAST(x AS DECIMAL(10,0))) OVER wp AS sxy,
+           CAST(SUM(x * x) OVER wp AS BIGINT) AS sxx,
+           LEAD(x) OVER (ORDER BY x) AS x_next,
+           LEAD(y) OVER (ORDER BY x) AS y_next,
+           LAG(y, 6) OVER (ORDER BY x) AS y_lag6
+    FROM xy
+    WINDOW wp AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+origins AS (
+    SELECT CAST(ROUND(CAST(
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n_c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / CAST(n_c AS DOUBLE)
+               + ((CAST(n_c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(x_next AS DOUBLE)
+               AS DECIMAL(28,4)), 4) AS DECIMAL(20,4)) AS p,
+           CAST(y_next AS DECIMAL(18,2)) AS y_next,
+           CAST(ROUND(CAST(ABS(
+               ((CAST(sy AS DOUBLE)
+                 - ((CAST(n_c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE)) / CAST(n_c AS DOUBLE)
+                + ((CAST(n_c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(x_next AS DOUBLE))
+               - CAST(y_next AS DOUBLE)) AS DECIMAL(28,6)), 4) AS DECIMAL(18,4))
+               AS err_ols,
+           CAST(ROUND(CAST(ABS(CAST(y_lag6 - y_next AS DOUBLE))
+               AS DECIMAL(28,6)), 4) AS DECIMAL(18,4)) AS err_snaive
+    FROM pref
+    WHERE n_c >= 30 AND x_next IS NOT NULL AND y_lag6 IS NOT NULL
+)
+"""
+
+
+def mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mincer-Zarnowitz forecast calibration: regress the REALIZED value
+    on the one-step OLS forecast over every backtest origin — an unbiased,
+    efficient forecaster has intercept 0 and slope 1, and a slope
+    significantly off 1 says the model systematically over/under-reacts
+    (the question MAE/MASE in forecast_backtest cannot answer).
+
+    Forecasts snap at 4 dp into DECIMAL(20,4) at origin grain, realized
+    values are exact money decimals, so all six regression moments are
+    exact decimal sums; slope/intercept/R² and the t-statistic of
+    (slope − 1) are single closed-form double expressions, snapped.
+    |t| > 1.96 flags miscalibration.
+
+    Scale: the forecast_backtest posture exactly — one calendar-bounded
+    window pass plus a 1-row rollup.
+    """
+    og = _backtest_origins(spark, sf_dir)
+    sums = og.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("decimal(38,4)").alias("sp"),
+        F.sum("y_next").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("p").cast("decimal(18,4)") * F.col("y_next").cast("decimal(18,2)"))
+        .cast("decimal(38,6)")
+        .alias("spy"),
+        F.sum(F.col("p").cast("decimal(18,4)") * F.col("p").cast("decimal(18,4)"))
+        .cast("decimal(38,8)")
+        .alias("spp"),
+        F.sum(
+            F.col("y_next").cast("decimal(18,2)") * F.col("y_next").cast("decimal(18,2)")
+        )
+        .cast("decimal(38,4)")
+        .alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sp, sy = F.col("sp").cast("double"), F.col("sy").cast("double")
+    spy = F.col("spy").cast("double")
+    spp, syy = F.col("spp").cast("double"), F.col("syy").cast("double")
+    sxx_c = spp - sp * sp / n
+    sxy_c = spy - sp * sy / n
+    syy_c = syy - sy * sy / n
+    b = sxy_c / sxx_c
+    a = (sy - b * sp) / n
+    rss = syy_c - b * b * sxx_c
+    se_b = F.sqrt((rss / (n - 2.0)) / sxx_c)
+    t_slope = F.when(rss > 0, snap_round((b - 1.0) / se_b, 4))
+    return sums.select(
+        F.col("n").alias("n_origins"),
+        snap_round(a, 4).alias("intercept"),
+        snap_round(b, 6).alias("slope"),
+        snap_round(
+            F.when(syy_c > 0, 1.0 - rss / syy_c), 6
+        ).alias("r2"),
+        t_slope.alias("t_slope_vs_1"),
+        (F.abs(t_slope) > 1.96).alias("miscalibrated"),
+    )
+
+
+MINCER_ZARNOWITZ_SQL = f"""
+WITH {_ORIGINS_SQL},
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DECIMAL(38,4)) AS sp,
+           CAST(SUM(y_next) AS DECIMAL(38,2)) AS sy,
+           CAST(SUM(CAST(p AS DECIMAL(19,4)) * CAST(y_next AS DECIMAL(19,2)))
+               AS DECIMAL(38,6)) AS spy,
+           CAST(SUM(CAST(p AS DECIMAL(19,4)) * CAST(p AS DECIMAL(19,4)))
+               AS DECIMAL(38,8)) AS spp,
+           CAST(SUM(CAST(y_next AS DECIMAL(19,2)) * CAST(y_next AS DECIMAL(19,2)))
+               AS DECIMAL(38,4)) AS syy
+    FROM origins
+),
+stat AS (
+    SELECT n,
+           CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n AS sxx_c,
+           CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sy AS DOUBLE) / n AS sxy_c,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS syy_c,
+           CAST(sp AS DOUBLE) AS spd, CAST(sy AS DOUBLE) AS syd
+    FROM sums
+),
+fit AS (
+    SELECT n, sxx_c, syy_c, spd, syd,
+           sxy_c / sxx_c AS b,
+           syy_c - (sxy_c / sxx_c) * (sxy_c / sxx_c) * sxx_c AS rss
+    FROM stat
+)
+SELECT n AS n_origins,
+       CAST(ROUND(CAST((syd - b * spd) / n AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS intercept,
+       CAST(ROUND(CAST(b AS DECIMAL(28,8)), 6) AS DOUBLE) AS slope,
+       CAST(ROUND(CAST(CASE WHEN syy_c > 0 THEN 1.0 - rss / syy_c END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS r2,
+       CASE WHEN rss > 0 THEN CAST(ROUND(CAST(
+           (b - 1.0) / SQRT((rss / (n - 2.0)) / sxx_c)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) END AS t_slope_vs_1,
+       CASE WHEN rss > 0 THEN ABS(CAST(ROUND(CAST(
+           (b - 1.0) / SQRT((rss / (n - 2.0)) / sxx_c)
+           AS DECIMAL(28,8)), 4) AS DOUBLE)) > 1.96 END AS miscalibrated
+FROM fit
+"""
+
+REGISTRY["mincer_zarnowitz"] = QuerySpec(mincer_zarnowitz, MINCER_ZARNOWITZ_SQL)
+
+
+def diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano forecast comparison: is the OLS trend forecaster
+    BETTER than the seasonal-naive lag-7 baseline, or just differently
+    wrong? DM tests the mean of the per-origin squared-loss differential
+    d_t = e_ols² − e_naive² against zero — the formal version of
+    forecast_backtest's MASE ratio. For one-step-ahead forecasts the
+    differential is serially uncorrelated under the null, so the plain
+    sample variance is the right denominator (Diebold & Mariano 1995;
+    HAC lags enter only at h > 1).
+
+    Per-origin errors are 4-dp decimals, so every d_t and d_t² is exact
+    decimal algebra; only the final DM = d̄/√(s²_d/n) is a snapped
+    double. DM < −1.96: the OLS model significantly beats the baseline.
+
+    Scale: the forecast_backtest posture — one calendar-bounded window
+    pass, one rollup.
+    """
+    og = _backtest_origins(spark, sf_dir)
+    # d snaps to 2 dp so d² stays EXACT decimal (a double Σd² would be
+    # partial-order-dependent across partitions)
+    d = (
+        F.col("err_ols").cast("decimal(18,4)") * F.col("err_ols").cast("decimal(18,4)")
+        - F.col("err_snaive").cast("decimal(18,4)")
+        * F.col("err_snaive").cast("decimal(18,4)")
+    ).cast("decimal(18,2)")
+    sums = og.select(d.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("decimal(38,2)").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,4)").alias("sdd"),
+    )
+    n = F.col("n").cast("double")
+    mean_d = F.col("sd").cast("double") / n
+    var_d = (F.col("sdd").cast("double") - n * mean_d * mean_d) / (n - 1.0)
+    dm = F.when(var_d > 0, snap_round(mean_d / F.sqrt(var_d / n), 4))
+    return sums.select(
+        F.col("n").alias("n_origins"),
+        snap_round(mean_d, 2).alias("mean_loss_diff"),
+        dm.alias("dm_stat"),
+        (dm < -1.96).alias("ols_significantly_better"),
+        (dm > 1.96).alias("naive_significantly_better"),
+    )
+
+
+DIEBOLD_MARIANO_SQL = f"""
+WITH {_ORIGINS_SQL},
+diffs AS (
+    SELECT CAST(CAST(err_ols AS DECIMAL(19,4)) * CAST(err_ols AS DECIMAL(19,4))
+               - CAST(err_snaive AS DECIMAL(19,4))
+                 * CAST(err_snaive AS DECIMAL(19,4))
+               AS DECIMAL(19,2)) AS d
+    FROM origins
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS DECIMAL(38,2)) AS sd,
+           CAST(SUM(d * d) AS DECIMAL(38,4)) AS sdd
+    FROM diffs
+),
+stat AS (
+    SELECT n,
+           CAST(sd AS DOUBLE) / n AS mean_d,
+           (CAST(sdd AS DOUBLE) - n * (CAST(sd AS DOUBLE) / n)
+               * (CAST(sd AS DOUBLE) / n)) / (n - 1.0) AS var_d
+    FROM sums
+)
+SELECT n AS n_origins,
+       CAST(ROUND(CAST(mean_d AS DECIMAL(28,8)), 2) AS DOUBLE) AS mean_loss_diff,
+       CASE WHEN var_d > 0 THEN CAST(ROUND(CAST(mean_d / SQRT(var_d / n)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) END AS dm_stat,
+       CASE WHEN var_d > 0 THEN CAST(ROUND(CAST(mean_d / SQRT(var_d / n)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) < -1.96 END
+           AS ols_significantly_better,
+       CASE WHEN var_d > 0 THEN CAST(ROUND(CAST(mean_d / SQRT(var_d / n)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) > 1.96 END
+           AS naive_significantly_better
+FROM stat
+"""
+
+REGISTRY["diebold_mariano"] = QuerySpec(diebold_mariano, DIEBOLD_MARIANO_SQL)
+
+
+def conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical validity check of the split-conformal recipe: fit on the
+    first 50% of days, calibrate the 90% interval on the next 25%, then
+    MEASURE coverage on the final 25% the interval never saw.
+    conformal_interval promises >= 90% by exchangeability; this query is
+    the audit that the promise survives this series' actual drift - the
+    number an ML-ops dashboard tracks next to the interval itself.
+
+    Same relational discipline as conformal_interval: data-derived split
+    points, exact sufficient-statistic fit, order-statistic calibration
+    quantile (no interpolation), snapped residuals. Coverage is an exact
+    count ratio; the one-sided binomial z against 0.9 flags significant
+    undercoverage (z < -1.645).
+
+    Scale: one keyed day aggregate, windows over the calendar-bounded
+    relation, two 1-row broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    wd = Window.orderBy("d")
+    xy = daily.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.col("y").cast("decimal(18,2)").alias("y"),
+        F.row_number().over(wd).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_days"),
+    ).localCheckpoint()
+    train = xy.filter(F.col("rn") * 2 <= F.col("n_days"))
+    s = train.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        F.round(slope.cast("decimal(28,10)"), 8).cast("double").alias("b"),
+        F.round(
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("a"),
+    )
+    resid = F.round(
+        F.abs(
+            F.col("a") + F.col("b") * F.col("x").cast("double")
+            - F.col("y").cast("double")
+        ).cast("decimal(28,6)"),
+        4,
+    ).cast("decimal(20,4)")
+    cal = (
+        xy.filter(
+            (F.col("rn") * 2 > F.col("n_days"))
+            & (F.col("rn") * 4 <= F.col("n_days") * 3)
+        )
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("resid"))
+    )
+    wr = Window.orderBy("resid")
+    whole = Window.partitionBy()
+    q_row = (
+        cal.select(
+            "resid",
+            F.row_number().over(wr).cast("long").alias("r"),
+            F.count(F.lit(1)).over(whole).cast("long").alias("n_cal"),
+        )
+        .filter(
+            F.col("r")
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"), F.col("n_cal")
+            )
+        )
+        .select(F.col("resid").alias("q_hat"), "n_cal")
+    )
+    test = (
+        xy.filter(F.col("rn") * 4 > F.col("n_days") * 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q_row))
+        .select(
+            "n_cal",
+            "q_hat",
+            (resid <= F.col("q_hat")).cast("long").alias("covered"),
+        )
+    )
+    agg = test.groupBy("n_cal", "q_hat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("covered").cast("long").alias("n_covered"),
+    )
+    cov = F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+    z = (cov - 0.9) / F.sqrt(
+        0.9 * 0.1 / F.col("n_test").cast("double")
+    )
+    return agg.select(
+        "n_cal",
+        F.col("q_hat").cast("double").alias("q_hat"),
+        "n_test",
+        "n_covered",
+        snap_round(cov, 6).alias("coverage"),
+        snap_round(z, 4).alias("z_vs_nominal"),
+        (snap_round(z, 4) < -1.645).alias("undercovers"),
+    )
+
+
+CONFORMAL_COVERAGE_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders GROUP BY 1
+),
+xy AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+           CAST(y AS DECIMAL(18,2)) AS y,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+    FROM daily
+),
+fit AS (
+    SELECT CAST(ROUND(CAST(
+               (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               AS DECIMAL(28,10)), 8) AS DOUBLE) AS b,
+           CAST(ROUND(CAST(
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS a
+    FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(y * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM xy WHERE rn * 2 <= n_days
+    )
+),
+cal AS (
+    SELECT CAST(ROUND(CAST(ABS(a + b * CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+               AS DECIMAL(28,6)), 4) AS DECIMAL(20,4)) AS resid
+    FROM xy CROSS JOIN fit
+    WHERE rn * 2 > n_days AND rn * 4 <= n_days * 3
+),
+q_row AS (
+    SELECT resid AS q_hat, n_cal FROM (
+        SELECT resid,
+               CAST(ROW_NUMBER() OVER (ORDER BY resid) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+        FROM cal
+    ) WHERE r = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+),
+test AS (
+    SELECT q.n_cal, q.q_hat,
+           CASE WHEN CAST(ROUND(CAST(ABS(a + b * CAST(x AS DOUBLE)
+                    - CAST(y AS DOUBLE)) AS DECIMAL(28,6)), 4)
+                    AS DECIMAL(20,4)) <= q.q_hat
+                THEN 1 ELSE 0 END AS covered
+    FROM xy CROSS JOIN fit CROSS JOIN q_row q
+    WHERE rn * 4 > n_days * 3
+),
+agg AS (
+    SELECT n_cal, q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(covered) AS BIGINT) AS n_covered
+    FROM test GROUP BY 1, 2
+)
+SELECT n_cal, CAST(q_hat AS DOUBLE) AS q_hat, n_test, n_covered,
+       CAST(ROUND(CAST(CAST(n_covered AS DOUBLE) / n_test
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS coverage,
+       CAST(ROUND(CAST((CAST(n_covered AS DOUBLE) / n_test - 0.9)
+           / SQRT(0.9 * 0.1 / n_test) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS z_vs_nominal,
+       CAST(ROUND(CAST((CAST(n_covered AS DOUBLE) / n_test - 0.9)
+           / SQRT(0.9 * 0.1 / n_test) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           < -1.645 AS undercovers
+FROM agg
+"""
+
+REGISTRY["conformal_coverage"] = QuerySpec(conformal_coverage, CONFORMAL_COVERAGE_SQL)

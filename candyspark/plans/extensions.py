@@ -4760,3 +4760,169 @@ ORDER BY day, event_type
 REGISTRY["streaming_chained_windows"] = QuerySpec(
     q_streaming_chained_windows, STREAMING_CHAINED_WINDOWS_SQL
 )
+
+
+def q_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost curve for the IVF index: recall@10 at n_probe in
+    {1, 2, 4} against the exact brute-force top-10 — THE tuning table an
+    IVF deployment is sized from (each probe level costs
+    O(N·n_probe/n_centroids) per query; the curve says where recall
+    saturates). similarity_ivf fixes n_probe = 4; this measures what the
+    cheaper settings give up.
+
+    Candidates are scored ONCE at the widest probe (crank ≤ 4, the
+    inverted lists assign each corpus vector to exactly one list so no
+    dedup is needed); each level then re-ranks the crank ≤ level subset
+    via a broadcast 3-row level dimension — 1 corpus scan for the whole
+    curve, not one per level. Recall joins two ≤|queries|·10 relations
+    per level. All scores ride the snapped-cosine contract, ranks break
+    ties on neighbor_id, so the full curve hash-checks.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    emb = fan_out(e)
+    centroids = F.broadcast(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("c_vec")
+        )
+    )
+    lists = S.ivf_assign(emb, centroids, "vec_id", "embedding", n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cluster_id",
+    )
+    probes = S.ivf_assign(
+        queries, centroids, "vec_id", "embedding", n_probe=4
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "cluster_id",
+        "crank",
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "crank",
+            S.cosine(F.col("q_vec"), F.col("c_emb")).alias("cosine_sim"),
+        )
+        .localCheckpoint()  # 3 probe levels re-rank the same scored set
+    )
+    levels = spark.createDataFrame([(1,), (2,), (4,)], "n_probe int")
+    leveled = cand.crossJoin(F.broadcast(levels)).filter(
+        F.col("crank") <= F.col("n_probe")
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    ann = (
+        leveled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("n_probe", "query_id", F.col("neighbor_id").alias("ann_id"))
+    )
+    exact = q_similarity_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    hits = ann.join(
+        exact,
+        (ann.query_id == exact.query_id) & (ann.ann_id == exact.true_id),
+    ).groupBy("n_probe", ann.query_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    ).crossJoin(F.broadcast(levels))
+    per_q = base.join(hits, ["n_probe", "query_id"], "left").select(
+        "n_probe",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        "n_true",
+    )
+    rows = per_q.select(
+        F.col("n_probe").cast("long").alias("n_probe"),
+        "query_id",
+        X.snap_round(
+            F.col("n_hits").cast("double") / F.col("n_true").cast("double"), 4
+        ).alias("recall_at_10"),
+    )
+    curve = rows.groupBy("n_probe").agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        X.snap_round(
+            F.sum(F.col("recall_at_10").cast("decimal(10,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("recall_at_10"),
+    )
+    return rows.unionByName(curve).orderBy("n_probe", "query_id")
+
+
+IVF_PROBE_CURVE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 16),
+lists AS (
+    SELECT vec_id AS neighbor_id, v AS c_emb, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN cents c
+    ) WHERE crank <= 1
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS q_vec, cluster_id, crank FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_L2SQ}, c.cluster_id) AS crank
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < 5
+    ) WHERE crank <= 4
+),
+cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id, crank,
+           {_COS_SQL.replace("c_vec", "c_emb")} AS cosine_sim
+    FROM lists JOIN probes USING (cluster_id)
+    WHERE neighbor_id != query_id
+),
+levels AS (SELECT UNNEST([1, 2, 4]) AS n_probe),
+ann AS (
+    SELECT n_probe, query_id, neighbor_id AS ann_id FROM (
+        SELECT l.n_probe, c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY l.n_probe, c.query_id
+                   ORDER BY c.cosine_sim DESC, c.neighbor_id) AS rank
+        FROM cand c JOIN levels l ON c.crank <= l.n_probe
+    ) WHERE rank <= 10
+),
+exact AS (
+    SELECT query_id, neighbor_id AS true_id FROM ({SIMILARITY_BRUTEFORCE_SQL})
+),
+hits AS (
+    SELECT a.n_probe, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM ann a JOIN exact x
+      ON a.query_id = x.query_id AND a.ann_id = x.true_id
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT l.n_probe, x.query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM exact x CROSS JOIN levels l
+    GROUP BY 1, 2
+),
+rows_ AS (
+    SELECT CAST(b.n_probe AS BIGINT) AS n_probe, b.query_id,
+           CAST(ROUND(CAST(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+               / CAST(b.n_true AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+               AS recall_at_10
+    FROM base b LEFT JOIN hits h
+      ON b.n_probe = h.n_probe AND b.query_id = h.query_id
+)
+SELECT n_probe, query_id, recall_at_10 FROM rows_
+UNION ALL
+SELECT n_probe, CAST(-1 AS BIGINT) AS query_id,
+       CAST(ROUND(CAST(CAST(SUM(CAST(recall_at_10 AS DECIMAL(10,4))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+FROM rows_
+GROUP BY n_probe
+ORDER BY n_probe, query_id
+"""
+
+REGISTRY["ivf_probe_curve"] = QuerySpec(q_ivf_probe_curve, IVF_PROBE_CURVE_SQL)

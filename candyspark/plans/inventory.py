@@ -365,3 +365,146 @@ ORDER BY brand
 """
 
 REGISTRY["newsvendor_stock"] = QuerySpec(q_newsvendor_stock, NEWSVENDOR_STOCK_SQL)
+
+
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the newsvendor stock levels: scores the
+    q80 stocking rule against the cost structure it was derived for
+    (understock 4x overstock, tau = 0.8) - and against the MEAN-demand
+    stocking rule a naive planner uses. The 0.8-quantile minimizes
+    pinball at tau = 0.8 over any constant level, so q80 must win; HOW
+    MUCH it wins by is the economic value of carrying the quantile.
+
+    L(s) = mean over active days of [0.8*(d-s)+ + 0.2*(s-d)+]. The q80
+    level and daily demands are exact integers, so its loss terms are
+    exact decimal; the mean level is a 4-dp-snapped double whose loss
+    terms snap per day before the exact sum (the cross-engine rule).
+
+    Scale: the newsvendor posture - one brands x days aggregate, one
+    keyed window, two loss rollups over the same bounded relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(p.select("p_partkey", "p_brand"), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").alias("d"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("brand", "d")
+        .agg(F.sum("q").cast("long").alias("demand"))
+        .localCheckpoint()  # fractile, mean and both loss passes reuse it
+    )
+    w_cum = Window.partitionBy("brand").orderBy("demand", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("brand")
+    ranked = daily.select(
+        "brand",
+        "demand",
+        F.count(F.lit(1)).over(w_cum).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    qstar = (
+        ranked.filter(F.col("cum") * 5 >= F.col("n") * 4)
+        .groupBy("brand", "n")
+        .agg(F.min("demand").cast("long").alias("s_q80"))
+    )
+    means = daily.groupBy("brand").agg(
+        F.round(
+            (F.sum("demand").cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(18,4)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("s_mean")
+    )
+    joined = daily.join(qstar, "brand").join(means, "brand")
+    loss_q = (
+        F.lit(8).cast("decimal(18,1)")
+        * F.greatest(F.col("demand") - F.col("s_q80"), F.lit(0)).cast("decimal(18,1)")
+        + F.lit(2).cast("decimal(18,1)")
+        * F.greatest(F.col("s_q80") - F.col("demand"), F.lit(0)).cast("decimal(18,1)")
+    ).cast("decimal(20,1)")  # x10 to stay integer-exact (0.8/0.2 weights)
+    loss_m = F.round(
+        (
+            0.8 * F.greatest(F.col("demand").cast("double") - F.col("s_mean"), F.lit(0.0))
+            + 0.2 * F.greatest(F.col("s_mean") - F.col("demand").cast("double"), F.lit(0.0))
+        ).cast("decimal(18,4)"),
+        4,
+    ).cast("decimal(18,4)")
+    agg = joined.groupBy("brand", "n", "s_q80", "s_mean").agg(
+        F.sum(loss_q).cast("decimal(38,1)").alias("lq10"),
+        F.sum(loss_m).cast("decimal(38,4)").alias("lm"),
+    )
+    pin_q = snap_round(
+        F.col("lq10").cast("double") / (10.0 * F.col("n").cast("double")), 6
+    )
+    pin_m = snap_round(F.col("lm").cast("double") / F.col("n").cast("double"), 6)
+    return agg.select(
+        "brand",
+        F.col("n").alias("active_days"),
+        "s_q80",
+        F.col("s_mean").alias("s_mean"),
+        pin_q.alias("pinball_q80"),
+        pin_m.alias("pinball_mean"),
+        (pin_q <= pin_m).alias("quantile_rule_wins"),
+    ).orderBy("brand")
+
+
+PINBALL_LOSS_SQL = """
+WITH daily AS (
+    SELECT p.p_brand AS brand, l_shipdate AS d,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+    FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT brand, demand,
+           CAST(COUNT(*) OVER (PARTITION BY brand ORDER BY demand, d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS n
+    FROM daily
+),
+qstar AS (
+    SELECT brand, n, CAST(MIN(demand) AS BIGINT) AS s_q80
+    FROM ranked WHERE cum * 5 >= n * 4
+    GROUP BY 1, 2
+),
+means AS (
+    SELECT brand,
+           CAST(ROUND(CAST(CAST(SUM(demand) AS DOUBLE) / COUNT(*)
+               AS DECIMAL(18,4)), 4) AS DOUBLE) AS s_mean
+    FROM daily GROUP BY 1
+),
+agg AS (
+    SELECT d.brand, q.n, q.s_q80, m.s_mean,
+           CAST(SUM(CAST(8 AS DECIMAL(18,1))
+                    * CAST(GREATEST(d.demand - q.s_q80, 0) AS DECIMAL(18,1))
+                  + CAST(2 AS DECIMAL(18,1))
+                    * CAST(GREATEST(q.s_q80 - d.demand, 0) AS DECIMAL(18,1)))
+               AS DECIMAL(38,1)) AS lq10,
+           CAST(SUM(CAST(ROUND(CAST(
+               0.8 * GREATEST(CAST(d.demand AS DOUBLE) - m.s_mean, 0.0)
+               + 0.2 * GREATEST(m.s_mean - CAST(d.demand AS DOUBLE), 0.0)
+               AS DECIMAL(18,4)), 4) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS lm
+    FROM daily d JOIN qstar q ON d.brand = q.brand
+    JOIN means m ON d.brand = m.brand
+    GROUP BY 1, 2, 3, 4
+)
+SELECT brand, n AS active_days, s_q80, s_mean,
+       CAST(ROUND(CAST(CAST(lq10 AS DOUBLE) / (10.0 * n)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS pinball_q80,
+       CAST(ROUND(CAST(CAST(lm AS DOUBLE) / n
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS pinball_mean,
+       CAST(ROUND(CAST(CAST(lq10 AS DOUBLE) / (10.0 * n)
+           AS DECIMAL(28,8)), 6) AS DOUBLE)
+           <= CAST(ROUND(CAST(CAST(lm AS DOUBLE) / n
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS quantile_rule_wins
+FROM agg
+ORDER BY brand
+"""
+
+REGISTRY["pinball_loss"] = QuerySpec(q_pinball_loss, PINBALL_LOSS_SQL)

@@ -928,3 +928,131 @@ ORDER BY col
 """
 
 REGISTRY["entropy_profile"] = QuerySpec(q_entropy_profile, ENTROPY_PROFILE_SQL)
+
+
+def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the return flag: which
+    lineitem attribute carries the most signal about returns - discount
+    level, quantity band, line status, or ship weekday? The
+    feature-selection read a modeling pipeline runs BEFORE training
+    (info_gain_brand answers it for one feature; this ranks the panel),
+    expressed through the exact-cell identity MI = G / (2n) shared with
+    q_g_test - zero-cell-exact by construction.
+
+    One UNPIVOTED pass: each row emits its four (feature, value) pairs
+    via a stack expression, so the (feature, value, label) cell relation
+    aggregates in a single map-side-combined shuffle; per-feature margins
+    come from the cells. Every term snaps before an exact decimal sum;
+    ranks break ties by feature name.
+
+    Scale: cell cardinality is sum of the four features' supports
+    (11 + 5 + 2 + 7) x 2 labels - constant at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.expr(
+            "stack(4, "
+            " 'discount_cents', CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS STRING),"
+            " 'quantity_band', CAST(CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS STRING),"
+            " 'line_status', l_linestatus,"
+            " 'ship_dow', CAST(WEEKDAY(l_shipdate) + 1 AS STRING)"
+            ") AS (feature, value)"
+        ),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    cells = pairs.groupBy("feature", "value", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    w_f = Window.partitionBy("feature")
+    w_fv = Window.partitionBy("feature", "value")
+    w_fl = Window.partitionBy("feature", "label")
+    staged = cells.select(
+        "feature",
+        "o",
+        F.sum("o").over(w_f).cast("long").alias("n"),
+        F.sum("o").over(w_fv).cast("long").alias("rv"),
+        F.sum("o").over(w_fl).cast("long").alias("cl"),
+    )
+    term = F.round(
+        (
+            F.col("o").cast("double")
+            * F.log(
+                F.col("o").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("rv").cast("double") * F.col("cl").cast("double"))
+            )
+        ).cast("decimal(28,8)"),
+        8,
+    ).cast("decimal(28,8)")
+    per_feature = staged.groupBy("feature", "n").agg(
+        F.sum(term).cast("decimal(38,8)").alias("t_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    mi = snap_round(
+        F.col("t_sum").cast("double") / F.col("n").cast("double"), 8
+    )
+    w_rank = Window.orderBy(F.desc("mi"), "feature")
+    return per_feature.select(
+        "feature",
+        "n_cells",
+        mi.alias("mi"),
+        snap_round(F.lit(2.0) * F.col("t_sum").cast("double"), 4).alias("g_stat"),
+    ).select(
+        "feature",
+        "n_cells",
+        "mi",
+        "g_stat",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+MI_FEATURE_RANKING_SQL = """
+WITH pairs AS (
+    SELECT f.feature, f.value,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+    FROM lineitem,
+    LATERAL (VALUES
+        ('discount_cents', CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS VARCHAR)),
+        ('quantity_band', CAST(CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS VARCHAR)),
+        ('line_status', l_linestatus),
+        ('ship_dow', CAST(isodow(l_shipdate) AS VARCHAR))
+    ) AS f(feature, value)
+),
+cells AS (
+    SELECT feature, value, label, CAST(COUNT(*) AS BIGINT) AS o
+    FROM pairs GROUP BY 1, 2, 3
+),
+staged AS (
+    SELECT feature, o,
+           CAST(SUM(o) OVER (PARTITION BY feature) AS BIGINT) AS n,
+           CAST(SUM(o) OVER (PARTITION BY feature, value) AS BIGINT) AS rv,
+           CAST(SUM(o) OVER (PARTITION BY feature, label) AS BIGINT) AS cl
+    FROM cells
+),
+per_feature AS (
+    SELECT feature, n,
+           CAST(SUM(CAST(ROUND(CAST(
+               CAST(o AS DOUBLE) * LN(CAST(o AS DOUBLE) * n
+                   / (CAST(rv AS DOUBLE) * cl))
+               AS DECIMAL(28,8)), 8) AS DECIMAL(28,8))) AS DECIMAL(38,8))
+               AS t_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM staged GROUP BY 1, 2
+),
+scored AS (
+    SELECT feature, n_cells,
+           CAST(ROUND(CAST(CAST(t_sum AS DOUBLE) / n AS DECIMAL(28,8)), 8)
+               AS DOUBLE) AS mi,
+           CAST(ROUND(CAST(2.0 * CAST(t_sum AS DOUBLE) AS DECIMAL(28,8)), 4)
+               AS DOUBLE) AS g_stat
+    FROM per_feature
+)
+SELECT feature, n_cells, mi, g_stat,
+       CAST(ROW_NUMBER() OVER (ORDER BY mi DESC, feature) AS BIGINT) AS rank
+FROM scored
+ORDER BY rank
+"""
+
+REGISTRY["mi_feature_ranking"] = QuerySpec(
+    q_mi_feature_ranking, MI_FEATURE_RANKING_SQL
+)

@@ -5381,3 +5381,275 @@ FROM rows_
 """
 
 REGISTRY["t_closeness"] = QuerySpec(q_t_closeness, T_CLOSENESS_SQL)
+
+
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit for the activity-bin purchase
+    propensities (the q_brier_decomposition model): does the predicted
+    probability MATCH the realized rate in every bin, formally? Brier
+    scores the model, calibration_quality plots it; HL is the hypothesis
+    test - chi2 = sum_g (k - n*p_hat)^2 / (n*p_hat*(1-p_hat)) on the
+    held-out half, df = g - 2.
+
+    The same user-day construction as brier (train half fits p_hat per
+    activity bin, eval half realizes): integer cells, p_hat snapped at
+    9 dp, one snapped chi2 term per bin summed in exact decimal.
+    Degenerate bins (p_hat 0 or 1 - zero denominator) are excluded and
+    counted. p-value ships only at even df via the closed-form chi2
+    survival (df=2: exp(-x/2)); at other df the 5% critical-value flag
+    decides (3.841 at df=1, 7.815 at df=3 - exact literals).
+
+    Scale: one keyed (user, day) exchange with map-side partials, then a
+    <=|bins| relation - the brier posture exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    ud = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "bought"
+            ),
+        )
+        .select(
+            F.when(F.col("n_ev") <= 1, "a_1")
+            .when(F.col("n_ev") <= 3, "b_2_3")
+            .when(F.col("n_ev") <= 7, "c_4_7")
+            .otherwise("d_8p")
+            .alias("bin"),
+            (F.col("day") < cut).alias("is_train"),
+            "bought",
+        )
+    )
+    per_bin = ud.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_tr"),
+        F.sum(F.when(F.col("is_train"), F.col("bought")).otherwise(0))
+        .cast("long")
+        .alias("k_tr"),
+        F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_ev"),
+        F.sum(F.when(~F.col("is_train"), F.col("bought")).otherwise(0))
+        .cast("long")
+        .alias("k_ev"),
+    ).filter((F.col("n_tr") > 0) & (F.col("n_ev") > 0))
+    p_hat = F.round(
+        (F.col("k_tr").cast("double") / F.col("n_tr").cast("double")).cast(
+            "decimal(18,9)"
+        ),
+        9,
+    ).cast("double")
+    usable = per_bin.select(
+        "n_ev", "k_ev", p_hat.alias("p_hat")
+    ).filter((F.col("p_hat") > 0) & (F.col("p_hat") < 1))
+    term = F.round(
+        (
+            (F.col("k_ev").cast("double") - F.col("n_ev").cast("double") * F.col("p_hat"))
+            * (F.col("k_ev").cast("double") - F.col("n_ev").cast("double") * F.col("p_hat"))
+            / (F.col("n_ev").cast("double") * F.col("p_hat") * (1.0 - F.col("p_hat")))
+        ).cast("decimal(18,8)"),
+        8,
+    ).cast("decimal(18,8)")
+    agg = usable.select(term.alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("t").cast("decimal(28,8)").alias("hl_sum"),
+    )
+    hl = snap_round(F.col("hl_sum").cast("double"), 6)
+    df_ = F.col("g") - 2
+    p = F.when(df_ == 2, snap_round(F.exp(-hl / 2.0), 6))
+    sig = (
+        F.when(df_ == 1, hl > 3.841)
+        .when(df_ == 2, hl > 5.991)
+        .when(df_ == 3, hl > 7.815)
+    )
+    return agg.select(
+        F.col("g").alias("n_bins"),
+        df_.cast("long").alias("df"),
+        hl.alias("hl_stat"),
+        p.alias("p_value"),
+        sig.alias("miscalibrated_5pct"),
+    )
+
+
+HOSMER_LEMESHOW_SQL = """
+WITH ud AS (
+    SELECT CASE WHEN n_ev <= 1 THEN 'a_1'
+                WHEN n_ev <= 3 THEN 'b_2_3'
+                WHEN n_ev <= 7 THEN 'c_4_7'
+                ELSE 'd_8p' END AS bin,
+           day < DATE '2024-01-16' AS is_train,
+           bought
+    FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_ev,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+        FROM events GROUP BY 1, 2
+    )
+),
+per_bin AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+           CAST(SUM(CASE WHEN is_train THEN bought ELSE 0 END) AS BIGINT) AS k_tr,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_ev,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE bought END) AS BIGINT) AS k_ev
+    FROM ud GROUP BY 1
+    HAVING SUM(CASE WHEN is_train THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN is_train THEN 0 ELSE 1 END) > 0
+),
+usable AS (
+    SELECT n_ev, k_ev,
+           CAST(ROUND(CAST(CAST(k_tr AS DOUBLE) / n_tr AS DECIMAL(18,9)), 9)
+               AS DOUBLE) AS p_hat
+    FROM per_bin
+    WHERE CAST(ROUND(CAST(CAST(k_tr AS DOUBLE) / n_tr AS DECIMAL(18,9)), 9)
+              AS DOUBLE) > 0
+      AND CAST(ROUND(CAST(CAST(k_tr AS DOUBLE) / n_tr AS DECIMAL(18,9)), 9)
+              AS DOUBLE) < 1
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS g,
+           CAST(SUM(CAST(ROUND(CAST(
+               (k_ev - n_ev * p_hat) * (k_ev - n_ev * p_hat)
+               / (n_ev * p_hat * (1.0 - p_hat))
+               AS DECIMAL(18,8)), 8) AS DECIMAL(18,8))) AS DECIMAL(28,8))
+               AS hl_sum
+    FROM usable
+),
+stat AS (
+    SELECT g, g - 2 AS df,
+           CAST(ROUND(CAST(CAST(hl_sum AS DOUBLE) AS DECIMAL(28,8)), 6)
+               AS DOUBLE) AS hl_stat
+    FROM agg
+)
+SELECT g AS n_bins, CAST(df AS BIGINT) AS df, hl_stat,
+       CASE WHEN df = 2 THEN CAST(ROUND(CAST(EXP(-hl_stat / 2.0)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) END AS p_value,
+       CASE WHEN df = 1 THEN hl_stat > 3.841
+            WHEN df = 2 THEN hl_stat > 5.991
+            WHEN df = 3 THEN hl_stat > 7.815 END AS miscalibrated_5pct
+FROM stat
+"""
+
+REGISTRY["hosmer_lemeshow"] = QuerySpec(q_hosmer_lemeshow, HOSMER_LEMESHOW_SQL)
+
+
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift by activity decile: the md5-split experiment's treatment
+    effect measured WHERE it lives - per-decile conversion lift over
+    users ranked by pre-experiment activity (total event count). The
+    targeting read the single overall ab_conversion number hides: a flat
+    average can be a strong effect on heavy users and nothing elsewhere,
+    and the decile table is what decides who gets the treatment next
+    time.
+
+    Deciles come from ntile(10) over the exact (activity, user_id) total
+    order (the decile_lift convention: deterministic tiebreak, never a
+    global sort of raw events - the per-user rollup is the sorted
+    relation). Conversion cells are exact integers; one snapped rate
+    difference per decile; '__overall__' row alongside.
+
+    Scale: one keyed user reduction, one window over |users| rows, one
+    <=10-row rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    per_user = e.groupBy("user_id").agg(
+        # activity EXCLUDES the outcome event: counting purchases into the
+        # ranking covariate leaks the outcome into the deciles (treated
+        # converters sort above control non-converters at equal usage)
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("activity"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    decd = per_user.select(
+        "*",
+        F.ntile(10)
+        .over(Window.orderBy("activity", "user_id"))
+        .cast("long")
+        .alias("decile"),
+        arm.alias("arm"),
+    )
+    cells = decd.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_c"),
+    )
+    overall = cells.agg(
+        F.lit(0).cast("long").alias("decile"),
+        F.sum("n_t").cast("long").alias("n_t"),
+        F.sum("x_t").cast("long").alias("x_t"),
+        F.sum("n_c").cast("long").alias("n_c"),
+        F.sum("x_c").cast("long").alias("x_c"),
+    )
+    both = cells.unionByName(overall)
+    rate_t = F.when(
+        F.col("n_t") > 0, F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    )
+    rate_c = F.when(
+        F.col("n_c") > 0, F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    )
+    return both.select(
+        "decile",
+        "n_t",
+        "x_t",
+        "n_c",
+        "x_c",
+        snap_round(rate_t, 6).alias("rate_treated"),
+        snap_round(rate_c, 6).alias("rate_control"),
+        snap_round(rate_t - rate_c, 6).alias("uplift"),
+    ).orderBy("decile")
+
+
+UPLIFT_DECILES_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type != 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS activity,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+),
+decd AS (
+    SELECT *,
+           CAST(NTILE(10) OVER (ORDER BY activity, user_id) AS BIGINT) AS decile,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS arm
+    FROM per_user
+),
+cells AS (
+    SELECT decile,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_t,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_c
+    FROM decd GROUP BY 1
+),
+both_ AS (
+    SELECT decile, n_t, x_t, n_c, x_c FROM cells
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(SUM(n_t) AS BIGINT), CAST(SUM(x_t) AS BIGINT),
+           CAST(SUM(n_c) AS BIGINT), CAST(SUM(x_c) AS BIGINT)
+    FROM cells
+)
+SELECT decile, n_t, x_t, n_c, x_c,
+       CAST(ROUND(CAST(CASE WHEN n_t > 0 THEN CAST(x_t AS DOUBLE) / n_t END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rate_treated,
+       CAST(ROUND(CAST(CASE WHEN n_c > 0 THEN CAST(x_c AS DOUBLE) / n_c END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS rate_control,
+       CAST(ROUND(CAST(CASE WHEN n_t > 0 AND n_c > 0
+           THEN CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c END
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS uplift
+FROM both_
+ORDER BY decile
+"""
+
+REGISTRY["uplift_deciles"] = QuerySpec(q_uplift_deciles, UPLIFT_DECILES_SQL)

@@ -79,6 +79,23 @@ BOUNDS = {
     # part co-purchase pairs bounded per order; club joins on shrinking
     # node sets → pair-linear
     "rich_club": 1.2,
+    # session-4 additions:
+    # co-purchase edge build (pair-linear) + 6 Katz rounds of edge joins
+    "katz_centrality": 1.2,
+    # contests = bounded pairs-per-order + part join; MM rounds are flat
+    "bradley_terry": 1.2,
+    # daily pair matrix is calendar-bounded; only the day aggregate grows
+    "distance_correlation": 1.0,
+    # two user_id reductions + calendar-bounded Newton rounds
+    "cox_ph": 1.0,
+    # one fact pass to brands x weeks cells; everything after is bounded
+    "abc_xyz": 1.0,
+    # per-customer rollup + <=25-nation stages
+    "theil_inequality": 1.0,
+    # user reduction + O(successes) ladder
+    "bayesian_ab_beta": 1.0,
+    # tokenize-linear tf index + bounded rank windows
+    "average_precision_eval": 1.0,
 }
 MARGIN = 0.25  # host noise allowance on a log10 scale (~78% wall-time slack)
 

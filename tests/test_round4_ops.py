@@ -913,3 +913,280 @@ def test_theil_between_only_decomposes_cleanly(spark, tmp_path):
     t_direct = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
     assert tot.theil_contrib == pytest.approx(t_direct, abs=1e-5)
     assert tot.between_contrib == pytest.approx(t_direct, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# mincer_zarnowitz / diebold_mariano
+# ---------------------------------------------------------------------------
+
+
+def test_mz_perfect_forecaster_has_unit_slope(spark, tmp_path):
+    """Daily revenue exactly linear in the date: the running-OLS one-step
+    forecast is exact, so the MZ regression is y = p with rss = 0 ->
+    slope 1, r2 = 1, and the t-test honestly NULL (no noise to test
+    against)."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d, 1, 1000.0 + 10.0 * d, str(d0 + dt.timedelta(days=d - 1)))
+        for d in range(1, 61)
+    ]
+    out = REGISTRY["mincer_zarnowitz"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.slope == pytest.approx(1.0, abs=1e-6)
+    assert out.r2 == pytest.approx(1.0, abs=1e-6)
+    assert out.t_slope_vs_1 is None and out.miscalibrated is None
+
+
+def test_dm_trend_model_beats_naive_on_trending_series(spark, tmp_path):
+    """Linear trend plus a small alternating wiggle: the OLS forecaster
+    tracks the trend (errors ~1) while the lag-6 naive is off by ~60-70
+    every day -> DM decisively negative."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for d in range(1, 81):
+        y = 1000.0 + 10.0 * d + (1.0 if d % 2 == 0 else 0.0)
+        rows.append((d, 1, y, str(d0 + dt.timedelta(days=d - 1))))
+    out = REGISTRY["diebold_mariano"].fn(spark, _orders(spark, tmp_path, rows)).collect()[0]
+    assert out.mean_loss_diff < 0
+    assert out.dm_stat < -1.96
+    assert out.ols_significantly_better is True
+
+
+# ---------------------------------------------------------------------------
+# hosmer_lemeshow
+# ---------------------------------------------------------------------------
+
+
+def _hl_events(spark, tmp_path, flip_eval):
+    """Three user tiers with INTERIOR conversion rates (8-view users at
+    0.8, 4-view at 0.5, 2-view at 0.2), chosen so the purchase event
+    cannot move a user-day across a bin boundary (8/9 -> d_8p, 4/5 ->
+    c_4_7, 2/3 -> b_2_3). flip_eval swaps the heavy and light rates in
+    the eval half so the train-fitted propensities miss badly."""
+    rows = []
+    eid = 0
+    for day in range(1, 32):
+        is_train = day < 16
+        for u in range(1, 31):
+            tier = (u - 1) // 10  # 0 heavy, 1 medium, 2 light
+            n_views = (8, 4, 2)[tier]
+            hi_rate = day % 5 != 0  # 80% of days
+            mid_rate = day % 2 == 0  # ~50% of days
+            lo_rate = day % 5 == 0  # 20% of days
+            if tier == 0:
+                converts = hi_rate if (is_train or not flip_eval) else lo_rate
+            elif tier == 1:
+                converts = mid_rate
+            else:
+                converts = lo_rate if (is_train or not flip_eval) else hi_rate
+            for i in range(n_views):
+                eid += 1
+                rows.append((eid, f"2024-01-{day:02d} {8 + i % 12:02d}:00:00",
+                             u, "view", 1.0, "{}"))
+            if converts:
+                eid += 1
+                rows.append((eid, f"2024-01-{day:02d} 21:00:00",
+                             u, "purchase", 1.0, "{}"))
+    return _events(spark, tmp_path, rows)
+
+
+def test_hl_calibrated_model_passes(spark, tmp_path):
+    """Eval half behaves exactly like the train half -> every bin's
+    realized rate equals its fitted propensity -> HL ~ 0."""
+    out = REGISTRY["hosmer_lemeshow"].fn(
+        spark, _hl_events(spark, tmp_path, flip_eval=False)
+    ).collect()[0]
+    assert out.n_bins == 3 and out.df == 1
+    assert out.hl_stat < 3.841
+    assert out.miscalibrated_5pct is False
+
+
+def test_hl_flipped_eval_fails(spark, tmp_path):
+    """Eval-half conversions inverted (heavy users stop converting,
+    light users start) -> the train propensities miss every bin -> HL
+    huge and flagged."""
+    out = REGISTRY["hosmer_lemeshow"].fn(
+        spark, _hl_events(spark, tmp_path, flip_eval=True)
+    ).collect()[0]
+    assert out.hl_stat > 50
+    assert out.miscalibrated_5pct is True
+
+
+# ---------------------------------------------------------------------------
+# uplift_deciles
+# ---------------------------------------------------------------------------
+
+
+def test_uplift_concentrates_where_planted(spark, tmp_path):
+    """Treatment lifts conversion ONLY among the high-activity half: top
+    deciles must show strong positive uplift, bottom deciles ~0, and the
+    overall row must sit between."""
+    from pyspark.sql import functions as FF
+
+    probe = spark.createDataFrame(
+        [(u,) for u in range(1, 201)], "user_id long"
+    ).select(
+        "user_id",
+        (
+            FF.conv(
+                FF.substring(FF.md5(FF.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    arms = {r.user_id: r.arm for r in probe.collect()}
+    rows = []
+    eid = 0
+    for u in range(1, 201):
+        heavy = u > 100
+        n_views = 12 if heavy else 2
+        for i in range(n_views):
+            eid += 1
+            rows.append((eid, f"2024-01-{1 + i % 28:02d} 09:00:00", u, "view", 1.0, "{}"))
+        if heavy and arms[u] == 1:  # uplift only for treated heavy users
+            eid += 1
+            rows.append((eid, "2024-01-30 10:00:00", u, "purchase", 1.0, "{}"))
+    out = {r.decile: r for r in REGISTRY["uplift_deciles"].fn(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()}
+    assert out[10].uplift == pytest.approx(1.0, abs=1e-6)
+    assert out[1].uplift == pytest.approx(0.0, abs=1e-6)
+    assert 0.0 < out[0].uplift < 1.0  # overall row (decile 0)
+
+
+# ---------------------------------------------------------------------------
+# ivf_probe_curve
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_probe_curve_is_monotone_and_consistent(spark):
+    """On the real fixture: per-query recall must be non-decreasing in
+    n_probe (probing more lists can only add candidates), and each
+    level's __mean__ row (query_id = -1) must equal the mean of its
+    per-query rows."""
+    rows = REGISTRY["ivf_probe_curve"].fn(spark, "/root/testdata/sf0.001").collect()
+    per_q = {}
+    means = {}
+    for r in rows:
+        if r.query_id == -1:
+            means[r.n_probe] = r.recall_at_10
+        else:
+            per_q.setdefault(r.query_id, {})[r.n_probe] = r.recall_at_10
+    for q, by_level in per_q.items():
+        assert by_level[1] <= by_level[2] <= by_level[4], f"query {q}"
+    for level in (1, 2, 4):
+        vals = [by[level] for by in per_q.values()]
+        assert means[level] == pytest.approx(sum(vals) / len(vals), abs=1e-3)
+    assert means[4] >= means[1]
+
+
+# ---------------------------------------------------------------------------
+# conformal_coverage
+# ---------------------------------------------------------------------------
+
+
+def _daily_orders(spark, tmp_path, ys):
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (i + 1, 1, float(y), str(d0 + dt.timedelta(days=i))) for i, y in enumerate(ys)
+    ]
+    return _orders(spark, tmp_path, rows)
+
+
+def test_conformal_coverage_holds_under_exchangeability(spark, tmp_path):
+    """Stationary bounded noise around a trend: the 90% interval
+    calibrated on one window must cover ~90%+ of the untouched test
+    window."""
+    ys = [1000.0 + 10.0 * d + 30.0 * ((d * 7) % 11) for d in range(120)]
+    out = REGISTRY["conformal_coverage"].fn(
+        spark, _daily_orders(spark, tmp_path, ys)
+    ).collect()[0]
+    assert out.coverage >= 0.8
+    assert out.undercovers is False
+
+
+def test_conformal_coverage_detects_regime_break(spark, tmp_path):
+    """Noise amplitude explodes 40x inside the test quarter: residuals
+    blow past the calibrated quantile and the audit must flag
+    undercoverage."""
+    ys = []
+    for d in range(120):
+        amp = 30.0 if d < 90 else 1200.0
+        ys.append(1000.0 + 10.0 * d + amp * ((d * 7) % 11))
+    out = REGISTRY["conformal_coverage"].fn(
+        spark, _daily_orders(spark, tmp_path, ys)
+    ).collect()[0]
+    assert out.coverage < 0.5
+    assert out.undercovers is True
+
+
+# ---------------------------------------------------------------------------
+# pinball_loss
+# ---------------------------------------------------------------------------
+
+
+def test_pinball_hand_values_and_quantile_optimality(spark, tmp_path):
+    """Demands 10..100: L(q80=80) = 8.0 and L(mean=55) = 12.5 by hand;
+    the quantile rule must win at tau = 0.8."""
+    rows = []
+    for d in range(1, 11):
+        rows.append((d, 1, "N", "O", float(10 * d), 100.0, 0.0, 0.0, 1, 1,
+                     f"2024-01-{d:02d}"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "n1", "B1", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = REGISTRY["pinball_loss"].fn(spark, str(tmp_path)).collect()[0]
+    assert out.s_q80 == 80 and out.s_mean == pytest.approx(55.0, abs=1e-9)
+    assert out.pinball_q80 == pytest.approx(8.0, abs=1e-9)
+    assert out.pinball_mean == pytest.approx(12.5, abs=1e-9)
+    assert out.quantile_rule_wins is True
+
+
+# ---------------------------------------------------------------------------
+# mi_feature_ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mi_ranking_finds_the_informative_feature(spark, tmp_path):
+    """Return flag perfectly determined by line status (and nothing
+    else): line_status must rank 1 with MI = ln 2 (balanced labels);
+    constant features measure exactly 0."""
+    import math
+
+    rows = []
+    for i in range(100):
+        returned = i % 2 == 0
+        rows.append((
+            i, 1, "R" if returned else "N", "F" if returned else "O",
+            10.0, 100.0, 0.05, 0.0, 1, 1, "2024-01-03",
+        ))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.feature: r for r in REGISTRY["mi_feature_ranking"].fn(
+        spark, str(tmp_path)
+    ).collect()}
+    assert out["line_status"].rank == 1
+    assert out["line_status"].mi == pytest.approx(math.log(2), abs=1e-6)
+    for f in ("discount_cents", "quantity_band", "ship_dow"):
+        assert out[f].mi == pytest.approx(0.0, abs=1e-9), f
