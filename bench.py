@@ -381,6 +381,10 @@ HEADLINE = [
     "conformal_coverage",
     "pinball_loss",
     "mi_feature_ranking",
+    "pq_recall",
+    "centered_anisotropy",
+    "code_detector",
+    "did_placebo",
 ]
 
 

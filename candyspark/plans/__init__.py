@@ -54,6 +54,10 @@ ROUND3_WINDOW = [
     "conformal_coverage",
     "pinball_loss",
     "mi_feature_ranking",
+    "pq_recall",
+    "centered_anisotropy",
+    "code_detector",
+    "did_placebo",
     # new operators (session 3)
     "stl_strength",
     "rich_club",

@@ -3425,3 +3425,89 @@ FROM per
 REGISTRY["kish_ess"] = QuerySpec(
     q_kish_ess, KISH_ESS_SQL.replace("__QS__", _AN_QUALITY).replace("__TOKS__", _TOKS_FRAGMENT)
 )
+
+
+def q_code_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detector - the lang_id sibling a pretraining corpus
+    needs before routing documents to code or text pipelines: a
+    deterministic score from four scan-stage signals (brace/bracket
+    density, semicolon + assignment density, code-keyword hits, indented
+    line share), each snapped and capped, weighted into [0, 1]. Reports
+    per-source code share and mean score - the mixture read a dataset
+    card publishes.
+
+    Pure regexp_count/length integer algebra until the final weighted
+    sum (one snap); no tokenizer, no UDF. The threshold (0.5) and
+    weights are fixed literals; the planted tests pin a code blob
+    scoring high and prose scoring low.
+
+    Scale: scan-stage expressions, one <=|sources| rollup.
+    """
+    from candyspark.operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    braces = F.regexp_count("text", F.lit(r"[{}\[\]()]")).cast("double")
+    stmts = F.regexp_count("text", F.lit(r"[;=]")).cast("double")
+    kw = F.regexp_count(
+        "text",
+        F.lit(r"(def |class |return |import |function |var |const |if \()"),
+    ).cast("double")
+    lines = F.regexp_count("text", F.lit(r"\n")).cast("double") + 1.0
+    indented = F.regexp_count("text", F.lit(r"\n[ \t]{2,}")).cast("double")
+    score = X.snap_round(
+        0.3 * F.least(braces * 40.0 / n_chars, F.lit(1.0))
+        + 0.25 * F.least(stmts * 40.0 / n_chars, F.lit(1.0))
+        + 0.25 * F.least(kw * 10.0 / lines, F.lit(1.0))
+        + 0.2 * F.least(indented / lines * 2.0, F.lit(1.0)),
+        4,
+    )
+    rows = d.select("source", score.alias("s"))
+    per_source = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("s") > 0.5, 1).otherwise(0)).cast("long").alias("n_code"),
+        F.sum(F.col("s").cast("decimal(10,4)")).alias("score_sum"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_code",
+        X.snap_round(
+            F.col("n_code").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("code_share"),
+        X.snap_round(
+            F.col("score_sum").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_code_score"),
+    ).orderBy("source")
+
+
+CODE_DETECTOR_SQL = r"""
+WITH scored AS (
+    SELECT source,
+           CAST(ROUND(CAST(
+               0.3 * LEAST(CAST(len(regexp_extract_all(text, '[{}\[\]()]')) AS DOUBLE)
+                   * 40.0 / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 1.0)
+             + 0.25 * LEAST(CAST(len(regexp_extract_all(text, '[;=]')) AS DOUBLE)
+                   * 40.0 / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 1.0)
+             + 0.25 * LEAST(CAST(len(regexp_extract_all(text,
+                   '(def |class |return |import |function |var |const |if \()'))
+                   AS DOUBLE) * 10.0
+                   / (CAST(len(regexp_extract_all(text, '\n')) AS DOUBLE) + 1.0), 1.0)
+             + 0.2 * LEAST(CAST(len(regexp_extract_all(text, '\n[ \t]{2,}')) AS DOUBLE)
+                   / (CAST(len(regexp_extract_all(text, '\n')) AS DOUBLE) + 1.0) * 2.0, 1.0)
+               AS DECIMAL(28,8)), 4) AS DOUBLE) AS s
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       CAST(ROUND(CAST(CAST(SUM(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS DECIMAL(28,8)), 6) AS DOUBLE) AS code_share,
+       CAST(ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(10,4))) AS DOUBLE)
+           / COUNT(*) AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_code_score
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+REGISTRY["code_detector"] = QuerySpec(q_code_detector, CODE_DETECTOR_SQL)

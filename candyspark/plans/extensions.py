@@ -4926,3 +4926,396 @@ ORDER BY n_probe, query_id
 """
 
 REGISTRY["ivf_probe_curve"] = QuerySpec(q_ivf_probe_curve, IVF_PROBE_CURVE_SQL)
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval (Jegou et al. 2011): 64 floats ->
+    8 one-byte codes (one 16-centroid codebook per 8-dim subspace), ADC
+    lookup-table scoring, shortlist-50, exact-cosine rerank - recall@10
+    of BOTH stages vs the exact top-10. Completes the quantization
+    family: int8 scalar (embedding_quantize), sign-bit Hamming
+    (binary_quantization_recall), prefix truncation (matryoshka_recall),
+    and now the codebook member every serving stack actually ships.
+
+    Determinism: codebooks are the 16 lowest-id vectors' subvectors (the
+    IVF seed rule); every subspace distance snaps at 6 dp BEFORE the
+    argmin (ties -> lower centroid id), so codes are hash-stable; ADC
+    sums the snapped per-subspace entries in exact DECIMAL; rankings
+    tiebreak on neighbor_id everywhere.
+
+    Scale: codes and the ADC table are scan-stage; the lookup join
+    streams the 8n code rows against a broadcast queries x 8 x 16 table
+    (the float vectors never enter the shortlist pass - the PQ point);
+    only the 50-row-per-query rerank touches full precision.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(e)
+    subs = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+
+    def subvec(col, s_col):
+        return F.slice(col, s_col * 8 + 1, 8)
+
+    def l2s(a, b):
+        return X.snap_round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    cents = (
+        emb.filter(F.col("vec_id") < 16)
+        .crossJoin(F.broadcast(subs))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "s",
+            subvec(F.col("embedding"), F.col("s")).alias("c_sub"),
+        )
+    )
+    codes = (
+        emb.crossJoin(F.broadcast(subs))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "s",
+            subvec(F.col("embedding"), F.col("s")).alias("v_sub"),
+        )
+        .join(F.broadcast(cents), "s")
+        .groupBy("neighbor_id", "s")
+        .agg(
+            F.min(
+                F.struct(l2s(F.col("v_sub"), F.col("c_sub")).alias("d2"), F.col("cid"))
+            ).alias("m")
+        )
+        .select("neighbor_id", "s", F.col("m.cid").alias("code"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    adc_table = (
+        queries.crossJoin(F.broadcast(subs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            subvec(F.col("embedding"), F.col("s")).alias("q_sub"),
+        )
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            l2s(F.col("q_sub"), F.col("c_sub"))
+            .cast("decimal(18,6)")
+            .alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(adc_table), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("decimal(28,6)").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= 50)
+        .localCheckpoint()  # stage-1 top-10 AND the rerank reuse it
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    rer = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "arank",
+            S.cosine(F.col("q_vec"), F.col("c_emb")).alias("cos"),
+        )
+    )
+    w_rer = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    stage1 = rer.filter(F.col("arank") <= 10).select(
+        "query_id", F.col("neighbor_id").alias("hit_id"), F.lit("adc").alias("stage")
+    )
+    stage2 = (
+        rer.withColumn("rrank", F.row_number().over(w_rer))
+        .filter(F.col("rrank") <= 10)
+        .select(
+            "query_id", F.col("neighbor_id").alias("hit_id"), F.lit("rerank").alias("stage")
+        )
+    )
+    exact = q_similarity_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    both = stage1.unionByName(stage2)
+    hits = both.join(
+        exact,
+        (both.query_id == exact.query_id) & (both.hit_id == exact.true_id),
+    ).groupBy("stage", both.query_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    ).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([("adc",), ("rerank",)], "stage string")
+        )
+    )
+    return (
+        base.join(hits, ["stage", "query_id"], "left")
+        .select(
+            "stage",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_true",
+            X.snap_round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("stage", "query_id")
+    )
+
+
+_PQ_L2S = (
+    "CAST(ROUND(CAST(list_reduce(list_transform(range(1, 9), "
+    "i -> (__A__[s * 8 + i] - __B__[s * 8 + i]) "
+    "* (__A__[s * 8 + i] - __B__[s * 8 + i])), (a, b) -> a + b) "
+    "AS DECIMAL(28,8)), 6) AS DOUBLE)"
+)
+
+PQ_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (SELECT UNNEST(generate_series(0, 7)) AS s),
+cents AS (
+    SELECT e.vec_id AS cid, s.s, e.v AS c_full
+    FROM e CROSS JOIN subs s WHERE e.vec_id < 16
+),
+codes AS (
+    SELECT neighbor_id, s, code FROM (
+        SELECT n.vec_id AS neighbor_id, c.s, c.cid AS code,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.s
+                   ORDER BY {_PQ_L2S.replace("__A__", "n.v").replace("__B__", "c.c_full")},
+                            c.cid) AS rk
+        FROM e n CROSS JOIN cents c
+    ) WHERE rk = 1
+),
+adc_table AS (
+    SELECT q.vec_id AS query_id, c.s, c.cid AS code,
+           CAST({_PQ_L2S.replace("__A__", "q.v").replace("__B__", "c.c_full")}
+               AS DECIMAL(18,6)) AS d2
+    FROM e q CROSS JOIN cents c
+    WHERE q.vec_id < 5
+),
+adc AS (
+    SELECT a.query_id, c.neighbor_id,
+           CAST(SUM(a.d2) AS DECIMAL(28,6)) AS adc_d2
+    FROM codes c JOIN adc_table a ON c.s = a.s AND c.code = a.code
+    WHERE c.neighbor_id != a.query_id
+    GROUP BY 1, 2
+),
+shortlist AS MATERIALIZED (
+    SELECT query_id, neighbor_id, arank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_d2, neighbor_id) AS arank
+        FROM adc
+    ) WHERE arank <= 50
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id, s.arank,
+           {_COS_SQL.replace("q_vec", "q.v").replace("c_vec", "n.v")} AS cos
+    FROM shortlist s
+    JOIN e n ON s.neighbor_id = n.vec_id
+    JOIN e q ON s.query_id = q.vec_id
+),
+stage1 AS (
+    SELECT query_id, neighbor_id AS hit_id, 'adc' AS stage
+    FROM rer WHERE arank <= 10
+),
+stage2 AS (
+    SELECT query_id, neighbor_id AS hit_id, 'rerank' AS stage FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rrank
+        FROM rer
+    ) WHERE rrank <= 10
+),
+both_ AS (SELECT * FROM stage1 UNION ALL SELECT * FROM stage2),
+exact AS (
+    SELECT query_id, neighbor_id AS true_id FROM ({SIMILARITY_BRUTEFORCE_SQL})
+),
+hits AS (
+    SELECT b.stage, b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM both_ b JOIN exact x
+      ON b.query_id = x.query_id AND b.hit_id = x.true_id
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT st.stage, x.query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM exact x CROSS JOIN (SELECT UNNEST(['adc', 'rerank']) AS stage) st
+    GROUP BY 1, 2
+)
+SELECT b.stage, b.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       b.n_true,
+       CAST(ROUND(CAST(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+           / CAST(b.n_true AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS recall_at_10
+FROM base b LEFT JOIN hits h
+  ON b.stage = h.stage AND b.query_id = h.query_id
+ORDER BY b.stage, b.query_id
+"""
+
+REGISTRY["pq_recall"] = QuerySpec(q_pq_recall, PQ_RECALL_SQL)
+
+
+def q_centered_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-mean anisotropy repair check (Mu & Viswanath 2018's
+    first step): re-measure the pair-cosine cone AFTER subtracting the
+    corpus mean vector. embedding_anisotropy diagnoses the cone; this
+    measures how much of it is just the common-mean component - if
+    centering collapses mean cosine toward 0, a one-vector correction
+    fixes every cosine threshold upstream; if not, the distortion is
+    structural.
+
+    The mean vector is a bounded 64-value collect (the ml.py covariance
+    precedent) snapped at 6 dp per dimension, re-entering both engines
+    as the SAME literal array; centering is a scan-stage zip; the pair
+    construction, snapping and moments are embedding_anisotropy's
+    verbatim (deterministic bucket-successor pairs). Reports raw and
+    centered mean/std cosine side by side.
+    """
+    from candyspark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    means_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                (F.sum("val") / F.count(F.lit(1))).cast("decimal(18,6)"), 6
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    mlit = F.array(*[F.lit(float(r.m)) for r in means_rows])
+    b = e.select(
+        (F.col("vec_id") % 64).alias("bucket"),
+        "vec_id",
+        "embedding",
+        F.zip_with("embedding", mlit, lambda x, m: x - m).alias("centered"),
+    )
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    paired = (
+        b.select(
+            "bucket",
+            "vec_id",
+            "embedding",
+            "centered",
+            F.lead("embedding").over(w).alias("nxt"),
+            F.lead("centered").over(w).alias("nxt_c"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            cosine(F.col("embedding"), F.col("nxt")).alias("cr"),
+            cosine(F.col("centered"), F.col("nxt_c")).alias("cc"),
+        )
+    )
+    crd = F.col("cr").cast("decimal(10,6)")
+    ccd = F.col("cc").cast("decimal(10,6)")
+    sums = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(crd).alias("sr"),
+        F.sum(crd * crd).alias("srr"),
+        F.sum(ccd).alias("sc"),
+        F.sum(ccd * ccd).alias("scc"),
+    )
+    n = F.col("n_pairs").cast("double")
+    mean_r = F.col("sr").cast("double") / n
+    mean_c = F.col("sc").cast("double") / n
+    var_r = F.col("srr").cast("double") / n - mean_r * mean_r
+    var_c = F.col("scc").cast("double") / n - mean_c * mean_c
+    mr = X.snap_round(mean_r, 6)
+    mc = X.snap_round(mean_c, 6)
+    return sums.select(
+        "n_pairs",
+        mr.alias("mean_cos_raw"),
+        X.snap_round(F.sqrt(F.greatest(var_r, F.lit(0.0))), 6).alias("std_cos_raw"),
+        mc.alias("mean_cos_centered"),
+        X.snap_round(F.sqrt(F.greatest(var_c, F.lit(0.0))), 6).alias(
+            "std_cos_centered"
+        ),
+        (F.abs(mc) < F.abs(mr)).alias("centering_helps"),
+    )
+
+
+_CENTERED_COS = (
+    "CAST(ROUND(CAST("
+    "list_reduce(list_transform(range(1, 65), i -> __X__[i] * __Y__[i]), (a, b) -> a + b)"
+    " / (sqrt(list_reduce(list_transform(range(1, 65), i -> __X__[i] * __X__[i]), (a, b) -> a + b))"
+    " * sqrt(list_reduce(list_transform(range(1, 65), i -> __Y__[i] * __Y__[i]), (a, b) -> a + b)))"
+    " AS DECIMAL(28,10)), 6) AS DOUBLE)"
+)
+
+CENTERED_ANISOTROPY_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+means AS (
+    SELECT array_agg(m ORDER BY pos) AS mvec FROM (
+        SELECT pos,
+               CAST(ROUND(CAST(SUM(val) / COUNT(*) AS DECIMAL(18,6)), 6)
+                   AS DOUBLE) AS m
+        FROM (
+            SELECT UNNEST(v) AS val,
+                   UNNEST(generate_series(1, len(v))) AS pos
+            FROM e
+        ) GROUP BY pos
+    )
+),
+b AS (
+    SELECT vec_id % 64 AS bucket, vec_id, v,
+           list_transform(range(1, 65), i -> v[i] - mvec[i]) AS cv
+    FROM e CROSS JOIN means
+),
+paired AS (
+    SELECT {_CENTERED_COS.replace("__X__", "v").replace("__Y__", "nxt")} AS cr,
+           {_CENTERED_COS.replace("__X__", "cv").replace("__Y__", "nxt_c")} AS cc
+    FROM (
+        SELECT bucket, v, cv,
+               LEAD(v) OVER (PARTITION BY bucket ORDER BY vec_id) AS nxt,
+               LEAD(cv) OVER (PARTITION BY bucket ORDER BY vec_id) AS nxt_c
+        FROM b
+    ) WHERE nxt IS NOT NULL
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(CAST(cr AS DECIMAL(10,6))) AS sr,
+           SUM(CAST(cr AS DECIMAL(10,6)) * CAST(cr AS DECIMAL(10,6))) AS srr,
+           SUM(CAST(cc AS DECIMAL(10,6))) AS sc,
+           SUM(CAST(cc AS DECIMAL(10,6)) * CAST(cc AS DECIMAL(10,6))) AS scc
+    FROM paired
+)
+SELECT n_pairs,
+       CAST(ROUND(CAST(CAST(sr AS DOUBLE) / n_pairs AS DECIMAL(28,8)), 6)
+           AS DOUBLE) AS mean_cos_raw,
+       CAST(ROUND(CAST(SQRT(GREATEST(CAST(srr AS DOUBLE) / n_pairs
+           - (CAST(sr AS DOUBLE) / n_pairs) * (CAST(sr AS DOUBLE) / n_pairs),
+           0.0)) AS DECIMAL(28,8)), 6) AS DOUBLE) AS std_cos_raw,
+       CAST(ROUND(CAST(CAST(sc AS DOUBLE) / n_pairs AS DECIMAL(28,8)), 6)
+           AS DOUBLE) AS mean_cos_centered,
+       CAST(ROUND(CAST(SQRT(GREATEST(CAST(scc AS DOUBLE) / n_pairs
+           - (CAST(sc AS DOUBLE) / n_pairs) * (CAST(sc AS DOUBLE) / n_pairs),
+           0.0)) AS DECIMAL(28,8)), 6) AS DOUBLE) AS std_cos_centered,
+       ABS(CAST(ROUND(CAST(CAST(sc AS DOUBLE) / n_pairs AS DECIMAL(28,8)), 6)
+           AS DOUBLE))
+         < ABS(CAST(ROUND(CAST(CAST(sr AS DOUBLE) / n_pairs
+           AS DECIMAL(28,8)), 6) AS DOUBLE)) AS centering_helps
+FROM sums
+"""
+
+REGISTRY["centered_anisotropy"] = QuerySpec(
+    q_centered_anisotropy, CENTERED_ANISOTROPY_SQL
+)

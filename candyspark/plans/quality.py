@@ -5653,3 +5653,168 @@ ORDER BY decile
 """
 
 REGISTRY["uplift_deciles"] = QuerySpec(q_uplift_deciles, UPLIFT_DECILES_SQL)
+
+
+def q_did_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placebo test for q_diff_in_diff - the parallel-trends check the
+    DiD docstring defers: re-run the SAME estimator entirely INSIDE the
+    pre-period (fake treatment at the pre-period's own midpoint). If
+    trends were parallel before the real split, the placebo estimate is
+    ~0; a placebo rivaling the real effect says the 'effect' is just the
+    groups drifting apart on their own.
+
+    One scan: timestamps bucket into quarters of the data span,
+    per-(user, quarter) purchase value aggregates once, and BOTH
+    estimates assemble from the same 8 treated x quarter cells - the
+    placebo from quarters (0, 1), the DiD analogue from halves
+    (0+1 vs 2+3). Everything here sits at USER-QUARTER grain (the grain
+    the placebo requires), so the `did` column is this query's own
+    half-vs-half contrast on that grain, not bit-equal to
+    q_diff_in_diff's user-half aggregate. The diagnostic flag compares
+    |placebo| to |did| / 4 - the stated rule, not a p-value (the placebo
+    family's convention; randomization_inference covers formal testing).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo_us"),
+        F.max(F.unix_micros("ts")).alias("hi_us"),
+    )
+    treated_users = (
+        e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    quarter = F.least(
+        F.lit(3).cast("long"),
+        F.floor(
+            (F.unix_micros("ts") - F.col("lo_us")).cast("double")
+            * 4.0
+            / F.greatest((F.col("hi_us") - F.col("lo_us")).cast("double"), F.lit(1.0))
+        ).cast("long"),
+    )
+    per_uq = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", quarter.alias("q"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(12,2)"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("y")
+        )
+    )
+    cells = (
+        per_uq.join(
+            F.broadcast(treated_users.withColumn("treated", F.lit(1))),
+            "user_id",
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("treated"), F.lit(0)).alias("t"), "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("decimal(38,2)").alias("sy"),
+        )
+    )
+
+    def mean_of(t, qs):
+        cond = (F.col("t") == t) & F.col("q").isin(*qs)
+        return F.sum(F.when(cond, F.col("sy")).otherwise(F.lit(0))).cast(
+            "double"
+        ) / F.greatest(
+            F.sum(F.when(cond, F.col("n")).otherwise(0)).cast("double"), F.lit(1.0)
+        )
+
+    agg = cells.agg(
+        snap_round(
+            (mean_of(1, [1]) - mean_of(1, [0])) - (mean_of(0, [1]) - mean_of(0, [0])),
+            6,
+        ).alias("placebo_did"),
+        snap_round(
+            (mean_of(1, [2, 3]) - mean_of(1, [0, 1]))
+            - (mean_of(0, [2, 3]) - mean_of(0, [0, 1])),
+            6,
+        ).alias("did"),
+        F.sum(F.when(F.col("t") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_treated_cells"),
+    )
+    return agg.select(
+        "placebo_did",
+        "did",
+        "n_treated_cells",
+        (F.abs(F.col("placebo_did")) <= F.abs(F.col("did")) / 4.0).alias(
+            "pretrend_ok"
+        ),
+    )
+
+
+DID_PLACEBO_SQL = """
+WITH bounds AS (
+    SELECT MIN(epoch_us(ts)) AS lo_us, MAX(epoch_us(ts)) AS hi_us FROM events
+),
+treated AS (
+    SELECT DISTINCT user_id, 1 AS treated FROM events WHERE event_type = 'click'
+),
+per_uq AS (
+    SELECT e.user_id,
+           LEAST(3, CAST(FLOOR(
+               CAST(epoch_us(e.ts) - b.lo_us AS DOUBLE) * 4.0
+               / GREATEST(CAST(b.hi_us - b.lo_us AS DOUBLE), 1.0)) AS BIGINT))
+               AS q,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase'
+               THEN CAST(e.value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+    FROM events e CROSS JOIN bounds b
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT COALESCE(t.treated, 0) AS t, p.q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p.y) AS DECIMAL(38,2)) AS sy
+    FROM per_uq p LEFT JOIN treated t ON p.user_id = t.user_id
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN t = 1 AND q = 1 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 1 AND q = 1 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS t1,
+        CAST(SUM(CASE WHEN t = 1 AND q = 0 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 1 AND q = 0 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS t0,
+        CAST(SUM(CASE WHEN t = 0 AND q = 1 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 0 AND q = 1 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS c1,
+        CAST(SUM(CASE WHEN t = 0 AND q = 0 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 0 AND q = 0 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS c0,
+        CAST(SUM(CASE WHEN t = 1 AND q >= 2 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 1 AND q >= 2 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS tpost,
+        CAST(SUM(CASE WHEN t = 1 AND q <= 1 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 1 AND q <= 1 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS tpre,
+        CAST(SUM(CASE WHEN t = 0 AND q >= 2 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 0 AND q >= 2 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS cpost,
+        CAST(SUM(CASE WHEN t = 0 AND q <= 1 THEN sy ELSE 0 END) AS DOUBLE)
+            / GREATEST(CAST(SUM(CASE WHEN t = 0 AND q <= 1 THEN n ELSE 0 END)
+                AS DOUBLE), 1.0) AS cpre,
+        CAST(SUM(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT)
+            AS n_treated_cells
+    FROM cells
+)
+SELECT
+    CAST(ROUND(CAST((t1 - t0) - (c1 - c0) AS DECIMAL(28,8)), 6) AS DOUBLE)
+        AS placebo_did,
+    CAST(ROUND(CAST((tpost - tpre) - (cpost - cpre) AS DECIMAL(28,8)), 6)
+        AS DOUBLE) AS did,
+    n_treated_cells,
+    ABS(CAST(ROUND(CAST((t1 - t0) - (c1 - c0) AS DECIMAL(28,8)), 6) AS DOUBLE))
+        <= ABS(CAST(ROUND(CAST((tpost - tpre) - (cpost - cpre)
+        AS DECIMAL(28,8)), 6) AS DOUBLE)) / 4.0 AS pretrend_ok
+FROM agg
+"""
+
+REGISTRY["did_placebo"] = QuerySpec(q_did_placebo, DID_PLACEBO_SQL)

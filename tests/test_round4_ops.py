@@ -1190,3 +1190,152 @@ def test_mi_ranking_finds_the_informative_feature(spark, tmp_path):
     assert out["line_status"].mi == pytest.approx(math.log(2), abs=1e-6)
     for f in ("discount_cents", "quantity_band", "ship_dow"):
         assert out[f].mi == pytest.approx(0.0, abs=1e-9), f
+
+
+# ---------------------------------------------------------------------------
+# pq_recall / centered_anisotropy
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_pq_rerank_recovers_exact_topk_when_shortlist_covers(spark, tmp_path):
+    """48 vectors = 16 distinct +-1 bases (the codebook seeds) plus exact
+    copies: the 50-wide shortlist covers the whole corpus, so the rerank
+    stage IS the exact ranking -> rerank recall exactly 1.0; ADC, scoring
+    on exact reconstructions, stays high."""
+    import random
+
+    rng = random.Random(7)
+    bases = [
+        [float(rng.choice([-1.0, 1.0])) for _ in range(64)] for _ in range(16)
+    ]
+    rows = [(k, bases[k], "b") for k in range(16)]
+    rows += [(16 + k, bases[k % 16], "c") for k in range(32)]
+    out = REGISTRY["pq_recall"].fn(
+        spark, _embeddings(spark, tmp_path, rows)
+    ).collect()
+    rerank = [r for r in out if r.stage == "rerank"]
+    adc = [r for r in out if r.stage == "adc"]
+    assert all(r.recall_at_10 == pytest.approx(1.0, abs=1e-9) for r in rerank)
+    assert sum(r.recall_at_10 for r in adc) / len(adc) >= 0.8
+
+
+def test_pq_rerank_never_below_adc_on_fixture(spark):
+    """Reranking a superset with the exact metric cannot lose to the
+    ADC-only ranking: per query, rerank recall >= adc recall (real
+    fixture, both SF-independent relations)."""
+    out = REGISTRY["pq_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.stage] = r.recall_at_10
+    for q, d in by_q.items():
+        assert d["rerank"] >= d["adc"], f"query {q}"
+
+
+def test_centered_anisotropy_collapses_planted_cone(spark, tmp_path):
+    """Vectors = big common mean + small distinct-direction noise: raw
+    pair cosine ~1 (the cone), centered cosine must collapse toward 0
+    and the helps flag must fire."""
+    rows = []
+    for k in range(128):  # two per bucket so every bucket yields a pair;
+        v = [10.0] * 64
+        # the pair-mates (k, k+64) get DIFFERENT noise directions
+        v[(k + k // 64) % 64] += 5.0
+        rows.append((k, [float(x) for x in v], "c"))
+    out = REGISTRY["centered_anisotropy"].fn(
+        spark, _embeddings(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out.mean_cos_raw > 0.9
+    assert abs(out.mean_cos_centered) < 0.3
+    assert out.centering_helps is True
+
+
+# ---------------------------------------------------------------------------
+# code_detector
+# ---------------------------------------------------------------------------
+
+_CODE_BLOB = (
+    "def process(items):\n"
+    "    total = 0;\n"
+    "    for x in items:\n"
+    "        if (x > 0):\n"
+    "            total = total + x;\n"
+    "    return total\n"
+    "class Runner:\n"
+    "    import os\n"
+    "    def run(self):\n"
+    "        result = process([1, 2, 3]);\n"
+    "        return result\n"
+)
+_PROSE = "the quick brown fox jumps over the lazy dog and keeps on running all day"
+
+
+def test_code_detector_separates_code_from_prose(spark, tmp_path):
+    rows = [(i, _CODE_BLOB, "en", "code_src", len(_CODE_BLOB)) for i in range(5)]
+    rows += [(10 + i, _PROSE, "en", "prose_src", len(_PROSE)) for i in range(5)]
+    out = {r.source: r for r in REGISTRY["code_detector"].fn(
+        spark, _documents(spark, tmp_path, rows)
+    ).collect()}
+    assert out["code_src"].code_share == pytest.approx(1.0, abs=1e-9)
+    assert out["prose_src"].code_share == pytest.approx(0.0, abs=1e-9)
+    assert out["code_src"].mean_code_score > 0.5 > out["prose_src"].mean_code_score
+
+
+# ---------------------------------------------------------------------------
+# did_placebo
+# ---------------------------------------------------------------------------
+
+
+def _did_events(spark, tmp_path, treated_rise_everywhere):
+    """Span 2024-01-01..2024-01-28 (quarters = weeks). Control users buy
+    value 10 every week. Treated users (who click once) buy 10 in the
+    pre half and 30 in the post half - or rise 10/20/30/40 across ALL
+    quarters when treated_rise_everywhere (the broken-pretrend world)."""
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        treated = u <= 10
+        if treated:
+            eid += 1
+            rows.append((eid, "2024-01-02 09:00:00", u, "click", 1.0, "{}"))
+        for q in range(4):
+            day = 2 + q * 7  # one purchase per quarter
+            if treated:
+                val = (
+                    10.0 * (q + 1)
+                    if treated_rise_everywhere
+                    else (10.0 if q < 2 else 30.0)
+                )
+            else:
+                val = 10.0
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 12:00:00", u, "purchase", val, "{}"))
+    # span-pinning sentinel is a BALANCED control user (one value-10
+    # purchase per quarter, endpoints included) so it shifts no cell mean
+    for ts in ("2024-01-01 00:00:00", "2024-01-09 12:00:00",
+               "2024-01-16 12:00:00", "2024-01-28 23:00:00"):
+        eid += 1
+        rows.append((eid, ts, 999, "purchase", 10.0, "{}"))
+    return _events(spark, tmp_path, rows)
+
+
+def test_did_placebo_quiet_under_parallel_pretrends(spark, tmp_path):
+    out = REGISTRY["did_placebo"].fn(
+        spark, _did_events(spark, tmp_path, treated_rise_everywhere=False)
+    ).collect()[0]
+    assert out.placebo_did == pytest.approx(0.0, abs=1e-6)
+    assert out.did > 10.0
+    assert out.pretrend_ok is True
+
+
+def test_did_placebo_flags_diverging_pretrends(spark, tmp_path):
+    out = REGISTRY["did_placebo"].fn(
+        spark, _did_events(spark, tmp_path, treated_rise_everywhere=True)
+    ).collect()[0]
+    assert out.placebo_did > 5.0
+    assert out.pretrend_ok is False
