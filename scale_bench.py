@@ -96,6 +96,14 @@ BOUNDS = {
     "bayesian_ab_beta": 1.0,
     # tokenize-linear tf index + bounded rank windows
     "average_precision_eval": 1.0,
+    # session-4 cont.: 8x code expansion + broadcast ADC table, linear in corpus
+    "pq_recall": 1.0,
+    # one corpus scan at widest probe; per-level re-rank on candidates
+    "ivf_probe_curve": 1.0,
+    # unpivoted 4x stack pass, constant cell cardinality
+    "mi_feature_ranking": 1.0,
+    # backtest-origin window passes, calendar-bounded downstream
+    "diebold_mariano": 1.0,
 }
 MARGIN = 0.25  # host noise allowance on a log10 scale (~78% wall-time slack)
 
