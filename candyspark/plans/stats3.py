@@ -245,8 +245,8 @@ b{k} AS (
                 ELSE beta END AS beta
     FROM (
         SELECT n_events, score_chi2, beta,
-               SUM(CAST(ROUND(CAST(s1 - d * (r1 * EXP(beta))
-                   / (r0 + r1 * EXP(beta)) AS DECIMAL(28,8)), 8)
+               SUM(CAST(ROUND(CAST(s1 - d * ((r1 * EXP(beta))
+                   / (r0 + r1 * EXP(beta))) AS DECIMAL(28,8)), 8)
                    AS DECIMAL(28,8))) AS u,
                SUM(CAST(ROUND(CAST(d * r0 * r1 * EXP(beta)
                    / ((r0 + r1 * EXP(beta)) * (r0 + r1 * EXP(beta)))
@@ -596,18 +596,20 @@ REGISTRY["mood_median_test"] = QuerySpec(q_mood_median_test, MOOD_MEDIAN_SQL)
 
 
 # ---------------------------------------------------------------------------
-# Fleiss' kappa — multi-rater agreement of the quality-ensemble gates
+# Fleiss' kappa — multi-rater agreement of three heuristic quality gates
 # ---------------------------------------------------------------------------
 
 
 def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fleiss' kappa across the quality ensemble's three component gates
+    """Fleiss' kappa across three standalone heuristic quality gates
     (length ≥ 200 chars, word count ≥ 30, alpha ratio ≥ 0.6) treated as
-    three raters making a binary keep/drop call per document — the
+    three raters making a binary keep/drop call per document — a
     gate-redundancy audit: κ near 1 says the gates are measuring the
     same thing (two are dead weight); κ near 0 says they disagree at
-    chance (the ensemble vote is meaningless). cohens_kappa covers 2
-    raters; Fleiss is the r ≥ 3 generalization quality_ensemble needs.
+    chance (a majority vote over them would be meaningless). These are
+    deliberately simpler gates than q_quality_ensemble's (which votes
+    gopher rules × quality_score × lang-id agreement); cohens_kappa
+    covers 2 raters, Fleiss is the r ≥ 3 generalization.
 
     Every input is an exact integer: the alpha-ratio gate cross-multiplies
     (10·alpha_chars ≥ 6·n_chars) so no division enters a predicate, and
@@ -1025,6 +1027,10 @@ def q_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     The numerator magnitudes stay under DECIMAL(38,0)/HUGEINT until
     daily revenue reaches ~1e13 cents over a 10-year calendar; past
     that, rescale the cents unit (documented bound, not a silent cap).
+    The oracle's 1e8 snap runs quotient-remainder (S = (|num|//n4)*1e8
+    + half-up of the remainder) so the snap itself adds no headroom
+    demand beyond the numerators — the numerator bound above is the
+    only overflow bound on either engine.
     """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
@@ -1137,16 +1143,23 @@ nums AS (
 ),
 stats AS (
     -- integer-domain half-up snap at 8 dp (see the Spark docstring):
-    -- S = sign * ((|num|*1e8*2 + n4) // (2*n4)), then S -> double / 1e8
+    -- S = sign * round_half_up(|num|*1e8 / n4), computed by
+    -- quotient-remainder so no intermediate exceeds |num|*1e8/n4:
+    -- S = (|num|//n4)*1e8 + ((|num|%n4)*2e8 + n4) // (2*n4)
+    -- (exact: the quotient term is a multiple of 2*n4 pre-division) --
+    -- the naive |num|*2e8 form would burn ~8 orders of HUGEINT headroom
     SELECT n_days,
            CAST((CASE WHEN num_cov < 0 THEN -1 ELSE 1 END)
-               * ((ABS(num_cov) * 100000000 * 2 + n4i) // (2 * n4i))
+               * ((ABS(num_cov) // n4i) * 100000000
+                  + ((ABS(num_cov) % n4i) * 100000000 * 2 + n4i) // (2 * n4i))
                AS DOUBLE) / 1e8 AS dcov2_cents,
            CAST((CASE WHEN num_vx < 0 THEN -1 ELSE 1 END)
-               * ((ABS(num_vx) * 100000000 * 2 + n4i) // (2 * n4i))
+               * ((ABS(num_vx) // n4i) * 100000000
+                  + ((ABS(num_vx) % n4i) * 100000000 * 2 + n4i) // (2 * n4i))
                AS DOUBLE) / 1e8 AS dvar_orders,
            CAST((CASE WHEN num_vy < 0 THEN -1 ELSE 1 END)
-               * ((ABS(num_vy) * 100000000 * 2 + n4i) // (2 * n4i))
+               * ((ABS(num_vy) // n4i) * 100000000
+                  + ((ABS(num_vy) % n4i) * 100000000 * 2 + n4i) // (2 * n4i))
                AS DOUBLE) / 1e8 AS dvar_revenue_cents
     FROM nums
 )
