@@ -26,6 +26,17 @@ class QuerySpec:
 #: correctness gate evaluates the first 50 entries, so each round rotates
 #: its new and materially-changed queries in — CORRECTNESS_r{N} then
 #: certifies code no prior round certified (round-2 verdict item 6).
+ROUND4_WINDOW = [
+    # approx-percentile swap-in twins (round-3 verdict item 5)
+    "robust_stats_approx",
+    "quantile_normalize_approx",
+    "distribution_distance_approx",
+    # oracle-expression-tree fixes this round (ADVICE items 1-2)
+    "cox_ph",
+    "distance_correlation",
+    "fleiss_kappa",
+]
+
 ROUND3_WINDOW = [
     # new operators (session 4)
     "cox_ph",
@@ -231,5 +242,6 @@ def collect_registry() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         merged.update(mod.REGISTRY)
-    front = {n: merged[n] for n in ROUND3_WINDOW if n in merged}
+    window = ROUND4_WINDOW + [n for n in ROUND3_WINDOW if n not in ROUND4_WINDOW]
+    front = {n: merged[n] for n in window if n in merged}
     return front | {n: s for n, s in merged.items() if n not in front}

@@ -2655,6 +2655,87 @@ REGISTRY["quantile_normalize"] = QuerySpec(
     q_quantile_normalize, QUANTILE_NORMALIZE_SQL
 )
 
+_QN_GRID = [i / 20.0 for i in range(21)]
+_QN_LO = [max(0.0, round(p - 0.01, 3)) for p in _QN_GRID]
+_QN_HI = [min(1.0, round(p + 0.01, 3)) for p in _QN_GRID]
+_QN_BAND = sorted(set(_QN_LO + _QN_HI))
+
+
+def q_quantile_normalize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_quantile_normalize's documented 100-TB grid swap-in as CODE
+    (round-3 verdict item 5): the 21-point reference grid comes from
+    Spark's mergeable ``percentile_approx`` sketch (accuracy 1000 — GK
+    summaries, map-side combined, no holistic buffer) instead of the
+    exact order-statistic extractor.
+
+    Sketch values are engine-specific, so the driver check is an
+    ACCURACY CONTRACT: per grid point p the query emits the exact
+    interpolated quantiles at clamp(p±0.01) — hash-anchored against
+    DuckDB's quantile_cont — plus a boolean asserting the sketch value
+    landed inside that band. The guarantee is rank error ≤ 1e-3·n; the
+    band allows 1%-of-rank, 10× slack, so the gate never flickers while
+    a wrong prob/unmerged sketch still fails instantly. The oracle
+    computes the same bands and expects TRUE throughout.
+    """
+    from candyspark.operators.quantiles import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    lines = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_extendedprice"
+    )
+    bands = exact_quantiles(spark, lines, "l_extendedprice", _QN_BAND)
+    approx = lines.agg(
+        F.percentile_approx("l_extendedprice", _QN_GRID, 1000).alias("qa")
+    )
+    probe = spark.createDataFrame(
+        [(i, _QN_GRID[i], _QN_LO[i], _QN_HI[i]) for i in range(21)],
+        "i int, p double, lo_p double, hi_p double",
+    )
+    lo_j = bands.select(F.col("p").alias("lo_p"), F.col("value").alias("lo_v"))
+    hi_j = bands.select(F.col("p").alias("hi_p"), F.col("value").alias("hi_v"))
+    return (
+        probe.join(F.broadcast(lo_j), "lo_p")
+        .join(F.broadcast(hi_j), "hi_p")
+        .crossJoin(F.broadcast(approx))
+        .select(
+            "p",
+            X.snap_round(F.col("lo_v"), 4).alias("band_lo"),
+            X.snap_round(F.col("hi_v"), 4).alias("band_hi"),
+            (
+                (F.col("qa")[F.col("i")] >= F.col("lo_v"))
+                & (F.col("qa")[F.col("i")] <= F.col("hi_v"))
+            ).alias("in_band"),
+        )
+        .orderBy("p")
+    )
+
+
+def _qn_approx_sql() -> str:
+    band_list = ",".join(repr(p) for p in _QN_BAND)
+    idx = {p: k + 1 for k, p in enumerate(_QN_BAND)}  # 1-based for DuckDB
+    rows = ",".join(
+        f"({_QN_GRID[i]!r}, {idx[_QN_LO[i]]}, {idx[_QN_HI[i]]})" for i in range(21)
+    )
+    return f"""
+WITH lines AS (
+    SELECT l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+b AS (SELECT quantile_cont(l_extendedprice, [{band_list}]) AS bv FROM lines),
+g(p, li, hi) AS (VALUES {rows})
+SELECT p,
+       CAST(ROUND(CAST(bv[li] AS DECIMAL(28,8)), 4) AS DOUBLE) AS band_lo,
+       CAST(ROUND(CAST(bv[hi] AS DECIMAL(28,8)), 4) AS DOUBLE) AS band_hi,
+       TRUE AS in_band
+FROM g CROSS JOIN b
+ORDER BY p
+"""
+
+
+REGISTRY["quantile_normalize_approx"] = QuerySpec(
+    q_quantile_normalize_approx, _qn_approx_sql()
+)
+
 
 def q_calibration_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability table (calibration curve data): documents bucketed by

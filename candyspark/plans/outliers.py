@@ -1470,3 +1470,99 @@ FROM refit
 
 
 REGISTRY["ransac_trend"] = QuerySpec(q_ransac_trend, RANSAC_TREND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# robust_stats_approx — the 100-TB approx_percentile swap-in, as CODE
+# ---------------------------------------------------------------------------
+
+
+def q_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB swap-in q_robust_stats' docstring promises, as an
+    executable, driver-checkable path (round-3 verdict item 5): per-group
+    quartiles via Spark's mergeable-sketch ``percentile_approx``
+    (map-side combined GK summaries — the aggregate that actually
+    survives a 1000-executor fan-in, unlike any exact holistic form).
+
+    An approx value can't be hash-compared across engines (the sketch is
+    Spark-specific), so the query ships an ACCURACY CONTRACT instead:
+    for each prob p it emits the exact interpolated quantiles at p±0.01
+    (the distributed order-statistic extractor — these ARE hash-anchored
+    against DuckDB's quantile_cont) plus a boolean asserting the approx
+    value landed inside that exact band. percentile_approx(accuracy=1000)
+    guarantees rank error ≤ n/1000; the band allows 10× that (±1% of
+    rank) so the gate is host- and tie-stable while still falsifying any
+    real defect in the approx path (wrong prob, unmerged sketch, swapped
+    column — each blows ±1% rank instantly). The oracle computes the
+    same bands and expects TRUE: a hash match certifies both the exact
+    band computation and the in-band landing of the sketch value.
+    """
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    band_probs = [0.24, 0.26, 0.49, 0.51, 0.74, 0.76]
+    bands = (
+        exact_quantiles_grouped(
+            spark, li, "l_returnflag", "l_extendedprice", band_probs
+        )
+        .groupBy("l_returnflag")
+        .pivot("p", band_probs)
+        .agg(F.first("value"))
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 1000
+        ).alias("qa"),
+    )
+    j = approx.join(bands, "l_returnflag")
+    lo = {p: F.col(f"`{p}`") for p in band_probs}
+    return j.select(
+        "l_returnflag",
+        "n_lines",
+        snap_round(lo[0.24], 4).alias("q1_band_lo"),
+        snap_round(lo[0.26], 4).alias("q1_band_hi"),
+        snap_round(lo[0.49], 4).alias("med_band_lo"),
+        snap_round(lo[0.51], 4).alias("med_band_hi"),
+        snap_round(lo[0.74], 4).alias("q3_band_lo"),
+        snap_round(lo[0.76], 4).alias("q3_band_hi"),
+        ((F.col("qa")[0] >= lo[0.24]) & (F.col("qa")[0] <= lo[0.26])).alias(
+            "q1_in_band"
+        ),
+        ((F.col("qa")[1] >= lo[0.49]) & (F.col("qa")[1] <= lo[0.51])).alias(
+            "med_in_band"
+        ),
+        ((F.col("qa")[2] >= lo[0.74]) & (F.col("qa")[2] <= lo[0.76])).alias(
+            "q3_in_band"
+        ),
+    ).orderBy("l_returnflag")
+
+
+ROBUST_STATS_APPROX_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.24)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS q1_band_lo,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.26)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS q1_band_hi,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.49)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS med_band_lo,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.51)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS med_band_hi,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.74)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS q3_band_lo,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.76)
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS q3_band_hi,
+       TRUE AS q1_in_band,
+       TRUE AS med_in_band,
+       TRUE AS q3_in_band
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+REGISTRY["robust_stats_approx"] = QuerySpec(
+    q_robust_stats_approx, ROBUST_STATS_APPROX_SQL
+)
