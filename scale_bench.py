@@ -119,8 +119,15 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--queries", default=",".join(BOUNDS))
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list of tables to generate (default: all) — probing a "
+        "single family only needs the tables it reads",
+    )
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
+    tables = args.tables.split(",") if args.tables else None
 
     # sf1 needs real heap (the 1g JVM default OOMs on the pair joins)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
@@ -134,10 +141,11 @@ def main() -> None:
         dirs[sf] = d
         if not args.skip_gen:
             t0 = time.perf_counter()
-            counts = generate(spark, d, sf)
+            counts = generate(spark, d, sf, tables=tables)
+            gen_desc = ", ".join(f"{t} {c:,}" for t, c in counts.items())
             print(
-                f"# generated sf{sf:g}: {counts['lineitem']:,} lineitem / "
-                f"{counts['documents']:,} docs in {time.perf_counter() - t0:.0f}s",
+                f"# generated sf{sf:g}: {gen_desc} "
+                f"in {time.perf_counter() - t0:.0f}s",
                 file=sys.stderr,
             )
 
