@@ -1200,15 +1200,23 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def _land_once(spark: SparkSession, df: DataFrame) -> str:
-    """Re-land a frame as ONE parquet file for a single-micro-batch
-    availableNow run (multi-batch behavior — watermark drops, cross-batch
-    state — is covered by tests/test_streaming.py; the driver-visible
-    queries pin the batch-equivalence contract instead)."""
+def _land_once(spark: SparkSession, df: DataFrame, n_files: int = 1) -> str:
+    """Re-land a frame as parquet for a single-micro-batch availableNow
+    run (multi-batch behavior — watermark drops, cross-batch state — is
+    covered by tests/test_streaming.py; the driver-visible queries pin
+    the batch-equivalence contract instead).
+
+    Default is ONE file: several drains (the dedup family) keep the
+    first-arrived row per key, so within-batch arrival order must be
+    deterministic. Order-insensitive drains (joins — every match emits,
+    null-flush is watermark-driven) pass n_files>1 for a parallel landing
+    write; any n_files ≪ the source's availableNow file-batch limit still
+    lands in a single micro-batch."""
     import tempfile
 
     src = tempfile.mkdtemp(prefix="candyspark_stream_src_")
-    df.coalesce(1).write.mode("overwrite").parquet(src)
+    shaped = df.coalesce(1) if n_files == 1 else df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(src)
     return src
 
 
@@ -1406,7 +1414,7 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
-    src = _land_once(spark, events.unionByName(sentinels))
+    src = _land_once(spark, events.unionByName(sentinels), n_files=8)
     stream = read_events_stream(spark, src)
     clicks = stream.filter(F.col("event_type") == "click")
     errors = stream.filter(F.col("event_type") == "error")
