@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from candyspark.plans import collect_registry  # noqa: E402
 from candyspark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+#: Display/ordering priority ONLY — the benched set is computed as
+#: collect_registry() minus EXCLUDED (see headline_names); names listed
+#: here come first in artifacts (the driver's tail window truncates, so
+#: the flagship queries must lead), everything else follows sorted.
+#: A name here that leaves the registry is ignored, never an error.
+PRIORITY = [
     "daily_summary",
     "pricing_summary",
     "order_totals",
@@ -421,6 +426,28 @@ STREAMING = [
     "streaming_chained_windows",
 ]
 
+#: The ONLY registry names not in the headline medians, name -> reason.
+#: Everything else collect_registry() returns IS benched — a new query
+#: lands in BENCH_r{N} automatically the moment it is registered
+#: (round-3 verdict item 1: the hand-maintained list silently dropped
+#: 59 batch queries). n_queries reconciles as n_registry - n_excluded.
+EXCLUDED: dict[str, str] = {
+    name: "streaming drain (source-landing + state-flush cost class) — "
+    "measured once in the dedicated streaming section"
+    for name in STREAMING
+}
+
+
+def headline_names(registry: dict) -> list[str]:
+    """registry minus EXCLUDED, PRIORITY names first, rest sorted."""
+    gone = sorted(set(EXCLUDED) - set(registry))
+    assert not gone, f"EXCLUDED names no longer in registry: {gone}"
+    prio = [n for n in PRIORITY if n in registry and n not in EXCLUDED]
+    rest = sorted(set(registry) - set(EXCLUDED) - set(prio))
+    names = prio + rest
+    assert len(names) == len(registry) - len(EXCLUDED)
+    return names
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -429,34 +456,48 @@ def main() -> None:
     # report per-query MEDIANS. Two passes are UNCONDITIONAL (a single-pass
     # artifact is a noisy ceiling, not a median — the round-2 lesson); the
     # budget only gates the third.
-    budget = float(os.environ.get("BENCH_BUDGET_SEC", "900"))
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "1500"))
     max_passes = int(os.environ.get("BENCH_REPEATS", "3"))
     spark = get_spark(app_name="candyspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = collect_registry()
-    names = [n for n in HEADLINE if n in registry] + [
-        n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n in registry
-    ]
+    names = headline_names(registry)
 
     # Warm up the JVM/codegen path once so per-query times measure the plans.
     registry[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    def run_one(name: str) -> float:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        dt = time.perf_counter() - t0
+        samples[name].append(dt)
+        return dt
 
     t_start = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in names}
     passes = 0
     for _ in range(max_passes):
-        pass_cost = 0.0
-        for name in names:
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            dt = time.perf_counter() - t0
-            samples[name].append(dt)
-            pass_cost += dt
+        pass_cost = sum(map(run_one, names))
         passes += 1
         if passes >= 2 and time.perf_counter() - t_start + pass_cost > budget:
             break  # a further full pass would blow the time budget
+
+    # Heavy-tail third sample (round-3 verdict item 2): a loaded host
+    # window can poison BOTH full passes of a slow query (observed:
+    # dedup_minhash recorded 5.54 s vs a 2.68 s standalone median). The
+    # slowest queries get one more reading so the median has an
+    # out-of-window vote; per-query MIN is recorded for all.
+    tail = [n for n in names if _median(samples[n]) >= 1.0]
+    tail.sort(key=lambda n: _median(samples[n]), reverse=True)
+    tail_sampled = 0
+    for name in tail[:60]:
+        est = min(samples[name]) * 1.5
+        if time.perf_counter() - t_start + est > budget:
+            break
+        run_one(name)
+        tail_sampled += 1
 
     # streaming section: one drain each (the drains are dominated by fixed
     # landing/flush cost, not data volume — a single reading tracks the
@@ -472,19 +513,29 @@ def main() -> None:
         streaming[name] = round(time.perf_counter() - t0, 3)
 
     times = {n: round(_median(samples[n]), 3) for n in names}
+    mins = {n: round(min(samples[n]), 3) for n in names}
     total = round(sum(times.values()), 3)
+    total_min = round(sum(mins.values()), 3)
     result = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
+        # per-query best-of-passes: the host-load-free floor — when a
+        # median and its min disagree by >1.5x, trust the min (this
+        # host's documented +/-30-100% load swings; round-3 verdict)
+        "queries_min": mins,
         "sf": sf,
         # the headline set grows every round (BASELINE.md records each
         # step); the per-query (median-of-passes) mean is the
         # suite-size-normalized number to compare across rounds.
         "n_queries": len(times),
+        "n_registry": len(registry),
+        "n_excluded": len(EXCLUDED),
         "sec_per_query": round(total / len(times), 3),
+        "sec_per_query_min": round(total_min / len(times), 3),
         "passes": passes,
+        "tail_resampled": tail_sampled,
         "streaming": streaming,
         "streaming_sec": round(sum(streaming.values()), 3),
     }
@@ -498,7 +549,7 @@ def main() -> None:
     # LAST line: the same object with "queries" truncated (in HEADLINE
     # priority order) so one complete parseable JSON line fits the
     # driver's tail window
-    head = {k: v for k, v in result.items() if k != "queries"}
+    head = {k: v for k, v in result.items() if k not in ("queries", "queries_min")}
     shown: dict[str, float] = {}
     used = len(json.dumps({**head, "queries_omitted": len(times)})) + len(
         '"queries":{},'
