@@ -416,6 +416,7 @@ STREAMING = [
     "streaming_dedup_watermark",
     "streaming_interval_join",
     "streaming_left_join",
+    "streaming_full_outer_join",
     "streaming_enrich",
     "streaming_session",
     "streaming_upsert",

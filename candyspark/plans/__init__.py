@@ -31,6 +31,9 @@ ROUND4_WINDOW = [
     "robust_stats_approx",
     "quantile_normalize_approx",
     "distribution_distance_approx",
+    # new round-4 operators
+    "bucketed_join_no_shuffle",
+    "streaming_full_outer_join",
     # oracle-expression-tree fixes this round (ADVICE items 1-2)
     "cox_ph",
     "distance_correlation",

@@ -1442,6 +1442,80 @@ WHERE c.event_type = 'click'
 """
 
 
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join drained availableNow and checked
+    against the identical batch FULL JOIN in DuckDB: matched pairs, the
+    null-padded click tail (clicks that never errored), AND the
+    null-padded error tail (errors no click explains) — both tails are
+    watermark-driven, so the source carries the same far-future
+    sentinels as the left join (one per side) to push the final
+    watermark past every real event before the closing no-data batch.
+    Sentinels (user_id −1) are filtered from both sides of the result.
+    Completes the stream-stream join family: inner (interval), left
+    outer, full outer.
+    """
+    import tempfile
+    import uuid
+
+    from candyspark.streaming.stream import (
+        read_events_stream,
+        run_append,
+        streaming_full_outer_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sentinels = events.sparkSession.createDataFrame(
+        [(-1, "click"), (-2, "error")], "event_id long, event_type string"
+    ).select(
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    max_ts = events.agg(F.max("ts").alias("m"))
+    sentinels = sentinels.crossJoin(F.broadcast(max_ts)).select(
+        "event_id",
+        (F.col("m") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    src = _land_once(spark, events.unionByName(sentinels), n_files=8)
+    stream = read_events_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    errors = stream.filter(F.col("event_type") == "error")
+    name = f"stream_fojoin_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="candyspark_stream_ckpt_")
+    run_append(streaming_full_outer_join(clicks, errors), ckpt, query_name=name)
+    return (
+        spark.table(name)
+        .filter(F.coalesce(F.col("c_user"), F.col("e_user")) >= 0)
+        .select(
+            F.coalesce(F.col("c_user"), F.col("e_user")).alias("user"),
+            "click_ts",
+            "click_id",
+            "error_ts",
+            "error_id",
+        )
+    )
+
+
+STREAMING_FULL_OUTER_JOIN_SQL = """
+SELECT COALESCE(c.user_id, e.user_id) AS user,
+       c.ts AS click_ts,
+       c.event_id AS click_id,
+       e.ts AS error_ts,
+       e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization run through Structured Streaming
     (session_window + watermark, the merging-state operator) and checked
@@ -1993,6 +2067,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
     "streaming_left_join": QuerySpec(q_streaming_left_join, STREAMING_LEFT_JOIN_SQL),
+    "streaming_full_outer_join": QuerySpec(
+        q_streaming_full_outer_join, STREAMING_FULL_OUTER_JOIN_SQL
+    ),
     "streaming_enrich": QuerySpec(q_streaming_enrich, STREAMING_ENRICH_SQL),
     "streaming_session": QuerySpec(q_streaming_session, EVENTS_SESSION_SQL),
     "format_roundtrip": QuerySpec(q_format_roundtrip, FORMAT_ROUNDTRIP_SQL),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from candyspark.functions.numeric import money, snap_round
+from candyspark.functions.numeric import money, rate, round2, snap_round
 from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
@@ -1055,4 +1055,83 @@ ORDER BY rank
 
 REGISTRY["mi_feature_ranking"] = QuerySpec(
     q_mi_feature_ranking, MI_FEATURE_RANKING_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — the shuffle-free fact-fact join layout
+# ---------------------------------------------------------------------------
+
+
+def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with ZERO join-side shuffle via bucketed layout —
+    the storage decision that makes a 100-TB lineitem ⨝ orders join
+    tractable: both tables are written ``bucketBy(8, key).sortBy(key)``
+    into managed tables, so Spark's SortMergeJoin reads co-located,
+    pre-sorted buckets and plans NO Exchange (and no Sort) on either
+    side. At cluster scale this converts the single most expensive
+    shuffle in the schema into a local merge per bucket pair.
+
+    The query then aggregates bucketed-join revenue per order priority —
+    one post-join hash aggregate is the only exchange in the whole plan
+    (asserted by tests/test_round5_ops.py::test_bucketed_join_plan and
+    the committed plan budget). The merge hint pins SMJ so the
+    demonstration doesn't silently degrade to a broadcast join at small
+    SF. Tables are re-bucketed per call (idempotent overwrite into the
+    session warehouse) — at 100 TB the write is a one-time layout cost
+    amortized over every downstream co-located join; reruns here keep
+    the query self-contained for the driver.
+
+    SURVEY §4.3 names bucketing as the layout decision Catalyst can't
+    make for you; this is that decision, executed and plan-verified.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # sanitized per-SF table names: bucket layout is a property of the
+    # stored table, so each SF gets its own pair
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    # a fresh session can inherit a stale warehouse directory without the
+    # catalog entry (LOCATION_ALREADY_EXISTS) — drop both table and files
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(lt)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable(ot)
+    lib, ob = spark.table(lt), spark.table(ot)
+    rev = money("l_extendedprice") * rate(1 - F.col("l_discount"))
+    return (
+        lib.hint("merge")
+        .join(ob.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            round2(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+REGISTRY["bucketed_join_no_shuffle"] = QuerySpec(
+    q_bucketed_join_no_shuffle, BUCKETED_JOIN_SQL
 )

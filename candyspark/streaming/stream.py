@@ -160,6 +160,37 @@ def streaming_left_join(
     )
 
 
+def streaming_full_outer_join(
+    clicks: DataFrame, errors: DataFrame, horizon: str = "INTERVAL 1 HOUR"
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: every click with its in-horizon
+    errors, every unmatched click null-padded once the watermark clears
+    its horizon (the left tail), AND every error that followed no click
+    null-padded once the watermark proves no click can still arrive (the
+    right tail) — the complete reconciliation view an operational
+    pipeline needs when BOTH sides can be orphans (clicks that never
+    errored, errors with no attributable click). State and eviction
+    bound exactly as the left join; only the emission set differs.
+
+    Batch twin / oracle: the identical FULL JOIN over static frames.
+    """
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = errors.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    return c.join(
+        e,
+        F.expr(
+            f"c_user = e_user AND error_ts BETWEEN click_ts AND click_ts + {horizon}"
+        ),
+        "fullOuter",
+    )
+
+
 def streaming_static_enrich(stream: DataFrame, static_dim: DataFrame, keys: list[str]) -> DataFrame:
     """Stream-static equi-join: enrich each streaming row with a static
     (batch-computed) dimension. Stateless on the stream side — no watermark

@@ -153,3 +153,38 @@ def test_semantic_dedup_quantizer_balance_holds_as_n_grows(spark):
         stats[sf] = (n, ss)
     (n1, ss1), (n2, ss2) = stats["sf0.01"], stats["sf0.1"]
     assert ss2 / ss1 <= 1.2 * (n2 / n1) ** 1.5
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_plan_has_no_join_side_exchange(spark):
+    """The point of the bucketed layout: the SortMergeJoin consumes the
+    bucketed scans DIRECTLY — any Exchange below the join means the
+    co-location failed and the fact-fact shuffle is back."""
+    import contextlib
+    import io
+
+    df = REGISTRY["bucketed_join_no_shuffle"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # walk the numbered operator tree: no Exchange may appear at or below
+    # the join operator's subtree — equivalently, the join id must be
+    # SMALLER than every Exchange id (formatted plans number bottom-up
+    # within the tree printed above the details section)
+    tree = plan.split("\n\n")[0]
+    join_depth = min(
+        len(ln) - len(ln.lstrip())
+        for ln in tree.splitlines()
+        if "SortMergeJoin" in ln
+    )
+    for ln in tree.splitlines():
+        if "Exchange" in ln:
+            depth = len(ln) - len(ln.lstrip())
+            assert depth < join_depth, f"Exchange below the join:\n{tree}"
