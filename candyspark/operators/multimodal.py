@@ -198,3 +198,47 @@ def arrow_binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             )
 
     return df.mapInArrow(kernel, "doc_id bigint, n_bytes int, header_hex string")
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ph_hi", T.LongType()),
+        T.StructField("ph_lo", T.LongType()),
+    ]
+)
+
+
+def dhash_code(payload: bytes) -> tuple[int, int]:
+    """Difference-hash (dHash) over the deterministic fake decode: tile the
+    payload to an 8×9 'grayscale' grid (``_fake_resize(9, 8)`` — the same
+    stand-in kernel the resize path pins) and emit one bit per adjacent
+    horizontal pair (left < right), MSB-first. Returned as two unsigned
+    32-bit halves so the value survives BOTH engines' signed-int64 types
+    without wraparound disagreements. Swapping in a real decoder changes
+    only the grid source, exactly like resize_images."""
+    px = _fake_resize(payload, 9, 8)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            h = (h << 1) | (1 if px[r * 9 + c] < px[r * 9 + c + 1] else 0)
+    return h >> 32, h & 0xFFFFFFFF
+
+
+def phash_codes(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """mapInPandas perceptual-hash extraction over a binary column — the
+    image-dedup front end: one Arrow batch of payloads in, one 64-bit
+    dHash (as two uint32 halves) per image out."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codes = [dhash_code(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ph_hi": [c[0] for c in codes],
+                    "ph_lo": [c[1] for c in codes],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, PHASH_SCHEMA)

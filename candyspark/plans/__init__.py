@@ -34,6 +34,11 @@ ROUND4_WINDOW = [
     # new round-4 operators
     "bucketed_join_no_shuffle",
     "streaming_full_outer_join",
+    "multimodal_phash_dedup",
+    "anderson_darling",
+    "cramer_von_mises",
+    "vif_collinearity",
+    "breusch_pagan",
     # oracle-expression-tree fixes this round (ADVICE items 1-2)
     "cox_ph",
     "distance_correlation",

@@ -753,6 +753,109 @@ FROM documents
 """
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the image modality —
+    the visual twin of simhash/minhash text dedup: decode each payload
+    (the deterministic fake-decode grid; a real decoder swaps in per
+    operators/multimodal.dhash_code), dHash it to 64 bits, band the hash
+    4×16 bits, self-join on (band, value), and verify candidates at
+    Hamming ≤ 3.
+
+    The threshold is chosen AT the banding guarantee: two hashes within
+    Hamming 3 differ in at most 3 of the 4 bands (pigeonhole), so the
+    band join has EXACT recall — the oracle can run the all-pairs
+    comparison and the banded plan must reproduce it bit-for-bit, pair
+    for pair. At corpus scale the band join touches only colliding
+    buckets (the minhash-LSH posture); all-pairs exists only in the
+    oracle. Hamming distance is computed on the two unsigned-32-bit
+    halves (bit_count over XOR), which both engines agree on exactly —
+    the full 64-bit code would wrap signed int64."""
+    from candyspark.operators.multimodal import phash_codes
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    ph = phash_codes(d, "doc_id", "payload").localCheckpoint()
+    bands = ph.select(
+        "doc_id",
+        "ph_hi",
+        "ph_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("b"), F.shiftright("ph_hi", 16).alias("v")
+                ),
+                F.struct(
+                    F.lit(1).alias("b"),
+                    F.col("ph_hi").bitwiseAND(F.lit(65535)).alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("b"), F.shiftright("ph_lo", 16).alias("v")
+                ),
+                F.struct(
+                    F.lit(3).alias("b"),
+                    F.col("ph_lo").bitwiseAND(F.lit(65535)).alias("v"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "ph_hi", "ph_lo", "band.b", "band.v")
+    a = bands.select(
+        F.col("b"),
+        F.col("v"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("ph_hi").alias("hi_a"),
+        F.col("ph_lo").alias("lo_a"),
+    )
+    b = bands.select(
+        F.col("b"),
+        F.col("v"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ph_hi").alias("hi_b"),
+        F.col("ph_lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        a.join(b, ["b", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MULTIMODAL_PHASH_DEDUP_SQL = """
+WITH px AS (
+    SELECT doc_id,
+           list_transform(range(1, 73),
+               i -> ascii(substr(text,
+                    CAST((i - 1) % GREATEST(length(text), 1) AS INT) + 1, 1)))
+               AS p
+    FROM documents
+),
+ph AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN p[CAST(j // 8 AS INT) * 9 + (j % 8) + 1]
+                       < p[CAST(j // 8 AS INT) * 9 + (j % 8) + 2]
+                    THEN CAST(POWER(2, 31 - j) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS ph_hi,
+           CAST(list_sum(list_transform(range(32, 64), j ->
+               CASE WHEN p[CAST(j // 8 AS INT) * 9 + (j % 8) + 1]
+                       < p[CAST(j // 8 AS INT) * 9 + (j % 8) + 2]
+                    THEN CAST(POWER(2, 63 - j) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS ph_lo
+    FROM px
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph_hi, b.ph_hi))
+            + bit_count(xor(a.ph_lo, b.ph_lo)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- event-time windows -----------------------------------------------------
 
 
@@ -2048,6 +2151,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "similarity_ivf": QuerySpec(q_similarity_ivf, SIMILARITY_IVF_SQL),
     "semantic_dedup": QuerySpec(q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "multimodal_metadata": QuerySpec(q_multimodal_metadata, MULTIMODAL_METADATA_SQL),
+    "multimodal_phash_dedup": QuerySpec(
+        q_multimodal_phash_dedup, MULTIMODAL_PHASH_DEDUP_SQL
+    ),
     "events_tumbling": QuerySpec(q_events_tumbling, EVENTS_TUMBLING_SQL),
     "events_sliding": QuerySpec(q_events_sliding, EVENTS_SLIDING_SQL),
     "events_session": QuerySpec(q_events_session, EVENTS_SESSION_SQL),

@@ -2330,3 +2330,381 @@ ORDER BY decile
 """
 
 REGISTRY["decile_lift"] = QuerySpec(q_decile_lift, DECILE_LIFT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Variance inflation factors (multicollinearity diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the lineitem regressor trio (price,
+    discount×100, quantity) — the diagnostic that tells an ols_price_model
+    user whether its coefficient variances are inflated by correlated
+    regressors. For 3 variables each VIF has the closed correlation form
+    VIF_j = (1 − r_kl²) / det(R) with det(R) = 1 − r12² − r13² − r23² +
+    2·r12·r13·r23 — so the whole diagnostic is ONE map-side-combined
+    moment aggregate (the correlation_matrix power sums) plus constant
+    scalar algebra; no per-j auxiliary regressions, no second pass.
+
+    Exactness: power sums in exact DECIMAL (inputs are bounded-precision
+    decimals); every r_ij snaps at 8 dp before entering the determinant,
+    so both engines run identical double algebra on identical inputs.
+    At 100 TB: one aggregate, one row out — scan-speed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_extendedprice").cast("decimal(12,2)")
+    x2 = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("decimal(8,2)")
+    x3 = F.col("l_quantity").cast("decimal(12,2)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x3).cast("double").alias("s3"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x3 * x3).cast("double").alias("s33"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x1 * x3).cast("double").alias("s13"),
+        F.sum(x2 * x3).cast("double").alias("s23"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sij, si, sj, sii, sjj):
+        num = n * sij - si * sj
+        den = F.sqrt(n * sii - si * si) * F.sqrt(n * sjj - sj * sj)
+        return X.snap_round(F.when(den > 0, num / den), 8)
+
+    r12 = corr(F.col("s12"), F.col("s1"), F.col("s2"), F.col("s11"), F.col("s22"))
+    r13 = corr(F.col("s13"), F.col("s1"), F.col("s3"), F.col("s11"), F.col("s33"))
+    r23 = corr(F.col("s23"), F.col("s2"), F.col("s3"), F.col("s22"), F.col("s33"))
+    det = (
+        1.0
+        - r12 * r12
+        - r13 * r13
+        - r23 * r23
+        + 2.0 * r12 * r13 * r23
+    )
+    vif1 = F.when(det > 0, (1.0 - r23 * r23) / det)
+    vif2 = F.when(det > 0, (1.0 - r13 * r13) / det)
+    vif3 = F.when(det > 0, (1.0 - r12 * r12) / det)
+    return sums.select(
+        F.col("n").cast("long").alias("n_rows"),
+        r12.alias("r_price_discount"),
+        r13.alias("r_price_quantity"),
+        r23.alias("r_discount_quantity"),
+        X.snap_round(vif1, 6).alias("vif_price"),
+        X.snap_round(vif2, 6).alias("vif_discount"),
+        X.snap_round(vif3, 6).alias("vif_quantity"),
+        (
+            F.greatest(X.snap_round(vif1, 6), X.snap_round(vif2, 6), X.snap_round(vif3, 6))
+            > 5.0
+        ).alias("collinear"),
+    )
+
+
+VIF_COLLINEARITY_SQL = """
+WITH sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(x3) AS DOUBLE) AS s3,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+           CAST(SUM(x3 * x3) AS DOUBLE) AS s33,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+           CAST(SUM(x1 * x3) AS DOUBLE) AS s13,
+           CAST(SUM(x2 * x3) AS DOUBLE) AS s23
+    FROM (
+        SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS DECIMAL(8,2)) AS x2,
+               CAST(l_quantity AS DECIMAL(12,2)) AS x3
+        FROM lineitem
+    )
+),
+corrs AS (
+    SELECT n,
+           CAST(ROUND(CAST(CASE WHEN SQRT(CAST(n AS DOUBLE) * s11 - s1 * s1)
+                    * SQRT(CAST(n AS DOUBLE) * s22 - s2 * s2) > 0
+               THEN (CAST(n AS DOUBLE) * s12 - s1 * s2)
+                    / (SQRT(CAST(n AS DOUBLE) * s11 - s1 * s1)
+                       * SQRT(CAST(n AS DOUBLE) * s22 - s2 * s2)) END
+               AS DECIMAL(28,8)), 8) AS DOUBLE) AS r12,
+           CAST(ROUND(CAST(CASE WHEN SQRT(CAST(n AS DOUBLE) * s11 - s1 * s1)
+                    * SQRT(CAST(n AS DOUBLE) * s33 - s3 * s3) > 0
+               THEN (CAST(n AS DOUBLE) * s13 - s1 * s3)
+                    / (SQRT(CAST(n AS DOUBLE) * s11 - s1 * s1)
+                       * SQRT(CAST(n AS DOUBLE) * s33 - s3 * s3)) END
+               AS DECIMAL(28,8)), 8) AS DOUBLE) AS r13,
+           CAST(ROUND(CAST(CASE WHEN SQRT(CAST(n AS DOUBLE) * s22 - s2 * s2)
+                    * SQRT(CAST(n AS DOUBLE) * s33 - s3 * s3) > 0
+               THEN (CAST(n AS DOUBLE) * s23 - s2 * s3)
+                    / (SQRT(CAST(n AS DOUBLE) * s22 - s2 * s2)
+                       * SQRT(CAST(n AS DOUBLE) * s33 - s3 * s3)) END
+               AS DECIMAL(28,8)), 8) AS DOUBLE) AS r23
+    FROM sums
+),
+dets AS (
+    SELECT n, r12, r13, r23,
+           1.0 - r12 * r12 - r13 * r13 - r23 * r23
+               + 2.0 * r12 * r13 * r23 AS det
+    FROM corrs
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       r12 AS r_price_discount,
+       r13 AS r_price_quantity,
+       r23 AS r_discount_quantity,
+       CAST(ROUND(CAST(CASE WHEN det > 0 THEN (1.0 - r23 * r23) / det END
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS vif_price,
+       CAST(ROUND(CAST(CASE WHEN det > 0 THEN (1.0 - r13 * r13) / det END
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS vif_discount,
+       CAST(ROUND(CAST(CASE WHEN det > 0 THEN (1.0 - r12 * r12) / det END
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS vif_quantity,
+       GREATEST(
+           CAST(ROUND(CAST(CASE WHEN det > 0 THEN (1.0 - r23 * r23) / det END
+                AS DECIMAL(28,8)), 6) AS DOUBLE),
+           CAST(ROUND(CAST(CASE WHEN det > 0 THEN (1.0 - r13 * r13) / det END
+                AS DECIMAL(28,8)), 6) AS DOUBLE),
+           CAST(ROUND(CAST(CASE WHEN det > 0 THEN (1.0 - r12 * r12) / det END
+                AS DECIMAL(28,8)), 6) AS DOUBLE)) > 5.0 AS collinear
+FROM dets
+"""
+
+REGISTRY["vif_collinearity"] = QuerySpec(q_vif_collinearity, VIF_COLLINEARITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity test on the price model
+# ---------------------------------------------------------------------------
+
+
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan LM test on ols_price_model's regression: do the
+    squared residuals move with the regressors? Heteroskedasticity makes
+    the OLS standard errors (and every CI built on them) wrong — this is
+    the diagnostic that says whether the model's error variance is
+    price/discount-dependent.
+
+    Two fact passes, both map-side-combined single aggregates:
+    pass 1 re-derives the closed-form coefficients (the ols_price_model
+    Cramer solve), each snapped at 8 dp so both engines broadcast
+    IDENTICAL doubles; pass 2 forms per-row residuals against the
+    broadcast b, snaps e at 4 dp, and aggregates the auxiliary moments
+    of u = round(e², 4) in exact DECIMAL (the 4-dp quantization is part
+    of the statistic's definition here — deterministic across engines
+    by construction). The auxiliary R² of u ~ (1, x1, x2) is the same
+    Cramer algebra; LM = n·R² gates on the χ²(2) α=0.05 critical 5.991.
+
+    At 100 TB: two scans, two 1-row aggregates, zero driver round trips
+    beyond the plan itself.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_extendedprice").cast("decimal(12,2)")
+    x2 = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("decimal(8,2)")
+    y = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(14,4)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    betas = sums.select(
+        X.snap_round(F.when(det != 0, det0 / det), 8).alias("b0"),
+        X.snap_round(F.when(det != 0, det1 / det), 8).alias("b1"),
+        X.snap_round(F.when(det != 0, det2 / det), 8).alias("b2"),
+    )
+    e = (
+        y.cast("double")
+        - F.col("b0")
+        - F.col("b1") * x1.cast("double")
+        - F.col("b2") * x2.cast("double")
+    )
+    e4 = F.round(e.cast("decimal(28,8)"), 4).cast("decimal(18,4)")
+    u = F.round((e4 * e4).cast("decimal(37,8)"), 4).cast("decimal(18,4)")
+    aux = li.crossJoin(F.broadcast(betas)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(u).cast("double").alias("su"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(u * x1).cast("double").alias("su1"),
+        F.sum(u * x2).cast("double").alias("su2"),
+        F.sum(u * u).cast("double").alias("suu"),
+    )
+    su, su1, su2, suu = F.col("su"), F.col("su1"), F.col("su2"), F.col("suu")
+    adet = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    adet0 = (
+        su * (s11 * s22 - s12 * s12)
+        - s1 * (su1 * s22 - s12 * su2)
+        + s2 * (su1 * s12 - s11 * su2)
+    )
+    adet1 = (
+        n * (su1 * s22 - s12 * su2)
+        - su * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * su2 - su1 * s2)
+    )
+    adet2 = (
+        n * (s11 * su2 - su1 * s12)
+        - s1 * (s1 * su2 - su1 * s2)
+        + su * (s1 * s12 - s11 * s2)
+    )
+    a0 = F.when(adet != 0, adet0 / adet)
+    a1 = F.when(adet != 0, adet1 / adet)
+    a2c = F.when(adet != 0, adet2 / adet)
+    sse = suu - a0 * su - a1 * su1 - a2c * su2
+    sst = suu - su * su / n
+    r2 = F.when(sst > 0, 1.0 - sse / sst)
+    lm = X.snap_round(n * r2, 4)
+    return aux.select(
+        F.col("n").cast("long").alias("n_rows"),
+        lm.alias("lm_stat"),
+        (lm > 5.991).alias("heteroskedastic"),
+    )
+
+
+BREUSCH_PAGAN_SQL = """
+WITH rows_ AS (
+    SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x1,
+           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS DECIMAL(8,2)) AS x2,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS y
+    FROM lineitem
+),
+sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+           CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+           CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+    FROM rows_
+),
+betas AS (
+    SELECT
+      CAST(ROUND(CAST(CASE WHEN det != 0 THEN det0 / det END
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS b0,
+      CAST(ROUND(CAST(CASE WHEN det != 0 THEN det1 / det END
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS b1,
+      CAST(ROUND(CAST(CASE WHEN det != 0 THEN det2 / det END
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS b2
+    FROM (
+        SELECT
+          CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM sums
+    )
+),
+resid AS (
+    SELECT x1, x2,
+           CAST(ROUND(CAST(
+               CAST(e4 AS DECIMAL(18,4)) * CAST(e4 AS DECIMAL(18,4))
+               AS DECIMAL(37,8)), 4) AS DECIMAL(18,4)) AS u
+    FROM (
+        SELECT x1, x2,
+               CAST(ROUND(CAST(CAST(y AS DOUBLE) - b0
+                    - b1 * CAST(x1 AS DOUBLE) - b2 * CAST(x2 AS DOUBLE)
+                    AS DECIMAL(28,8)), 4) AS DECIMAL(18,4)) AS e4
+        FROM rows_ CROSS JOIN betas
+    )
+),
+aux AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(u) AS DOUBLE) AS su,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+           CAST(SUM(u * x1) AS DOUBLE) AS su1,
+           CAST(SUM(u * x2) AS DOUBLE) AS su2,
+           CAST(SUM(CAST(u AS DECIMAL(19,4)) * CAST(u AS DECIMAL(19,4)))
+                AS DOUBLE) AS suu
+    FROM resid
+),
+solved AS (
+    SELECT n, su, su1, su2, suu,
+           CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS adet,
+           su * (s11 * s22 - s12 * s12)
+             - s1 * (su1 * s22 - s12 * su2)
+             + s2 * (su1 * s12 - s11 * su2) AS adet0,
+           CAST(n AS DOUBLE) * (su1 * s22 - s12 * su2)
+             - su * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * su2 - su1 * s2) AS adet1,
+           CAST(n AS DOUBLE) * (s11 * su2 - su1 * s12)
+             - s1 * (s1 * su2 - su1 * s2)
+             + su * (s1 * s12 - s11 * s2) AS adet2
+    FROM aux
+),
+stat AS (
+    SELECT n,
+           CAST(ROUND(CAST(CASE WHEN sst > 0
+                THEN CAST(n AS DOUBLE) * (1.0 - sse / sst) END
+                AS DECIMAL(28,8)), 4) AS DOUBLE) AS lm
+    FROM (
+        SELECT n, suu - a0 * su - a1 * su1 - a2 * su2 AS sse,
+               suu - su * su / CAST(n AS DOUBLE) AS sst
+        FROM (
+            SELECT n, su, su1, su2, suu,
+                   CASE WHEN adet != 0 THEN adet0 / adet END AS a0,
+                   CASE WHEN adet != 0 THEN adet1 / adet END AS a1,
+                   CASE WHEN adet != 0 THEN adet2 / adet END AS a2
+            FROM solved
+        )
+    )
+)
+SELECT CAST(n AS BIGINT) AS n_rows, lm AS lm_stat,
+       lm > 5.991 AS heteroskedastic
+FROM stat
+"""
+
+REGISTRY["breusch_pagan"] = QuerySpec(q_breusch_pagan, BREUSCH_PAGAN_SQL)

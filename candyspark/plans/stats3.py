@@ -1921,3 +1921,239 @@ FROM p{_BT_ROUNDS} p JOIN wins w ON p.a = w.a
 )
 
 REGISTRY["bradley_terry"] = QuerySpec(q_bradley_terry, BRADLEY_TERRY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling (tail-weighted CDF equality)
+# ---------------------------------------------------------------------------
+
+
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling on returned-vs-kept discount
+    distributions — the tail-sensitive companion to ks_test (KS weighs
+    the CDF supremum, AD integrates the squared gap with 1/(H(1-H))
+    weighting, so divergence in the tails — exactly where pricing abuse
+    lives — counts hardest).
+
+    Pettitt's discrete two-sample form over the pooled ECDF:
+
+        A² = Σ_j  l_j · (ca_j·n_b − cb_j·n_a)² / (n_a·n_b·B_j·(N−B_j))
+
+    over distinct values j with pooled cumulative B_j < N. Every factor
+    is an exact integer from the same ≤11-row bounded-support aggregate
+    ks_test rides; each per-value term is snapped at 8 dp and summed in
+    exact DECIMAL (the cox/raking round discipline), so both engines add
+    identical addends in any order. Significance gates on the asymptotic
+    α=0.05 critical value 2.492 (same limiting law as one-sample AD) —
+    documented asymptotic, no CDF series needed.
+
+    At 100 TB: one map-side-combined aggregate to ≤11 rows, then
+    constant-size algebra — identical posture to ks_test.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        (F.col("na_v") + F.col("nb_v")).alias("l"),
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    totals = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    # square in DECIMAL: the gap x fits int64 at any SF but x² wraps it
+    # past sf0.1 (x ~ 2e10 at 600k rows)
+    x = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(
+        "decimal(19,0)"
+    )
+    big = F.col("l").cast("decimal(38,0)") * (x * x).cast("decimal(38,0)")
+    den = (
+        (F.col("n_a") * F.col("n_b")).cast("decimal(38,0)")
+        * (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+        * (F.col("n_a") + F.col("n_b") - F.col("ca") - F.col("cb")).cast(
+            "decimal(38,0)"
+        )
+    )
+    term = F.round(
+        (big.cast("double") / den.cast("double")).cast("decimal(28,8)"), 8
+    ).cast("decimal(28,8)")
+    a2 = (
+        cums.crossJoin(F.broadcast(totals))
+        .filter(F.col("ca") + F.col("cb") < F.col("n_a") + F.col("n_b"))
+        .groupBy("n_a", "n_b")
+        .agg(F.sum(term).cast("double").alias("a2_raw"))
+    )
+    return a2.select(
+        "n_a",
+        "n_b",
+        snap_round(F.col("a2_raw"), 6).alias("a2"),
+        (snap_round(F.col("a2_raw"), 6) > 2.492).alias("significant"),
+    )
+
+
+ANDERSON_DARLING_SQL = """
+WITH per_v AS (
+    SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM lineitem
+    GROUP BY 1
+),
+cums AS (
+    SELECT na_v + nb_v AS l,
+           SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+    FROM per_v
+),
+totals AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b
+    FROM per_v
+),
+a2 AS (
+    SELECT n_a, n_b,
+           CAST(SUM(CAST(ROUND(CAST(
+               CAST(CAST(l AS HUGEINT)
+                    * CAST((ca * n_b - cb * n_a) AS HUGEINT)
+                    * CAST((ca * n_b - cb * n_a) AS HUGEINT) AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                      * CAST(ca + cb AS HUGEINT)
+                      * CAST(n_a + n_b - ca - cb AS HUGEINT) AS DOUBLE)
+               AS DECIMAL(28,8)), 8) AS DECIMAL(28,8))) AS DOUBLE) AS a2_raw
+    FROM cums CROSS JOIN totals
+    WHERE ca + cb < n_a + n_b
+    GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(a2_raw AS DECIMAL(28,8)), 6) AS DOUBLE) AS a2,
+       CAST(ROUND(CAST(a2_raw AS DECIMAL(28,8)), 6) AS DOUBLE) > 2.492
+           AS significant
+FROM a2
+"""
+
+REGISTRY["anderson_darling"] = QuerySpec(q_anderson_darling, ANDERSON_DARLING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér-von Mises (integrated squared CDF gap)
+# ---------------------------------------------------------------------------
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises on the same returned-vs-kept discount
+    split: Anderson's T = (n_a·n_b/N²)·Σ_j l_j·(F_A(v_j) − F_B(v_j))² —
+    the body-weighted sum of the squared ECDF gap over the pooled
+    sample, completing the CDF trio (KS: supremum; AD: tail-weighted;
+    CvM: uniform weight). E[T] under H0 is (N+1)/(6N) ≈ 1/6 and T
+    diverges linearly under a fixed alternative.
+
+    Exact-integer assembly: T·N²·n_a·n_b = Σ_j l_j·(ca_j·n_b − cb_j·n_a)²
+    — ONE integer per distinct value, summed exactly in DECIMAL(38,0)
+    (bounded support keeps the sum ≤ ~N⁵ ≈ 10³⁸ far beyond any driver
+    SF; the cents-rescale note of distance_correlation applies past
+    that). One double division at the end, snapped. Significance gates
+    on the asymptotic α=0.05 critical value 0.461 of the limiting ω²
+    law (documented asymptotic — the Bessel series adds nothing at
+    these n).
+
+    At 100 TB: identical posture to ks_test/anderson_darling — one
+    ≤11-row aggregate, constant algebra after.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        (F.col("na_v") + F.col("nb_v")).alias("l"),
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    totals = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    # square in DECIMAL (same int64-wrap hazard as anderson_darling)
+    x = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(
+        "decimal(19,0)"
+    )
+    num = (
+        cums.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(F.col("l").cast("decimal(38,0)") * (x * x).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    t = F.col("num").cast("double") / (
+        n_tot * n_tot * F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return num.select(
+        "n_a",
+        "n_b",
+        snap_round(t, 6).alias("t_stat"),
+        (snap_round(t, 6) > 0.461).alias("significant"),
+    )
+
+
+CRAMER_VON_MISES_SQL = """
+WITH per_v AS (
+    SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+    FROM lineitem
+    GROUP BY 1
+),
+cums AS (
+    SELECT na_v + nb_v AS l,
+           SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+    FROM per_v
+),
+totals AS (
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b
+    FROM per_v
+),
+agg AS (
+    SELECT n_a, n_b,
+           SUM(CAST(l AS HUGEINT)
+               * CAST(ca * n_b - cb * n_a AS HUGEINT)
+               * CAST(ca * n_b - cb * n_a AS HUGEINT)) AS num
+    FROM cums CROSS JOIN totals
+    GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       CAST(ROUND(CAST(
+           CAST(num AS DOUBLE)
+           / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+              * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS t_stat,
+       CAST(ROUND(CAST(
+           CAST(num AS DOUBLE)
+           / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+              * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           AS DECIMAL(28,8)), 6) AS DOUBLE) > 0.461 AS significant
+FROM agg
+"""
+
+REGISTRY["cramer_von_mises"] = QuerySpec(q_cramer_von_mises, CRAMER_VON_MISES_SQL)

@@ -188,3 +188,182 @@ def test_bucketed_join_plan_has_no_join_side_exchange(spark):
         if "Exchange" in ln:
             depth = len(ln) - len(ln.lstrip())
             assert depth < join_depth, f"Exchange below the join:\n{tree}"
+
+
+# ---------------------------------------------------------------------------
+# fixtures (same shapes as test_round4_ops)
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _lineitem(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey long, l_suppkey long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _li_row(i, flag, qty, price, disc):
+    return (i, 1, flag, "F", float(qty), float(price), float(disc), 0.0, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_phash_finds_planted_visual_dup(spark, tmp_path):
+    """Two identical payloads hash to Hamming 0; a one-character text is a
+    constant grid (all bits 0) and must NOT pair with structured texts."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (3, "zzzzzzzzzz", "en", "s", 10),
+        (4, "completely different content here with digits 123", "en", "s", 50),
+    ]
+    sf = _documents(spark, tmp_path, rows)
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["multimodal_phash_dedup"].fn(spark, sf).collect()
+    }
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_phash_band_recall_is_exact_at_threshold(spark):
+    """Hamming <= 3 over 4x16 bands: pigeonhole guarantees one clean band,
+    so the banded join must reproduce the all-pairs answer exactly. The
+    oracle IS all-pairs; re-assert here against a brute-force recompute
+    of the kernel on real data."""
+    import itertools
+
+    from candyspark.operators.multimodal import dhash_code
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    codes = {r.doc_id: dhash_code(r.text.encode("utf-8")) for r in d}
+    expect = set()
+    for a, b in itertools.combinations(sorted(codes), 2):
+        (ha, la), (hb, lb) = codes[a], codes[b]
+        if bin(ha ^ hb).count("1") + bin(la ^ lb).count("1") <= 3:
+            expect.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["multimodal_phash_dedup"].fn(spark, SF).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# CDF-trio additions: Anderson-Darling + Cramér-von Mises
+# ---------------------------------------------------------------------------
+
+
+def _ad_cvm_reference(rows):
+    """Hand reference for both statistics on (flag, discount-cents) rows."""
+    from collections import Counter
+
+    a = Counter(v for f, v in rows if f == "R")
+    b = Counter(v for f, v in rows if f != "R")
+    na, nb = sum(a.values()), sum(b.values())
+    vals = sorted(set(a) | set(b))
+    ca = cb = 0
+    a2 = 0.0
+    cvm_num = 0
+    for v in vals:
+        l = a[v] + b[v]
+        ca += a[v]
+        cb += b[v]
+        x = ca * nb - cb * na
+        if ca + cb < na + nb:
+            a2 += round(l * x * x / (na * nb * (ca + cb) * (na + nb - ca - cb)), 8)
+        cvm_num += l * x * x
+    n = na + nb
+    return round(a2, 6), round(cvm_num / (n**2 * na * nb), 6)
+
+
+def test_ad_cvm_match_hand_reference_and_separate_shift(spark, tmp_path):
+    """A planted location shift (R discounts run 6-10, kept run 0-4) must
+    drive both statistics past their asymptotic critical values, and the
+    engine values must equal the hand-computed formulas exactly."""
+    rows = []
+    for i in range(300):
+        rows.append(_li_row(i, "R", 1, 100.0, (6 + i % 5) / 100.0))
+        rows.append(_li_row(10_000 + i, "N", 1, 100.0, (i % 5) / 100.0))
+    sf = _lineitem(spark, tmp_path, rows)
+    ad = REGISTRY["anderson_darling"].fn(spark, sf).collect()[0]
+    cvm = REGISTRY["cramer_von_mises"].fn(spark, sf).collect()[0]
+    ref_rows = [(r[2], round(r[6] * 100)) for r in rows]
+    a2_ref, t_ref = _ad_cvm_reference(ref_rows)
+    assert ad.a2 == pytest.approx(a2_ref, abs=1e-6)
+    assert cvm.t_stat == pytest.approx(t_ref, abs=1e-6)
+    assert ad.significant and cvm.significant
+
+
+def test_ad_cvm_null_on_identical_distributions(spark, tmp_path):
+    """Identical per-value proportions => both ECDFs coincide at every
+    value => A2 = T = 0 exactly, not significant."""
+    rows = []
+    for i in range(200):
+        rows.append(_li_row(i, "R", 1, 100.0, (i % 5) / 100.0))
+        rows.append(_li_row(10_000 + i, "N", 1, 100.0, (i % 5) / 100.0))
+    sf = _lineitem(spark, tmp_path, rows)
+    ad = REGISTRY["anderson_darling"].fn(spark, sf).collect()[0]
+    cvm = REGISTRY["cramer_von_mises"].fn(spark, sf).collect()[0]
+    assert ad.a2 == 0.0 and not ad.significant
+    assert cvm.t_stat == 0.0 and not cvm.significant
+
+
+# ---------------------------------------------------------------------------
+# regression diagnostics: VIF + Breusch-Pagan
+# ---------------------------------------------------------------------------
+
+
+def test_vif_flags_planted_collinearity(spark, tmp_path):
+    """quantity built as price/10 + tiny alternating noise => r13 ~ 1 =>
+    VIFs explode; independent columns stay near 1."""
+    rows = [
+        _li_row(i, "N", (100.0 + i) / 10.0 + (0.01 if i % 2 else -0.01),
+                100.0 + i, (i % 5) / 100.0)
+        for i in range(400)
+    ]
+    sf = _lineitem(spark, tmp_path, rows)
+    out = REGISTRY["vif_collinearity"].fn(spark, sf).collect()[0]
+    assert out.r_price_quantity > 0.999
+    assert out.vif_price > 100 and out.vif_quantity > 100
+    assert out.collinear
+
+
+def test_breusch_pagan_null_on_exact_linear_model(spark, tmp_path):
+    """Constant discount makes y EXACTLY linear in price => residuals are
+    pure 4-dp quantization noise (all zero) => SST = 0 => no LM signal."""
+    rows = [_li_row(i, "N", 1, 100.0 + i, 0.04) for i in range(300)]
+    sf = _lineitem(spark, tmp_path, rows)
+    out = REGISTRY["breusch_pagan"].fn(spark, sf).collect()[0]
+    assert out.lm_stat is None or out.lm_stat < 5.991
+    assert not out.heteroskedastic
+
+
+def test_breusch_pagan_fires_on_planted_heteroskedasticity(spark, tmp_path):
+    """Residual magnitude grows with price (the interaction term price x
+    discount is unmodeled and discount alternates only at high prices):
+    squared residuals correlate with x => LM > critical."""
+    rows = []
+    for i in range(600):
+        price = 100.0 + i
+        disc = 0.0 if i < 300 else (0.00 if i % 2 else 0.08)
+        rows.append(_li_row(i, "N", 1, price, disc))
+    sf = _lineitem(spark, tmp_path, rows)
+    out = REGISTRY["breusch_pagan"].fn(spark, sf).collect()[0]
+    assert out.lm_stat is not None and out.lm_stat > 5.991
+    assert out.heteroskedastic
