@@ -39,6 +39,9 @@ ROUND4_WINDOW = [
     "cramer_von_mises",
     "vif_collinearity",
     "breusch_pagan",
+    "partitioned_scan_pruning",
+    "cdc_apply",
+    "quantile_regression",
     # oracle-expression-tree fixes this round (ADVICE items 1-2)
     "cox_ph",
     "distance_correlation",

@@ -153,8 +153,81 @@ ORDER BY user_id, valid_from, event_type
 """
 
 
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered change-data-capture log with DELETE semantics —
+    the op merge_upsert/scd2_history don't cover: the events stream is
+    read as a changelog keyed on user_id (signup/view/click/purchase →
+    upsert with the event's value; error → tombstone), ordered by
+    (ts, event_id) as the total order, and folded to final state:
+    last-op-wins, so a tombstone erases the key unless a LATER upsert
+    resurrects it — exactly Debezium-style snapshot materialization.
+
+    One window over the key (rank desc by the total order) picks each
+    key's final op; tombstone-final keys drop out. n_ops ships per
+    surviving key so the fold is auditable. Scale: one shuffle on the
+    key — the same posture as latest_per_key; at 100 TB the apply runs
+    per partition of a log already bucketed by key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = log.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_ops"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+    FROM events
+),
+ranked AS (
+    SELECT user_id, ts, event_id, value, op,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+    FROM log
+)
+SELECT user_id, ts AS last_ts, value AS last_value,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND op = 'upsert'
+ORDER BY user_id
+"""
+
 REGISTRY: dict[str, QuerySpec] = {
     "merge_upsert": QuerySpec(q_merge_upsert, MERGE_UPSERT_SQL),
     "snapshot_diff": QuerySpec(q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "scd2_history": QuerySpec(q_scd2_history, SCD2_HISTORY_SQL),
+    "cdc_apply": QuerySpec(q_cdc_apply, CDC_APPLY_SQL),
 }

@@ -1135,3 +1135,65 @@ ORDER BY o_orderpriority
 REGISTRY["bucketed_join_no_shuffle"] = QuerySpec(
     q_bucketed_join_no_shuffle, BUCKETED_JOIN_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned scan — the date-partitioned layout demo
+# ---------------------------------------------------------------------------
+
+
+def q_partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned layout + partition pruning, executed end to end:
+    orders re-land partitioned by order month (``partitionBy`` — the
+    SURVEY §4.3 layout decision, like bucketing, that Catalyst can't
+    make for you), then a one-month revenue query runs against the
+    partitioned table and the scan's PartitionFilters prune every other
+    month at PLANNING time — zero I/O on 11/12ths of the data, the
+    difference between a 100-TB scan and a TB one.
+
+    The month is derived from the data (the max order date's month) so
+    the query works at any SF; pruning is asserted by
+    tests/test_round5_ops.py (PartitionFilters non-empty + partition
+    count read == 1) and the committed scan budget. The re-land is the
+    demo's setup cost; a real deployment writes the layout once at
+    ingest. Oracle: the same one-month aggregate over the unpartitioned
+    table — values must be identical, layout is pure physics."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="candyspark_part_orders_")
+    o.withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.mode("overwrite").partitionBy("order_month").parquet(out)
+    po = spark.read.parquet(out)
+    target = po.agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM").alias("m")
+    ).collect()[0].m
+    return (
+        po.filter(F.col("order_month") == target)
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(money("o_totalprice")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+PARTITIONED_SCAN_PRUNING_SQL = """
+WITH m AS (SELECT strftime(MAX(o_orderdate), '%Y-%m') AS target FROM orders)
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS revenue
+FROM orders, m
+WHERE strftime(o_orderdate, '%Y-%m') = m.target
+GROUP BY 1
+ORDER BY 1
+"""
+
+REGISTRY["partitioned_scan_pruning"] = QuerySpec(
+    q_partitioned_scan_pruning, PARTITIONED_SCAN_PRUNING_SQL
+)

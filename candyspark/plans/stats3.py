@@ -2157,3 +2157,274 @@ FROM agg
 """
 
 REGISTRY["cramer_von_mises"] = QuerySpec(q_cramer_von_mises, CRAMER_VON_MISES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Median (LAD) regression — unrolled IRLS, the quantile-regression fit
+# ---------------------------------------------------------------------------
+
+_QR_ROUNDS = 6
+
+
+def _qr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(money("o_totalprice")).cast("double").alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    return daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "d0").cast("double").alias("x"), "y"
+    )
+
+
+def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (LAD, τ=0.5) regression of daily revenue on the day index —
+    the robust trend fit whose slope a single blowout day cannot drag
+    (theilsen_trend is the pairwise-median cousin; this is the loss-
+    minimizing regression form, and the fit pinball_loss evaluates).
+
+    Iteratively reweighted least squares, _QR_ROUNDS rounds unrolled
+    from the closed-form OLS seed: w = 1/max(|resid|, 0.1), weighted
+    normal equations re-solved per round. Every cross-engine boundary
+    follows the cox_ph discipline — weights and per-day weighted terms
+    snap at 8 dp and sum in exact DECIMAL, coefficients snap at 8 dp per
+    round — so the oracle replays the identical iteration bit-for-bit.
+    Ships in-sample MAE for both the LAD fit and the OLS seed; on any
+    tailed revenue series the LAD line must not lose on absolute error
+    (asserted by the planted test, reported as lad_no_worse).
+
+    At 100 TB: the day grain is calendar-bounded (≤ a few thousand rows
+    at ANY corpus size) after one keyed aggregate over orders; each IRLS
+    round is one aggregate over it — the mann_kendall posture."""
+    daily = _qr_daily(spark, sf_dir).localCheckpoint()
+    sums = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round(F.col("x").cast("decimal(28,8)"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("y").cast("decimal(28,8)"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.round((F.col("x") * F.col("x")).cast("decimal(28,8)"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round((F.col("x") * F.col("y")).cast("decimal(28,8)"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b_ols = snap_round(
+        F.when(
+            det != 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det,
+        ),
+        8,
+    )
+    a_ols = snap_round(
+        (F.col("sy") - b_ols * F.col("sx")) / F.col("n"), 8
+    )
+    beta = sums.select(
+        F.col("n").cast("long").alias("n_days"),
+        a_ols.alias("a_ols"),
+        b_ols.alias("b_ols"),
+        a_ols.alias("a"),
+        b_ols.alias("b"),
+    ).localCheckpoint()
+
+    # Weighted sums run in SCALED INTEGERS (k = round(1e8·w), y in cents):
+    # snapping the fractional products w·y / w·x·y lands EXACTLY on 8-dp
+    # rounding ties (w is a 1e-8 multiple, y is cents ⇒ products are 1e-10
+    # multiples), where the engines' double→decimal conversions disagree
+    # (the Katz lesson). Integer k·x·yc sums have no fractional rounding
+    # anywhere; the 1e8/1e10 scales cancel algebraically in the solve.
+    def wsums(frame):
+        e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+        k = (
+            F.round(
+                (1.0e8 / F.greatest(F.abs(e), F.lit(0.1))).cast("decimal(28,8)"),
+                0,
+            )
+            .cast("decimal(19,0)")
+        )
+        xi = F.col("x").cast("decimal(10,0)")
+        yc = F.round((F.col("y") * 100).cast("decimal(28,8)"), 0).cast(
+            "decimal(19,0)"
+        )
+
+        def si(expr):
+            return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+        return frame.groupBy("n_days", "a_ols", "b_ols", "a", "b").agg(
+            si(k).alias("sk"),
+            si(k * xi).alias("skx"),
+            si(k * xi * xi).alias("skxx"),
+            si(k * yc).alias("sky"),
+            si(k * xi * yc).alias("skxy"),
+        )
+
+    for _ in range(_QR_ROUNDS):
+        st = wsums(daily.crossJoin(F.broadcast(beta)))
+        wdet = F.col("sk") * F.col("skxx") - F.col("skx") * F.col("skx")
+        b_new = snap_round(
+            F.when(
+                wdet != 0,
+                (F.col("sk") * F.col("skxy") - F.col("skx") * F.col("sky"))
+                / wdet
+                / 100.0,
+            ).otherwise(F.col("b")),
+            8,
+        )
+        beta = st.select(
+            "n_days",
+            "a_ols",
+            "b_ols",
+            snap_round(
+                (F.col("sky") / 100.0 - b_new * F.col("skx")) / F.col("sk"), 8
+            ).alias("a"),
+            b_new.alias("b"),
+        ).localCheckpoint()
+
+    final = daily.crossJoin(F.broadcast(beta))
+    e_lad = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    e_ols = F.col("y") - F.col("a_ols") - F.col("b_ols") * F.col("x")
+    out = final.groupBy("n_days", "a_ols", "b_ols", "a", "b").agg(
+        F.sum(
+            F.round(F.abs(e_lad).cast("decimal(28,8)"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sae_lad"),
+        F.sum(
+            F.round(F.abs(e_ols).cast("decimal(28,8)"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sae_ols"),
+    )
+    mae_lad = snap_round(F.col("sae_lad") / F.col("n_days").cast("double"), 4)
+    mae_ols = snap_round(F.col("sae_ols") / F.col("n_days").cast("double"), 4)
+    return out.select(
+        "n_days",
+        snap_round(F.col("a"), 4).alias("lad_intercept"),
+        snap_round(F.col("b"), 6).alias("lad_slope"),
+        mae_lad.alias("mae_lad"),
+        mae_ols.alias("mae_ols"),
+        (mae_lad <= mae_ols).alias("lad_no_worse"),
+    )
+
+
+def _qr_sql_round(k: int) -> str:
+    return f"""
+b{k} AS (
+    SELECT n_days, a_ols, b_ols,
+           CAST(ROUND(CAST((sky / 100.0 - (CASE WHEN sk * skxx - skx * skx != 0
+                THEN CAST(ROUND(CAST((sk * skxy - skx * sky)
+                     / (sk * skxx - skx * skx) / 100.0
+                     AS DECIMAL(28,8)), 8) AS DOUBLE)
+                ELSE b END) * skx) / sk AS DECIMAL(28,8)), 8) AS DOUBLE) AS a,
+           CASE WHEN sk * skxx - skx * skx != 0
+                THEN CAST(ROUND(CAST((sk * skxy - skx * sky)
+                     / (sk * skxx - skx * skx) / 100.0
+                     AS DECIMAL(28,8)), 8) AS DOUBLE)
+                ELSE b END AS b
+    FROM (
+        SELECT n_days, a_ols, b_ols, a, b,
+               CAST(SUM(CAST(kk AS HUGEINT)) AS DOUBLE) AS sk,
+               CAST(SUM(CAST(kk AS HUGEINT) * CAST(xi AS HUGEINT)) AS DOUBLE)
+                   AS skx,
+               CAST(SUM(CAST(kk AS HUGEINT) * CAST(xi AS HUGEINT)
+                        * CAST(xi AS HUGEINT)) AS DOUBLE) AS skxx,
+               CAST(SUM(CAST(kk AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE)
+                   AS sky,
+               CAST(SUM(CAST(kk AS HUGEINT) * CAST(xi AS HUGEINT)
+                        * CAST(yc AS HUGEINT)) AS DOUBLE) AS skxy
+        FROM (
+            SELECT n_days, a_ols, b_ols, a, b,
+                   CAST(ROUND(CAST(1e8 / GREATEST(ABS(d.y - a - b * d.x), 0.1)
+                        AS DECIMAL(28,8)), 0) AS BIGINT) AS kk,
+                   CAST(d.x AS BIGINT) AS xi,
+                   CAST(ROUND(CAST(d.y * 100 AS DECIMAL(28,8)), 0) AS BIGINT)
+                       AS yc
+            FROM daily d CROSS JOIN b{k - 1}
+        )
+        GROUP BY 1, 2, 3, a, b
+    )
+)"""
+
+
+QUANTILE_REGRESSION_SQL = (
+    """
+WITH daily AS (
+    SELECT CAST(date_diff('day', d0, d) AS DOUBLE) AS x, y
+    FROM (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ) CROSS JOIN (SELECT MIN(o_orderdate) AS d0 FROM orders)
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(ROUND(CAST(x AS DECIMAL(28,8)), 8) AS DECIMAL(28,8)))
+                AS DOUBLE) AS sx,
+           CAST(SUM(CAST(ROUND(CAST(y AS DECIMAL(28,8)), 8) AS DECIMAL(28,8)))
+                AS DOUBLE) AS sy,
+           CAST(SUM(CAST(ROUND(CAST(x * x AS DECIMAL(28,8)), 8)
+                AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(ROUND(CAST(x * y AS DECIMAL(28,8)), 8)
+                AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+    FROM daily
+),
+b0 AS (
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(ROUND(CAST((sy - (CASE WHEN n * sxx - sx * sx != 0
+                THEN CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(28,8)), 8) AS DOUBLE) END) * sx) / n
+                AS DECIMAL(28,8)), 8) AS DOUBLE) AS a_ols,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(28,8)), 8) AS DOUBLE) END AS b_ols,
+           CAST(ROUND(CAST((sy - (CASE WHEN n * sxx - sx * sx != 0
+                THEN CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(28,8)), 8) AS DOUBLE) END) * sx) / n
+                AS DECIMAL(28,8)), 8) AS DOUBLE) AS a,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(28,8)), 8) AS DOUBLE) END AS b
+    FROM sums
+),"""
+    + ",".join(_qr_sql_round(k) for k in range(1, _QR_ROUNDS + 1))
+    + f"""
+,
+final AS (
+    SELECT n_days, a_ols, b_ols, a, b,
+           CAST(SUM(CAST(ROUND(CAST(ABS(d.y - a - b * d.x) AS DECIMAL(28,8)),
+                8) AS DECIMAL(28,8))) AS DOUBLE) AS sae_lad,
+           CAST(SUM(CAST(ROUND(CAST(ABS(d.y - a_ols - b_ols * d.x)
+                AS DECIMAL(28,8)), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sae_ols
+    FROM daily d CROSS JOIN b{_QR_ROUNDS}
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT n_days,
+       CAST(ROUND(CAST(a AS DECIMAL(28,8)), 4) AS DOUBLE) AS lad_intercept,
+       CAST(ROUND(CAST(b AS DECIMAL(28,8)), 6) AS DOUBLE) AS lad_slope,
+       CAST(ROUND(CAST(sae_lad / CAST(n_days AS DOUBLE) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS mae_lad,
+       CAST(ROUND(CAST(sae_ols / CAST(n_days AS DOUBLE) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS mae_ols,
+       CAST(ROUND(CAST(sae_lad / CAST(n_days AS DOUBLE) AS DECIMAL(28,8)), 4)
+            AS DOUBLE)
+       <= CAST(ROUND(CAST(sae_ols / CAST(n_days AS DOUBLE) AS DECIMAL(28,8)), 4)
+            AS DOUBLE) AS lad_no_worse
+FROM final
+"""
+)
+
+REGISTRY["quantile_regression"] = QuerySpec(
+    q_quantile_regression, QUANTILE_REGRESSION_SQL
+)

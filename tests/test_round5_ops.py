@@ -367,3 +367,95 @@ def test_breusch_pagan_fires_on_planted_heteroskedasticity(spark, tmp_path):
     out = REGISTRY["breusch_pagan"].fn(spark, sf).collect()[0]
     assert out.lm_stat is not None and out.lm_stat > 5.991
     assert out.heteroskedastic
+
+
+def test_partitioned_scan_prunes_to_one_month(spark):
+    """The layout demo must actually prune: the parquet scan's
+    PartitionFilters carry the month predicate and the file index reads
+    exactly one partition directory (not 12+)."""
+    import contextlib
+    import io
+
+    df = REGISTRY["partitioned_scan_pruning"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "order_month" in pf[0], plan
+    assert "isnotnull(order_month" in pf[0] or "order_month" in pf[0]
+    # count partitions actually selected: Spark prints the pruned file
+    # index stats in the scan node
+    n_parts = [ln for ln in plan.splitlines() if "partition count" in ln.lower()]
+    if n_parts:  # present in this Spark's formatted output
+        assert "1" in n_parts[0], n_parts
+
+
+def _events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_tombstone_and_resurrection(spark, tmp_path):
+    """Last-op-wins with deletes: a trailing tombstone erases the key, a
+    tombstone followed by a later upsert resurrects it."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 5.0, None),
+        (2, "2024-01-01 11:00:00", 1, "error", 0.0, None),  # 1 deleted
+        (3, "2024-01-01 10:00:00", 2, "error", 0.0, None),
+        (4, "2024-01-01 11:00:00", 2, "purchase", 7.0, None),  # 2 resurrected
+        (5, "2024-01-01 10:00:00", 3, "view", 1.0, None),
+        (6, "2024-01-01 11:00:00", 3, "click", 2.0, None),  # 3 latest wins
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out = {r.user_id: r for r in REGISTRY["cdc_apply"].fn(spark, sf).collect()}
+    assert 1 not in out
+    assert out[2].last_value == 7.0 and out[2].n_ops == 2
+    assert out[3].last_value == 2.0
+
+
+# ---------------------------------------------------------------------------
+# quantile (LAD) regression
+# ---------------------------------------------------------------------------
+
+
+def test_lad_regression_resists_planted_outliers(spark, tmp_path):
+    """Daily revenue follows 1000 + 20·day exactly except 4 blowout days
+    at 100×. The LAD slope must stay near 20 while the OLS seed is
+    dragged; LAD must win on absolute error."""
+    import datetime
+
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for i in range(120):
+        day = d0 + datetime.timedelta(days=i)
+        price = 1000.0 + 20.0 * i
+        if i in (20, 50, 80, 110):
+            price *= 100
+        rows.append((i, 1, "O", price, day.isoformat(), "1-URGENT"))
+    sf = _orders(spark, tmp_path, rows)
+    out = REGISTRY["quantile_regression"].fn(spark, sf).collect()[0]
+    assert out.n_days == 120
+    assert abs(out.lad_slope - 20.0) < 2.0, out
+    assert out.mae_lad < out.mae_ols
+    assert out.lad_no_worse
