@@ -42,6 +42,7 @@ ROUND4_WINDOW = [
     "partitioned_scan_pruning",
     "cdc_apply",
     "quantile_regression",
+    "tukey_hsd",
     # oracle-expression-tree fixes this round (ADVICE items 1-2)
     "cox_ph",
     "distance_correlation",

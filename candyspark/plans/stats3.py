@@ -2428,3 +2428,128 @@ FROM final
 REGISTRY["quantile_regression"] = QuerySpec(
     q_quantile_regression, QUANTILE_REGRESSION_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# Tukey-Kramer HSD — parametric pairwise post-hoc
+# ---------------------------------------------------------------------------
+
+
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer honestly-significant-difference on mean
+    l_extendedprice across the three return flags — the parametric
+    post-hoc that anova_oneway hands off to (dunn_posthoc is the
+    rank-based cousin): every pair's studentized range statistic
+    q = |mean_i − mean_j| / sqrt((MSE/2)·(1/n_i + 1/n_j)) against the
+    asymptotic critical q_{0.05}(k=3, ∞) = 3.314 — documented constant,
+    exact for the ~∞ within-group df at any driver SF.
+
+    One grouped power-sum aggregate (exact DECIMAL, the stats_moments
+    discipline) produces n/Σx/Σx² per flag; MSE assembles from the same
+    sums; the 3-row self-join emits each unordered pair once. Group
+    means and MSE snap at 8 dp before the pairwise algebra so both
+    engines feed identical doubles. At 100 TB: one map-side-combined
+    aggregate, then constant-size algebra on k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(money("l_extendedprice")).cast("double").alias("s"),
+        F.sum(money("l_extendedprice") * money("l_extendedprice"))
+        .cast("double")
+        .alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double"))
+        .alias("sse"),
+    ).select(
+        "nn",
+        "k",
+        snap_round(
+            F.col("sse") / (F.col("nn") - F.col("k")).cast("double"), 8
+        ).alias("mse"),
+    )
+    m = g.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("n"),
+        snap_round(F.col("s") / F.col("n").cast("double"), 8).alias("mean"),
+    )
+    a = m.select(
+        F.col("flag").alias("flag_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+    )
+    b = m.select(
+        F.col("flag").alias("flag_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("flag_a") < F.col("flag_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(F.col("mean_a") - F.col("mean_b"))
+    se = F.sqrt(
+        F.col("mse")
+        / 2.0
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    q = snap_round(F.when(se > 0, diff / se), 4)
+    return pairs.select(
+        "flag_a",
+        "flag_b",
+        snap_round(F.col("mean_a") - F.col("mean_b"), 4).alias("mean_diff"),
+        q.alias("q_stat"),
+        (q > 3.314).alias("significant"),
+    ).orderBy("flag_a", "flag_b")
+
+
+TUKEY_HSD_SQL = """
+WITH g AS (
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss
+    FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(ROUND(CAST(SUM(ss - s * s / CAST(n AS DOUBLE))
+                / CAST(SUM(n) - COUNT(*) AS DOUBLE) AS DECIMAL(28,8)), 8)
+                AS DOUBLE) AS mse
+    FROM g
+),
+m AS (
+    SELECT flag, n,
+           CAST(ROUND(CAST(s / CAST(n AS DOUBLE) AS DECIMAL(28,8)), 8)
+                AS DOUBLE) AS mean
+    FROM g
+)
+SELECT a.flag AS flag_a, b.flag AS flag_b,
+       CAST(ROUND(CAST(a.mean - b.mean AS DECIMAL(28,8)), 4) AS DOUBLE)
+           AS mean_diff,
+       CAST(ROUND(CAST(CASE WHEN SQRT(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                + 1.0 / CAST(b.n AS DOUBLE))) > 0
+            THEN ABS(a.mean - b.mean)
+                 / SQRT(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                        + 1.0 / CAST(b.n AS DOUBLE))) END
+            AS DECIMAL(28,8)), 4) AS DOUBLE) AS q_stat,
+       CAST(ROUND(CAST(CASE WHEN SQRT(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                + 1.0 / CAST(b.n AS DOUBLE))) > 0
+            THEN ABS(a.mean - b.mean)
+                 / SQRT(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                        + 1.0 / CAST(b.n AS DOUBLE))) END
+            AS DECIMAL(28,8)), 4) AS DOUBLE) > 3.314 AS significant
+FROM m a CROSS JOIN m b CROSS JOIN tot
+WHERE a.flag < b.flag
+ORDER BY flag_a, flag_b
+"""
+
+REGISTRY["tukey_hsd"] = QuerySpec(q_tukey_hsd, TUKEY_HSD_SQL)

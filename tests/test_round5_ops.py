@@ -459,3 +459,19 @@ def test_lad_regression_resists_planted_outliers(spark, tmp_path):
     assert abs(out.lad_slope - 20.0) < 2.0, out
     assert out.mae_lad < out.mae_ols
     assert out.lad_no_worse
+
+
+def test_tukey_hsd_separates_planted_group(spark, tmp_path):
+    """Flags A and B share a mean; flag R sits far above both: exactly
+    the two pairs involving R are significant."""
+    rows = []
+    for i in range(200):
+        rows.append(_li_row(i, "A", 1, 100.0 + (i % 7), 0.0))
+        rows.append(_li_row(1000 + i, "B", 1, 100.0 + ((i + 3) % 7), 0.0))
+        rows.append(_li_row(2000 + i, "R", 1, 500.0 + (i % 7), 0.0))
+    sf = _lineitem(spark, tmp_path, rows)
+    out = {
+        (r.flag_a, r.flag_b): r.significant
+        for r in REGISTRY["tukey_hsd"].fn(spark, sf).collect()
+    }
+    assert out == {("A", "B"): False, ("A", "R"): True, ("B", "R"): True}
