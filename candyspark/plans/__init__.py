@@ -43,6 +43,9 @@ ROUND4_WINDOW = [
     "cdc_apply",
     "quantile_regression",
     "tukey_hsd",
+    "nested_f_test",
+    "approx_aggregates",
+    "randomization_inference",
     # oracle-expression-tree fixes this round (ADVICE items 1-2)
     "cox_ph",
     "distance_correlation",

@@ -2708,3 +2708,161 @@ FROM stat
 """
 
 REGISTRY["breusch_pagan"] = QuerySpec(q_breusch_pagan, BREUSCH_PAGAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Nested-model F-test (does a regressor add signal?)
+# ---------------------------------------------------------------------------
+
+
+def q_nested_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-model F-test on the price model: does the discount regressor
+    add explanatory power beyond price alone? F = ((SSE_r − SSE_f)/q) /
+    (SSE_f/(n−3)) with q = 1 — the model-selection companion to
+    ols_price_model (coefficients) and breusch_pagan (error structure).
+
+    Both models' SSEs assemble ALGEBRAICALLY from the same ONE moment
+    aggregate (no residual pass): the full model is the 3-parameter
+    Cramer solve, the restricted model the 2-parameter closed form —
+    identical double expression trees both engines, every coefficient
+    snapped at 8 dp before entering its SSE. With n in the tens of
+    thousands the F(1, n−3) critical is its asymptotic χ²(1) value
+    3.841 (documented). At 100 TB: one map-side-combined aggregate,
+    then constants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_extendedprice").cast("decimal(12,2)")
+    x2 = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("decimal(8,2)")
+    y = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(14,4)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0 = X.snap_round(F.when(det != 0, det0 / det), 8)
+    b1 = X.snap_round(F.when(det != 0, det1 / det), 8)
+    b2 = X.snap_round(F.when(det != 0, det2 / det), 8)
+    sse_f = syy - b0 * sy - b1 * s1y - b2 * s2y
+    # restricted model y ~ c0 + c1*x1 (closed 2-param form)
+    rdet = n * s11 - s1 * s1
+    c1 = X.snap_round(F.when(rdet != 0, (n * s1y - s1 * sy) / rdet), 8)
+    c0 = X.snap_round((sy - c1 * s1) / n, 8)
+    sse_r = syy - c0 * sy - c1 * s1y
+    f_stat = X.snap_round(
+        F.when(sse_f > 0, (sse_r - sse_f) / (sse_f / (n - 3.0))), 4
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_rows"),
+        X.snap_round(sse_r - sse_f, 2).alias("ssr_gain"),
+        f_stat.alias("f_stat"),
+        (f_stat > 3.841).alias("discount_adds_signal"),
+    )
+
+
+NESTED_F_TEST_SQL = """
+WITH sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+           CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+           CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM (
+        SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS DECIMAL(8,2)) AS x2,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS y
+        FROM lineitem
+    )
+),
+betas AS (
+    SELECT n, sy, s1y, s2y, syy, s1, s11,
+      CAST(ROUND(CAST(CASE WHEN det != 0 THEN det0 / det END
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS b0,
+      CAST(ROUND(CAST(CASE WHEN det != 0 THEN det1 / det END
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS b1,
+      CAST(ROUND(CAST(CASE WHEN det != 0 THEN det2 / det END
+           AS DECIMAL(28,8)), 8) AS DOUBLE) AS b2
+    FROM (
+        SELECT n, sy, s1y, s2y, syy, s1, s11,
+          CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM sums
+    )
+),
+stat AS (
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           sse_r - sse_f AS ssr_gain,
+           CAST(ROUND(CAST(CASE WHEN sse_f > 0
+                THEN (sse_r - sse_f) / (sse_f / (CAST(n AS DOUBLE) - 3.0)) END
+                AS DECIMAL(28,8)), 4) AS DOUBLE) AS f_stat
+    FROM (
+        SELECT n,
+               syy - b0 * sy - b1 * s1y - b2 * s2y AS sse_f,
+               syy - (CAST(ROUND(CAST((sy - (CASE WHEN CAST(n AS DOUBLE) * s11
+                    - s1 * s1 != 0 THEN CAST(ROUND(CAST(
+                    (CAST(n AS DOUBLE) * s1y - s1 * sy)
+                    / (CAST(n AS DOUBLE) * s11 - s1 * s1) AS DECIMAL(28,8)), 8)
+                    AS DOUBLE) END) * s1) / CAST(n AS DOUBLE)
+                    AS DECIMAL(28,8)), 8) AS DOUBLE)) * sy
+                   - (CASE WHEN CAST(n AS DOUBLE) * s11 - s1 * s1 != 0
+                      THEN CAST(ROUND(CAST((CAST(n AS DOUBLE) * s1y - s1 * sy)
+                           / (CAST(n AS DOUBLE) * s11 - s1 * s1)
+                           AS DECIMAL(28,8)), 8) AS DOUBLE) END) * s1y AS sse_r
+        FROM betas
+    )
+)
+SELECT n_rows,
+       CAST(ROUND(CAST(ssr_gain AS DECIMAL(28,8)), 2) AS DOUBLE) AS ssr_gain,
+       f_stat,
+       f_stat > 3.841 AS discount_adds_signal
+FROM stat
+"""
+
+REGISTRY["nested_f_test"] = QuerySpec(q_nested_f_test, NESTED_F_TEST_SQL)

@@ -116,22 +116,44 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     them. Output booleans are the cross-engine contract: DuckDB cannot
     reproduce Spark's HLL register values, but both engines agree that the
     estimate is (or is not) within tolerance of the exact answer.
+
+    Round 4 (the registry-derived bench surfaced this as the slowest
+    batch query, 19.3 s): two structural fixes. The exact median bound
+    comes from the DISTRIBUTED order-statistic extractor in discrete
+    mode (same PERCENTILE_DISC semantics, an actual data value) instead
+    of the holistic ``percentile_disc`` aggregate's single-task
+    per-group value buffer. And the distinct aggregate runs in its OWN
+    groupBy: Spark's distinct-agg rewrite (Expand) degrades a co-planned
+    ``approx_percentile`` catastrophically (measured: countDistinct +
+    approx_percentile in one agg = 29.3 s; apart = 1.5 s) — the two
+    5-row results broadcast-join back together. 19.3 s → ~3 s.
     """
+    from candyspark.operators.quantiles import exact_quantiles_grouped
+
     o = load_table(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
+    med = (
+        exact_quantiles_grouped(
+            spark,
+            o.select("o_orderpriority", "o_totalprice"),
+            "o_orderpriority",
+            "o_totalprice",
+            [0.5],
+            discrete=True,
+        )
+        .select("o_orderpriority", F.col("value").alias("_exact_median"))
+    )
+    distinct_agg = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+    sketch_agg = o.groupBy("o_orderpriority").agg(
         # rsd=0.01 (vs the 0.05 default): the tolerance below is 5%, so the
         # sketch must be precise enough that a >5% miss is a ~5-sigma event,
         # not a coin flip. Cost: a larger (but still fixed-size) register set.
         F.approx_count_distinct("o_custkey", 0.01).alias("_hll"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("_apx_median"),
-        # percentile_disc, not percentile (cont): approx_percentile returns an
-        # actual data value, so the exact bound must use the same discrete
-        # semantics — at small group sizes the interpolated median can sit
-        # between two data values more than 1% apart.
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
-        ).alias("_exact_median"),
+    )
+    agg = distinct_agg.join(F.broadcast(sketch_agg), "o_orderpriority").join(
+        F.broadcast(med), "o_orderpriority"
     )
     return agg.select(
         "o_orderpriority",

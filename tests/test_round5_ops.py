@@ -475,3 +475,20 @@ def test_tukey_hsd_separates_planted_group(spark, tmp_path):
         for r in REGISTRY["tukey_hsd"].fn(spark, sf).collect()
     }
     assert out == {("A", "B"): False, ("A", "R"): True, ("B", "R"): True}
+
+
+def test_nested_f_test_planted(spark, tmp_path):
+    """Constant discount: price alone explains y exactly => F ~ 0.
+    Varying discount: the second regressor must add signal => F fires."""
+    flat = [_li_row(i, "N", 1, 100.0 + i, 0.04) for i in range(300)]
+    sf = _lineitem(spark, tmp_path, flat)
+    out = REGISTRY["nested_f_test"].fn(spark, sf).collect()[0]
+    assert out.f_stat is None or out.f_stat < 3.841
+    assert not out.discount_adds_signal
+
+    varied = [
+        _li_row(i, "N", 1, 100.0 + i, (i % 5) * 0.02) for i in range(300)
+    ]
+    sf2 = _lineitem(spark, tmp_path / "v", varied)
+    out2 = REGISTRY["nested_f_test"].fn(spark, sf2).collect()[0]
+    assert out2.f_stat > 3.841 and out2.discount_adds_signal
