@@ -236,11 +236,37 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_mean = coords.groupBy("i").agg(
         F.count(F.lit(1)).alias("n"), F.sum("xi").alias("si")
     )
-    a, b = coords.alias("a"), coords.alias("b")
+    # per-row outer product generated IN-SCAN (transform × transform →
+    # flatten → explode) instead of self-joining the exploded coordinate
+    # fact on vec_id: the d²-per-row fan-out is identical, but the two
+    # wide shuffles of the join disappear and the (i, j) aggregate
+    # map-side-combines over 4096 cells (round 4; measured 6.5 → ~2 s at
+    # sf0.1; the decimal addends — (18,9)² products summed in (38,18) —
+    # are unchanged, so the numpy-pinned result is bit-identical)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "embedding",
+                lambda x, i: F.transform(
+                    F.col("embedding"),
+                    lambda y, j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (
+                            x.cast("decimal(18,9)") * y.cast("decimal(18,9)")
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    # the embeddings table lands as ~1 file partition — round-robin the
+    # vectors first or the whole d²·n fan-out runs on one core
     prods = (
-        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum((F.col("a.xi") * F.col("b.xi")).cast("decimal(38,18)")).alias("sij"))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select(pair.alias("s"))
+        .groupBy(F.col("s.i").alias("i"), F.col("s.j").alias("j"))
+        .agg(F.sum(F.col("s.p").cast("decimal(38,18)")).alias("sij"))
     )
     rows = (
         prods.join(n_mean.select(F.col("i"), F.col("n"), F.col("si").alias("si_i")), "i")
