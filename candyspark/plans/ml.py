@@ -260,10 +260,11 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # the embeddings table lands as ~1 file partition — round-robin the
-    # vectors first or the whole d²·n fan-out runs on one core
+    # the embeddings table lands as ~1 file partition — fan_out the
+    # vectors first or the whole d²·n outer product runs on one core
+    # (no-op once the real input already exceeds defaultParallelism)
     prods = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        fan_out(e)
         .select(pair.alias("s"))
         .groupBy(F.col("s.i").alias("i"), F.col("s.j").alias("j"))
         .agg(F.sum(F.col("s.p").cast("decimal(38,18)")).alias("sij"))

@@ -5219,11 +5219,13 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     draws = spark.range(0, b_draws).select(F.col("id").alias("b"))
     # the fan's md5 is the dominant compute (B·n evaluations) and the
-    # orders scan arrives in ~#files partitions — round-robin it across
-    # the cluster BEFORE the fan so the hash work parallelizes (measured
-    # 14 s -> ~1.5 s for the 30M-row fan at sf0.1 on local[32])
-    par = spark.sparkContext.defaultParallelism
-    fan = o.repartition(par).crossJoin(F.broadcast(draws)).select(
+    # orders scan arrives in ~#files partitions — fan_out it across the
+    # cluster BEFORE the fan so the hash work parallelizes (measured
+    # 14 s -> ~1.5 s for the 30M-row fan at sf0.1 on local[32]; a no-op
+    # once the real input already exceeds defaultParallelism)
+    from candyspark.sources.readers import fan_out
+
+    fan = fan_out(o).crossJoin(F.broadcast(draws)).select(
         "b",
         "y",
         F.md5(
