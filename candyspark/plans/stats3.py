@@ -1037,8 +1037,16 @@ def q_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("x"),
         (F.sum(money("o_totalprice")) * 100).cast("decimal(38,0)").alias("y"),
     )
-    lhs = daily.select(
-        F.col("d").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    # AQE coalesces the tiny daily aggregate to ONE partition, which
+    # would serialize the calendar² pair fan (5.8M rows at a 2400-day
+    # calendar) on one core — fan the probe side out first (measured
+    # 7.7 → 1.4 s at sf0.1; no-op when the input is already wide)
+    from candyspark.sources.readers import fan_out
+
+    lhs = fan_out(
+        daily.select(
+            F.col("d").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+        )
     )
     rhs = daily.select(
         F.col("d").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
