@@ -1187,7 +1187,12 @@ def q_partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.withColumn(
         "order_month", F.date_format("o_orderdate", "yyyy-MM")
     ).write.mode("overwrite").partitionBy("order_month").parquet(out)
-    po = spark.read.parquet(out)
+    try:
+        po = spark.read.parquet(out)
+    except Exception:  # empty input ⇒ no part files ⇒ schema-stable empty
+        return spark.createDataFrame(
+            [], "order_month string, n_orders long, revenue double"
+        )
     target = po.agg(
         F.date_format(F.max("o_orderdate"), "yyyy-MM").alias("m")
     ).collect()[0].m
