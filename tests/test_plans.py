@@ -154,11 +154,31 @@ def test_profile_single_scan(spark):
     assert len(scans) == 1, plan
 
 
-def test_approx_aggregates_single_scan(spark):
-    """Sketch + exact forms compute side by side over one scan of orders."""
+def test_approx_aggregates_split_distinct_from_sketch(spark):
+    """Round 4: the distinct aggregate runs in its OWN groupBy — Spark's
+    distinct-agg rewrite (Expand) degrades a co-planned approx_percentile
+    ~20× (measured 29.3 s combined vs 1.5 s apart at sf0.1), so the two
+    5-row aggregates broadcast-join back together. Pin the split: no
+    single aggregate node carries both the distinct rewrite and the
+    percentile sketch, and the reassembly is a broadcast join."""
     plan = plan_of(spark, "approx_aggregates")
-    scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
-    assert len(scans) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    tree = plan.split("\n\n")[0]
+    # the Expand (distinct rewrite) subtree must not contain the sketch:
+    # in the formatted tree the sketch aggregate appears under a separate
+    # aggregate chain from any Expand node
+    expand_lines = [ln for ln in tree.splitlines() if "Expand" in ln]
+    if expand_lines:  # distinct rewrite present, as expected
+        details = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+        # each operator's detail block is separated; approx_percentile's
+        # block must not mention Expand input ordering — cheap proxy:
+        # the scan count is 2 (one per aggregate), not 1 (co-planned)
+        scans = [
+            ln
+            for ln in plan.splitlines()
+            if ln.startswith("Location: InMemoryFileIndex")
+        ]
+        assert len(scans) == 2, plan
 
 
 def test_corpus_ops_are_narrow(spark):
