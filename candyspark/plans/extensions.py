@@ -769,7 +769,14 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (the minhash-LSH posture); all-pairs exists only in the
     oracle. Hamming distance is computed on the two unsigned-32-bit
     halves (bit_count over XOR), which both engines agree on exactly —
-    the full 64-bit code would wrap signed int64."""
+    the full 64-bit code would wrap signed int64.
+
+    Fixture contract: the oracle reconstructs the payload from `text`
+    via per-CHARACTER code points, which equals the kernel's per-BYTE
+    grid only for ASCII documents (the driver fixtures are ASCII by
+    construction — the hash-checked multimodal_metadata oracle relies
+    on the same identity). Production payloads are opaque binaries read
+    from parquet; only the Spark kernel path applies there."""
     from candyspark.operators.multimodal import phash_codes
 
     d = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")

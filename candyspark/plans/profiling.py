@@ -1113,7 +1113,12 @@ def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     # sanitized per-SF table names: bucket layout is a property of the
     # stored table, so each SF gets its own pair
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    # lowercase: Spark stores managed-table directories under the
+    # lowercased identifier, and the stale-location cleanup below must
+    # target the directory saveAsTable actually writes
+    tag = "".join(
+        ch if ch.isalnum() else "_" for ch in sf_dir.strip("/")
+    ).lower()
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
     # a fresh session can inherit a stale warehouse directory without the
     # catalog entry (LOCATION_ALREADY_EXISTS) — drop both table and files

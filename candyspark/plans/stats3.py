@@ -1980,11 +1980,12 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na_v").cast("long").alias("n_a"),
         F.sum("nb_v").cast("long").alias("n_b"),
     )
-    # square in DECIMAL: the gap x fits int64 at any SF but x² wraps it
-    # past sf0.1 (x ~ 2e10 at 600k rows)
-    x = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(
-        "decimal(19,0)"
-    )
+    # gap algebra in DECIMAL end to end: the int64 products ca·n_b wrap
+    # silently past pooled N ~ 3e9 (and x² already wraps past sf0.1)
+    x = (
+        F.col("ca").cast("decimal(19,0)") * F.col("n_b").cast("decimal(19,0)")
+        - F.col("cb").cast("decimal(19,0)") * F.col("n_a").cast("decimal(19,0)")
+    ).cast("decimal(19,0)")
     big = F.col("l").cast("decimal(38,0)") * (x * x).cast("decimal(38,0)")
     den = (
         (F.col("n_a") * F.col("n_b")).cast("decimal(38,0)")
@@ -2032,8 +2033,9 @@ a2 AS (
     SELECT n_a, n_b,
            CAST(SUM(CAST(ROUND(CAST(
                CAST(CAST(l AS HUGEINT)
-                    * CAST((ca * n_b - cb * n_a) AS HUGEINT)
-                    * CAST((ca * n_b - cb * n_a) AS HUGEINT) AS DOUBLE)
+                    * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+                    * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+                    AS DOUBLE)
                / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
                       * CAST(ca + cb AS HUGEINT)
                       * CAST(n_a + n_b - ca - cb AS HUGEINT) AS DOUBLE)
@@ -2099,10 +2101,12 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na_v").cast("long").alias("n_a"),
         F.sum("nb_v").cast("long").alias("n_b"),
     )
-    # square in DECIMAL (same int64-wrap hazard as anderson_darling)
-    x = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(
-        "decimal(19,0)"
-    )
+    # gap algebra in DECIMAL end to end (same int64-wrap hazard as
+    # anderson_darling: ca·n_b wraps past pooled N ~ 3e9)
+    x = (
+        F.col("ca").cast("decimal(19,0)") * F.col("n_b").cast("decimal(19,0)")
+        - F.col("cb").cast("decimal(19,0)") * F.col("n_a").cast("decimal(19,0)")
+    ).cast("decimal(19,0)")
     num = (
         cums.crossJoin(F.broadcast(totals))
         .groupBy("n_a", "n_b")
@@ -2145,8 +2149,8 @@ totals AS (
 agg AS (
     SELECT n_a, n_b,
            SUM(CAST(l AS HUGEINT)
-               * CAST(ca * n_b - cb * n_a AS HUGEINT)
-               * CAST(ca * n_b - cb * n_a AS HUGEINT)) AS num
+               * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+               * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)) AS num
     FROM cums CROSS JOIN totals
     GROUP BY n_a, n_b
 )
