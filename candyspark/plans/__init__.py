@@ -46,6 +46,7 @@ ROUND4_WINDOW = [
     "nested_f_test",
     "approx_aggregates",
     "randomization_inference",
+    "cross_source_near_dup",
     # oracle-expression-tree fixes this round (ADVICE items 1-2)
     "cox_ph",
     "distance_correlation",
@@ -170,6 +171,7 @@ ROUND3_WINDOW = [
     "fisher_exact_test",
     "brier_decomposition",
     "randomization_inference",
+    "cross_source_near_dup",
     # newly hash-checked (rows-only through round 2)
     "markov_attribution",
     "isotonic_calibration",

@@ -257,6 +257,87 @@ SELECT * FROM (
 """
 
 
+def q_cross_source_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication audit: the MinHash-LSH verified
+    pairs (dedup_minhash's exact machinery) rolled up per unordered
+    SOURCE pair — which feeds copy which? The curation question the
+    pair-level family doesn't answer: within-source duplication is
+    boilerplate, CROSS-source duplication is syndication/scraping and
+    inflates a mixture's effective weight for that content. Reports
+    pair counts and mean verified Jaccard per source pair (within-source
+    pairs included as the source==source diagonal for contrast).
+
+    Scale posture inherits dedup_minhash's: banded signature self-join,
+    never all-pairs; the source rollup adds one keyed join of the
+    (tiny) verified-pair relation back to doc sources plus one bounded
+    ≤|sources|² aggregate."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, k=3, threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "src_a"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "src_b").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "jaccard_sim",
+        )
+    )
+    return (
+        labeled.groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            X.snap_round(
+                F.sum(
+                    F.round(F.col("jaccard_sim").cast("decimal(28,8)"), 8).cast(
+                        "decimal(28,8)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+CROSS_SOURCE_NEAR_DUP_SQL = f"""
+WITH {_MINHASH_CAND_CTES},
+verified AS (
+    SELECT * FROM (
+        SELECT doc_a, doc_b,
+               CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                     THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                          / len(list_distinct(sa.sh || sb.sh))
+                     ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) AS jaccard_sim
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b
+    ) WHERE jaccard_sim >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(ROUND(CAST(jaccard_sim AS DECIMAL(28,8)), 8)
+                AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(28,8)), 4) AS DOUBLE) AS mean_jaccard
+FROM verified
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment on the MinHash-LSH candidates: the
     doc-inside-doc / boilerplate-superset detector Jaccard under-scores
@@ -2152,6 +2233,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),
+    "cross_source_near_dup": QuerySpec(
+        q_cross_source_near_dup, CROSS_SOURCE_NEAR_DUP_SQL
+    ),
     "simhash": QuerySpec(q_simhash, SIMHASH_SQL),
     "similarity_bruteforce": QuerySpec(q_similarity_bruteforce, SIMILARITY_BRUTEFORCE_SQL),
     "similarity_ann": QuerySpec(q_similarity_ann, SIMILARITY_ANN_SQL),
