@@ -4911,7 +4911,7 @@ WITH cells AS (
                 AS BIGINT) AS a
     FROM orders
 ),
-ladder AS (
+ladder AS MATERIALIZED (
     SELECT i,
            CAST(SUM(CASE WHEN i = 0 THEN CAST(0 AS DECIMAL(18,8))
                          ELSE ROUND(CAST(LN(CAST(i AS DOUBLE)) AS DECIMAL(18,8)), 8)

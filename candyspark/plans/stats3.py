@@ -1379,7 +1379,7 @@ params AS (
            xb + 1 AS ab_, nb - xb + 1 AS bb
     FROM counts
 ),
-ladder AS (
+ladder AS MATERIALIZED (
     SELECT i,
            CAST(SUM(ln_i) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
                AS DECIMAL(28,8)) AS lf
@@ -1392,7 +1392,7 @@ ladder AS (
                   (SELECT CAST(na + nb + 2 AS BIGINT) FROM counts))) AS i) g
     )
 ),
-lp_terms AS (
+lp_terms AS MATERIALIZED (
     SELECT CAST(
         l_aak.lf + l_babb.lf - l_all.lf
         - CAST(ROUND(CAST(LN(CAST(k.k + p.bb AS DOUBLE)) AS DECIMAL(18,8)), 8)
