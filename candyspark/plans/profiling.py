@@ -1122,13 +1122,17 @@ def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
     # a fresh session can inherit a stale warehouse directory without the
     # catalog entry (LOCATION_ALREADY_EXISTS) — drop both table and files
+    import os
     import shutil
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    wh = os.path.abspath(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     for t in (lt, ot):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        target = os.path.abspath(os.path.join(wh, t))
+        # never rmtree outside the session warehouse (relative or odd conf)
+        if os.path.commonpath([wh, target]) == wh and target != wh:
+            shutil.rmtree(target, ignore_errors=True)
     li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
         "l_orderkey"
     ).saveAsTable(lt)

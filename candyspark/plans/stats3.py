@@ -1988,7 +1988,9 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(19,0)")
     big = F.col("l").cast("decimal(38,0)") * (x * x).cast("decimal(38,0)")
     den = (
-        (F.col("n_a") * F.col("n_b")).cast("decimal(38,0)")
+        (F.col("n_a").cast("decimal(19,0)") * F.col("n_b").cast("decimal(19,0)")).cast(
+            "decimal(38,0)"
+        )
         * (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
         * (F.col("n_a") + F.col("n_b") - F.col("ca") - F.col("cb")).cast(
             "decimal(38,0)"
