@@ -85,9 +85,21 @@ FROM (
 def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual semantics (§2.9, src/data_processor.py:33-62):
     greedy-with-skip — a too-big request is cancelled but SMALLER later
-    requests still fill. Inherently sequential per part → applyInPandas
-    kernel (candyspark.operators.allocation), not SQL-expressible → rows-only
-    driver check; invariants are pinned by tests/test_allocation.py."""
+    requests still fill. Inherently sequential per part → mapInPandas
+    kernel (candyspark.operators.allocation); invariants are pinned by
+    tests/test_allocation.py.
+
+    Hash-checked since round 5: the sequential scan IS expressible in
+    DuckDB as a recursive CTE stepping every part's chain in lockstep
+    (rn → rn+1 joins against the per-part ROW_NUMBER in the pinned
+    (l_shipdate, l_orderkey, l_linenumber) total order) — fine at oracle
+    scale (sf0.01: 60k rows, max chain 49), which is the point: the
+    recursion is the *oracle*, the one-shuffle kernel is the engine.
+    Cross-engine exactness: qty/stock arithmetic is whole-valued doubles
+    (exact subtraction); unit_price is the same double quotient in both
+    engines; line_total rounds the *identical* product double, and
+    fulfilled ∈ {0, qty} keeps it off representable 2-dp ties (measured
+    bit-exact at sf0.001 and sf0.01)."""
     df = _lineitems_with_stock(spark, sf_dir).withColumn(
         "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
     )
@@ -100,6 +112,36 @@ def greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_price_col="unit_price",
         out_keys=["l_orderkey", "l_partkey", "l_linenumber"],
     )
+
+
+GREEDY_ALLOCATION_SQL = """
+WITH RECURSIVE base AS (
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CAST((p_partkey % 10 + 1) * 100 AS DOUBLE) AS stock,
+           l_extendedprice / l_quantity AS unit_price,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+    FROM lineitem l JOIN part ON l_partkey = p_partkey
+),
+walk AS (
+    SELECT l_orderkey, l_partkey, l_linenumber, qty, unit_price, rn,
+           CASE WHEN qty > 0 AND qty <= stock THEN qty ELSE 0.0 END AS fulfilled,
+           stock - CASE WHEN qty > 0 AND qty <= stock THEN qty ELSE 0.0 END AS available
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.l_orderkey, b.l_partkey, b.l_linenumber, b.qty, b.unit_price, b.rn,
+           CASE WHEN b.qty > 0 AND b.qty <= w.available THEN b.qty ELSE 0.0 END,
+           w.available
+               - CASE WHEN b.qty > 0 AND b.qty <= w.available THEN b.qty ELSE 0.0 END
+    FROM base b JOIN walk w ON b.l_partkey = w.l_partkey AND b.rn = w.rn + 1
+)
+SELECT l_orderkey, l_partkey, CAST(l_linenumber AS INT) AS l_linenumber,
+       qty AS requested_qty,
+       fulfilled AS fulfilled_qty,
+       ROUND(fulfilled * unit_price, 2) AS line_total
+FROM walk
+"""
 
 
 def inventory_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +345,8 @@ FROM r
 
 REGISTRY: dict[str, QuerySpec] = {
     "prefix_allocation": QuerySpec(prefix_allocation, PREFIX_ALLOCATION_SQL),
-    "greedy_allocation": QuerySpec(greedy_allocation, None),  # sequential; rows-only
+    # sequential kernel; hash-checked via a recursive-CTE oracle since r5
+    "greedy_allocation": QuerySpec(greedy_allocation, GREEDY_ALLOCATION_SQL),
     "inventory_update": QuerySpec(inventory_update, INVENTORY_UPDATE_SQL),
     "forecast_linear": QuerySpec(forecast_linear, FORECAST_LINEAR_SQL),
     # inside the driver's 50-query hash window on purpose (VERDICT r1 §9)
