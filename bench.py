@@ -500,18 +500,23 @@ def main() -> None:
         run_one(name)
         tail_sampled += 1
 
-    # streaming section: one drain each (the drains are dominated by fixed
-    # landing/flush cost, not data volume — a single reading tracks the
-    # cost class without doubling the suite's wall-clock)
+    # streaming section: min-of-2 drains each (round-4 verdict item 3 — a
+    # single reading produced r04's only phantom regression,
+    # streaming_tumbling x1.96 while its siblings were flat; the drains are
+    # fixed-cost landing+flush, so the MIN is the honest reading and the
+    # second drain costs ~30 s total)
     streaming: dict[str, float] = {}
     for name in STREAMING:
         if name not in registry:
             continue
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        streaming[name] = round(time.perf_counter() - t0, 3)
+        drains = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            drains.append(time.perf_counter() - t0)
+        streaming[name] = round(min(drains), 3)
 
     times = {n: round(_median(samples[n]), 3) for n in names}
     mins = {n: round(min(samples[n]), 3) for n in names}
@@ -540,12 +545,19 @@ def main() -> None:
         "streaming": streaming,
         "streaming_sec": round(sum(streaming.values()), 3),
     }
-    # full per-query result: first line (humans, logs) + optional file
+    # full per-query result: first line (humans, logs) + file artifact.
+    # BENCH_OUT defaults to BENCH_full.json at the repo root so EVERY bench
+    # run leaves the complete per-query record on disk for cross-round
+    # regression diffs (round-4 verdict item 2 — the driver's stdout tail
+    # survives for only ~49 queries; this file carries all of them).
     print(json.dumps(result))
-    out_path = os.environ.get("BENCH_OUT")
+    out_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+    )
     if out_path:
         with open(out_path, "w") as f:
-            json.dump(result, f)
+            json.dump(result, f, indent=1)
 
     # LAST line: the same object with "queries" truncated (in HEADLINE
     # priority order) so one complete parseable JSON line fits the
