@@ -55,3 +55,53 @@ def test_plan_stays_within_budget(spark, name):
         f"{name}: plan grew to {got['scans']} file scans "
         f"(budget {want['scans']}) — duplicate scan introduced?\n{plan}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Executed-work budgets for the eager/iterative families (round-4 verdict
+# item 5). These 30 queries run their rounds EAGERLY (localCheckpoint /
+# bounded driver fits), so the final DataFrame's plan text shows only the
+# post-checkpoint stage — a per-round regression (an accidental extra
+# exchange inside an 8-round loop, 8x at 100 TB) is invisible to the plan
+# budget above. Instead we budget the work actually EXECUTED: total Spark
+# jobs and stages for fn() + a noop drain at sf0.001, measured via the
+# status tracker under a job group. Stage counts are deterministic at fixed
+# data/partitions (verified across trials); an extra exchange per round
+# shows up as +rounds stages and fails here.
+# ---------------------------------------------------------------------------
+
+EXEC_BUDGET = json.loads(
+    (pathlib.Path(__file__).parent / "exec_budget.json").read_text()
+)
+
+
+@pytest.mark.parametrize("name", sorted(EXEC_BUDGET))
+def test_executed_work_stays_within_budget(spark, name):
+    if name not in REGISTRY:
+        pytest.skip(f"{name} no longer registered")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    tag = f"exec-budget-{name}"
+    sc.setJobGroup(tag, tag)
+    try:
+        REGISTRY[name].fn(spark, SF).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = tracker.getJobIdsForGroup(tag)
+    stages = sum(
+        len(tracker.getJobInfo(j).stageIds)
+        for j in jobs
+        if tracker.getJobInfo(j)
+    )
+    want = EXEC_BUDGET[name]
+    assert len(jobs) <= want["exec_jobs"], (
+        f"{name}: executed {len(jobs)} jobs (budget {want['exec_jobs']}) — "
+        "an extra eager action (count/collect/checkpoint) crept into the loop?"
+    )
+    assert stages <= want["exec_stages"], (
+        f"{name}: executed {stages} stages (budget {want['exec_stages']}) — "
+        "an extra per-round shuffle multiplies at 100 TB; find it with "
+        "statusTracker or the Spark UI before raising this budget."
+    )
