@@ -210,23 +210,65 @@ def streaming_static_enrich(stream: DataFrame, static_dim: DataFrame, keys: list
 #: across restarts without offline state rescaling).
 STATE_PARTITIONS = 4
 
+#: State-store backend for the drain harnesses ("hdfs" | "rocksdb").
+#:
+#: 100-TB state math, per partition: the default HDFSBackedStateStoreProvider
+#: keeps EVERY live state row as JVM objects on the executor heap — a
+#: stream-stream join buffering one watermark-window of a 100 TB/day fact
+#: (~2 h of 1.2 GB/s ≈ 8.6 TB live state) across 2048 state partitions is
+#: ~4.2 GB of heap PER PARTITION per join side, which is an OOM, not a
+#: tuning problem. RocksDBStateStoreProvider keeps state off-heap on local
+#: SSD (block-cache-bounded memory) and, with changelog checkpointing,
+#: uploads only the per-batch delta instead of re-snapshotting the full
+#: store — the difference between O(state) and O(update-rate) checkpoint
+#: I/O. That is the right posture for the big-state drains (stream-stream
+#: joins, dedup, sessionization); the tiny fixture states in tests run on
+#: either backend, and `tests/test_streaming.py::test_rocksdb_state_store`
+#: pins batch≡stream equality under RocksDB (rocksdbjni ships in this
+#: build's jars).
+STATE_STORE = "hdfs"
 
-class _scoped_state_partitions:
-    """Set spark.sql.shuffle.partitions around stream START (the value a
-    stateful query reads at birth), restoring the session value after —
-    batch queries planned later keep the engine-wide setting."""
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
-    def __init__(self, spark, n: int | None):
+
+class _scoped_stream_confs:
+    """Set stream-birth session confs (state partitions, state-store
+    provider) around stream START — a stateful query freezes both into its
+    checkpoint at birth — restoring session values after so batch queries
+    planned later keep the engine-wide settings."""
+
+    def __init__(self, spark, n: int | None, state_store: str):
         self.spark, self.n = spark, n
+        confs: dict[str, str] = {}
+        if n is not None:
+            confs["spark.sql.shuffle.partitions"] = str(n)
+        if state_store == "rocksdb":
+            confs["spark.sql.streaming.stateStore.providerClass"] = (
+                _ROCKSDB_PROVIDER
+            )
+            # per-batch delta upload instead of full-store re-snapshot
+            confs[
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+            ] = "true"
+        elif state_store != "hdfs":
+            raise ValueError(f"unknown state_store {state_store!r}")
+        self.confs = confs
 
     def __enter__(self):
-        if self.n is not None:
-            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.prev = {
+            k: self.spark.conf.get(k, None) for k in self.confs
+        }
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        if self.n is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        for k, old in self.prev.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
         return False
 
 
@@ -235,10 +277,11 @@ def run_update(
     checkpoint_dir: str,
     query_name: str,
     state_partitions: int | None = STATE_PARTITIONS,
+    state_store: str = STATE_STORE,
 ) -> None:
     """Drain the source through an UPDATE-mode memory sink (the mode
     snapshot-emitting stateful operators like transformWithState use)."""
-    with _scoped_state_partitions(stream_df.sparkSession, state_partitions):
+    with _scoped_stream_confs(stream_df.sparkSession, state_partitions, state_store):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
@@ -255,10 +298,11 @@ def run_append(
     checkpoint_dir: str,
     query_name: str,
     state_partitions: int | None = STATE_PARTITIONS,
+    state_store: str = STATE_STORE,
 ) -> None:
     """Drain the source through an APPEND-mode memory sink (the mode
     row-level operators like dedup and stream-stream joins require)."""
-    with _scoped_state_partitions(stream_df.sparkSession, state_partitions):
+    with _scoped_stream_confs(stream_df.sparkSession, state_partitions, state_store):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)

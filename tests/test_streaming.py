@@ -516,3 +516,43 @@ def test_streaming_topk_counters_accumulate_across_batches(spark, tmp_path):
     got = {r.user_id: (r.n_events, r.n_purchases)
            for r in spark.sql("SELECT * FROM topk_carry").collect()}
     assert got == {10: (3, 2), 11: (1, 0), 12: (1, 0)}
+
+
+def test_rocksdb_state_store(spark, tmp_path):
+    """The 100-TB state posture (stream.STATE_STORE docstring): the same
+    stateful drain runs under RocksDBStateStoreProvider with changelog
+    checkpointing and produces the identical result, and the session confs
+    are restored afterwards (batch queries planned later keep the default
+    provider)."""
+    from candyspark.streaming.stream import run_update
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src")
+    save_parquet(events, src)
+
+    stream = streaming_tumbling_agg(
+        read_events_stream(spark, src), "1 hour", "2 hours"
+    )
+    run_update(
+        stream, str(tmp_path / "ckpt_rocks"), query_name="t_agg_rocks",
+        state_store="rocksdb",
+    )
+    got = spark.sql("SELECT * FROM t_agg_rocks").toPandas()
+    want = tumbling_agg(events, "1 hour").toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # the provider conf must not leak into the session
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "default")
+        == "default"
+    )
+    # and the RocksDB instance really ran: its working dir exists under the
+    # checkpoint's state directory only when the provider engaged
+    import glob as _glob
+    sst = _glob.glob(str(tmp_path / "ckpt_rocks" / "state" / "**" / "*.changelog"),
+                     recursive=True)
+    zips = _glob.glob(str(tmp_path / "ckpt_rocks" / "state" / "**" / "*.zip"),
+                      recursive=True)
+    assert sst or zips, "no RocksDB changelog/snapshot files under the checkpoint"
