@@ -224,6 +224,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         sketches,
         stats2,
         stats3,
+        statespace,
         temporal,
         tpch,
         tpch2,
@@ -254,6 +255,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         sequences,
         stats2,
         stats3,
+        statespace,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
         if overlap:
