@@ -224,6 +224,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         sketches,
         stats2,
         stats3,
+        stats4,
         statespace,
         temporal,
         tpch,
@@ -255,6 +256,7 @@ def collect_registry() -> dict[str, QuerySpec]:
         sequences,
         stats2,
         stats3,
+        stats4,
         statespace,
     ):
         overlap = merged.keys() & mod.REGISTRY.keys()
