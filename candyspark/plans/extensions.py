@@ -5682,3 +5682,192 @@ FROM sums
 REGISTRY["centered_anisotropy"] = QuerySpec(
     q_centered_anisotropy, CENTERED_ANISOTROPY_SQL
 )
+
+
+# --- round 5: n-gram novelty (forward-contamination profile) ---------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: for each document (doc_id order = arrival
+    order), the share of its distinct word-3-gram shingles NOT seen in any
+    earlier document — the forward direction of contamination_check, and
+    the curve a curation pipeline watches to decide when a source is
+    mined out (novelty decaying toward 0 = the crawler is re-reading the
+    same text). One shingle explode + one groupBy(shingle) for the global
+    first-seen owner (the minhash shuffle shape — linear, never pairwise),
+    joined back and rolled up per source. Per-doc fractions snap to
+    decimal BEFORE the per-source mean so the cross-engine sum is
+    order-free."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", "source", F.explode(D.word_shingles("text", 3)).alias("sh")
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            F.round(
+                (F.col("n_novel").cast("double") / F.col("n_sh").cast("double")).cast(
+                    "decimal(28,9)"
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("novelty"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                (
+                    F.sum("novelty").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(28,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("mean_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, source, {_SHINGLES} AS sh_list FROM t),
+sh AS (SELECT doc_id, source, unnest(sh_list) AS sh FROM s),
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+per_doc AS (
+    SELECT source,
+           CAST(ROUND(CAST(
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+               AS DECIMAL(28,9)), 9) AS DECIMAL(20,9)) AS novelty
+    FROM sh JOIN first USING (sh)
+    GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(CAST(SUM(novelty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_novelty
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+REGISTRY["ngram_novelty"] = QuerySpec(q_ngram_novelty, NGRAM_NOVELTY_SQL)
+
+
+# --- round 5: per-band LSH diagnostics --------------------------------------
+
+
+def q_lsh_band_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH health report: for each of the 8 bands, how many
+    candidate pairs it proposes and what fraction survive exact-Jaccard
+    verification at 0.5 (1 - precision = the band's false-positive rate).
+    THE tuning read for the dedup_minhash family: a band whose FPR runs
+    hot multiplies verification cost at 100 TB (candidates, not documents,
+    are the cost driver once banding works), and band-to-band imbalance
+    reveals signature correlation bugs (see operators/dedup.perm_consts —
+    this query would have caught the correlated-permutation bug as 8
+    identical bands). Same shuffle economics as dedup_minhash: band keys
+    travel, shingles re-join only for the candidate verification."""
+    d = load_table(spark, sf_dir, "documents")
+    rows_per_band = 32 // 8
+    df = fan_out(d)
+    sh_tbl = df.select(F.col("doc_id"), D.word_shingles("text", 3).alias("sh"))
+    sigs = df.select(
+        "doc_id", D.shingle_hashes("text", 3).alias("shh")
+    ).select("doc_id", D.minhash_signature(F.col("shh"), 32).alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(D.band_keys(F.col("sig"), 8, rows_per_band)).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("band", F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    verified = (
+        cand.join(
+            sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "band",
+            (
+                D.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5
+            ).cast("long").alias("is_true"),
+        )
+    )
+    return (
+        verified.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_true_pairs"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_candidates",
+            "n_true_pairs",
+            F.round(
+                (
+                    1.0
+                    - F.col("n_true_pairs").cast("double")
+                    / F.col("n_candidates").cast("double")
+                ).cast("decimal(28,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("fpr"),
+        )
+        .orderBy("band")
+    )
+
+
+LSH_BAND_FPR_SQL = f"""
+WITH {_MINHASH_CAND_CTES.replace(
+    '''cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)''',
+    '''cand AS (SELECT x.band AS band, x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)''')},
+verified AS (
+    SELECT band,
+           CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+                THEN 1 ELSE 0 END AS is_true
+    FROM cand
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_true) AS BIGINT) AS n_true_pairs,
+       CAST(ROUND(CAST(1.0 - CAST(SUM(is_true) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS fpr
+FROM verified
+GROUP BY band
+ORDER BY band
+"""
+
+REGISTRY["lsh_band_fpr"] = QuerySpec(q_lsh_band_fpr, LSH_BAND_FPR_SQL)

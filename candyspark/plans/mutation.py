@@ -231,3 +231,82 @@ REGISTRY: dict[str, QuerySpec] = {
     "scd2_history": QuerySpec(q_scd2_history, SCD2_HISTORY_SQL),
     "cdc_apply": QuerySpec(q_cdc_apply, CDC_APPLY_SQL),
 }
+
+
+def q_idempotency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once audit over a retried event feed: ingest pipelines see
+    producer retries (same event_id re-sent later) and the dangerous
+    subset — retries whose PAYLOAD differs (a mutation hiding behind an
+    id, which last-writer-wins silently resolves and an idempotent upsert
+    silently ignores; either way you want the count). The fixture events
+    carry unique ids, so the retry feed is SIMULATED deterministically
+    in-query: the md5-bucket(event_id) % 20 == 0 slice re-arrives 90 s
+    later, and the % 100 == 0 sub-slice re-arrives with a drifted value.
+    The audit itself is the production query: per event_type, row/id
+    counts, duplicated ids, and conflicting ids — one groupBy(id) pass
+    then a bounded rollup, scan-linear at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    retries = e.filter(bucket % 20 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 90 SECONDS")).alias("ts"),
+        F.when(bucket % 100 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    feed = e.unionByName(retries)
+    per_id = feed.groupBy("event_type", "event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.countDistinct("value").cast("long").alias("n_vals"),
+    )
+    return (
+        per_id.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.sum((F.col("cnt") > 1).cast("long")).cast("long").alias("n_dup_ids"),
+            F.sum((F.col("n_vals") > 1).cast("long"))
+            .cast("long")
+            .alias("n_conflicting_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+IDEMPOTENCY_AUDIT_SQL = """
+WITH base AS (
+    SELECT event_id, event_type, ts, value,
+           CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS bucket
+    FROM events
+),
+feed AS (
+    SELECT event_id, event_type, ts, value FROM base
+    UNION ALL
+    SELECT event_id, event_type, ts + INTERVAL 90 SECOND,
+           CASE WHEN bucket % 100 = 0 THEN value + 1.0 ELSE value END
+    FROM base WHERE bucket % 20 = 0
+),
+per_id AS (
+    SELECT event_type, event_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_vals
+    FROM feed GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ids,
+       CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_conflicting_ids
+FROM per_id
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+REGISTRY["idempotency_audit"] = QuerySpec(q_idempotency_audit, IDEMPOTENCY_AUDIT_SQL)
