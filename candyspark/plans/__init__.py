@@ -26,6 +26,33 @@ class QuerySpec:
 #: correctness gate evaluates the first 50 entries, so each round rotates
 #: its new and materially-changed queries in — CORRECTNESS_r{N} then
 #: certifies code no prior round certified (round-2 verdict item 6).
+ROUND5_WINDOW = [
+    # newly hash-checked: the reference's core sequential operator, via a
+    # recursive-CTE lockstep-walk oracle (round-4 verdict item 1)
+    "greedy_allocation",
+    # new round-5 operators: state-space filters (recursive-CTE oracles)
+    "ses_forecast",
+    "holt_forecast",
+    "kalman_local_level",
+    "hmm_regime_filter",
+    # new round-5 statistics
+    "cochran_armitage",
+    "jonckheere_terpstra",
+    "mantel_haenszel",
+    "kendall_w",
+    # new round-5 corpus/dedup/ops
+    "ngram_novelty",
+    "lsh_band_fpr",
+    "idempotency_audit",
+    # materially rewritten this round (collect_set edge builder)
+    "triangle_count",
+    "pagerank_parts",
+    # oracle-expression fix this round (ADVICE item: int64-wrap guard)
+    "anderson_darling",
+    # rmtree guard touched this round
+    "bucketed_join_no_shuffle",
+]
+
 ROUND4_WINDOW = [
     # approx-percentile swap-in twins (round-3 verdict item 5)
     "robust_stats_approx",
@@ -263,6 +290,8 @@ def collect_registry() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         merged.update(mod.REGISTRY)
-    window = ROUND4_WINDOW + [n for n in ROUND3_WINDOW if n not in ROUND4_WINDOW]
+    window = list(
+        dict.fromkeys(ROUND5_WINDOW + ROUND4_WINDOW + ROUND3_WINDOW)
+    )
     front = {n: merged[n] for n in window if n in merged}
     return front | {n: s for n, s in merged.items() if n not in front}

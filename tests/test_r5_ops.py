@@ -1,0 +1,289 @@
+"""Round-5 behavioral tests: planted-signal recovery (and planted-null
+quietness) for the state-space filters, the ordered/stratified statistics,
+and the corpus/ops additions — the discriminative checks oracle parity
+alone can't give (parity certifies cross-engine equality, not that the
+operator computes the right THING)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from candyspark.plans import collect_registry
+
+REGISTRY = collect_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_dir(spark, tmp_path, daily_values):
+    """Write a synthetic orders.parquet whose per-day revenue equals
+    ``daily_values`` exactly (one order per day), so the state-space
+    queries can run against a PLANTED daily series."""
+    rows = [
+        (i + 1, 1, dt.date(2024, 1, 1) + dt.timedelta(days=i), float(v))
+        for i, v in enumerate(daily_values)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = str(tmp_path / "planted")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    return out
+
+
+# --- state-space filters ----------------------------------------------------
+
+
+def test_ses_constant_series_has_zero_errors(spark, tmp_path):
+    d = _orders_dir(spark, tmp_path, [1000.0] * 30)
+    pdf = REGISTRY["ses_forecast"].fn(spark, d).toPandas().sort_values("d")
+    assert (pdf["level"] == 1000.0).all()
+    assert (pdf["err"].dropna() == 0.0).all()
+
+
+def test_holt_locks_onto_linear_trend(spark, tmp_path):
+    # y_t = 1000 + 50 t: Holt's trend must converge to the slope and the
+    # one-step forecast error must shrink toward 0 (SES, by contrast,
+    # lags a trending series forever — the reason Holt exists)
+    d = _orders_dir(spark, tmp_path, [1000.0 + 50.0 * t for t in range(120)])
+    pdf = REGISTRY["holt_forecast"].fn(spark, d).toPandas().sort_values("d")
+    assert abs(pdf["trend"].iloc[-1] - 50.0) < 1.0
+    late_err = (pdf["y"] - pdf["fitted"]).abs().iloc[-10:]
+    assert (late_err < 5.0).all()
+    ses = REGISTRY["ses_forecast"].fn(spark, d).toPandas().sort_values("d")
+    ses_late_err = ses["err"].abs().iloc[-10:]
+    assert (ses_late_err > late_err.to_numpy() + 50.0).all()
+
+
+def test_kalman_gain_converges_to_steady_state(spark, tmp_path):
+    d = _orders_dir(spark, tmp_path, [1000.0 + (t % 7) * 10 for t in range(100)])
+    pdf = REGISTRY["kalman_local_level"].fn(spark, d).toPandas().sort_values("d")
+    # steady state: k = (p+q)/(p+q+r) with p = (1-k)(p+q) -> closed form
+    q, r = 1.0e9, 1.0e10
+    import math
+
+    # solve p* = (1-k)(p*+q), k = (p*+q)/(p*+q+r)
+    # -> p*^2 + p*q - qr = 0
+    p_star = (-q + math.sqrt(q * q + 4 * q * r)) / 2
+    k_star = (p_star + q) / (p_star + q + r)
+    assert abs(pdf["gain"].iloc[-1] - k_star) < 1e-6
+    # gains are strictly decreasing toward the fixpoint from P_1 = r
+    gains = pdf["gain"].dropna().to_numpy()
+    assert (gains[:-1] >= gains[1:] - 1e-12).all()
+
+
+def test_hmm_tracks_planted_regimes(spark, tmp_path):
+    # 40 low days then 40 high days then 40 low: posterior must commit to
+    # the right regime inside each block (away from the switches)
+    lows, highs = [800.0] * 40, [1200.0] * 40
+    d = _orders_dir(spark, tmp_path, lows + highs + lows)
+    pdf = REGISTRY["hmm_regime_filter"].fn(spark, d).toPandas().sort_values("d")
+    p = pdf["p_high"].to_numpy()
+    assert (p[10:40] < 0.1).all()
+    assert (p[50:80] > 0.9).all()
+    assert (p[90:120] < 0.1).all()
+
+
+def test_statespace_queries_nonempty_on_fixture(spark):
+    for name in ("ses_forecast", "holt_forecast", "kalman_local_level", "hmm_regime_filter"):
+        pdf = REGISTRY[name].fn(spark, SF).toPandas()
+        assert len(pdf) > 100, name
+        assert pdf.notna().all().drop(
+            ["forecast", "err", "fitted", "gain", "innovation"], errors="ignore"
+        ).all(), name
+
+
+# --- ordered / stratified statistics ----------------------------------------
+
+
+def _lineitem_dir(spark, tmp_path, rows, name="li"):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_returnflag string, "
+        "l_shipdate timestamp",
+    )
+    out = str(tmp_path / name)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    return out
+
+
+def test_cochran_armitage_detects_planted_trend(spark, tmp_path):
+    # return rate rises linearly with discount level -> strongly positive z
+    rows = []
+    k = 0
+    for w in range(11):
+        for i in range(200):
+            k += 1
+            ret = "R" if (i % 200) < (20 + 12 * w) else "N"
+            rows.append((k, k, 1, 10.0, 100.0, w / 100.0, ret,
+                         dt.datetime(2024, 1, 1)))
+    d = _lineitem_dir(spark, tmp_path, rows)
+    out = REGISTRY["cochran_armitage"].fn(spark, d).toPandas()
+    assert out["z"].iloc[0] > 5.0 and bool(out["significant"].iloc[0])
+
+
+def test_cochran_armitage_quiet_on_flat_rate(spark, tmp_path):
+    rows = []
+    k = 0
+    for w in range(11):
+        for i in range(200):
+            k += 1
+            ret = "R" if i % 4 == 0 else "N"  # 25% everywhere
+            rows.append((k, k, 1, 10.0, 100.0, w / 100.0, ret,
+                         dt.datetime(2024, 1, 1)))
+    d = _lineitem_dir(spark, tmp_path, rows)
+    out = REGISTRY["cochran_armitage"].fn(spark, d).toPandas()
+    assert abs(out["z"].iloc[0]) < 1e-6 and not bool(out["significant"].iloc[0])
+
+
+def test_jonckheere_detects_planted_dose_response(spark, tmp_path):
+    # quantity distribution shifts up with dose -> J >> E[J]
+    rows = []
+    k = 0
+    for w in range(11):
+        for i in range(100):
+            k += 1
+            q = float(1 + (i % 10) + 3 * w)  # location shift per dose
+            rows.append((k, k, 1, q, 100.0, w / 100.0, "N",
+                         dt.datetime(2024, 1, 1)))
+    d = _lineitem_dir(spark, tmp_path, rows)
+    out = REGISTRY["jonckheere_terpstra"].fn(spark, d).toPandas()
+    assert out["j_stat"].iloc[0] > out["e_j"].iloc[0]
+    assert out["z"].iloc[0] > 10.0 and bool(out["significant"].iloc[0])
+
+
+def test_jonckheere_quiet_on_exchangeable_doses(spark, tmp_path):
+    rows = []
+    k = 0
+    for w in range(11):
+        for i in range(100):
+            k += 1
+            q = float(1 + (i % 10))  # identical distribution per dose
+            rows.append((k, k, 1, q, 100.0, w / 100.0, "N",
+                         dt.datetime(2024, 1, 1)))
+    d = _lineitem_dir(spark, tmp_path, rows)
+    out = REGISTRY["jonckheere_terpstra"].fn(spark, d).toPandas()
+    assert abs(out["z"].iloc[0]) < 1e-6 and not bool(out["significant"].iloc[0])
+
+
+def test_mantel_haenszel_recovers_uniform_or(spark, tmp_path):
+    # per stratum: exposed 2x the return ODDS of unexposed, stratum sizes
+    # varying -> OR_MH must land near 2 and flag significance
+    li_rows, o_rows, c_rows = [], [], []
+    k = 0
+    for nat in range(5):
+        c_rows.append((nat + 1, nat))
+        base = 0.1 + 0.05 * nat  # different baseline per stratum
+        for i in range(800):
+            k += 1
+            o_rows.append((k, nat + 1))
+            exposed = i % 2 == 0
+            # odds o = base/(1-base); exposed odds 2o -> p = 2o/(1+2o)
+            odds = base / (1 - base)
+            p = (2 * odds / (1 + 2 * odds)) if exposed else base
+            ret = "R" if (i // 2) % 100 < p * 100 else "N"
+            li_rows.append((k, k, 1, 10.0, 100.0, 0.08 if exposed else 0.02,
+                            ret, dt.datetime(2024, 1, 1)))
+    out_dir = str(tmp_path / "mh")
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_returnflag string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    spark.createDataFrame(o_rows, "o_orderkey long, o_custkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    spark.createDataFrame(c_rows, "c_custkey long, c_nationkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    out = REGISTRY["mantel_haenszel"].fn(spark, out_dir).toPandas()
+    assert 1.5 < out["or_mh"].iloc[0] < 2.8
+    assert bool(out["significant"].iloc[0])
+
+
+def test_kendall_w_is_one_on_identical_rankings(spark, tmp_path):
+    # every nation's monthly revenue ordering identical -> W = 1 exactly
+    o_rows, c_rows = [], []
+    k = 0
+    for nat in range(6):
+        c_rows.append((nat + 1, nat))
+        for mon in range(1, 13):
+            k += 1
+            o_rows.append(
+                (k, nat + 1, dt.date(2024, mon, 5), 1000.0 + 10.0 * mon)
+            )
+    out_dir = str(tmp_path / "kw")
+    spark.createDataFrame(
+        o_rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    spark.createDataFrame(c_rows, "c_custkey long, c_nationkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    out = REGISTRY["kendall_w"].fn(spark, out_dir).toPandas()
+    assert out["kendall_w"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+    assert out["n_judges"].iloc[0] == 6.0
+    assert bool(out["significant"].iloc[0])
+
+
+# --- corpus / dedup / ops ----------------------------------------------------
+
+
+def test_ngram_novelty_zero_for_exact_duplicate(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "web", 30),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "web", 30),  # dup of 1
+        (3, "totally different words entirely here now", "en", "books", 40),
+    ]
+    out_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    out = (
+        REGISTRY["ngram_novelty"].fn(spark, out_dir).toPandas().set_index("source")
+    )
+    # web: doc1 fully novel (1.0), doc2 fully stale (0.0) -> mean 0.5
+    assert out.loc["web", "mean_novelty"] == pytest.approx(0.5, abs=1e-9)
+    assert out.loc["books", "mean_novelty"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_band_fpr_consistent_with_dedup_minhash(spark):
+    bands = REGISTRY["lsh_band_fpr"].fn(spark, SF).toPandas()
+    assert len(bands) >= 1
+    assert ((bands["fpr"] >= 0.0) & (bands["fpr"] <= 1.0)).all()
+    assert (bands["n_true_pairs"] <= bands["n_candidates"]).all()
+    # every band-verified true pair is a dedup_minhash pair; the union of
+    # bands must cover at least as many distinct true pairs as the final
+    # (band-deduped) operator reports
+    n_pairs = len(REGISTRY["dedup_minhash"].fn(spark, SF).toPandas())
+    assert bands["n_true_pairs"].sum() >= n_pairs
+
+
+def test_idempotency_audit_counts_match_hand_computation(spark):
+    out = REGISTRY["idempotency_audit"].fn(spark, SF).toPandas()
+    assert (out["n_dup_ids"] > 0).any(), "retry simulation planted nothing"
+    # recompute the planted feed's expected counts directly
+    from candyspark.sources.readers import load_table
+
+    e = load_table(spark, SF, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    expected_dups = (
+        e.filter(bucket % 20 == 0).groupBy("event_type").count().toPandas()
+        .set_index("event_type")["count"]
+    )
+    expected_conf = (
+        e.filter(bucket % 100 == 0).groupBy("event_type").count().toPandas()
+        .set_index("event_type")["count"]
+    )
+    got = out.set_index("event_type")
+    for et in got.index:
+        assert got.loc[et, "n_dup_ids"] == expected_dups.get(et, 0), et
+        assert got.loc[et, "n_conflicting_ids"] == expected_conf.get(et, 0), et
+    # invariants: every id duplicated at most once -> n_rows = n_ids + dups
+    assert (got["n_rows"] == got["n_ids"] + got["n_dup_ids"]).all()
+    assert (got["n_conflicting_ids"] <= got["n_dup_ids"]).all()
