@@ -40,10 +40,12 @@ ROUND5_WINDOW = [
     "jonckheere_terpstra",
     "mantel_haenszel",
     "kendall_w",
+    "ewma_volatility",
     # new round-5 corpus/dedup/ops
     "ngram_novelty",
     "lsh_band_fpr",
     "idempotency_audit",
+    "neyman_allocation",
     # materially rewritten this round (collect_set edge builder)
     "triangle_count",
     "pagerank_parts",

@@ -1233,3 +1233,120 @@ ORDER BY 1
 REGISTRY["partitioned_scan_pruning"] = QuerySpec(
     q_partitioned_scan_pruning, PARTITIONED_SCAN_PRUNING_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation — stratified-sampling design
+# ---------------------------------------------------------------------------
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal stratified-sample design for estimating mean line value:
+    given a 10,000-row sampling budget over the 11 discount strata,
+    Neyman allocation assigns n_h ∝ N_h·σ_h — the design that minimizes
+    the estimator variance, vs the proportional n_h ∝ N_h baseline.
+    THE pre-step for every 100-TB profiling/eval job that can't afford a
+    full pass twice: one exact-moment scan (N_h, Σx, Σx² per stratum in
+    DECIMAL — order-free), then the allocation is closed-form on 11 rows.
+    Also emits each stratum's share of total variance contribution so the
+    reader sees WHY high-σ strata get oversampled. Allocations round
+    HALF_UP through decimal (cross-engine), so they may sum to budget ±
+    a few rows — real designs round-trip the remainder anyway."""
+    li = load_table(spark, sf_dir, "lineitem")
+    strata = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("stratum"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("x"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("sx") / n
+    sigma = F.sqrt(F.greatest(F.col("sxx") / n - mean * mean, F.lit(0.0)))
+    weighted = strata.select(
+        "stratum",
+        "n_rows",
+        F.round(sigma.cast("decimal(28,8)"), 6).cast("decimal(20,6)").alias("sigma6"),
+    ).select(
+        "stratum",
+        "n_rows",
+        "sigma6",
+        # N_h * snapped sigma: decimal product, exact -> order-free total
+        (F.col("n_rows").cast("decimal(19,0)") * F.col("sigma6"))
+        .cast("decimal(38,6)")
+        .alias("nh_sigma"),
+    )
+    totals = weighted.agg(
+        F.sum("nh_sigma").cast("decimal(38,6)").alias("tot_ns"),
+        F.sum("n_rows").cast("long").alias("tot_n"),
+    )
+    out = weighted.crossJoin(F.broadcast(totals))
+    budget = 10000.0
+    neyman = budget * F.col("nh_sigma").cast("double") / F.col("tot_ns").cast("double")
+    prop = budget * F.col("n_rows").cast("double") / F.col("tot_n").cast("double")
+    return out.select(
+        "stratum",
+        "n_rows",
+        F.col("sigma6").cast("double").alias("sigma"),
+        F.round(neyman.cast("decimal(28,8)"), 0).cast("long").alias("neyman_n"),
+        F.round(prop.cast("decimal(28,8)"), 0).cast("long").alias("proportional_n"),
+        F.round(
+            (F.col("nh_sigma").cast("double") / F.col("tot_ns").cast("double")).cast(
+                "decimal(28,8)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("variance_share"),
+    ).orderBy("stratum")
+
+
+NEYMAN_ALLOCATION_SQL = """
+WITH strata AS (
+    SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))
+                         AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+    FROM lineitem GROUP BY 1
+),
+weighted AS (
+    SELECT stratum, n_rows,
+           CAST(ROUND(CAST(SQRT(GREATEST(
+               sxx / CAST(n_rows AS DOUBLE)
+               - (sx / CAST(n_rows AS DOUBLE)) * (sx / CAST(n_rows AS DOUBLE)),
+               0.0)) AS DECIMAL(28,8)), 6) AS DECIMAL(20,6)) AS sigma6
+    FROM strata
+),
+w2 AS (
+    SELECT stratum, n_rows, sigma6,
+           CAST(CAST(n_rows AS DECIMAL(19,0)) * sigma6 AS DECIMAL(38,6)) AS nh_sigma
+    FROM weighted
+),
+totals AS (
+    SELECT CAST(SUM(nh_sigma) AS DECIMAL(38,6)) AS tot_ns,
+           CAST(SUM(n_rows) AS BIGINT) AS tot_n
+    FROM w2
+)
+SELECT stratum, n_rows,
+       CAST(sigma6 AS DOUBLE) AS sigma,
+       CAST(ROUND(CAST(10000.0 * CAST(nh_sigma AS DOUBLE)
+            / CAST(tot_ns AS DOUBLE) AS DECIMAL(28,8)), 0) AS BIGINT) AS neyman_n,
+       CAST(ROUND(CAST(10000.0 * CAST(n_rows AS DOUBLE)
+            / CAST(tot_n AS DOUBLE) AS DECIMAL(28,8)), 0) AS BIGINT)
+           AS proportional_n,
+       CAST(ROUND(CAST(CAST(nh_sigma AS DOUBLE) / CAST(tot_ns AS DOUBLE)
+            AS DECIMAL(28,8)), 6) AS DOUBLE) AS variance_share
+FROM w2 CROSS JOIN totals
+ORDER BY stratum
+"""
+
+REGISTRY["neyman_allocation"] = QuerySpec(q_neyman_allocation, NEYMAN_ALLOCATION_SQL)

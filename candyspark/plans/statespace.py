@@ -11,6 +11,8 @@ Members:
 - ``hmm_regime_filter``   — 2-state HMM forward filter with rational
   (Cauchy-kernel) emissions — no exp()/log() anywhere, because libm
   transcendentals are NOT bit-identical across engines while +,-,*,/ are.
+- ``ewma_volatility``     — RiskMetrics EWMA variance of daily returns
+  (lambda = 0.94), the GARCH(1,1) special case.
 
 Scale architecture (identical for all four): the 100-TB work is the
 map-side-combined ``orders`` aggregate down to one row per calendar day
@@ -23,8 +25,9 @@ the per-key state pattern this module's single-series form specializes.
 Cross-engine exactness: every recurrence step is the same textual sequence
 of IEEE-double +,-,*,/ in the pandas kernel and the recursive CTE, seeded
 from the same exact-decimal daily values, so outputs match BIT-exactly (no
-snapping needed — verified in tests/test_statespace.py); constants like
-0.3 parse to the same double in both engines.
+snapping needed — verified by the exact-equality parity suite; planted
+behavior in tests/test_r5_ops.py); constants like 0.3 parse to the same
+double in both engines.
 """
 
 from __future__ import annotations
@@ -422,3 +425,64 @@ REGISTRY: dict[str, QuerySpec] = {
     "kalman_local_level": QuerySpec(q_kalman_local_level, KALMAN_LOCAL_LEVEL_SQL),
     "hmm_regime_filter": QuerySpec(q_hmm_regime_filter, HMM_REGIME_FILTER_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# EWMA volatility (RiskMetrics lambda = 0.94)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility of daily revenue returns: r_t =
+    (y_t - y_{t-1})/y_{t-1}, v_t = 0.94 v_{t-1} + 0.06 r_t^2 (v seeded at
+    the first return's square). Completes the risk stack around
+    max_drawdown: drawdown says how bad it got, this says how nervous the
+    series IS right now — and it is the GARCH(1,1) special case every
+    risk desk actually runs. sqrt is fine cross-engine (IEEE-correctly
+    rounded, unlike exp/log — see the HMM emission note); 0.94/0.06 are
+    literals on both sides."""
+
+    def step(state, y):
+        if state is None:
+            return (y, None), (float("nan"), float("nan"), float("nan"))
+        prev_y, v = state
+        r = (y - prev_y) / prev_y
+        v = r * r if v is None else 0.94 * v + 0.06 * (r * r)
+        import math
+
+        return (y, v), (r, v, math.sqrt(v))
+
+    out = _sequential(
+        _daily_series(spark, sf_dir), ["ret", "ewma_var", "ewma_vol"], step
+    )
+    return out.select(
+        "d",
+        "y",
+        *[
+            F.when(F.isnan(c), None).otherwise(F.col(c)).alias(c)
+            for c in ("ret", "ewma_var", "ewma_vol")
+        ],
+    )
+
+
+EWMA_VOLATILITY_SQL = f"""
+WITH RECURSIVE {_DAILY_RN_SQL},
+walk AS (
+    SELECT d, y, rn,
+           CAST(NULL AS DOUBLE) AS ret,
+           CAST(NULL AS DOUBLE) AS ewma_var
+    FROM series WHERE rn = 1
+    UNION ALL
+    SELECT s.d, s.y, s.rn,
+           (s.y - w.y) / w.y,
+           CASE WHEN w.ewma_var IS NULL
+                THEN ((s.y - w.y) / w.y) * ((s.y - w.y) / w.y)
+                ELSE 0.94 * w.ewma_var
+                     + 0.06 * (((s.y - w.y) / w.y) * ((s.y - w.y) / w.y))
+           END
+    FROM series s JOIN walk w ON s.rn = w.rn + 1
+)
+SELECT d, y, ret, ewma_var, SQRT(ewma_var) AS ewma_vol FROM walk
+"""
+
+REGISTRY["ewma_volatility"] = QuerySpec(q_ewma_volatility, EWMA_VOLATILITY_SQL)

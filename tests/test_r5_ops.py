@@ -287,3 +287,33 @@ def test_idempotency_audit_counts_match_hand_computation(spark):
     # invariants: every id duplicated at most once -> n_rows = n_ids + dups
     assert (got["n_rows"] == got["n_ids"] + got["n_dup_ids"]).all()
     assert (got["n_conflicting_ids"] <= got["n_dup_ids"]).all()
+
+
+def test_ewma_volatility_constant_series_is_zero(spark, tmp_path):
+    d = _orders_dir(spark, tmp_path, [1000.0] * 30)
+    pdf = REGISTRY["ewma_volatility"].fn(spark, d).toPandas().sort_values("d")
+    assert (pdf["ewma_vol"].dropna() == 0.0).all()
+
+
+def test_ewma_volatility_rises_on_planted_shock(spark, tmp_path):
+    vals = [1000.0] * 40 + [1000.0, 1400.0, 950.0, 1380.0, 960.0] * 4
+    d = _orders_dir(spark, tmp_path, vals)
+    pdf = REGISTRY["ewma_volatility"].fn(spark, d).toPandas().sort_values("d")
+    calm = pdf["ewma_vol"].iloc[35]
+    stressed = pdf["ewma_vol"].iloc[-1]
+    assert stressed > calm + 0.05  # returns of ~40% drive vol up hard
+    # decay: lambda=0.94 means variance shrinks ~6%/day once shocks stop
+    assert pdf["ewma_var"].iloc[41] > pdf["ewma_var"].iloc[40]
+
+
+def test_neyman_oversamples_high_sigma_strata(spark):
+    pdf = REGISTRY["neyman_allocation"].fn(spark, SF).toPandas()
+    assert len(pdf) == 11
+    # budget conservation up to rounding
+    assert abs(pdf["neyman_n"].sum() - 10000) <= len(pdf)
+    assert abs(pdf["proportional_n"].sum() - 10000) <= len(pdf)
+    # the allocation ratio must follow the sigma ratio: the stratum with
+    # the highest sigma/size-weighted share gets the largest allocation
+    top = pdf.sort_values("variance_share", ascending=False).iloc[0]
+    assert top["neyman_n"] == pdf["neyman_n"].max()
+    assert pdf["variance_share"].sum() == pytest.approx(1.0, abs=1e-3)
