@@ -390,6 +390,20 @@ PRIORITY = [
     "centered_anisotropy",
     "code_detector",
     "did_placebo",
+    # session-5 additions
+    "ses_forecast",
+    "holt_forecast",
+    "kalman_local_level",
+    "hmm_regime_filter",
+    "ewma_volatility",
+    "cochran_armitage",
+    "jonckheere_terpstra",
+    "mantel_haenszel",
+    "kendall_w",
+    "ngram_novelty",
+    "lsh_band_fpr",
+    "idempotency_audit",
+    "neyman_allocation",
 ]
 
 

@@ -182,15 +182,18 @@ GROUP BY 1
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked (by lang) word-3-gram Jaccard pairs ≥ 0.6. The lang key is
-    DEMO-grade blocking (operators/dedup.ngram_jaccard_pairs' contract is
-    candidates-only); the block-cap guard is disabled here because the
-    driver testdata's largest lang block is known-bounded (~2k at sf0.1)
-    and the guard's extra scan would bill every bench run — real corpora
-    keep the cap on."""
+    """Blocked (by lang) word-3-gram Jaccard pairs ≥ 0.6, via the
+    INVERTED-INDEX pair generator (round 5 — previously the all-pairs
+    within-block verifier at 8.6 s/sf0.1): only shingle-sharing pairs
+    materialize, |∩| by posting-join count, |∪| by inclusion-exclusion;
+    identical output for any threshold > 0 (zero-overlap pairs have
+    J = 0). The posting-list bound, not |block|², is what survives a
+    low-cardinality block key at 100 TB; the all-pairs form remains in
+    operators/dedup for pre-blocked candidate sets that must score
+    J = 0 pairs too."""
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(
-        d, "text", "doc_id", "lang", k=3, threshold=0.6, max_block_rows=None
+    return D.ngram_jaccard_pairs_inverted(
+        d, "text", "doc_id", "lang", k=3, threshold=0.6
     )
 
 
