@@ -404,6 +404,7 @@ PRIORITY = [
     "lsh_band_fpr",
     "idempotency_audit",
     "neyman_allocation",
+    "als_rank1",
 ]
 
 

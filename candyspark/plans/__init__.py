@@ -46,6 +46,7 @@ ROUND5_WINDOW = [
     "lsh_band_fpr",
     "idempotency_audit",
     "neyman_allocation",
+    "als_rank1",
     # materially rewritten this round (collect_set edge builder)
     "triangle_count",
     "pagerank_parts",

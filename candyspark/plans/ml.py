@@ -2893,3 +2893,187 @@ FROM stat
 """
 
 REGISTRY["nested_f_test"] = QuerySpec(q_nested_f_test, NESTED_F_TEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rank-1 ALS — the recommender / matrix-factorization entry
+# ---------------------------------------------------------------------------
+
+
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating least squares on the (customer x part) quantity
+    matrix — the matrix-factorization recommender in its exactly-checkable
+    form: v_j seeded at 1, then 3 alternations of the closed-form rank-1
+    updates u_i = sum_j r_ij v_j / sum_j v_j^2 (over the items i rated)
+    and v_j = sum_i r_ij u_i / sum_i u_i^2. Output: the top-20 parts by
+    final item factor (the 'most broadly demanded' axis) with the fit's
+    global RMSE riding along.
+
+    Cross-engine discipline (the kmeans/pagerank unrolled-rounds rule):
+    factors snap to 6-dp DECIMAL after every half-step; each per-rating
+    product term computes in double on those snapped values and snaps to
+    DECIMAL(20,6) BEFORE the sum, so every aggregate is exact and
+    order-free — 6 alternations stay bit-reproducible in both engines.
+    Scale: ratings = one map-side-combined fact rollup; each half-step is
+    one broadcast-or-keyed join + one groupBy at user/item grain — the
+    standard distributed-ALS shuffle shape, k=1 so factors are scalars.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # "users" are suppliers (lineitem's only actor key at fact grain);
+    # swapping in a customer key via an orders join changes nothing below
+    ratings = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("r"))
+        .withColumnRenamed("l_suppkey", "u_id")
+        .withColumnRenamed("l_partkey", "i_id")
+        .localCheckpoint()
+    )
+
+    def snap6(col):
+        return F.round(col.cast("decimal(28,8)"), 6).cast("decimal(14,6)")
+
+    def term6(col):
+        return F.round(col.cast("decimal(28,7)"), 6).cast("decimal(20,6)")
+
+    # v starts at exactly 1.0 for every item
+    v = ratings.select("i_id").distinct().select(
+        "i_id", F.lit(1).cast("decimal(14,6)").alias("v")
+    )
+    for _ in range(3):
+        ru = ratings.join(v, "i_id").select(
+            "u_id",
+            term6(F.col("r").cast("double") * F.col("v").cast("double")).alias("rv"),
+            term6(F.col("v").cast("double") * F.col("v").cast("double")).alias("vv"),
+        )
+        u = (
+            ru.groupBy("u_id")
+            .agg(F.sum("rv").alias("srv"), F.sum("vv").alias("svv"))
+            .select(
+                "u_id",
+                snap6(F.col("srv").cast("double") / F.col("svv").cast("double")).alias("u"),
+            )
+        )
+        rv = ratings.join(u, "u_id").select(
+            "i_id",
+            term6(F.col("r").cast("double") * F.col("u").cast("double")).alias("ru"),
+            term6(F.col("u").cast("double") * F.col("u").cast("double")).alias("uu"),
+        )
+        v = (
+            rv.groupBy("i_id")
+            .agg(F.sum("ru").alias("sru"), F.sum("uu").alias("suu"))
+            .select(
+                "i_id",
+                snap6(F.col("sru").cast("double") / F.col("suu").cast("double")).alias("v"),
+            )
+        ).localCheckpoint()
+        u = u.localCheckpoint()
+
+    resid = (
+        ratings.join(u, "u_id")
+        .join(v, "i_id")
+        .select(
+            term6(
+                (
+                    F.col("r").cast("double")
+                    - F.col("u").cast("double") * F.col("v").cast("double")
+                )
+                * (
+                    F.col("r").cast("double")
+                    - F.col("u").cast("double") * F.col("v").cast("double")
+                )
+            ).alias("e2")
+        )
+    )
+    rmse = resid.agg(
+        F.round(
+            F.sqrt(
+                F.sum("e2").cast("double") / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(28,8)"),
+            6,
+        )
+        .cast("double")
+        .alias("rmse")
+    )
+    raters = ratings.groupBy("i_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raters")
+    )
+    return (
+        v.join(raters, "i_id")
+        .crossJoin(F.broadcast(rmse))
+        .select(
+            F.col("i_id").alias("partkey"),
+            F.col("v").cast("double").alias("item_factor"),
+            "n_raters",
+            "rmse",
+        )
+        .orderBy(F.desc("item_factor"), "partkey")
+        .limit(20)
+    )
+
+
+def _als_round_sql(n: int) -> str:
+    """One ALS alternation as two CTEs (u{n} from v{n-1}, v{n} from u{n})."""
+    prev_v = f"v{n-1}" if n > 1 else "v0"
+    return f"""u{n} AS (
+    SELECT u_id,
+           CAST(ROUND(CAST(CAST(SUM(rv) AS DOUBLE) / CAST(SUM(vv) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DECIMAL(14,6)) AS u
+    FROM (
+        SELECT r.u_id,
+               CAST(ROUND(CAST(CAST(r.r AS DOUBLE) * CAST(p.v AS DOUBLE)
+                   AS DECIMAL(28,7)), 6) AS DECIMAL(20,6)) AS rv,
+               CAST(ROUND(CAST(CAST(p.v AS DOUBLE) * CAST(p.v AS DOUBLE)
+                   AS DECIMAL(28,7)), 6) AS DECIMAL(20,6)) AS vv
+        FROM ratings r JOIN {prev_v} p USING (i_id)
+    ) GROUP BY u_id
+),
+v{n} AS (
+    SELECT i_id,
+           CAST(ROUND(CAST(CAST(SUM(ru) AS DOUBLE) / CAST(SUM(uu) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DECIMAL(14,6)) AS v
+    FROM (
+        SELECT r.i_id,
+               CAST(ROUND(CAST(CAST(r.r AS DOUBLE) * CAST(q.u AS DOUBLE)
+                   AS DECIMAL(28,7)), 6) AS DECIMAL(20,6)) AS ru,
+               CAST(ROUND(CAST(CAST(q.u AS DOUBLE) * CAST(q.u AS DOUBLE)
+                   AS DECIMAL(28,7)), 6) AS DECIMAL(20,6)) AS uu
+        FROM ratings r JOIN u{n} q USING (u_id)
+    ) GROUP BY i_id
+)"""
+
+
+ALS_RANK1_SQL = f"""
+WITH ratings AS (
+    SELECT l_suppkey AS u_id, l_partkey AS i_id,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+    FROM lineitem GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT i_id, CAST(1 AS DECIMAL(14,6)) AS v FROM ratings),
+{_als_round_sql(1)},
+{_als_round_sql(2)},
+{_als_round_sql(3)},
+resid AS (
+    SELECT CAST(ROUND(CAST(
+        (CAST(r.r AS DOUBLE) - CAST(q.u AS DOUBLE) * CAST(p.v AS DOUBLE))
+        * (CAST(r.r AS DOUBLE) - CAST(q.u AS DOUBLE) * CAST(p.v AS DOUBLE))
+        AS DECIMAL(28,7)), 6) AS DECIMAL(20,6)) AS e2
+    FROM ratings r JOIN u3 q USING (u_id) JOIN v3 p USING (i_id)
+),
+rmse AS (
+    SELECT CAST(ROUND(CAST(SQRT(CAST(SUM(e2) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,8)), 6) AS DOUBLE) AS rmse
+    FROM resid
+),
+raters AS (
+    SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_raters FROM ratings GROUP BY i_id
+)
+SELECT p.i_id AS partkey,
+       CAST(p.v AS DOUBLE) AS item_factor,
+       n_raters,
+       rmse
+FROM v3 p JOIN raters USING (i_id) CROSS JOIN rmse
+ORDER BY item_factor DESC, partkey
+LIMIT 20
+"""
+
+REGISTRY["als_rank1"] = QuerySpec(q_als_rank1, ALS_RANK1_SQL)

@@ -317,3 +317,33 @@ def test_neyman_oversamples_high_sigma_strata(spark):
     top = pdf.sort_values("variance_share", ascending=False).iloc[0]
     assert top["neyman_n"] == pdf["neyman_n"].max()
     assert pdf["variance_share"].sum() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_als_rank1_recovers_planted_rank1_matrix(spark, tmp_path):
+    # r_ij = a_i * b_j exactly rank-1 -> RMSE must collapse to ~0 and the
+    # item-factor ORDER must recover b's order (scale is not identifiable
+    # in a factorization, order is)
+    a = [2.0, 3.0, 5.0, 7.0]
+    b = [1.0, 4.0, 2.0, 8.0, 3.0]
+    rows = []
+    k = 0
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            k += 1
+            rows.append((k, j + 1, int(i + 1), 1, ai * bj, 100.0, 0.0, "N",
+                         dt.datetime(2024, 1, 1)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_returnflag string, l_shipdate timestamp",
+    )
+    out_dir = str(tmp_path / "als")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    out = REGISTRY["als_rank1"].fn(spark, out_dir).toPandas()
+    assert out["rmse"].iloc[0] < 0.01
+    order = out.sort_values("item_factor", ascending=False)["partkey"].tolist()
+    import numpy as np
+
+    want = [p + 1 for p in np.argsort(b)[::-1]]
+    assert order == want
