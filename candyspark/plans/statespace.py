@@ -14,7 +14,7 @@ Members:
 - ``ewma_volatility``     — RiskMetrics EWMA variance of daily returns
   (lambda = 0.94), the GARCH(1,1) special case.
 
-Scale architecture (identical for all four): the 100-TB work is the
+Scale architecture (identical for all five): the 100-TB work is the
 map-side-combined ``orders`` aggregate down to one row per calendar day
 (exact DECIMAL(18,2) sums — order-independent, so cross-engine identical);
 the recurrence then runs over that CALENDAR-BOUNDED series (~2.4k rows at
