@@ -2939,8 +2939,15 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ratings.select("i_id").distinct().select(
         "i_id", F.lit(1).cast("decimal(14,6)").alias("v")
     )
+    # factor relations are user-/item-grain (orders of magnitude under the
+    # fact): BROADCAST them into the fact join — the only shuffle per
+    # half-step is then the map-side-combined groupBy (the standard
+    # distributed-ALS posture; a trillion-item catalog would switch the
+    # join keyed, nothing else changes). One localCheckpoint per
+    # half-step output pins the lineage at factor grain (KB-sized).
+    u = None
     for _ in range(3):
-        ru = ratings.join(v, "i_id").select(
+        ru = ratings.join(F.broadcast(v), "i_id").select(
             "u_id",
             term6(F.col("r").cast("double") * F.col("v").cast("double")).alias("rv"),
             term6(F.col("v").cast("double") * F.col("v").cast("double")).alias("vv"),
@@ -2952,8 +2959,9 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "u_id",
                 snap6(F.col("srv").cast("double") / F.col("svv").cast("double")).alias("u"),
             )
+            .localCheckpoint()
         )
-        rv = ratings.join(u, "u_id").select(
+        rv = ratings.join(F.broadcast(u), "u_id").select(
             "i_id",
             term6(F.col("r").cast("double") * F.col("u").cast("double")).alias("ru"),
             term6(F.col("u").cast("double") * F.col("u").cast("double")).alias("uu"),
@@ -2965,12 +2973,12 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i_id",
                 snap6(F.col("sru").cast("double") / F.col("suu").cast("double")).alias("v"),
             )
-        ).localCheckpoint()
-        u = u.localCheckpoint()
+            .localCheckpoint()
+        )
 
     resid = (
-        ratings.join(u, "u_id")
-        .join(v, "i_id")
+        ratings.join(F.broadcast(u), "u_id")
+        .join(F.broadcast(v), "i_id")
         .select(
             term6(
                 (
