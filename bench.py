@@ -561,10 +561,10 @@ def main() -> None:
         "streaming_sec": round(sum(streaming.values()), 3),
     }
     # full per-query result: first line (humans, logs) + file artifact.
-    # BENCH_OUT defaults to BENCH_full.json at the repo root so EVERY bench
-    # run leaves the complete per-query record on disk for cross-round
-    # regression diffs (round-4 verdict item 2 — the driver's stdout tail
-    # survives for only ~49 queries; this file carries all of them).
+    # BENCH_OUT defaults to BENCH_full.json at the repo root (gitignored —
+    # only the per-round BENCH_full_r{N}.json snapshots are committed) so
+    # EVERY bench run leaves the complete per-query record on disk for
+    # cross-round regression diffs without dirtying the working tree.
     print(json.dumps(result))
     out_path = os.environ.get(
         "BENCH_OUT",

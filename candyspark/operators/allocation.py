@@ -31,6 +31,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -94,9 +95,12 @@ def allocate_greedy(
             out = pdf[out_keys].copy()
             out["requested_qty"] = pdf[qty_col].astype(float).to_numpy()
             out["fulfilled_qty"] = fulfilled
+            # unrounded here; the 2-dp money snap happens Spark-side below so
+            # both engines round through DECIMAL(28,8) half-away-from-zero
+            # (numpy .round is ties-to-even — tie-divergent vs DuckDB ROUND)
             out["line_total"] = (
                 out["fulfilled_qty"].to_numpy() * pdf[unit_price_col].astype(float).to_numpy()
-            ).round(2)
+            )
             yield out
 
     return (
@@ -104,4 +108,8 @@ def allocate_greedy(
         .repartition(group_col)
         .sortWithinPartitions(group_col, *order_cols)
         .mapInPandas(kernel, schema=out_schema)
+        .withColumn(
+            "line_total",
+            F.round(F.col("line_total").cast("decimal(28,8)"), 2).cast("double"),
+        )
     )

@@ -139,7 +139,8 @@ walk AS (
 SELECT l_orderkey, l_partkey, CAST(l_linenumber AS INT) AS l_linenumber,
        qty AS requested_qty,
        fulfilled AS fulfilled_qty,
-       ROUND(fulfilled * unit_price, 2) AS line_total
+       CAST(ROUND(CAST(fulfilled * unit_price AS DECIMAL(28,8)), 2) AS DOUBLE)
+           AS line_total
 FROM walk
 """
 

@@ -5692,7 +5692,9 @@ REGISTRY["centered_anisotropy"] = QuerySpec(
 
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source n-gram novelty: for each document (doc_id order = arrival
-    order), the share of its distinct word-3-gram shingles NOT seen in any
+    order), the share of its word-3-gram shingle OCCURRENCES (duplicate
+    shingles within a doc each count — the explode is deliberately not
+    array_distinct'd, so repetitive docs weight their repeats) NOT seen in any
     earlier document — the forward direction of contamination_check, and
     the curve a curation pipeline watches to decide when a source is
     mined out (novelty decaying toward 0 = the crawler is re-reading the

@@ -2913,7 +2913,7 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors snap to 6-dp DECIMAL after every half-step; each per-rating
     product term computes in double on those snapped values and snaps to
     DECIMAL(20,6) BEFORE the sum, so every aggregate is exact and
-    order-free — 6 alternations stay bit-reproducible in both engines.
+    order-free — the 6 half-steps stay bit-reproducible in both engines.
     Scale: ratings = one map-side-combined fact rollup; each half-step is
     one broadcast-or-keyed join + one groupBy at user/item grain — the
     standard distributed-ALS shuffle shape, k=1 so factors are scalars.

@@ -146,7 +146,7 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         li.select(
             F.round(F.col("l_discount") * 100, 0).cast("long").alias("g"),
-            F.col("l_quantity").cast("long").alias("v"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("v"),
         )
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -219,7 +219,7 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
 JONCKHEERE_SQL = """
 WITH cells AS (
     SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS g,
-           CAST(l_quantity AS BIGINT) AS v,
+           CAST(ROUND(l_quantity, 0) AS BIGINT) AS v,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM lineitem GROUP BY 1, 2
 ),

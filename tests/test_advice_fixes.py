@@ -440,3 +440,60 @@ def test_shapley_dominant_channel_wins(spark, tmp_path):
     assert got["click"] > 0.5, got
     assert got["click"] > 5 * abs(got["view"]), got
     assert got["click"] > 5 * abs(got["signup"]), got
+
+
+def test_greedy_allocate_tie_rounds_half_away(spark):
+    # Round-5 advisor: line_total must snap through DECIMAL(28,8) (half-away)
+    # like the oracle's ROUND, not numpy ties-to-even. 3 * 1.675 = 5.025 —
+    # a .5 tie at 2 dp: half-away gives 5.03, ties-to-even gives 5.02.
+    from candyspark.operators.allocation import allocate_greedy
+
+    df = spark.createDataFrame(
+        [(1, 1, 3.0, 100.0, 1.675), (1, 2, 1.0, 100.0, 0.125)],
+        "grp int, seq int, qty double, stock double, price double",
+    )
+    out = {
+        r["seq"]: r["line_total"]
+        for r in allocate_greedy(
+            df, group_col="grp", order_cols=["seq"], qty_col="qty",
+            stock_col="stock", unit_price_col="price",
+            out_keys=["grp", "seq"],
+        ).collect()
+    }
+    assert out[1] == 5.03, out  # ties-to-even would yield 5.02
+    assert out[2] == 0.13, out  # 0.125 -> 0.13 half-away (0.12 ties-to-even)
+
+
+def test_jonckheere_fractional_quantity_snap(spark, tmp_path):
+    # Round-5 advisor: Spark cast("long") truncates while DuckDB CAST rounds.
+    # With a fractional quantity (25.7) both sides must now agree on ROUND
+    # first — pin the Spark side's cell value against explicit rounding.
+    import duckdb
+
+    rows = [
+        (1, 1, 1, 25.7, 100.0, 0.05, dt.date(2024, 1, 1)),
+        (2, 2, 1, 25.2, 100.0, 0.05, dt.date(2024, 1, 2)),
+        (3, 3, 1, 10.5, 50.0, 0.10, dt.date(2024, 1, 3)),
+        (4, 4, 1, 30.0, 120.0, 0.00, dt.date(2024, 1, 4)),
+        (5, 5, 1, 12.0, 60.0, 0.10, dt.date(2024, 1, 5)),
+        (6, 6, 1, 40.0, 160.0, 0.00, dt.date(2024, 1, 6)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from candyspark.plans.stats4 import JONCKHEERE_SQL, q_jonckheere_terpstra
+
+    got = q_jonckheere_terpstra(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = con.execute(JONCKHEERE_SQL).df()
+    con.close()
+    from tests.oracle import compare_frames
+
+    compare_frames(got, want, "jonckheere_fractional")
