@@ -800,13 +800,55 @@ ORDER BY anchor_id
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at τ=0.4 (exact all-pairs verifier;
-    see operators/similarity.embedding_dup_pairs for the LSH scale path)."""
+    """Embedding-cosine near-dup pairs at τ=0.4 — the PRIMARY, 100-TB-shaped
+    form (round-5 verdict item 2): hyperplane-LSH bucket candidates → exact
+    cosine verify, candidate volume Θ(tables·n²/2^planes) instead of the
+    all-pairs n²/2. The oracle below mirrors the bucketing bit-for-bit
+    (md5-derived planes), so the whole candidates→verify pipeline is
+    hash-checked; recall vs. the exact form (`dedup_embedding_exact`) is
+    pinned separately in tests (~0.80 on these fixtures, whose pairs all
+    sit AT the threshold angle — production τ≥0.85 clears 0.95)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_dup_pairs_lsh(e, threshold=0.4, planes=4, tables=8)
+
+
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at τ=0.4 — exact all-pairs O(n²)
+    VERIFIER for `dedup_embedding` (ground truth for its recall test; run
+    at scale only inside a blocking key or on a candidate set)."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.embedding_dup_pairs(e, threshold=0.4)
 
 
+# 4-plane signature (the dedup variant; _ANN_SIG is the 5-plane ANN one)
+_DUP_SIG = (
+    "CAST(list_sum(list_transform(range(0, 4), p -> "
+    "CASE WHEN list_reduce(list_transform(range(1, 65), "
+    f"i -> v[i] * {_PLANE.format(t='t.t')}), (a, b) -> a + b) > 0 "
+    "THEN (1 << p) ELSE 0 END)) AS INTEGER)"
+)
+
 DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+    SELECT vec_id, t.t AS tbl, {_DUP_SIG} AS bucket
+    FROM e CROSS JOIN range(0, 8) t(t)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b USING (tbl, bucket)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT * FROM (
+    SELECT vec_a, vec_b,
+           {_COS_SQL.replace("q_vec", "ea.v").replace("c_vec", "eb.v")} AS cosine_sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.vec_a
+    JOIN e eb ON eb.vec_id = cand.vec_b
+) WHERE cosine_sim >= 0.4
+"""
+
+DEDUP_EMBEDDING_EXACT_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT * FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2234,6 +2276,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_counts": QuerySpec(q_token_counts, TOKEN_COUNTS_SQL),
     "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_embedding": QuerySpec(q_dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "dedup_embedding_exact": QuerySpec(
+        q_dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL
+    ),
     "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),
     "cross_source_near_dup": QuerySpec(

@@ -375,3 +375,22 @@ def test_exact_quantiles_matches_holistic_percentile(spark):
     assert len(mine) == len(probs)
     for i, p in enumerate(probs):
         assert abs(mine[p] - ref[i]) < 1e-9, (p, mine[p], ref[i])
+
+
+def test_dedup_embedding_lsh_subset_and_recall(spark):
+    """The primary (LSH-bucketed) dedup_embedding is candidates→exact-verify:
+    every returned pair must appear in the all-pairs verifier with the
+    IDENTICAL cosine (precision 1.0 by construction), and recall vs. the
+    exact form stays ≥ 0.75 — a deterministic bound here (md5 planes, fixed
+    fixture), and a worst case: every fixture pair sits at the τ=0.4
+    threshold angle where per-plane collision is lowest."""
+    from candyspark.plans.extensions import q_dedup_embedding, q_dedup_embedding_exact
+
+    lsh = q_dedup_embedding(spark, SF_SMOKE).toPandas()
+    exact = q_dedup_embedding_exact(spark, SF_SMOKE).toPandas()
+    exact_map = {(a, b): c for a, b, c in zip(exact.vec_a, exact.vec_b, exact.cosine_sim)}
+    assert len(lsh) > 0
+    for a, b, c in zip(lsh.vec_a, lsh.vec_b, lsh.cosine_sim):
+        assert exact_map[(a, b)] == c  # subset, same cosine
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.75, f"LSH dedup recall collapsed: {recall}"
