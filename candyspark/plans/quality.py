@@ -5359,6 +5359,159 @@ REGISTRY["randomization_inference"] = QuerySpec(
 )
 
 
+def q_randomization_inference_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE swap-in for `randomization_inference` (round-5
+    verdict item 4, code-ifying what was previously only docstring prose):
+    per draw b, each order is treated iff its md5-derived uniform
+    u = int(h[:8], 16) / 2^32 falls below the OBSERVED treated share
+    p = n1/n — a hash-Bernoulli assignment. Margins are approximate
+    (n1_b ~ Binomial(n, p)), which is exactly the classical
+    Bernoulli-randomization null; the p-value converges to the
+    permutation form's at rate O(1/√n) and the plan drops the entire
+    order-statistic machinery: the B×n fan feeds ONE map-side-combined
+    groupBy(b) — no per-draw rank, no threshold bucket, no broadcast-back
+    join. That is the shape that survives n where even one sorted pass
+    per draw hurts.
+
+    Determinism: u is an exact ≤2^32 integer → exact double; u/2^32 is a
+    power-of-two divide (exact); p = n1/n is ONE correctly-rounded IEEE
+    divide — both engines compare the identical doubles, so all B
+    assignments are bit-identical. Per-draw sums stay exact decimals;
+    gaps snap at 6 dp before the extreme-count comparison (the
+    permutation form's discipline)."""
+    b_draws = 200
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("treated"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("y"),
+    )
+    obs = o.agg(
+        F.sum(F.when(F.col("treated"), F.col("y"))).alias("s1"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("treated"), F.col("y"))).alias("s0"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("long").alias("n0"),
+    ).select(
+        snap_round(
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double"),
+            6,
+        ).alias("gap_obs"),
+        (F.col("n1") + F.col("n0")).alias("n"),
+        F.col("n1"),
+    )
+    from candyspark.sources.readers import fan_out
+
+    draws = spark.range(0, b_draws).select(F.col("id").alias("b"))
+    u = (
+        F.conv(F.substring(F.md5(
+            F.concat(
+                F.col("b").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string")
+            )
+        ), 1, 8), 16, 10).cast("long").cast("double")
+        / F.lit(4294967296.0)
+    )
+    p = F.col("n1").cast("double") / F.col("n").cast("double")
+    per_b = (
+        fan_out(o)
+        .crossJoin(F.broadcast(draws))
+        .crossJoin(F.broadcast(obs.select("n1", "n")))
+        .select("b", "y", (u < p).alias("t_b"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("t_b"), F.col("y"))).alias("s1"),
+            F.sum(F.when(F.col("t_b"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(~F.col("t_b"), F.col("y"))).alias("s0"),
+            F.sum(F.when(~F.col("t_b"), 1).otherwise(0)).cast("long").alias("n0"),
+        )
+        .select(
+            snap_round(
+                F.col("s1").cast("double") / F.col("n1").cast("double")
+                - F.col("s0").cast("double") / F.col("n0").cast("double"),
+                6,
+            ).alias("gap_b")
+        )
+    )
+    counted = per_b.crossJoin(F.broadcast(obs.select("gap_obs"))).agg(
+        F.sum(
+            F.when(F.abs(F.col("gap_b")) >= F.abs(F.col("gap_obs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+        F.count(F.lit(1)).cast("long").alias("b_total"),
+    )
+    return counted.crossJoin(F.broadcast(obs)).select(
+        F.col("n"),
+        F.col("n1").alias("n_treated"),
+        "gap_obs",
+        "b_total",
+        "n_extreme",
+        snap_round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("b_total") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+RANDOMIZATION_INFERENCE_BERNOULLI_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           o_orderpriority = '1-URGENT' AS treated,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS y
+    FROM orders
+),
+obs AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(SUM(CASE WHEN treated THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN NOT treated THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS gap_obs,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM o
+),
+fan AS (
+    SELECT d.b, o.y,
+           CAST(CAST(concat('0x', substr(md5(concat(CAST(d.b AS VARCHAR), ':',
+                CAST(o.o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0
+               < CAST(obs.n1 AS DOUBLE) / CAST(obs.n AS DOUBLE) AS t_b
+    FROM o CROSS JOIN (SELECT unnest(range(200)) AS b) d CROSS JOIN obs
+),
+per_b AS (
+    SELECT CAST(ROUND(CAST(
+               CAST(SUM(CASE WHEN t_b THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN t_b THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN NOT t_b THEN y END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN NOT t_b THEN 1 ELSE 0 END) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS gap_b
+    FROM fan
+    GROUP BY b
+),
+counted AS (
+    SELECT CAST(SUM(CASE WHEN ABS(gap_b) >= ABS(obs.gap_obs) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           CAST(COUNT(*) AS BIGINT) AS b_total
+    FROM per_b CROSS JOIN obs
+)
+SELECT obs.n,
+       obs.n1 AS n_treated,
+       obs.gap_obs,
+       counted.b_total,
+       counted.n_extreme,
+       CAST(ROUND(CAST(
+           CAST(counted.n_extreme + 1 AS DOUBLE)
+           / CAST(counted.b_total + 1 AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS p_value
+FROM counted CROSS JOIN obs
+"""
+
+REGISTRY["randomization_inference_bernoulli"] = QuerySpec(
+    q_randomization_inference_bernoulli, RANDOMIZATION_INFERENCE_BERNOULLI_SQL
+)
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness release audit - the third privacy rung after
     q_k_anonymity's k/l checks: an equivalence class can be k-anonymous

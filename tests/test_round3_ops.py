@@ -1143,3 +1143,28 @@ def test_randomization_inference_detects_planted_effect(spark, tmp_path):
         spark, _orders_pri(spark, tmp_path / "flat", flat)
     ).collect()[0]
     assert r2.gap_obs == 0.0 and r2.p_value == 1.0
+
+
+def test_randomization_inference_bernoulli_agrees(spark, tmp_path):
+    """The Bernoulli-hash scale swap-in (round-5 verdict item 4): p-values
+    from the exact-permutation and Bernoulli forms agree within Monte-Carlo
+    tolerance on the real fixture (3σ at B=200, p≈0.1 ⇒ |Δp| ≤ 0.065 —
+    deterministic here: md5 draws, fixed data), and a huge planted effect
+    bottoms both out at 1/(B+1)."""
+    exact = REGISTRY["randomization_inference"].fn(spark, SF1).collect()[0]
+    bern = REGISTRY["randomization_inference_bernoulli"].fn(spark, SF1).collect()[0]
+    assert bern.gap_obs == exact.gap_obs
+    assert abs(bern.p_value - exact.p_value) <= 0.065, (exact.p_value, bern.p_value)
+
+    strong = []
+    for i in range(1, 41):
+        urgent = i <= 20
+        strong.append(
+            (i, i, 10000.0 if urgent else 1000.0, "1997-01-01",
+             "1-URGENT" if urgent else "3-MEDIUM")
+        )
+    r = REGISTRY["randomization_inference_bernoulli"].fn(
+        spark, _orders_pri(spark, tmp_path, strong)
+    ).collect()[0]
+    assert r.p_value == pytest.approx(1.0 / 201.0, abs=1e-6)
+    assert r.n_extreme == 0
