@@ -82,6 +82,14 @@ BOUNDS = {
     # session-4 additions:
     # co-purchase edge build (pair-linear) + 6 Katz rounds of edge joins
     "katz_centrality": 1.2,
+    # round-6 (verdict item 3): the remaining iterative graph family.
+    # HITS: bipartite edge list = distinct (custkey, partkey) purchase
+    # pairs (edge-linear in lineitem); 8 rounds of two keyed
+    # join+aggregates per round, each linear in edges → 1.2
+    "hits_customers_parts": 1.2,
+    # PPR: same co-purchase edge build as katz; 8 int64 rounds of one
+    # keyed join+aggregate per round, linear in edges → 1.2
+    "personalized_pagerank": 1.2,
     # contests = bounded pairs-per-order + part join; MM rounds are flat
     "bradley_terry": 1.2,
     # daily pair matrix is calendar-bounded; only the day aggregate grows

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from candyspark.forecast import (
@@ -224,3 +225,90 @@ def test_forecast_metrics_holt(spark):
     # linear series → Holt in-sample predictions are exact → zero error
     assert m["total_sales"]["mae"] == pytest.approx(0.0, abs=1e-9)
     assert m["total_sales"]["model_type"] == "holt"
+
+
+# --- round 6 (verdict item 5): pin the Prophet branch against rot ----------
+
+
+class _FakeProphet:
+    """Minimal Prophet double: records the fit frame and future-frame calls
+    so the date-anchoring contract (fit on the TRUE dates — the fix for
+    reference src/time_series.py:21's run-date anchoring bug) is asserted
+    without the real dependency."""
+
+    last: "_FakeProphet | None" = None
+
+    def __init__(self):
+        _FakeProphet.last = self
+        self.fit_df = None
+        self.future_args = None
+
+    def fit(self, df):
+        self.fit_df = df.copy()
+        return self
+
+    def make_future_dataframe(self, periods, include_history):
+        self.future_args = {"periods": periods, "include_history": include_history}
+        last = self.fit_df["ds"].max()
+        import pandas as _pd
+
+        ds = [last + _pd.Timedelta(days=i + 1) for i in range(periods)]
+        if include_history:
+            ds = list(self.fit_df["ds"]) + ds
+        return _pd.DataFrame({"ds": ds})
+
+    def predict(self, future):
+        # deterministic: yhat = day-offset from the fit's first date
+        base = self.fit_df["ds"].min()
+        return pd.DataFrame(
+            {"yhat": [(d - base).days * 1.0 for d in future["ds"]]}
+        )
+
+
+def test_prophet_branch_is_date_anchored(monkeypatch):
+    import candyspark.forecast as fc
+
+    monkeypatch.setattr(fc, "Prophet", _FakeProphet, raising=False)
+    monkeypatch.setattr(fc, "HAVE_PROPHET", True)
+    dates = pd.Series(pd.to_datetime(["2024-03-01", "2024-03-02", "2024-03-04"]))
+    values = np.array([10.0, 12.0, 11.0])
+
+    out = fc.forecast_series(dates, values, horizon=2, method="prophet")
+    m = _FakeProphet.last
+    # fit anchored at the TRUE dates, not the run date
+    assert list(m.fit_df["ds"]) == list(dates)
+    assert list(m.fit_df["y"]) == list(values)
+    # forecast frame: exactly `horizon` future days, history excluded
+    assert m.future_args == {"periods": 2, "include_history": False}
+    # fake yhat = days since 2024-03-01 → future days 4 and 5
+    assert list(out) == [4.0, 5.0]
+
+    # in-sample path predicts back over the TRAINING ds (metrics contract)
+    yhat = fc._in_sample_predictions(dates, values, method="prophet")
+    assert list(yhat) == [0.0, 1.0, 3.0]
+    # 'auto' routes to prophet when importable
+    assert list(fc.forecast_series(dates, values, 1, method="auto")) == [4.0]
+
+
+def test_prophet_missing_raises_clear_error(monkeypatch):
+    import candyspark.forecast as fc
+
+    monkeypatch.setattr(fc, "HAVE_PROPHET", False)
+    dates = pd.Series(pd.to_datetime(["2024-03-01", "2024-03-02"]))
+    with pytest.raises(ImportError, match="prophet"):
+        fc.forecast_series(dates, np.array([1.0, 2.0]), 1, method="prophet")
+    with pytest.raises(ImportError, match="prophet"):
+        fc._in_sample_predictions(dates, np.array([1.0, 2.0]), method="prophet")
+
+
+@pytest.mark.skipif(
+    not __import__("candyspark.forecast", fromlist=["HAVE_PROPHET"]).HAVE_PROPHET,
+    reason="prophet not installed in this environment",
+)
+def test_prophet_real_path_runs():
+    import candyspark.forecast as fc
+
+    dates = pd.Series(pd.date_range("2024-01-01", periods=30))
+    values = np.arange(30, dtype=float) + 5.0
+    out = fc.forecast_series(dates, values, horizon=3, method="prophet")
+    assert len(out) == 3 and np.isfinite(out).all()
