@@ -19,6 +19,8 @@ same oracle-checked determinism discipline as every other plan:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,8 +226,17 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny collected matrix (64×64 doubles — driver linear algebra on a
     bounded object is sanctioned; the DATA never leaves the cluster).
 
-    Rows-only: an eigensolver has no SQL oracle — test_ml pins the result
-    against numpy's eigendecomposition instead.
+    Hash-checked since round 6 (was the registry's last non-sketch
+    rows-only entry): the power method is a sequential recurrence, so the
+    DuckDB oracle unrolls it as a 300-step recursive CTE over a
+    MATERIALIZED covariance matrix (without MATERIALIZED DuckDB re-inlines
+    the cov CTE into every iteration — measured 241 s → 1.5 s). Bit-parity
+    holds because every float op on both sides is an IEEE correctly-rounded
+    add/mul/div/sqrt in the same sequential order: Python `sum()` starts
+    0 + x₀ (exact) = DuckDB `list_reduce`'s first-element seed, and both
+    `math.sqrt` and DuckDB `sqrt` are the correctly-rounded hardware root
+    (`** 0.5` goes through libm `pow` and is NOT — see the round-6 fix).
+    test_ml additionally pins the result against numpy's eigendecomposition.
     Output: one row per dimension with the component loading, plus the
     explained-variance ratio.
     """
@@ -294,36 +305,115 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     d_dim = max(r["i"] for r in rows) + 1
     cov = [[0.0] * d_dim for _ in range(d_dim)]
-    total_var = 0.0
     for r in rows:
         cov[r["i"]][r["j"]] = r["cov"]
-        if r["i"] == r["j"]:
-            total_var += r["cov"]
+    # trace summed in INDEX order (not collect order — round 6: the old
+    # `+=` over collect order was latently nondeterministic and blocked
+    # the recursive-CTE oracle, which folds the diagonal in i order)
+    total_var = sum(cov[i][i] for i in range(d_dim))
     # fixed-iteration power method with a deterministic start — bit-stable
-    # across runs (no RNG, no convergence-threshold branching).
-    v = [1.0 / (d_dim ** 0.5)] * d_dim
+    # across runs (no RNG, no convergence-threshold branching). Every float
+    # op below is an IEEE correctly-rounded add/mul/div/sqrt in a fixed
+    # sequential order, so the DuckDB oracle's recursive CTE (same order,
+    # same ops — math.sqrt, NOT `** 0.5`, which goes through libm pow and
+    # is not correctly-rounded) reproduces the state bit-for-bit.
+    v = [1.0 / math.sqrt(d_dim)] * d_dim
     for _ in range(300):
         w_vec = [sum(cov[i][j] * v[j] for j in range(d_dim)) for i in range(d_dim)]
-        norm = sum(x * x for x in w_vec) ** 0.5
+        norm = math.sqrt(sum(x * x for x in w_vec))
         v = [x / norm for x in w_vec]
     eig = sum(
         v[i] * sum(cov[i][j] * v[j] for j in range(d_dim)) for i in range(d_dim)
     )
-    # pin the sign: largest-|loading| coordinate is positive
+    # pin the sign: largest-|loading| coordinate is positive (first index
+    # on ties — the oracle mirrors with ORDER BY abs DESC, index ASC)
     pivot = max(range(d_dim), key=lambda i: abs(v[i]))
     if v[pivot] < 0:
         v = [-x for x in v]
-    out = [
-        (i, round(v[i], 6), round(eig / total_var, 6)) for i in range(d_dim)
-    ]
+    out = [(i, v[i], eig / total_var) for i in range(d_dim)]
+    # snap Spark-side through the shared decimal discipline (Python's
+    # round() is banker's — tie-divergent vs the oracle's ROUND)
     return spark.createDataFrame(
         out, "dim int, loading double, explained_variance_ratio double"
+    ).select(
+        "dim",
+        X.snap_round(F.col("loading"), 6).alias("loading"),
+        X.snap_round(F.col("explained_variance_ratio"), 6).alias(
+            "explained_variance_ratio"
+        ),
     )
+
+
+PCA_TOP_COMPONENT_SQL = """
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coords AS (
+    SELECT vec_id, r.i, CAST(v[r.i] AS DECIMAL(18,9)) AS xi
+    FROM e CROSS JOIN range(1, 65) r(i)
+),
+prods AS (
+    SELECT a.i AS i, b.i AS j, SUM(CAST(a.xi * b.xi AS DECIMAL(38,18))) AS sij
+    FROM coords a JOIN coords b USING (vec_id)
+    GROUP BY a.i, b.i
+),
+nm AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n, SUM(xi) AS si FROM coords GROUP BY i),
+cov AS (
+    SELECT p.i, p.j,
+           (CAST(p.sij AS DOUBLE)
+            - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) / a.n)
+           / (a.n - 1) AS c
+    FROM prods p JOIN nm a ON a.i = p.i JOIN nm b ON b.i = p.j
+),
+mat AS MATERIALIZED (
+    SELECT list(cl ORDER BY i) AS m
+    FROM (SELECT i, list(c ORDER BY j) AS cl FROM cov GROUP BY i)
+),
+tv AS (
+    SELECT list_reduce(list(c ORDER BY i), (a, b) -> a + b) AS total_var
+    FROM cov WHERE i = j
+),
+it AS (
+    SELECT 0 AS k, list_transform(range(1, 65), i -> 1.0 / sqrt(64.0)) AS v
+    UNION ALL
+    SELECT k + 1,
+           list_transform(w, x -> x / sqrt(list_reduce(
+               list_transform(w, y -> y * y), (a, b) -> a + b)))
+    FROM (
+        SELECT k,
+               list_transform(m, row -> list_reduce(
+                   list_transform(range(1, 65), j -> row[j] * v[j]),
+                   (a, b) -> a + b)) AS w
+        FROM it, mat WHERE k < 300
+    )
+),
+fin AS (SELECT v FROM it WHERE k = 300),
+sgn AS (
+    SELECT CASE WHEN v[(
+        SELECT r.i FROM range(1, 65) r(i), fin
+        ORDER BY abs(v[r.i]) DESC, r.i ASC LIMIT 1
+    )] < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM fin
+),
+eig AS (
+    SELECT list_reduce(list_transform(range(1, 65),
+               i -> v[i] * list_reduce(
+                   list_transform(range(1, 65), j -> m[i][j] * v[j]),
+                   (a, b) -> a + b)),
+           (a, b) -> a + b) AS e
+    FROM fin, mat
+)
+SELECT CAST(r.i - 1 AS INT) AS dim,
+       CAST(ROUND(CAST(sgn.s * fin.v[r.i] AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS loading,
+       CAST(ROUND(CAST(eig.e / tv.total_var AS DECIMAL(28,8)), 6) AS DOUBLE)
+           AS explained_variance_ratio
+FROM range(1, 65) r(i), fin, sgn, eig, tv
+"""
 
 
 REGISTRY: dict[str, QuerySpec] = {
     "naive_bayes_langid": QuerySpec(q_naive_bayes_langid, NAIVE_BAYES_LANGID_SQL),
-    "pca_top_component": QuerySpec(q_pca_top_component, None),  # eigensolver; rows-only
+    "pca_top_component": QuerySpec(q_pca_top_component, PCA_TOP_COMPONENT_SQL),
 }
 
 

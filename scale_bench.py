@@ -116,6 +116,19 @@ BOUNDS = {
 MARGIN = 0.25  # host noise allowance on a log10 scale (~78% wall-time slack)
 
 
+def _unpersist_all(spark) -> None:
+    """Drop every pinned block (localCheckpoint RDDs) between timed passes.
+
+    The iterative graph queries eagerly localCheckpoint per round; those
+    blocks stay pinned until the async ContextCleaner notices the Python
+    references died. Across multiple sf10 passes the accumulation starves
+    execution memory (observed: SparkOutOfMemoryError 'got 0' + GCLocker
+    retries during the HITS probe). An explicit sweep between passes keeps
+    each measurement starting from a clean block manager."""
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -168,6 +181,7 @@ def main() -> None:
         for sf in SFS:
             samples = []
             for _ in range(args.passes):
+                _unpersist_all(spark)
                 t0 = time.perf_counter()
                 registry[name].fn(spark, dirs[sf]).write.mode("overwrite").format(
                     "noop"
