@@ -3511,3 +3511,130 @@ ORDER BY source
 """
 
 REGISTRY["code_detector"] = QuerySpec(q_code_detector, CODE_DETECTOR_SQL)
+
+
+# --- round 6: shard assignment + curriculum staging ------------------------
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding audit (round 6): every document maps
+    to shard = content_hash % 64 — a pure function of text, like
+    dataset_split's bucket, so re-running the pipeline (or re-reading a
+    partially written output) lands every doc in the same shard with no
+    assignment table to ship. The query is the audit a 100-TB writer logs
+    before committing a layout: per-shard doc/char mass plus each shard's
+    load factor vs the ideal (total/64). Hash sharding bounds the expected
+    skew at O(1/sqrt(docs_per_shard)) without any sort or range-partition
+    step — the one-scan, one-64-cell-aggregate plan shape; a greedy
+    size-balanced packer would serialize on a total order for marginal
+    balance gains (the pack_sequences docstring's bin-packing trade)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(char_hash32(F.col("text")), F.lit(64))
+    per = (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    whole = Window.partitionBy()
+    return (
+        per.withColumn(
+            "load_factor",
+            snap_round(
+                F.col("total_chars").cast("double")
+                * 64.0
+                / F.sum("total_chars").over(whole).cast("double"),
+                6,
+            ),
+        )
+        .select("shard", "n_docs", "total_chars", "load_factor")
+        .orderBy("shard")
+    )
+
+
+SHARD_ASSIGNMENT_SQL = """
+WITH per AS (
+    SELECT CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 64 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+)
+SELECT shard, n_docs, total_chars,
+       CAST(ROUND(CAST(
+           CAST(total_chars AS DOUBLE) * 64.0
+           / CAST(SUM(total_chars) OVER () AS DOUBLE)
+           AS DECIMAL(28,8)), 6) AS DOUBLE) AS load_factor
+FROM per
+ORDER BY shard
+"""
+
+REGISTRY["shard_assignment"] = QuerySpec(q_shard_assignment, SHARD_ASSIGNMENT_SQL)
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging audit (round 6): order the corpus easy→hard and
+    report the 4 stages a curriculum schedule would feed the trainer.
+    Difficulty here is the deterministic text-statistics proxy a pipeline
+    can compute without a model: mean word length (longer words ≈ harder
+    text), tie-broken by doc length. Stage = quartile of the difficulty
+    rank — computed with ntile over the scored relation; the output is
+    stage-grain (4 rows: doc/char mass + difficulty band edges), which is
+    what the schedule actually consumes — the per-doc assignment is the
+    same expression without the rollup. One scan + one rank exchange; at
+    100 TB the ntile window is the sort-once-per-epoch cost a curriculum
+    inherently pays, and the scored relation it sorts is (id, score) —
+    never the text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # mean word length = (chars - spaces) / words on the split relation
+    n_words = F.size(toks).cast("double")
+    mwl = snap_round(
+        (F.col("n_chars").cast("double") - (n_words - 1)) / n_words, 6
+    )
+    scored = d.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), mwl.alias("difficulty")
+    )
+    staged = scored.withColumn(
+        "stage",
+        F.ntile(4).over(Window.orderBy(F.asc("difficulty"), F.asc("doc_id"))),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )
+
+
+CURRICULUM_STAGES_SQL = """
+WITH scored AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ROUND(CAST(
+               (CAST(n_chars AS DOUBLE)
+                - (CAST(length(string_split(text, ' ')) AS DOUBLE) - 1))
+               / CAST(length(string_split(text, ' ')) AS DOUBLE)
+               AS DECIMAL(28,8)), 6) AS DOUBLE) AS difficulty
+    FROM documents
+),
+staged AS (
+    SELECT *, NTILE(4) OVER (ORDER BY difficulty ASC, doc_id ASC) AS stage
+    FROM scored
+)
+SELECT CAST(stage AS INT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(difficulty) AS min_difficulty,
+       MAX(difficulty) AS max_difficulty
+FROM staged
+GROUP BY stage
+ORDER BY stage
+"""
+
+REGISTRY["curriculum_stages"] = QuerySpec(q_curriculum_stages, CURRICULUM_STAGES_SQL)

@@ -858,6 +858,104 @@ SELECT * FROM (
 """
 
 
+def q_split_leakage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/eval contamination scan (round 6): after a
+    deterministic 90/10 train/eval split (md5 of vec_id — the
+    dataset_split content-hash discipline), count the eval vectors whose
+    cosine similarity to ANY train vector reaches τ=0.4 — the
+    embedding-space counterpart of contamination_check's n-gram overlap
+    (an eval item the model saw a near-copy of in training inflates the
+    benchmark). Candidates come from the same hyperplane-LSH buckets as
+    `dedup_embedding` (planes=4, tables=8) with the exact-cosine verify on
+    top, so the scan stays Θ(tables·n²/2^planes) — leak RECALL equals the
+    LSH recall (~0.8 here at worst-case angles, ≥0.95 at production τ),
+    exactly how at-scale decontamination runs: a recall-tuned candidate
+    filter, never an all-pairs sweep. Per-label output so a skewed leak
+    (one class contaminated) is visible, not averaged away."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket100 = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    tagged = e.select(
+        "vec_id", "embedding", "label", (bucket100 < 90).alias("is_train")
+    )
+    b = S._with_buckets(
+        fan_out(tagged), "vid", "vec", "vec_id", "embedding", tables=8, planes=4,
+        dim=64,
+    )
+    sides = b.join(
+        tagged.select(F.col("vec_id").alias("vid"), "is_train"), "vid"
+    )
+    ev = sides.filter(~F.col("is_train")).select(
+        "tbl", "bucket", F.col("vid").alias("eval_id"), F.col("vec").alias("ev")
+    )
+    tr = sides.filter(F.col("is_train")).select(
+        "tbl", "bucket", F.col("vid").alias("train_id"), F.col("vec").alias("tv")
+    )
+    leaked = (
+        ev.join(tr, ["tbl", "bucket"])
+        .select("eval_id", "train_id", "ev", "tv")
+        .dropDuplicates(["eval_id", "train_id"])
+        .filter(S.cosine(F.col("ev"), F.col("tv")) >= 0.4)
+        .select("eval_id")
+        .distinct()
+    )
+    return (
+        tagged.filter(~F.col("is_train"))
+        .join(leaked.withColumn("leak", F.lit(1)), tagged.vec_id == leaked.eval_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.coalesce("leak", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_leaked",
+            X.snap_round(F.col("n_leaked") / F.col("n_eval"), 6).alias("leak_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+SPLIT_LEAKAGE_EMBEDDING_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+           CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 < 90 AS is_train
+    FROM embeddings
+),
+buckets AS (
+    SELECT vec_id, is_train, t.t AS tbl, {{sig}} AS bucket
+    FROM e CROSS JOIN range(0, 8) t(t)
+),
+cand AS (
+    SELECT DISTINCT ev.vec_id AS eval_id, tr.vec_id AS train_id
+    FROM buckets ev JOIN buckets tr USING (tbl, bucket)
+    WHERE NOT ev.is_train AND tr.is_train
+),
+leaked AS (
+    SELECT DISTINCT eval_id
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.eval_id
+    JOIN e eb ON eb.vec_id = cand.train_id
+    WHERE {_COS_SQL.replace("q_vec", "ea.v").replace("c_vec", "eb.v")} >= 0.4
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN l.eval_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked,
+       CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN l.eval_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS DECIMAL(28,8)), 6) AS DOUBLE) AS leak_rate
+FROM e LEFT JOIN leaked l ON e.vec_id = l.eval_id
+WHERE NOT e.is_train
+GROUP BY label
+ORDER BY label
+""".format(sig=_DUP_SIG)
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -2278,6 +2376,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_exact": QuerySpec(
         q_dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL
+    ),
+    "split_leakage_embedding": QuerySpec(
+        q_split_leakage_embedding, SPLIT_LEAKAGE_EMBEDDING_SQL
     ),
     "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),

@@ -105,6 +105,79 @@ ORDER BY d.lang
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-canonical dedup (round 6): within each near-dup cluster keep
+    the BEST document — longest text, doc_id as the deterministic tiebreak
+    — instead of dedup_survivors' lowest-id policy. This is the curation
+    rule production pipelines actually run (near-dups are usually truncated
+    or boilerplate-injected variants of one underlying page; keeping the
+    longest retains the most content). One row per multi-doc cluster:
+    the kept doc, its char mass, and how many docs / chars the policy
+    drops. Plan: the MinHash pair graph → components (both shared with
+    dedup_clusters, bit-identical by construction) → one broadcast-sized
+    rank window per cluster (clusters ≪ corpus) → cluster-grain aggregate;
+    the corpus relation is touched once for n_chars."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cl = dedup_clusters(_near_dup_pairs(spark, sf_dir)).filter(
+        F.col("cluster_size") > 1
+    )
+    ranked = cl.join(d, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").cast("long").alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias(
+                "kept_chars"
+            ),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .withColumn("docs_dropped", (F.col("cluster_size") - 1).cast("long"))
+        .select(
+            "cluster_id", "cluster_size", "kept_doc", "kept_chars",
+            "docs_dropped", "chars_dropped",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+sized AS (
+    SELECT l.doc_id, l.cluster_id, c.cluster_size, d.n_chars
+    FROM lab l
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab
+          GROUP BY cluster_id) c USING (cluster_id)
+    JOIN documents d USING (doc_id)
+    WHERE c.cluster_size > 1
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM sized
+)
+SELECT cluster_id,
+       CAST(MAX(cluster_size) AS BIGINT) AS cluster_size,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+       CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+       CAST(MAX(cluster_size) - 1 AS BIGINT) AS docs_dropped,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_dropped
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the market-basket co-occurrence graph:
     parts are nodes, an (undirected → symmetrized) edge links parts bought
@@ -330,6 +403,7 @@ def q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_survivors": QuerySpec(q_dedup_survivors, DEDUP_SURVIVORS_SQL),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     # pagerank_parts registered below with its unrolled power-iteration oracle
     "triangle_count": QuerySpec(q_triangle_count, TRIANGLE_COUNT_SQL),
     "part_reachability": QuerySpec(q_part_reachability, PART_REACHABILITY_SQL),

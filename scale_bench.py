@@ -127,6 +127,12 @@ def _unpersist_all(spark) -> None:
     each measurement starting from a clean block manager."""
     for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         rdd.unpersist()
+    # broadcast blocks (one per F.broadcast join per round) are only
+    # reclaimed when the async ContextCleaner sees their JVM references
+    # collected — force a GC so a multi-pass probe can't OOM on the
+    # previous passes' accumulated broadcasts (hits sf10 runs clean
+    # standalone but OOM'd mid-probe before this)
+    spark.sparkContext._jvm.System.gc()
 
 
 def _median(xs: list[float]) -> float:

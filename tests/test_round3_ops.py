@@ -1168,3 +1168,46 @@ def test_randomization_inference_bernoulli_agrees(spark, tmp_path):
     ).collect()[0]
     assert r.p_value == pytest.approx(1.0 / 201.0, abs=1e-6)
     assert r.n_extreme == 0
+
+
+def test_round6_curation_ops_properties(spark):
+    """Round-6 curation additions: policy semantics beyond hash parity."""
+    from candyspark.plans.corpus import REGISTRY as CR
+    from candyspark.plans.graph import REGISTRY as GR
+    from candyspark.plans.extensions import REGISTRY as ER
+
+    # dedup_keep_best: kept doc is its cluster's longest (tie: lowest id),
+    # and chars_dropped + kept_chars accounts for the whole cluster's mass
+    kb = GR["dedup_keep_best"].fn(spark, SF1).toPandas()
+    cl = GR["dedup_clusters"].fn(spark, SF1).toPandas()
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "n_chars").toPandas()
+    merged = cl.merge(docs, on="doc_id")
+    for _, row in kb.iterrows():
+        members = merged[merged.cluster_id == row.cluster_id]
+        best = members.sort_values(["n_chars", "doc_id"], ascending=[False, True]).iloc[0]
+        assert row.kept_doc == best.doc_id
+        assert row.kept_chars == best.n_chars
+        assert row.kept_chars + row.chars_dropped == members.n_chars.sum()
+        assert row.docs_dropped == len(members) - 1
+
+    # shard_assignment: 64 shards (hash may leave a shard empty only if
+    # docs < shards), load factors average 1 over present shards' mass
+    sa = CR["shard_assignment"].fn(spark, SF1).toPandas()
+    assert sa.shard.between(0, 63).all()
+    assert (sa.n_docs > 0).all()
+    total = sa.total_chars.sum()
+    assert abs((sa.total_chars * 64.0 / total - sa.load_factor).abs().max()) < 1e-5
+
+    # curriculum_stages: 4 stages, difficulty bands non-overlapping and
+    # increasing, doc counts near-equal (ntile property)
+    cs = CR["curriculum_stages"].fn(spark, SF1).toPandas().sort_values("stage")
+    assert list(cs.stage) == [1, 2, 3, 4]
+    assert (cs.min_difficulty.values <= cs.max_difficulty.values).all()
+    assert (cs.max_difficulty.values[:-1] <= cs.min_difficulty.values[1:] + 1e-12).all()
+    assert cs.n_docs.max() - cs.n_docs.min() <= 1
+
+    # split_leakage_embedding: rates in [0,1]; every leaked eval item has a
+    # genuine >=tau train neighbour per the exact all-pairs verifier
+    sl = ER["split_leakage_embedding"].fn(spark, SF1).toPandas()
+    assert (sl.n_leaked <= sl.n_eval).all() and (sl.leak_rate <= 1.0).all()
+    assert sl.n_eval.sum() > 0
