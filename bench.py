@@ -466,6 +466,7 @@ def headline_names(registry: dict) -> list[str]:
 
 
 def main() -> None:
+    loadavg_at_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     # this host swings ±30-100% between identical runs (BASELINE.md):
@@ -557,6 +558,13 @@ def main() -> None:
         "sec_per_query_min": round(total_min / len(times), 3),
         "passes": passes,
         "tail_resampled": tail_sampled,
+        # host-load conditions the run was taken under (round-5 verdict
+        # item 8: the artifact itself must carry what BASELINE.md's prose
+        # documents — a reading taken in a loaded window isn't comparable
+        # to a calm one). 1/5/15-min loadavgs at suite start; this host
+        # has 32 cores, so ≳32 means another heavy process shared the run.
+        "loadavg_at_start": loadavg_at_start,
+        "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
         "streaming": streaming,
         "streaming_sec": round(sum(streaming.values()), 3),
     }
