@@ -858,6 +858,68 @@ SELECT * FROM (
 """
 
 
+def q_dedup_embedding_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_embedding` with the planes-scaling rule EXECUTED instead of
+    documented (round 6 — the same prose→code move as
+    randomization_inference_bernoulli): planes = max(4, ceil(log2(n/32)))
+    from one O(1)-output count job, so per-table bucket population stays
+    ~32 as the corpus grows and candidate volume stays
+    Θ(tables·n·B) — LINEAR in n at fixed target bucket size B, the form
+    that survives 100 TB (fixed-planes LSH is Θ(n²/2^planes)). The count
+    is metadata-cheap on parquet; the derived planes is a plan-time
+    constant on both engines (the oracle computes the identical
+    ceil(log2) from its own COUNT — exact for every n since log2 ties
+    land only on exact powers of two). At the driver SFs n=500 keeps
+    planes=4, making this provably identical to `dedup_embedding`; the
+    adaptive branch (planes>4) is pinned by a property test on the
+    2k-vector generated corpus. Recall note: more planes at fixed tables
+    lowers recall at a FIXED similarity threshold — the rule assumes the
+    production near-dup regime (τ≥0.85) where per-plane collision ≥0.82
+    keeps multi-table recall high; for borderline-τ sweeps, grow tables
+    with planes (the banded-minhash trade, operators/dedup.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    import math
+
+    n = e.count()
+    planes = max(4, math.ceil(math.log2(max(n, 1) / 32.0)))
+    return S.embedding_dup_pairs_lsh(e, threshold=0.4, planes=planes, tables=8)
+
+
+def _dup_sig_adaptive() -> str:
+    # planes as a scalar subquery: same ceil(log2(n/32)) the engine derives
+    return (
+        "CAST(list_sum(list_transform(range(0, (SELECT p FROM np)), p -> "
+        "CASE WHEN list_reduce(list_transform(range(1, 65), "
+        f"i -> v[i] * {_PLANE.format(t='t.t')}), (a, b) -> a + b) > 0 "
+        "THEN (1 << p) ELSE 0 END)) AS INTEGER)"
+    )
+
+
+DEDUP_EMBEDDING_ADAPTIVE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+np AS (
+    SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / 32.0)) AS INT)) AS p
+    FROM e
+),
+buckets AS (
+    SELECT vec_id, t.t AS tbl, {_dup_sig_adaptive()} AS bucket
+    FROM e CROSS JOIN range(0, 8) t(t)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b USING (tbl, bucket)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT * FROM (
+    SELECT vec_a, vec_b,
+           {_COS_SQL.replace("q_vec", "ea.v").replace("c_vec", "eb.v")} AS cosine_sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.vec_a
+    JOIN e eb ON eb.vec_id = cand.vec_b
+) WHERE cosine_sim >= 0.4
+"""
+
+
 def q_split_leakage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC train/eval contamination scan (round 6): after a
     deterministic 90/10 train/eval split (md5 of vec_id — the
@@ -2379,6 +2441,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "split_leakage_embedding": QuerySpec(
         q_split_leakage_embedding, SPLIT_LEAKAGE_EMBEDDING_SQL
+    ),
+    "dedup_embedding_adaptive": QuerySpec(
+        q_dedup_embedding_adaptive, DEDUP_EMBEDDING_ADAPTIVE_SQL
     ),
     "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),

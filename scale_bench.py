@@ -129,10 +129,12 @@ def _unpersist_all(spark) -> None:
         rdd.unpersist()
     # broadcast blocks (one per F.broadcast join per round) are only
     # reclaimed when the async ContextCleaner sees their JVM references
-    # collected — force a GC so a multi-pass probe can't OOM on the
-    # previous passes' accumulated broadcasts (hits sf10 runs clean
-    # standalone but OOM'd mid-probe before this)
+    # collected — force a GC, then give the cleaner thread a moment to
+    # drain its queue, so a multi-pass probe can't OOM on the previous
+    # passes' accumulated broadcasts (hits sf10 runs clean standalone
+    # but OOM'd mid-probe before this)
     spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
 
 
 def _median(xs: list[float]) -> float:

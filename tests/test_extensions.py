@@ -394,3 +394,28 @@ def test_dedup_embedding_lsh_subset_and_recall(spark):
         assert exact_map[(a, b)] == c  # subset, same cosine
     recall = len(lsh) / len(exact)
     assert recall >= 0.75, f"LSH dedup recall collapsed: {recall}"
+
+
+def test_dedup_embedding_adaptive_planes_branch(spark):
+    """The adaptive planes>4 branch (2k generated vectors → planes=6):
+    output is still a subset of the exact all-pairs verifier with
+    identical cosines, and recall stays useful. Falls back to the sf0.1
+    driver fixture if the generated corpus is absent."""
+    import math, os
+
+    gen = "/root/repo/.scale/gen0.1"
+    sf_dir = gen if os.path.isdir(f"{gen}/embeddings.parquet") else "/root/testdata/sf0.1"
+    from candyspark.operators.similarity import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    planes = max(4, math.ceil(math.log2(n / 32.0)))
+    assert planes > 4, f"fixture too small to exercise the branch (n={n})"
+    lsh = embedding_dup_pairs_lsh(e, threshold=0.4, planes=planes, tables=8).toPandas()
+    exact = embedding_dup_pairs(e, threshold=0.4).toPandas()
+    exact_map = {(a, b): c for a, b, c in zip(exact.vec_a, exact.vec_b, exact.cosine_sim)}
+    for a, b, c in zip(lsh.vec_a, lsh.vec_b, lsh.cosine_sim):
+        assert exact_map[(a, b)] == c
+    if len(exact):
+        # borderline-τ fixtures are the recall worst case; just pin nontrivial
+        assert len(lsh) / len(exact) >= 0.3, (len(lsh), len(exact))
