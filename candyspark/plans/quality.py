@@ -5194,8 +5194,11 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, rank ONLY that bucket's ~n/256 rows, and broadcast the B
     threshold hashes back onto a scan-stage `h ≤ t` predicate. No
     full-fan sort ever happens (34 s → ~7 s; identical treated sets).
-    At corpus sizes where even the B×n scan hurts, the documented
-    swap-in is the Bernoulli-hash assignment (margins approximate)."""
+    At corpus sizes where even the per-draw rank machinery hurts, the
+    swap-in is `randomization_inference_bernoulli` (registered + oracled
+    since round 6): hash-Bernoulli assignment, approximate margins, one
+    map-side-combined groupBy — p-values agree within Monte-Carlo
+    tolerance (pinned in tests/test_round3_ops.py)."""
     b_draws = 200
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
