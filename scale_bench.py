@@ -90,6 +90,9 @@ BOUNDS = {
     # PPR: same co-purchase edge build as katz; 8 int64 rounds of one
     # keyed join+aggregate per round, linear in edges → 1.2
     "personalized_pagerank": 1.2,
+    # round-6: minhash pair gen + components (both measured ≤0.71/decade)
+    # + one cluster-grain rank window → the dedup_clusters bound
+    "dedup_keep_best": 1.2,
     # contests = bounded pairs-per-order + part join; MM rounds are flat
     "bradley_terry": 1.2,
     # daily pair matrix is calendar-bounded; only the day aggregate grows
