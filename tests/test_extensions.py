@@ -419,3 +419,34 @@ def test_dedup_embedding_adaptive_planes_branch(spark):
     if len(exact):
         # borderline-τ fixtures are the recall worst case; just pin nontrivial
         assert len(lsh) / len(exact) >= 0.3, (len(lsh), len(exact))
+
+
+def test_adaptive_planes_bounds_bucket_occupancy(spark):
+    """The scaling invariant behind dedup_embedding_adaptive: with
+    planes = ceil(log2(n/32)), MEAN bucket occupancy per table stays ≤ 64
+    (≈ target 32, ×2 slack for hash unevenness at small n), so candidate
+    volume is Θ(tables·n·B) — the linear-in-n property the round-6 decade
+    probe measured (SCALE_BENCH.json embdedup_adaptive_*). Checked on the
+    sf0.1 fixture and, when present, the 2k-vector generated corpus."""
+    import math, os
+
+    from candyspark.operators.similarity import _with_buckets
+    from candyspark.sources.readers import fan_out
+
+    dirs = ["/root/testdata/sf0.1"]
+    if os.path.isdir("/root/repo/.scale/gen0.1/embeddings.parquet"):
+        dirs.append("/root/repo/.scale/gen0.1")
+    for d in dirs:
+        e = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = e.count()
+        planes = max(4, math.ceil(math.log2(n / 32.0)))
+        b = _with_buckets(
+            fan_out(e), "vid", "vec", "vec_id", "embedding",
+            tables=2, planes=planes, dim=64,
+        )
+        occ = (
+            b.groupBy("tbl", "bucket").count().groupBy("tbl")
+            .agg(F.avg("count").alias("mean_occ")).collect()
+        )
+        for r in occ:
+            assert r["mean_occ"] <= 64, (d, n, planes, r["mean_occ"])
