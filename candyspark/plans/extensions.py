@@ -260,6 +260,118 @@ SELECT * FROM (
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL crawl dedup (round 6): dedupe an incoming batch against
+    the EXISTING corpus only — the production shape for continuous
+    ingestion, where re-pairing the existing corpus with itself every
+    batch would be quadratic in corpus age. Split = content hash % 10
+    (buckets 0–7 'already ingested', 8–9 'incoming' — the dataset_split
+    discipline, so the partition is re-derivable). The band join is
+    ASYMMETRIC: incoming band keys probe existing band keys, so candidate
+    volume is Θ(|incoming| · bucket occupancy), independent of the
+    existing×existing pair mass the self-join form pays. Verified at
+    Jaccard ≥ 0.5 on the shared shingle relation; output is the per-lang
+    ingestion audit (incoming docs, how many are near-dups of the
+    existing corpus, dup rate) a pipeline logs per batch."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        (F.pmod(X.char_hash32(F.col("text")), F.lit(10)) < 8).alias("is_existing"),
+    )
+    sh_tbl = tagged.select(
+        "doc_id", "is_existing", D.word_shingles("text", 3).alias("sh")
+    )
+    sigs = tagged.select(
+        "doc_id",
+        "is_existing",
+        D.minhash_signature(D.shingle_hashes("text", 3), 32).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "is_existing",
+        F.explode(D.band_keys(F.col("sig"), 8, 4)).alias("bk"),
+    ).select("doc_id", "is_existing", "bk.band", "bk.band_key")
+    inc = bands.filter(~F.col("is_existing")).select(
+        F.col("doc_id").alias("inc_id"), "band", "band_key"
+    )
+    ex = bands.filter(F.col("is_existing")).select(
+        F.col("doc_id").alias("ex_id"), "band", "band_key"
+    )
+    cand = inc.join(ex, ["band", "band_key"]).select("inc_id", "ex_id").distinct()
+    sh_inc = sh_tbl.select(F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_i"))
+    sh_ex = sh_tbl.select(F.col("doc_id").alias("ex_id"), F.col("sh").alias("sh_e"))
+    dup_ids = (
+        cand.join(sh_inc, "inc_id")
+        .join(sh_ex, "ex_id")
+        .filter(D.jaccard(F.col("sh_i"), F.col("sh_e")) >= 0.5)
+        .select("inc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        tagged.filter(~F.col("is_existing"))
+        .join(dup_ids, tagged.doc_id == dup_ids.inc_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup"),
+        )
+        .select(
+            "lang",
+            "n_incoming",
+            "n_dup",
+            X.snap_round(F.col("n_dup") / F.col("n_incoming"), 6).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks,
+                  {_HASH32.format(s="text")} % 10 < 8 AS is_existing
+           FROM documents),
+s AS (SELECT doc_id, lang, is_existing, {_SHINGLES} AS sh FROM t),
+hh AS (SELECT doc_id, is_existing,
+              list_transform(sh, sh_el -> {_HASH32.format(s="sh_el")} % 2147483647) AS shh
+       FROM s),
+sig AS (SELECT doc_id, is_existing,
+               list_transform(range(0, 32), i -> list_min(list_transform(shh,
+                   h -> ({_MINHASH_A}[CAST(i + 1 AS INTEGER)] * h
+                         + {_MINHASH_B}[CAST(i + 1 AS INTEGER)]) % 2147483647))) AS sig
+        FROM hh),
+bands AS (SELECT doc_id, is_existing, r.b AS band,
+                 md5(array_to_string(list_transform(list_slice(sig, r.b * 4 + 1, r.b * 4 + 4),
+                     h -> CAST(h AS VARCHAR)), ',')) AS band_key
+          FROM sig, range(0, 8) r(b)),
+cand AS (SELECT DISTINCT x.doc_id AS inc_id, y.doc_id AS ex_id
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key
+         WHERE NOT x.is_existing AND y.is_existing),
+dups AS (
+    SELECT DISTINCT inc_id FROM cand
+    JOIN s sa ON sa.doc_id = cand.inc_id
+    JOIN s sb ON sb.doc_id = cand.ex_id
+    WHERE CAST(ROUND(CAST(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+          THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(sa.sh || sb.sh))
+          ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE) >= 0.5
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(CASE WHEN d.inc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup,
+       CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN d.inc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS DECIMAL(28,8)), 6) AS DOUBLE) AS dup_rate
+FROM s LEFT JOIN dups d ON s.doc_id = d.inc_id
+WHERE NOT s.is_existing
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_cross_source_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplication audit: the MinHash-LSH verified
     pairs (dedup_minhash's exact machinery) rolled up per unordered
@@ -2445,6 +2557,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_adaptive": QuerySpec(
         q_dedup_embedding_adaptive, DEDUP_EMBEDDING_ADAPTIVE_SQL
     ),
+    "incremental_dedup": QuerySpec(q_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "dedup_ngram": QuerySpec(q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_minhash": QuerySpec(q_dedup_minhash, DEDUP_MINHASH_SQL),
     "cross_source_near_dup": QuerySpec(

@@ -1211,3 +1211,27 @@ def test_round6_curation_ops_properties(spark):
     sl = ER["split_leakage_embedding"].fn(spark, SF1).toPandas()
     assert (sl.n_leaked <= sl.n_eval).all() and (sl.leak_rate <= 1.0).all()
     assert sl.n_eval.sum() > 0
+
+
+def test_incremental_dedup_asymmetry(spark):
+    """Incremental dedup only flags INCOMING docs, its dup set is a subset
+    of the full self-join dedup's pair membership, and totals reconcile
+    with the split."""
+    from candyspark.plans.extensions import REGISTRY as ER
+    from candyspark.operators.text import char_hash32
+    import pyspark.sql.functions as SF
+
+    out = ER["incremental_dedup"].fn(spark, SF1).toPandas()
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    incoming = docs.filter(SF.pmod(char_hash32(SF.col("text")), SF.lit(10)) >= 8)
+    per_lang = {r["lang"]: r["cnt"] for r in
+                incoming.groupBy("lang").agg(SF.count(SF.lit(1)).alias("cnt")).collect()}
+    assert {r for r in out.lang} <= set(per_lang)
+    for _, row in out.iterrows():
+        assert row.n_incoming == per_lang[row.lang]
+        assert 0 <= row.n_dup <= row.n_incoming
+    # every flagged incoming doc is a member of some full-corpus minhash
+    # pair (the asymmetric join can't invent pairs the self-join lacks)
+    pairs = ER["dedup_minhash"].fn(spark, SF1).toPandas()
+    paired = set(pairs.doc_a) | set(pairs.doc_b)
+    assert out.n_dup.sum() <= len(paired)
