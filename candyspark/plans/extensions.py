@@ -6200,3 +6200,121 @@ ORDER BY band
 """
 
 REGISTRY["lsh_band_fpr"] = QuerySpec(q_lsh_band_fpr, LSH_BAND_FPR_SQL)
+
+
+# --- round 6: LSH parameter planner ----------------------------------------
+
+
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding PLANNER (round 6): for each way of splitting the 32-slot
+    MinHash signature into (bands b × rows r), fold the analytic S-curve
+    P(candidate | J=s) = 1 − (1 − s^r)^b over the corpus's OBSERVED
+    verified-pair similarity histogram (dedup_minhash's pairs, 0.05-wide
+    bins at midpoints) — expected recall for THIS corpus's duplicate
+    profile, not a textbook curve at an assumed s. The tuning question it
+    answers before re-sharding a 100-TB dedup run: which banding keeps
+    recall while 2^r-ing down candidate volume. The pair relation is tiny
+    (post-LSH verified pairs), the parameter grid is 4 rows, and the
+    histogram is ≤ 20 cells — everything after the shared pair scan is
+    broadcast-sized.
+
+    Determinism: s^r and (1−x)^b for r, b ∈ {2,4,8,16} are computed by
+    EXPLICIT repeated squaring (s2 = s·s, s4 = s2·s2, …) — plain IEEE
+    multiplies both engines agree on bit-for-bit — never libm pow, which
+    is not cross-engine stable (the statespace exp/log rule). One snap at
+    the output edge."""
+    pairs = q_dedup_minhash(spark, sf_dir)
+    hist = (
+        pairs.select(
+            (F.floor(F.col("jaccard_sim") / 0.05) * 0.05 + 0.025).alias("s_mid")
+        )
+        .groupBy("s_mid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    grid = spark.createDataFrame(
+        [(2, 16), (4, 8), (8, 4), (16, 2)], "rows_per_band int, bands int"
+    )
+
+    def pow_sq(base, e_col_name: str):
+        # base^e via squaring chain for e ∈ {2,4,8,16}
+        p2 = base * base
+        p4 = p2 * p2
+        p8 = p4 * p4
+        p16 = p8 * p8
+        e = F.col(e_col_name)
+        return (
+            F.when(e == 2, p2).when(e == 4, p4).when(e == 8, p8).otherwise(p16)
+        )
+
+    joined = hist.crossJoin(F.broadcast(grid))
+    p_cand = 1.0 - pow_sq(1.0 - pow_sq(F.col("s_mid"), "rows_per_band"), "bands")
+    return (
+        joined.select(
+            "rows_per_band", "bands", "n_pairs", p_cand.alias("p"),
+        )
+        .groupBy("rows_per_band", "bands")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            # per-cell term snaps to decimal BEFORE the sum so the
+            # cross-partition accumulation is exact and order-free
+            X.snap_round(
+                F.sum(
+                    (F.col("p") * F.col("n_pairs")).cast("decimal(28,12)")
+                ).cast("double")
+                / F.sum("n_pairs"),
+                6,
+            ).alias("expected_recall"),
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+LSH_TUNING_CURVE_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SQL}),
+hist AS (
+    SELECT FLOOR(jaccard_sim / 0.05) * 0.05 + 0.025 AS s_mid,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+),
+grid AS (SELECT * FROM (VALUES (2, 16), (4, 8), (8, 4), (16, 2)) g(rows_per_band, bands)),
+curve AS (
+    SELECT rows_per_band, bands, n_pairs,
+           1.0 - CASE bands
+               WHEN 2 THEN q2 WHEN 4 THEN q4 WHEN 8 THEN q8 ELSE q16 END AS p
+    FROM (
+        SELECT rows_per_band, bands, n_pairs,
+               qq * qq AS q2, (qq * qq) * (qq * qq) AS q4,
+               ((qq * qq) * (qq * qq)) * ((qq * qq) * (qq * qq)) AS q8,
+               (((qq * qq) * (qq * qq)) * ((qq * qq) * (qq * qq)))
+               * (((qq * qq) * (qq * qq)) * ((qq * qq) * (qq * qq))) AS q16
+        FROM (
+            SELECT rows_per_band, bands, n_pairs,
+                   1.0 - CASE rows_per_band
+                       WHEN 2 THEN s2 WHEN 4 THEN s4 WHEN 8 THEN s8 ELSE s16 END AS qq
+            FROM (
+                SELECT rows_per_band, bands, n_pairs,
+                       s_mid * s_mid AS s2,
+                       (s_mid * s_mid) * (s_mid * s_mid) AS s4,
+                       ((s_mid * s_mid) * (s_mid * s_mid))
+                       * ((s_mid * s_mid) * (s_mid * s_mid)) AS s8,
+                       (((s_mid * s_mid) * (s_mid * s_mid))
+                        * ((s_mid * s_mid) * (s_mid * s_mid)))
+                       * (((s_mid * s_mid) * (s_mid * s_mid))
+                          * ((s_mid * s_mid) * (s_mid * s_mid))) AS s16
+                FROM hist CROSS JOIN grid
+            )
+        )
+    )
+)
+SELECT rows_per_band, bands,
+       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(
+           CAST(SUM(CAST(p * n_pairs AS DECIMAL(28,12))) AS DOUBLE)
+           / SUM(n_pairs) AS DECIMAL(28,8)), 6)
+            AS DOUBLE) AS expected_recall
+FROM curve
+GROUP BY rows_per_band, bands
+ORDER BY rows_per_band
+"""
+
+REGISTRY["lsh_tuning_curve"] = QuerySpec(q_lsh_tuning_curve, LSH_TUNING_CURVE_SQL)

@@ -1235,3 +1235,19 @@ def test_incremental_dedup_asymmetry(spark):
     pairs = ER["dedup_minhash"].fn(spark, SF1).toPandas()
     paired = set(pairs.doc_a) | set(pairs.doc_b)
     assert out.n_dup.sum() <= len(paired)
+
+
+def test_lsh_tuning_curve_scurve_properties(spark):
+    """S-curve identities on the planner: recall is monotone DECREASING in
+    rows_per_band at fixed 32 hashes (wider bands are stricter), every
+    expected recall ∈ (0, 1], and the (8 bands × 4 rows) row must sit near
+    the operator's own measured recall regime (its pairs ARE the ones the
+    8×4 banding found, so p(cand) at their similarities is high)."""
+    from candyspark.plans.extensions import REGISTRY as ER
+
+    out = ER["lsh_tuning_curve"].fn(spark, SF1).toPandas().sort_values("rows_per_band")
+    assert list(out.rows_per_band) == [2, 4, 8, 16]
+    assert (out.expected_recall > 0).all() and (out.expected_recall <= 1).all()
+    assert out.expected_recall.is_monotonic_decreasing
+    r4 = float(out[out.rows_per_band == 4].expected_recall.iloc[0])
+    assert r4 >= 0.8, r4
