@@ -47,6 +47,17 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_given_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with each side's norm precomputed ONCE per vector instead
+    of once per candidate pair (round-6 optimization). Bit-identical output:
+    ``norm()`` is a deterministic double, so materializing it as a column on
+    the pre-join projection and reusing it changes nothing numerically —
+    dot / (na · nb) is the same IEEE sequence the fused form evaluates. What
+    it removes is 2×dim multiply-adds per PAIR in the O(candidates) stage of
+    every pairwise-similarity plan (pairs ≫ vectors by construction there)."""
+    return F.round((dot(a, b) / (na * nb)).cast("decimal(28,10)"), 6).cast("double")
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -58,10 +69,14 @@ def brute_force_topk(
     (query_id, neighbor_id, rank, cosine_sim). Deterministic tiebreak:
     (sim desc, neighbor_id asc)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     c = fan_out(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -69,7 +84,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            cosine_given_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -157,10 +174,14 @@ def ivf_topk(
     lists = ivf_assign(embeddings, centroids, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
         "cluster_id",
     )
     probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster_id"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+        "cluster_id",
     )
     scored = (
         lists.join(F.broadcast(probes), "cluster_id")
@@ -168,7 +189,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            cosine_given_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -194,12 +217,24 @@ def embedding_dup_pairs(
     and verify those pairs with this cosine — same shape as MinHash-LSH's
     candidates→verify split in ``operators/dedup.py``."""
     embeddings = fan_out(embeddings)
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+            "vec_a",
+            "vec_b",
+            cosine_given_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -234,15 +269,31 @@ def embedding_dup_pairs_lsh(
     b = _with_buckets(
         fan_out(embeddings), "vid", "vec", id_col, vec_col, tables, planes, dim=64
     )
-    a = b.select("tbl", "bucket", F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
-    c = b.select("tbl", "bucket", F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
+    a = b.select(
+        "tbl",
+        "bucket",
+        F.col("vid").alias("vec_a"),
+        F.col("vec").alias("va"),
+        norm(F.col("vec")).alias("na"),
+    )
+    c = b.select(
+        "tbl",
+        "bucket",
+        F.col("vid").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        norm(F.col("vec")).alias("nb"),
+    )
     return (
         a.join(c, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
         .dropDuplicates(["vec_a", "vec_b"])
         .select(
-            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+            "vec_a",
+            "vec_b",
+            cosine_given_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -363,14 +414,20 @@ def lsh_bucketed_topk(
     )
     q = _with_buckets(queries, "query_id", "q_vec", id_col, vec_col, tables, planes, dim)
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
+        c.withColumn("c_n", norm(F.col("c_vec")))
+        .join(
+            F.broadcast(q.withColumn("q_n", norm(F.col("q_vec")))),
+            ["tbl", "bucket"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_n", "c_n")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            cosine_given_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -40,25 +40,58 @@ from candyspark.plans import QuerySpec
 from candyspark.sources.readers import load_table
 
 
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order with its sorted distinct part array — the shared
+    basket relation under the market-basket family. ONE map-side-combined
+    groupBy performs dedup AND grouping (the _copurchase_edges discipline,
+    plans/graph.py — measured 122 s → 45 s at sf30 for the graph twin);
+    the self-join form paid two extra full shuffles of the fact projection
+    plus the join's sorts before the same pair aggregate."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+
+
+def _basket_pair_counts(items: DataFrame) -> DataFrame:
+    """(part_a < part_b, n_orders co-containing them) from the basket
+    relation: pairs are generated JVM-side from each order's sorted array
+    (bounded by items-per-order — the same C(m,2) bound the self-join
+    form had) and counted keyed on ONE packed long (u·2^32 + v; part keys
+    are < 2^31 at any generated SF) — half the shuffle key bytes of a
+    two-long key, with map-side partial aggregation absorbing the fan."""
+    m = F.size(F.col("parts"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, m),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    packed = (
+        items.select("parts")
+        .filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select((F.shiftleft("p.u", 32) + F.col("p.v")).alias("uv"))
+    )
+    return (
+        packed.groupBy("uv")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.shiftrightunsigned("uv", 32).cast("long").alias("part_a"),
+            F.col("uv").bitwiseAND(F.lit(4294967295)).cast("long").alias("part_b"),
+            "n_orders",
+        )
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 part pairs by number of orders containing both."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
-    )
-    a, b = li.alias("a"), li.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _basket_pair_counts(_basket_items(spark, sf_dir))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(100)
     )
@@ -610,37 +643,30 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket total is a 1-row broadcast — the only quadratic object is the
     within-order pair join, same bound as q_basket_pairs.
 
-    The deduplicated relation feeds FOUR consumers (two pair-join sides,
-    item counts, basket total) — Spark re-executes shared subtrees per
-    consumer, so it's materialized once (localCheckpoint; the
-    triangle-count lesson, plans/graph.py) instead of rescanning and
-    re-shuffling lineitem four times.
+    The basket relation feeds THREE consumers (pair counts, item counts,
+    basket total) — Spark re-executes shared subtrees per consumer, so
+    it's materialized once (localCheckpoint; the triangle-count lesson,
+    plans/graph.py) instead of rescanning and re-shuffling lineitem.
+    Round 6: pair generation moved from the dedup + self-join form to the
+    shared ``_basket_items``/``_basket_pair_counts`` kernel (in-map array
+    pair-gen over ONE groupBy(order) exchange — the _copurchase_edges
+    discipline); item counts and the basket total now derive from the
+    same checkpointed array relation (an explode and a count — no second
+    fact pass), with identical counts by construction.
     """
-    d = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
-        .localCheckpoint()
-    )
-    a, b = d.alias("a"), d.alias("b")
+    items = _basket_items(spark, sf_dir).localCheckpoint()
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        _basket_pair_counts(items)
+        .withColumnRenamed("n_orders", "n_ab")
         .orderBy(F.desc("n_ab"), "part_a", "part_b")
         .limit(100)
     )
-    item_cnt = d.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("n_item")
+    item_cnt = (
+        items.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    baskets = d.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    baskets = items.agg(F.count(F.lit(1)).alias("n_baskets"))
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     nab, nk = F.col("n_ab").cast("double"), F.col("n_baskets").cast("double")
     return (
@@ -909,26 +935,14 @@ def q_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-order pair join bounded by items-per-order); the ranking
     window hashes on the item key.
     """
-    d = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
-        .localCheckpoint()
+    items = _basket_items(spark, sf_dir).localCheckpoint()
+    pairs = _basket_pair_counts(items).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb"), F.col("n_orders").alias("n_ab")
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    item_cnt = d.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("n_item")
+    item_cnt = (
+        items.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
     sym = pairs.unionByName(
         pairs.select(

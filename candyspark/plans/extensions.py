@@ -685,15 +685,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     a = assigned.select(
-        F.col("cluster_id"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        S.norm(F.col("embedding")).alias("n_a"),
     )
     b = assigned.select(
-        F.col("cluster_id"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        S.norm(F.col("embedding")).alias("n_b"),
     )
     dup_ids = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(S.cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .filter(
+            S.cosine_given_norms(
+                F.col("va"), F.col("vb"), F.col("n_a"), F.col("n_b")
+            )
+            >= 0.4
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))
@@ -871,17 +882,20 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = fan_out(e).select(
         F.col("vec_id").alias("negative_id"),
         F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_n"),
         F.col("label").alias("n_label"),
     )
     scored = (
-        cands.crossJoin(F.broadcast(anchors))
+        cands.crossJoin(F.broadcast(anchors.withColumn("a_n", S.norm(F.col("a_vec")))))
         .filter(F.col("n_label") != F.col("a_label"))
         .select(
             "anchor_id",
             "a_label",
             "negative_id",
             F.col("n_label").alias("negative_label"),
-            S.cosine(F.col("a_vec"), F.col("c_vec")).alias("cosine_sim"),
+            S.cosine_given_norms(
+                F.col("a_vec"), F.col("c_vec"), F.col("a_n"), F.col("c_n")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine_sim"), F.asc("negative_id"))
@@ -1062,16 +1076,29 @@ def q_split_leakage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.select(F.col("vec_id").alias("vid"), "is_train"), "vid"
     )
     ev = sides.filter(~F.col("is_train")).select(
-        "tbl", "bucket", F.col("vid").alias("eval_id"), F.col("vec").alias("ev")
+        "tbl",
+        "bucket",
+        F.col("vid").alias("eval_id"),
+        F.col("vec").alias("ev"),
+        S.norm(F.col("vec")).alias("ev_n"),
     )
     tr = sides.filter(F.col("is_train")).select(
-        "tbl", "bucket", F.col("vid").alias("train_id"), F.col("vec").alias("tv")
+        "tbl",
+        "bucket",
+        F.col("vid").alias("train_id"),
+        F.col("vec").alias("tv"),
+        S.norm(F.col("vec")).alias("tv_n"),
     )
     leaked = (
         ev.join(tr, ["tbl", "bucket"])
-        .select("eval_id", "train_id", "ev", "tv")
+        .select("eval_id", "train_id", "ev", "tv", "ev_n", "tv_n")
         .dropDuplicates(["eval_id", "train_id"])
-        .filter(S.cosine(F.col("ev"), F.col("tv")) >= 0.4)
+        .filter(
+            S.cosine_given_norms(
+                F.col("ev"), F.col("tv"), F.col("ev_n"), F.col("tv_n")
+            )
+            >= 0.4
+        )
         .select("eval_id")
         .distinct()
     )
@@ -4815,26 +4842,41 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE corpus scan — the 50 queries and the 4-row dim relation broadcast
     onto it, dot products stay JVM codegen; everything after the top-10
     windows is a ≤(50·10·4)-row join."""
-    from candyspark.operators.similarity import cosine
-
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
-    )
-    c = fan_out(e.filter(F.col("vec_id") >= 50)).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
-    )
     dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "dim int")
-    scored = (
-        c.crossJoin(F.broadcast(q))
+    # prefix-slice + norm once per (vector, dim) — not per (pair, dim):
+    # the slice and the norm fold are deterministic doubles, so attaching
+    # them on the (broadcast) single-vector relations before the pair join
+    # leaves every pair's dot/(nq·nc) bit-identical while the O(pairs)
+    # stage stops re-slicing and re-folding both vectors per candidate
+    q = (
+        e.filter(F.col("vec_id") < 50)
         .crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            F.col("vec_id").alias("query_id"),
+            F.slice("embedding", F.lit(1), F.col("dim")).alias("q_vec"),
+        )
+        .withColumn("q_n", S.norm(F.col("q_vec")))
+    )
+    c = (
+        fan_out(e.filter(F.col("vec_id") >= 50))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            F.col("vec_id").alias("neighbor_id"),
+            F.slice("embedding", F.lit(1), F.col("dim")).alias("c_vec"),
+        )
+        .withColumn("c_n", S.norm(F.col("c_vec")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "dim")
         .select(
             "dim",
             "query_id",
             "neighbor_id",
-            cosine(
-                F.slice("q_vec", F.lit(1), F.col("dim")),
-                F.slice("c_vec", F.lit(1), F.col("dim")),
+            S.cosine_given_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
             ).alias("sim"),
         )
     )
@@ -5210,16 +5252,17 @@ def q_binary_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
+        S.norm(F.col("embedding")).alias("q_n"),
         pack(F.col("embedding"), 0).alias("q_lo"),
         pack(F.col("embedding"), 32).alias("q_hi"),
     )
     c = fan_out(e.filter(F.col("vec_id") >= 50)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_n"),
         pack(F.col("embedding"), 0).alias("c_lo"),
         pack(F.col("embedding"), 32).alias("c_hi"),
     )
-    from candyspark.operators.similarity import cosine
 
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -5230,7 +5273,9 @@ def q_binary_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
                 + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
             ).alias("hamming"),
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            S.cosine_given_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+            ).alias("sim"),
         )
         .localCheckpoint()  # feeds truth, hamming-top10, and shortlist
     )
@@ -5479,6 +5524,7 @@ def q_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = S.ivf_assign(emb, centroids, "vec_id", "embedding", n_probe=1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        S.norm(F.col("embedding")).alias("c_n"),
         "cluster_id",
     )
     probes = S.ivf_assign(
@@ -5486,6 +5532,7 @@ def q_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
+        S.norm(F.col("embedding")).alias("q_n"),
         "cluster_id",
         "crank",
     )
@@ -5496,7 +5543,9 @@ def q_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "crank",
-            S.cosine(F.col("q_vec"), F.col("c_emb")).alias("cosine_sim"),
+            S.cosine_given_norms(
+                F.col("q_vec"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine_sim"),
         )
         .localCheckpoint()  # 3 probe levels re-rank the same scored set
     )

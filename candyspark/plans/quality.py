@@ -5211,6 +5211,7 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(~F.col("treated"), F.col("y"))).alias("s0"),
         F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum("y").alias("s_all"),
     ).select(
         snap_round(
             F.col("s1").cast("double") / F.col("n1").cast("double")
@@ -5219,6 +5220,7 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_obs"),
         (F.col("n1") + F.col("n0")).alias("n"),
         F.col("n1"),
+        F.col("s_all"),
     )
     draws = spark.range(0, b_draws).select(F.col("id").alias("b"))
     # the fan's md5 is the dominant compute (B·n evaluations) and the
@@ -5236,8 +5238,15 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     bk = F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
-    counts = fan.select("b", bk.alias("bk")).groupBy("b", "bk").agg(
-        F.count(F.lit(1)).alias("c")
+    # Pass 1 over the fan: per-(draw, bucket) COUNT **and exact decimal
+    # SUM(y)** (round-6 optimization — the sums ride the same map-side
+    # combine for free). With per-bucket sums in hand, each draw's treated
+    # total is (sum of full buckets below the threshold bucket) + (partial
+    # sum inside it), so the third full fan pass the round-5 form paid —
+    # re-hashing all B·n rows to test `h ≤ t_h` — is gone entirely; the
+    # treated SET is unchanged (exactly the n1 smallest hashes per draw).
+    counts = fan.withColumn("bk", bk).groupBy("b", "bk").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("sy")
     )
     w_cum = (
         Window.partitionBy("b").orderBy("bk").rowsBetween(
@@ -5245,36 +5254,39 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = counts.select(
-        "b", "bk", F.sum("c").over(w_cum).alias("cum"), F.col("c")
+        "b",
+        "bk",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("sy").over(w_cum).alias("cum_sy"),
+        F.col("c"),
+        F.col("sy"),
     ).crossJoin(F.broadcast(obs.select("n1")))
     need = cum.filter(
         (F.col("cum") >= F.col("n1")) & (F.col("cum") - F.col("c") < F.col("n1"))
-    ).select("b", "bk", (F.col("n1") - (F.col("cum") - F.col("c"))).alias("k_in"))
+    ).select(
+        "b",
+        "bk",
+        (F.col("n1") - (F.col("cum") - F.col("c"))).alias("k_in"),
+        (F.col("cum_sy") - F.col("sy")).alias("s_below"),
+    )
+    # Pass 2 over the fan: only the threshold bucket's rows (≈ n/256 per
+    # draw) survive the broadcast semi-filter; rank them by h and take the
+    # k_in-smallest rows' exact decimal sum — decimal addition is
+    # associative, so s_below + s_in equals the one-shot sum over the
+    # treated set bit-for-bit.
     sub = fan.withColumn("bk", bk).join(F.broadcast(need), ["b", "bk"])
     w_rk = Window.partitionBy("b").orderBy("h")
-    th = (
-        sub.withColumn("rk", F.row_number().over(w_rk))
-        .filter(F.col("rk") == F.col("k_in"))
-        .select("b", F.col("h").alias("t_h"))
-    )
     per_b = (
-        fan.join(F.broadcast(th), "b", "left")
-        .select(
-            "b",
-            F.coalesce(F.col("h") <= F.col("t_h"), F.lit(False)).alias("t_b"),
-            "y",
-        )
-        .groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("t_b"), F.col("y"))).alias("s1"),
-            F.sum(F.when(F.col("t_b"), 1).otherwise(0)).cast("long").alias("n1"),
-            F.sum(F.when(~F.col("t_b"), F.col("y"))).alias("s0"),
-            F.sum(F.when(~F.col("t_b"), 1).otherwise(0)).cast("long").alias("n0"),
-        )
+        sub.withColumn("rk", F.row_number().over(w_rk))
+        .groupBy("b", "s_below")
+        .agg(F.sum(F.when(F.col("rk") <= F.col("k_in"), F.col("y"))).alias("s_in"))
+        .crossJoin(F.broadcast(obs.select("n1", "n", F.col("s_all"))))
         .select(
             snap_round(
-                F.col("s1").cast("double") / F.col("n1").cast("double")
-                - F.col("s0").cast("double") / F.col("n0").cast("double"),
+                (F.col("s_below") + F.col("s_in")).cast("double")
+                / F.col("n1").cast("double")
+                - (F.col("s_all") - F.col("s_below") - F.col("s_in")).cast("double")
+                / (F.col("n") - F.col("n1")).cast("double"),
                 6,
             ).alias("gap_b")
         )

@@ -293,14 +293,14 @@ def test_histogram_exchange_is_constant_width(spark):
 
 
 def test_basket_pairs_topk_and_single_join(spark):
-    """The self-join is an EQUI join on l_orderkey (at test SF the build
-    side broadcasts; at scale AQE picks shuffle-on-orderkey — either way,
-    never a nested-loop over the cross product); the top-100 is
-    TakeOrdered, not a global sort of all pairs."""
+    """Round-6 shape: NO join at all — pairs are generated in-map from each
+    order's sorted distinct part array (one groupBy(order) exchange, the
+    _copurchase_edges discipline) and counted on a packed long; the top-100
+    is TakeOrdered, not a global sort of all pairs."""
     plan = plan_of(spark, "basket_pairs")
     assert "TakeOrderedAndProject" in plan, plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan  # pair-gen is in-map, not a self-join
+    assert "Generate" in plan, plan  # the explode over per-order pair arrays
 
 
 def test_peak_concurrency_preaggregates_before_window(spark):
