@@ -10,31 +10,54 @@ both Spark's percentile and DuckDB's quantile_cont) by ORDER-STATISTIC
 EXTRACTION instead:
 
 1. bucket every value by a VALUE-MONOTONE coarse key (equi-width over the
-   1-row min/max — bucket order extends value order, the same prefix trick
-   as the distributed global rank in triplet_sampling);
-2. count per bucket (a tiny aggregate) and take cumulative offsets over the
-   ≤n_buckets frame;
-3. locate each needed integer rank's bucket by binary comparison against the
-   broadcast offsets — only ~2×|probs| ranks exist;
+   per-group min/max — bucket order extends value order, the same prefix
+   trick as the distributed global rank in triplet_sampling);
+2. count per (group, bucket) — a tiny map-side-combined aggregate;
+3. locate each needed integer rank's bucket against the cumulative bucket
+   offsets — only ~2×|probs| ranks exist per group;
 4. filter the fact rows to the NEEDED buckets only (a scan-stage predicate —
    for 101 quantiles that is ≤202 buckets of data, a vanishing fraction at
    scale), rank within each needed bucket (a PARTITIONED window, bounded by
-   bucket width), and join out the hit values;
-5. interpolate pairs driver-free (the result frame is |probs| rows).
+   bucket width), and take the hit values;
+5. interpolate.
 
-No step ever holds more than one bucket of values in one task. The only
-driver interaction is collecting the |probs|-row result — same as any
-aggregate.
+No step ever holds more than one (group, bucket) of values in one task.
+
+Round-6 job-count rewrite: the v1 form kept every small intermediate
+(bounds, offsets, located ranks, hit values) as DataFrames and wired them
+together with localCheckpoints and broadcast joins — all of those relations
+are DRIVER-RESIDENT by construction either way (a broadcast is a collect
+plus a re-ship), but each one cost a separate Spark action or broadcast
+build: a single grouped median ran ~20 jobs, and robust_stats (median+MAD,
+two extractor calls) measured 48 jobs / 10.2 s wall with only ~3 s of task
+time at sf0.1 (guide §1 job profile). v2 moves exactly those
+already-driver-sized steps into driver Python: bounds and per-bucket counts
+are collected once (same bytes the old plan collected to build their
+broadcasts), rank location and interpolation are exact integer / IEEE-double
+arithmetic reproduced operation-for-operation, and the two FACT passes —
+the bucket count and the needed-bucket extraction — are the only cluster
+work left, with the located ranks shipped back as literal broadcast frames.
+Per-value results are bit-identical (pinned by the numpy/percentile parity
+and oracle-hash tests); the fact-side plan is unchanged; the only actions
+left per extractor call are the two fact passes (plus their AQE stage-jobs)
+and the two tiny metadata collects — no localCheckpoint writes, no
+offsets-window or kv broadcast builds (robust_stats: 48 jobs → ~25, wall
+8.4 s → 6.2 s median at sf0.1 in like-for-like host windows).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _rank_exprs(discrete: bool) -> tuple:
-    """(k_lo, k_hi, h) expressions over columns n (count) and p (prob).
+def _ranks_for(n: int, p: float, discrete: bool) -> tuple[int, int, float]:
+    """(k_lo, k_hi, h) for one group of exact size n at prob p — the same
+    IEEE-double sequence the v1 Spark expressions evaluated (Python floats
+    ARE doubles; `(n-1)*p`, floor, ceil match Spark's long/double ops).
 
     Continuous (default): the (n−1)·p interpolation convention of Spark's
     ``percentile`` / DuckDB ``quantile_cont``. Discrete: the smallest value
@@ -48,18 +71,112 @@ def _rank_exprs(discrete: bool) -> tuple:
     DuckDB oracle only at probs whose n·p stays float-exact (the
     registry's 0.05/0.95 uses are verified at both driver SFs)."""
     if discrete:
-        k = F.greatest(F.ceil(F.col("n") * F.col("p")) - 1, F.lit(0)).cast("long")
-        k = F.least(k, F.col("n") - 1)
-        return k.alias("k_lo"), k.alias("k_hi"), k.cast("double").alias("h")
-    k_lo = F.floor((F.col("n") - 1) * F.col("p")).cast("long")
-    k_hi = F.least(
-        F.floor((F.col("n") - 1) * F.col("p")) + 1, F.col("n") - 1
-    ).cast("long")
+        k = max(math.ceil(float(n) * p) - 1, 0)
+        k = min(k, n - 1)
+        return k, k, float(k)
+    h = float(n - 1) * p
+    k_lo = math.floor(h)
+    k_hi = min(k_lo + 1, n - 1)
+    return int(k_lo), int(k_hi), h
+
+
+def _bucket_expr(n_buckets: int):
+    """Value-monotone bucket key over (v, lo, hi) columns; the hi row lands
+    in the last bucket. Identical expression to v1."""
     return (
-        k_lo.alias("k_lo"),
-        k_hi.alias("k_hi"),
-        ((F.col("n") - 1) * F.col("p")).alias("h"),
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_buckets + 1e-300)
+            ),
+            F.lit(n_buckets - 1),
+        )
+        .cast("int")
+        .alias("b")
     )
+
+
+def _extract(
+    spark: SparkSession,
+    with_b: DataFrame,
+    grp_field: T.StructField,
+    bounds_rows: list,
+    probs: list[float],
+    discrete: bool,
+) -> tuple[list, dict]:
+    """Shared driver-located extraction: count per (group, bucket), locate
+    the ≤2|probs| needed ranks per group in Python, run ONE needed-bucket
+    extraction pass, and return (bounds_rows sans-null-groups, {(grp, k): v}).
+
+    ``with_b`` must be the bucketed fact: columns (grp, v, b). The counts
+    and hit values collected here are the very relations v1 broadcast —
+    driver-resident either way; ≤ groups × occupied-buckets rows."""
+    counts = with_b.groupBy("grp", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    by_grp: dict = {}
+    for r in counts:
+        by_grp.setdefault(r["grp"], []).append((r["b"], r["cnt"]))
+
+    # per group: cumulative offsets -> bucket + local rank for each needed k
+    located_rows = []  # (grp, b, local_rank, k)
+    for g, n in ((r["grp"], r["n"]) for r in bounds_rows):
+        if g is None or g not in by_grp:
+            # null groups never match the grp equi-joins in v1; groups with
+            # no non-null values have no counts — both produce no output
+            continue
+        ks = set()
+        for p in probs:
+            k_lo, k_hi, _ = _ranks_for(n, p, discrete)
+            ks.add(k_lo)
+            ks.add(k_hi)
+        buckets = sorted(by_grp[g])
+        off = 0
+        it = iter(buckets)
+        b, cnt = next(it)
+        for k in sorted(ks):
+            while not (off <= k < off + cnt):
+                off += cnt
+                b, cnt = next(it)
+            located_rows.append((g, b, k - off, k))
+
+    loc_schema = T.StructType(
+        [
+            grp_field,
+            T.StructField("b", T.IntegerType(), False),
+            T.StructField("local_rank", T.IntegerType(), False),
+            T.StructField("k", T.LongType(), False),
+        ]
+    )
+    located = spark.createDataFrame(
+        [(g, int(b), int(lr), int(k)) for g, b, lr, k in located_rows], loc_schema
+    )
+    needed_buckets = spark.createDataFrame(
+        sorted({(g, int(b)) for g, b, _, _ in located_rows}),
+        T.StructType([grp_field, T.StructField("b", T.IntegerType(), False)]),
+    )
+    w_in = Window.partitionBy("grp", "b").orderBy("v")
+    hits = (
+        with_b.join(F.broadcast(needed_buckets), ["grp", "b"])
+        .withColumn("local_rank", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(located), ["grp", "b", "local_rank"])
+        .select("grp", "k", "v")
+        .collect()
+    )
+    kv = {(r["grp"], r["k"]): r["v"] for r in hits}
+    return [r for r in bounds_rows if r["grp"] is not None and r["grp"] in by_grp], kv
+
+
+def _interp_rows(bounds_rows: list, kv: dict, probs: list[float], discrete: bool) -> list:
+    """(grp, p, value) via the v1 interpolation arithmetic: v_lo +
+    (h − k_lo) · (v_hi − v_lo), every op an IEEE double — Python floats
+    reproduce Spark's doubles bit-for-bit."""
+    out = []
+    for r in bounds_rows:
+        g, n = r["grp"], r["n"]
+        for p in probs:
+            k_lo, k_hi, h = _ranks_for(n, p, discrete)
+            v_lo, v_hi = kv[(g, k_lo)], kv[(g, k_hi)]
+            out.append((g, float(p), v_lo + (h - float(k_lo)) * (v_hi - v_lo)))
+    return out
 
 
 def exact_quantiles(
@@ -83,74 +200,29 @@ def exact_quantiles(
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
-    # the tiny intermediates (1-row bounds, ≤n_buckets offsets, ≤2|probs|
-    # locations) each feed several consumers — materialized once so the
-    # FACT passes stay exactly two: the bucket count and the extraction
-    # (lineage re-derivation otherwise re-scans the input per consumer:
-    # measured 21 scans in the naive plan).
-    bounds = vals.agg(
+    row = vals.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
-    ).localCheckpoint()
-    # value-monotone bucket key; the hi row lands in the last bucket
-    with_b = vals.crossJoin(F.broadcast(bounds)).select(
+    ).collect()[0]
+    schema = T.StructType(
+        [
+            T.StructField(out_prob, T.DoubleType(), False),
+            T.StructField(out_value, T.DoubleType(), True),
+        ]
+    )
+    if not row["n"]:
+        return spark.createDataFrame([], schema)
+    # single group: lo/hi inline as literals — the bucket key needs no join
+    with_b = vals.select(
+        F.lit("_").alias("grp"),
         "v",
-        F.least(
-            F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / n_buckets + 1e-300)),
-            F.lit(n_buckets - 1),
-        )
-        .cast("int")
-        .alias("b"),
-        "n",
-    )
-    counts = with_b.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    # offsets has ONE consumer (the located join, itself checkpointed):
-    # no materialization needed — located's checkpoint cuts this lineage
-    offsets = counts.select(
-        "b", "cnt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    )
-
-    # the ≤2·|probs| integer ranks we actually need: floor((n−1)p), +1
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
-    k_lo_e, k_hi_e, h_e = _rank_exprs(discrete)
-    ranks = probs_df.crossJoin(F.broadcast(bounds)).select("p", k_lo_e, k_hi_e, h_e)
-    needed = (
-        ranks.select(F.col("k_lo").alias("k"))
-        .unionByName(ranks.select(F.col("k_hi").alias("k")))
-        .distinct()
-    )
-    located = (
-        needed.join(
-            F.broadcast(offsets),
-            (F.col("k") >= F.col("off")) & (F.col("k") < F.col("off") + F.col("cnt")),
-        )
-        .select("k", "b", (F.col("k") - F.col("off")).alias("local_rank"))
-        .localCheckpoint()
-    )
-
-    needed_buckets = located.select("b").distinct()
-    w_in = Window.partitionBy("b").orderBy("v")
-    hits = (
-        with_b.join(F.broadcast(needed_buckets), "b")
-        .withColumn("local_rank", F.row_number().over(w_in) - 1)
-        .join(located, ["b", "local_rank"])
-        .select("k", "v")
-        .localCheckpoint()  # |needed ranks| rows; feeds both interpolation sides
-    )
-    kv_lo = hits.select(F.col("k").alias("k_lo"), F.col("v").alias("v_lo"))
-    kv_hi = hits.select(F.col("k").alias("k_hi"), F.col("v").alias("v_hi"))
-    return (
-        ranks.join(F.broadcast(kv_lo), "k_lo")
-        .join(F.broadcast(kv_hi), "k_hi")
-        .select(
-            F.col("p").alias(out_prob),
-            (
-                F.col("v_lo")
-                + (F.col("h") - F.col("k_lo")) * (F.col("v_hi") - F.col("v_lo"))
-            ).alias(out_value),
-        )
-        .orderBy(out_prob)
-    )
+        F.lit(row["lo"]).alias("lo"),
+        F.lit(row["hi"]).alias("hi"),
+    ).select("grp", "v", _bucket_expr(n_buckets))
+    grp_field = T.StructField("grp", T.StringType(), False)
+    bounds_rows = [{"grp": "_", "n": row["n"]}]
+    bounds_rows, kv = _extract(spark, with_b, grp_field, bounds_rows, probs, discrete)
+    rows = [(p, v) for _, p, v in _interp_rows(bounds_rows, kv, probs, discrete)]
+    return spark.createDataFrame(rows, schema).orderBy(out_prob)
 
 
 def exact_quantiles_grouped(
@@ -168,9 +240,7 @@ def exact_quantiles_grouped(
     """Per-GROUP distributed exact quantiles: the grouped generalization of
     ``exact_quantiles`` — every step gains the group key, nothing else
     changes. Per-group bounds come from one aggregate; buckets key on
-    (group, bucket); offsets window PARTITIONED by group (the frame is
-    groups × occupied-buckets, never rows); ranks derive per group from
-    its own n; extraction ranks within (group, bucket). No task ever
+    (group, bucket); extraction ranks within (group, bucket). No task ever
     buffers more than one (group, bucket) — the per-group holistic
     ``percentile`` instead buffers each group's ENTIRE column in the task
     that finalizes it (robust_stats' documented cost).
@@ -187,84 +257,46 @@ def exact_quantiles_grouped(
         # scan entirely. lo/hi may over-cover ([lo, hi] ⊇ the true value
         # range keeps the bucket key monotone, just coarser); n MUST equal
         # the exact non-null count — ranks derive from it.
-        bounds = bounds_df.select(
-            F.col(group_col).alias("grp"),
-            F.col("lo").cast("double"),
-            F.col("hi").cast("double"),
-            F.col("n").cast("long"),
-        )
+        bounds_rows = (
+            bounds_df.select(
+                F.col(group_col).alias("grp"),
+                F.col("lo").cast("double"),
+                F.col("hi").cast("double"),
+                F.col("n").cast("long"),
+            )
+        ).collect()
     else:
-        bounds = (
+        bounds_rows = (
             vals.groupBy("grp")
             .agg(
                 F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
             )
-            .localCheckpoint()
+            .collect()
         )
-    with_b = vals.join(F.broadcast(bounds), "grp").select(
-        "grp",
-        "v",
-        F.least(
-            F.floor(
-                (F.col("v") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / n_buckets + 1e-300)
-            ),
-            F.lit(n_buckets - 1),
-        )
-        .cast("int")
-        .alias("b"),
+    grp_field = T.StructField("grp", df.schema[group_col].dataType, True)
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType, True),
+            T.StructField(out_prob, T.DoubleType(), False),
+            T.StructField(out_value, T.DoubleType(), True),
+        ]
     )
-    counts = with_b.groupBy("grp", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = (
-        Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bounds_rows = [r for r in bounds_rows if r["grp"] is not None and r["n"]]
+    if not bounds_rows:
+        return spark.createDataFrame([], out_schema)
+    blit = spark.createDataFrame(
+        [(r["grp"], float(r["lo"]), float(r["hi"])) for r in bounds_rows],
+        T.StructType(
+            [
+                grp_field,
+                T.StructField("lo", T.DoubleType(), False),
+                T.StructField("hi", T.DoubleType(), False),
+            ]
+        ),
     )
-    # single consumer (located, checkpointed) — no materialization needed
-    offsets = counts.select(
-        "grp", "b", "cnt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    with_b = vals.join(F.broadcast(blit), "grp").select(
+        "grp", "v", _bucket_expr(n_buckets)
     )
-
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
-    k_lo_e, k_hi_e, h_e = _rank_exprs(discrete)
-    ranks = probs_df.crossJoin(F.broadcast(bounds)).select(
-        "grp", "p", k_lo_e, k_hi_e, h_e
-    )
-    needed = (
-        ranks.select("grp", F.col("k_lo").alias("k"))
-        .unionByName(ranks.select("grp", F.col("k_hi").alias("k")))
-        .distinct()
-    )
-    located = (
-        needed.join(
-            F.broadcast(offsets),
-            (needed["grp"] == offsets["grp"])
-            & (F.col("k") >= F.col("off"))
-            & (F.col("k") < F.col("off") + F.col("cnt")),
-        )
-        .select(needed["grp"], "k", "b", (F.col("k") - F.col("off")).alias("local_rank"))
-        .localCheckpoint()
-    )
-
-    needed_buckets = located.select("grp", "b").distinct()
-    w_in = Window.partitionBy("grp", "b").orderBy("v")
-    hits = (
-        with_b.join(F.broadcast(needed_buckets), ["grp", "b"])
-        .withColumn("local_rank", F.row_number().over(w_in) - 1)
-        .join(located, ["grp", "b", "local_rank"])
-        .select("grp", "k", "v")
-        .localCheckpoint()
-    )
-    kv_lo = hits.select("grp", F.col("k").alias("k_lo"), F.col("v").alias("v_lo"))
-    kv_hi = hits.select("grp", F.col("k").alias("k_hi"), F.col("v").alias("v_hi"))
-    return (
-        ranks.join(F.broadcast(kv_lo), ["grp", "k_lo"])
-        .join(F.broadcast(kv_hi), ["grp", "k_hi"])
-        .select(
-            F.col("grp").alias(group_col),
-            F.col("p").alias(out_prob),
-            (
-                F.col("v_lo")
-                + (F.col("h") - F.col("k_lo")) * (F.col("v_hi") - F.col("v_lo"))
-            ).alias(out_value),
-        )
-        .orderBy(group_col, out_prob)
-    )
+    bounds_rows, kv = _extract(spark, with_b, grp_field, bounds_rows, probs, discrete)
+    rows = _interp_rows(bounds_rows, kv, probs, discrete)
+    return spark.createDataFrame(rows, out_schema).orderBy(group_col, out_prob)

@@ -234,7 +234,10 @@ def _grouped_median_mad(
         )
         for pr in probs
     ]
-    stats = qg.groupBy(group_col).agg(*pivots).localCheckpoint()
+    # qg is driver-resident since the round-6 extractor rewrite (a literal
+    # frame of |groups|·|probs| rows), so the pivot is a local plan — no
+    # checkpoint needed for its three consumers (devs, dev_bounds, return)
+    stats = qg.groupBy(group_col).agg(*pivots)
     devs = vals.join(F.broadcast(stats.select(group_col, "med")), group_col).select(
         group_col, F.abs(F.col(value_col) - F.col("med")).alias("dev")
     )
