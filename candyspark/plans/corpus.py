@@ -2021,14 +2021,19 @@ def q_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered (the classic (1−1/e) greedy for submodular coverage; the
     data-acquisition twin of token_budget_allocation's how-much question).
 
-    Five unrolled rounds over the shared (source, segment) relation
-    (source_overlap's grain, materialized once): marginal counts are one
-    anti-join + aggregate per round against the covered set; the argmax
-    is a 1-row driver collect per round (the BPE trainer's schema-bounded
-    scalar pattern — the collected row is the DECISION, never data), and
-    the covered set grows by one semi-join per round, checkpointed.
-    Output: pick order, marginal gain, cumulative coverage share —
-    exact integers plus one snapped share.
+    Round-6 shape: the greedy never needs the segments themselves — only,
+    per segment, WHICH sources contain it. One pass rolls the segment
+    relation up to its source-SUBSET signature histogram (≤ 2^|sources|
+    rows, the decision table, never data — the BPE trainer's
+    schema-bounded scalar pattern), and all five greedy rounds run on
+    that collected histogram with exact integer marginals: round r's
+    marginal(s) = Σ cnt over subsets containing s and disjoint from the
+    picked set — the same number the v1 anti-join + aggregate computed,
+    without 5 rounds of anti-joins, covered-set checkpoints, and per-round
+    collects (v1: ~15 sequential jobs; v2: one). Ties break (marginal
+    desc, source asc), identical to the unrolled oracle. Output: pick
+    order, marginal gain, cumulative coverage share — exact integers
+    plus one snapped share.
     """
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
@@ -2036,7 +2041,7 @@ def q_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     )
-    segs = (
+    seg_rel = (
         words.withColumn("seg_idx", (F.col("pos") / 10).cast("long"))
         .groupBy("doc_id", "source", "seg_idx")
         .agg(
@@ -2049,35 +2054,34 @@ def q_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg")
         )
         .select("source", "seg")
-        .distinct()
-        .localCheckpoint()
     )
-    n_total = segs.select("seg").distinct().count()
-    covered = None
+    subset_hist = (
+        seg_rel.groupBy("seg")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .groupBy("srcs")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    hist = [(frozenset(r["srcs"]), r["cnt"]) for r in subset_hist]
+    n_total = sum(c for _, c in hist)
+    picked: set = set()
     picks = []
     cum = 0
     for rnd in range(1, 6):
-        remaining = (
-            segs if covered is None else segs.join(covered, "seg", "left_anti")
-        )
-        best = (
-            remaining.groupBy("source")
-            .agg(F.count(F.lit(1)).cast("long").alias("marginal"))
-            .orderBy(F.desc("marginal"), "source")
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["marginal"] == 0:
+        marginals: dict = {}
+        for srcs, cnt in hist:
+            if srcs & picked:
+                continue
+            for s in srcs:
+                marginals[s] = marginals.get(s, 0) + cnt
+        if not marginals:
             break
-        src, gain = best[0]["source"], int(best[0]["marginal"])
+        src, gain = min(marginals.items(), key=lambda kv: (-kv[1], kv[0]))
+        if gain == 0:
+            break
         cum += gain
         picks.append((rnd, src, gain, cum))
-        new_cov = segs.filter(F.col("source") == src).select("seg").distinct()
-        covered = (
-            new_cov
-            if covered is None
-            else covered.unionByName(new_cov).distinct()
-        ).localCheckpoint()
+        picked.add(src)
     out = spark.createDataFrame(
         picks, "pick int, source string, marginal_segs long, cum_segs long"
     )
