@@ -49,6 +49,11 @@ def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the join's sorts before the same pair aggregate."""
     return (
         load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        # pre-partition on the GROUP key (the _copurchase_edges round-6
+        # discipline): set-building runs post-exchange on every core and
+        # the groupBy reuses this single shuffle
+        .repartition("l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )

@@ -2400,12 +2400,16 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     established snapping; the flags string concatenates fixed-order
     literals (never a collected set).
 
-    Scale: per-row expressions only — scan-stage, zero exchanges, same
-    posture as gopher_quality_filter.
+    Scale: per-row expressions only — scan-stage, zero data-dependent
+    exchanges, same posture as gopher_quality_filter. Round 6: fanned out —
+    the three regex/tokenize signal families per document serialized on the
+    single byte-sized split the 5k-doc parquet yields (profiled: two ~1 s
+    1-task jobs); the round-robin exchange is a no-op at real scale.
     """
     from candyspark.operators import text as X
+    from candyspark.sources.readers import fan_out
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n, mean_len, frac_alpha, stop_hits = gopher_signal_exprs()
     sig = d.select(
         "doc_id",
