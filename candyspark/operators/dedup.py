@@ -310,12 +310,23 @@ def minhash_candidate_shingles(
     measure they verify with."""
     df = fan_out(df)  # shingle hashing is CPU-bound; don't serialize on 1 split
     rows_per_band = num_hashes // bands
+    # tokenize + shingle ONCE and materialize (round 6): the signature side
+    # and BOTH verify-side joins previously re-derived word_shingles from
+    # text — the band self-join's exchange is deduped by ReuseExchange but
+    # the two shingle joins are keyed differently, so the corpus paid the
+    # tokenize+shingle CPU three times. One checkpointed (doc_id, sh)
+    # relation feeds all three; signature hashes derive from the same
+    # arrays (transform(sh, char_hash32 % p) ≡ shingle_hashes(text)).
     sh_tbl = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("sh")
+    ).localCheckpoint()
+    sigs = sh_tbl.select(
+        "doc_id",
+        minhash_signature(
+            F.transform(F.col("sh"), lambda s: char_hash32(s) % MINHASH_PRIME),
+            num_hashes,
+        ).alias("sig"),
     )
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("shh")
-    ).select("doc_id", minhash_signature(F.col("shh"), num_hashes).alias("sig"))
     banded = sigs.select(
         "doc_id", F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
