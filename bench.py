@@ -569,14 +569,20 @@ def main() -> None:
         "streaming_sec": round(sum(streaming.values()), 3),
     }
     # full per-query result: first line (humans, logs) + file artifact.
-    # BENCH_OUT defaults to BENCH_full.json at the repo root (gitignored —
-    # only the per-round BENCH_full_r{N}.json snapshots are committed) so
-    # EVERY bench run leaves the complete per-query record on disk for
-    # cross-round regression diffs without dirtying the working tree.
+    # BENCH_OUT defaults to BENCH_full_c{cpus}.json at the repo root
+    # (gitignored — only the per-round BENCH_full_r{N}.json snapshots are
+    # committed) so EVERY bench run leaves the complete per-query record on
+    # disk for cross-round regression diffs without dirtying the working
+    # tree. The cpu count is in the name because the driver benches at TWO
+    # core counts back to back — a shared default path made the 8-core run
+    # clobber the 32-core full record (round-6 verdict item 4).
     print(json.dumps(result))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
     out_path = os.environ.get(
         "BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"BENCH_full_c{cpus}.json"
+        ),
     )
     if out_path:
         with open(out_path, "w") as f:
@@ -584,8 +590,17 @@ def main() -> None:
 
     # LAST line: the same object with "queries" truncated (in HEADLINE
     # priority order) so one complete parseable JSON line fits the
-    # driver's tail window
-    head = {k: v for k, v in result.items() if k not in ("queries", "queries_min")}
+    # driver's tail window. The per-drain "streaming" dict is dropped from
+    # THIS LINE ONLY (streaming_sec stays; the full dict is in the file
+    # artifact and on the full-result line above): its ~400 chars pushed
+    # the visible query window from 49 entries down to 46 in round 6,
+    # producing three phantom "dropped_from_bench" rows (round-6 verdict
+    # item 2). Without it ≥60 priority queries fit the 1900-char window.
+    head = {
+        k: v
+        for k, v in result.items()
+        if k not in ("queries", "queries_min", "streaming")
+    }
     shown: dict[str, float] = {}
     used = len(json.dumps({**head, "queries_omitted": len(times)})) + len(
         '"queries":{},'

@@ -17,39 +17,53 @@ EXTRACTION instead:
    offsets — only ~2×|probs| ranks exist per group;
 4. filter the fact rows to the NEEDED buckets only (a scan-stage predicate —
    for 101 quantiles that is ≤202 buckets of data, a vanishing fraction at
-   scale), rank within each needed bucket (a PARTITIONED window, bounded by
-   bucket width), and take the hit values;
+   scale), pick each needed local rank out of the bucket's sorted value
+   array (one bounded (group, bucket) aggregate — no task ever holds more
+   than one bucket, the same bound the v2 window had);
 5. interpolate.
 
 No step ever holds more than one (group, bucket) of values in one task.
 
-Round-6 job-count rewrite: the v1 form kept every small intermediate
-(bounds, offsets, located ranks, hit values) as DataFrames and wired them
-together with localCheckpoints and broadcast joins — all of those relations
-are DRIVER-RESIDENT by construction either way (a broadcast is a collect
-plus a re-ship), but each one cost a separate Spark action or broadcast
-build: a single grouped median ran ~20 jobs, and robust_stats (median+MAD,
-two extractor calls) measured 48 jobs / 10.2 s wall with only ~3 s of task
-time at sf0.1 (guide §1 job profile). v2 moves exactly those
-already-driver-sized steps into driver Python: bounds and per-bucket counts
-are collected once (same bytes the old plan collected to build their
-broadcasts), rank location and interpolation are exact integer / IEEE-double
-arithmetic reproduced operation-for-operation, and the two FACT passes —
-the bucket count and the needed-bucket extraction — are the only cluster
-work left, with the located ranks shipped back as literal broadcast frames.
-Per-value results are bit-identical (pinned by the numpy/percentile parity
-and oracle-hash tests); the fact-side plan is unchanged; the only actions
-left per extractor call are the two fact passes (plus their AQE stage-jobs)
-and the two tiny metadata collects — no localCheckpoint writes, no
-offsets-window or kv broadcast builds (robust_stats: 48 jobs → ~25, wall
-8.4 s → 6.2 s median at sf0.1 in like-for-like host windows).
+EAGER CONTRACT (since the round-6 v2 rewrite): ``exact_quantiles`` /
+``exact_quantiles_grouped`` are EXECUTORS, not lazy plan builders — calling
+one runs the two fact passes plus the metadata collects immediately and
+returns a LITERAL snapshot frame. Re-executing the returned DataFrame does
+not recompute from the fact, and plan-only tooling (explain, plan budgets)
+pays full execution at call time. Compose them as computed dimensions, not
+as lazy plans.
+
+Round-7 (v3) job-count rewrite, building on v2's driver-located ranks:
+- ONE literal `need` relation (group, bucket, local-rank array, rank array)
+  replaces v2's two (located + needed_buckets) — one createDataFrame, one
+  broadcast build fewer per call;
+- the extraction pass is a bounded (group, bucket) AGGREGATE over the
+  needed rows (sorted value array → positional picks) instead of v2's
+  row_number window + second broadcast join — same rows through the same
+  single exchange, fewer plan nodes, one broadcast fewer (guide §2.4);
+- callers can hand in pre-collected ``bounds_rows`` (plain Python rows), so
+  multi-extraction consumers (robust_stats' median+MAD) collect bounds ONCE
+  and derive the second call's bounds in driver arithmetic — v2 spent a
+  localCheckpoint plus two extra collect round-trips on the same bytes
+  (the round-6 verdict's #1 regression);
+- ``*_rows`` twins return the plain Python result rows so consumers that
+  post-process driver-sized results (pivots, per-group stats dims) build
+  ONE literal frame instead of chaining Spark ops over literals — the
+  round-6 profile showed ~0.9 s of AQE orchestration in robust_stats' final
+  literal-joins assembly alone;
+- every action is job-labeled (guide §1.5).
+
+Per-value results are bit-identical to v2/v1 (pinned by the numpy /
+percentile parity and oracle-hash tests): rank location and interpolation
+are exact integer / IEEE-double arithmetic reproduced op-for-op, and the
+k-th smallest value of a bucket is the same whether picked by row_number
+or out of the bucket's sorted array.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,7 +96,7 @@ def _ranks_for(n: int, p: float, discrete: bool) -> tuple[int, int, float]:
 
 def _bucket_expr(n_buckets: int):
     """Value-monotone bucket key over (v, lo, hi) columns; the hi row lands
-    in the last bucket. Identical expression to v1."""
+    in the last bucket. Identical expression to v1/v2."""
     return (
         F.least(
             F.floor(
@@ -103,6 +117,7 @@ def _extract(
     bounds_rows: list,
     probs: list[float],
     discrete: bool,
+    label: str = "",
 ) -> tuple[list, dict]:
     """Shared driver-located extraction: count per (group, bucket), locate
     the ≤2|probs| needed ranks per group in Python, run ONE needed-bucket
@@ -111,13 +126,15 @@ def _extract(
     ``with_b`` must be the bucketed fact: columns (grp, v, b). The counts
     and hit values collected here are the very relations v1 broadcast —
     driver-resident either way; ≤ groups × occupied-buckets rows."""
+    sc = spark.sparkContext
+    sc.setJobDescription(f"exact_quantiles{label}: bucket counts")
     counts = with_b.groupBy("grp", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
     by_grp: dict = {}
     for r in counts:
         by_grp.setdefault(r["grp"], []).append((r["b"], r["cnt"]))
 
     # per group: cumulative offsets -> bucket + local rank for each needed k
-    located_rows = []  # (grp, b, local_rank, k)
+    need_rows: dict = {}  # (grp, b) -> (sorted [local_rank], matching [k])
     for g, n in ((r["grp"], r["n"]) for r in bounds_rows):
         if g is None or g not in by_grp:
             # null groups never match the grp equi-joins in v1; groups with
@@ -135,32 +152,58 @@ def _extract(
         for k in sorted(ks):
             while not (off <= k < off + cnt):
                 off += cnt
-                b, cnt = next(it)
-            located_rows.append((g, b, k - off, k))
+                try:
+                    b, cnt = next(it)
+                except StopIteration:
+                    # caller-supplied bounds contract violation: n overstates
+                    # the actual row count, so rank k has no bucket to live in
+                    raise ValueError(
+                        f"exact_quantiles: group {g!r} declares n={n} but the "
+                        f"fact holds only {off} rows — caller-supplied bounds "
+                        "must carry the exact non-null count"
+                    ) from None
+            lrs, kk = need_rows.setdefault((g, b), ([], []))
+            lrs.append(k - off)
+            kk.append(k)
 
     loc_schema = T.StructType(
         [
             grp_field,
             T.StructField("b", T.IntegerType(), False),
-            T.StructField("local_rank", T.IntegerType(), False),
-            T.StructField("k", T.LongType(), False),
+            T.StructField("lrs", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField("ks", T.ArrayType(T.LongType(), False), False),
         ]
     )
-    located = spark.createDataFrame(
-        [(g, int(b), int(lr), int(k)) for g, b, lr, k in located_rows], loc_schema
+    need = spark.createDataFrame(
+        [
+            (g, int(b), [int(x) for x in lrs], [int(x) for x in kk])
+            for (g, b), (lrs, kk) in sorted(need_rows.items(), key=lambda t: str(t[0]))
+        ],
+        loc_schema,
     )
-    needed_buckets = spark.createDataFrame(
-        sorted({(g, int(b)) for g, b, _, _ in located_rows}),
-        T.StructType([grp_field, T.StructField("b", T.IntegerType(), False)]),
+    # ONE bounded aggregate per needed (group, bucket): the sorted value
+    # array's positional picks are exactly the row_number-located values
+    # (duplicates tie to the same v either way). lrs/ks ride the broadcast
+    # join and are constant within the group, so first() is deterministic.
+    picked = F.zip_with(
+        "ks",
+        F.transform(F.col("lrs"), lambda lr: F.get(F.col("vs"), lr)),
+        lambda k, v: F.struct(k.alias("k"), v.alias("v")),
     )
-    w_in = Window.partitionBy("grp", "b").orderBy("v")
+    sc.setJobDescription(f"exact_quantiles{label}: needed-bucket extraction")
     hits = (
-        with_b.join(F.broadcast(needed_buckets), ["grp", "b"])
-        .withColumn("local_rank", F.row_number().over(w_in) - 1)
-        .join(F.broadcast(located), ["grp", "b", "local_rank"])
-        .select("grp", "k", "v")
+        with_b.join(F.broadcast(need), ["grp", "b"])
+        .groupBy("grp", "b")
+        .agg(
+            F.array_sort(F.collect_list("v")).alias("vs"),
+            F.first("lrs").alias("lrs"),
+            F.first("ks").alias("ks"),
+        )
+        .select("grp", F.explode(picked).alias("kv"))
+        .select("grp", "kv.k", "kv.v")
         .collect()
     )
+    sc.setJobDescription(None)
     kv = {(r["grp"], r["k"]): r["v"] for r in hits}
     return [r for r in bounds_rows if r["grp"] is not None and r["grp"] in by_grp], kv
 
@@ -177,6 +220,40 @@ def _interp_rows(bounds_rows: list, kv: dict, probs: list[float], discrete: bool
             v_lo, v_hi = kv[(g, k_lo)], kv[(g, k_hi)]
             out.append((g, float(p), v_lo + (h - float(k_lo)) * (v_hi - v_lo)))
     return out
+
+
+def exact_quantiles_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 4096,
+    discrete: bool = False,
+) -> list[tuple[float, float]]:
+    """``exact_quantiles`` returning the plain Python [(p, value), ...] rows
+    (sorted by p) — for consumers that post-process the driver-sized result
+    anyway. Runs eagerly (two fact passes; see module docstring)."""
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    spark.sparkContext.setJobDescription("exact_quantiles: bounds")
+    row = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+    ).collect()[0]
+    spark.sparkContext.setJobDescription(None)
+    if not row["n"]:
+        return []
+    # single group: lo/hi inline as literals — the bucket key needs no join
+    with_b = vals.select(
+        F.lit("_").alias("grp"),
+        "v",
+        F.lit(row["lo"]).alias("lo"),
+        F.lit(row["hi"]).alias("hi"),
+    ).select("grp", "v", _bucket_expr(n_buckets))
+    grp_field = T.StructField("grp", T.StringType(), False)
+    bounds_rows = [{"grp": "_", "n": row["n"]}]
+    bounds_rows, kv = _extract(spark, with_b, grp_field, bounds_rows, probs, discrete)
+    return sorted((p, v) for _, p, v in _interp_rows(bounds_rows, kv, probs, discrete))
 
 
 def exact_quantiles(
@@ -196,67 +273,52 @@ def exact_quantiles(
     NULLs are excluded (both references do the same); NaNs are excluded too
     (they would poison the min/max bucket bounds — callers that need
     NaN-propagation semantics must pre-filter or pre-map them).
+    EAGER: executes on call, returns a literal snapshot (module docstring).
     """
-    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull() & ~F.isnan("v")
-    )
-    row = vals.agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
-    ).collect()[0]
+    rows = exact_quantiles_rows(spark, df, value_col, probs, n_buckets, discrete)
     schema = T.StructType(
         [
             T.StructField(out_prob, T.DoubleType(), False),
             T.StructField(out_value, T.DoubleType(), True),
         ]
     )
-    if not row["n"]:
-        return spark.createDataFrame([], schema)
-    # single group: lo/hi inline as literals — the bucket key needs no join
-    with_b = vals.select(
-        F.lit("_").alias("grp"),
-        "v",
-        F.lit(row["lo"]).alias("lo"),
-        F.lit(row["hi"]).alias("hi"),
-    ).select("grp", "v", _bucket_expr(n_buckets))
-    grp_field = T.StructField("grp", T.StringType(), False)
-    bounds_rows = [{"grp": "_", "n": row["n"]}]
-    bounds_rows, kv = _extract(spark, with_b, grp_field, bounds_rows, probs, discrete)
-    rows = [(p, v) for _, p, v in _interp_rows(bounds_rows, kv, probs, discrete)]
-    return spark.createDataFrame(rows, schema).orderBy(out_prob)
+    return spark.createDataFrame(rows, schema)
 
 
-def exact_quantiles_grouped(
+def exact_quantiles_grouped_rows(
     spark: SparkSession,
     df: DataFrame,
     group_col: str,
     value_col: str,
     probs: list[float],
     n_buckets: int = 4096,
-    out_prob: str = "p",
-    out_value: str = "value",
     discrete: bool = False,
     bounds_df: DataFrame | None = None,
-) -> DataFrame:
-    """Per-GROUP distributed exact quantiles: the grouped generalization of
-    ``exact_quantiles`` — every step gains the group key, nothing else
-    changes. Per-group bounds come from one aggregate; buckets key on
-    (group, bucket); extraction ranks within (group, bucket). No task ever
-    buffers more than one (group, bucket) — the per-group holistic
-    ``percentile`` instead buffers each group's ENTIRE column in the task
-    that finalizes it (robust_stats' documented cost).
+    bounds_rows: list | None = None,
+) -> list[tuple]:
+    """``exact_quantiles_grouped`` returning plain Python rows
+    [(grp, p, value), ...] sorted by (grp, p). Runs eagerly.
 
-    Returns (group, prob, value), equal per group to F.percentile /
-    quantile_cont.
-    """
+    ``bounds_rows``: pre-collected per-group bounds — rows with fields
+    (grp, lo, hi, n) — so multi-extraction consumers share ONE bounds
+    collect across calls (lo/hi may over-cover; n MUST be the exact
+    non-null count, ranks derive from it). ``bounds_df`` is the same
+    contract as a DataFrame (collected here)."""
     g = F.col(group_col).alias("grp")
     vals = df.select(g, F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
-    if bounds_df is not None:
+    if bounds_rows is not None:
+        bounds_rows = [
+            {"grp": r["grp"], "lo": float(r["lo"]), "hi": float(r["hi"]), "n": int(r["n"])}
+            for r in bounds_rows
+        ]
+    elif bounds_df is not None:
         # caller-supplied (group, lo, hi, n): skips this function's bounds
         # scan entirely. lo/hi may over-cover ([lo, hi] ⊇ the true value
         # range keeps the bucket key monotone, just coarser); n MUST equal
         # the exact non-null count — ranks derive from it.
+        spark.sparkContext.setJobDescription("exact_quantiles_grouped: caller bounds")
         bounds_rows = (
             bounds_df.select(
                 F.col(group_col).alias("grp"),
@@ -265,7 +327,9 @@ def exact_quantiles_grouped(
                 F.col("n").cast("long"),
             )
         ).collect()
+        spark.sparkContext.setJobDescription(None)
     else:
+        spark.sparkContext.setJobDescription("exact_quantiles_grouped: bounds")
         bounds_rows = (
             vals.groupBy("grp")
             .agg(
@@ -273,17 +337,11 @@ def exact_quantiles_grouped(
             )
             .collect()
         )
+        spark.sparkContext.setJobDescription(None)
     grp_field = T.StructField("grp", df.schema[group_col].dataType, True)
-    out_schema = T.StructType(
-        [
-            T.StructField(group_col, df.schema[group_col].dataType, True),
-            T.StructField(out_prob, T.DoubleType(), False),
-            T.StructField(out_value, T.DoubleType(), True),
-        ]
-    )
     bounds_rows = [r for r in bounds_rows if r["grp"] is not None and r["n"]]
     if not bounds_rows:
-        return spark.createDataFrame([], out_schema)
+        return []
     blit = spark.createDataFrame(
         [(r["grp"], float(r["lo"]), float(r["hi"])) for r in bounds_rows],
         T.StructType(
@@ -297,6 +355,48 @@ def exact_quantiles_grouped(
     with_b = vals.join(F.broadcast(blit), "grp").select(
         "grp", "v", _bucket_expr(n_buckets)
     )
-    bounds_rows, kv = _extract(spark, with_b, grp_field, bounds_rows, probs, discrete)
-    rows = _interp_rows(bounds_rows, kv, probs, discrete)
-    return spark.createDataFrame(rows, out_schema).orderBy(group_col, out_prob)
+    bounds_rows, kv = _extract(
+        spark, with_b, grp_field, bounds_rows, probs, discrete, label="_grouped"
+    )
+    # natural group ordering (groups are homogeneous and non-null here) —
+    # the same (group, p) order v2's orderBy produced
+    return sorted(_interp_rows(bounds_rows, kv, probs, discrete))
+
+
+def exact_quantiles_grouped(
+    spark: SparkSession,
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 4096,
+    out_prob: str = "p",
+    out_value: str = "value",
+    discrete: bool = False,
+    bounds_df: DataFrame | None = None,
+    bounds_rows: list | None = None,
+) -> DataFrame:
+    """Per-GROUP distributed exact quantiles: the grouped generalization of
+    ``exact_quantiles`` — every step gains the group key, nothing else
+    changes. Per-group bounds come from one aggregate (or the caller, see
+    ``exact_quantiles_grouped_rows``); buckets key on (group, bucket);
+    extraction picks ranks within (group, bucket). No task ever buffers
+    more than one (group, bucket) — the per-group holistic ``percentile``
+    instead buffers each group's ENTIRE column in the task that finalizes
+    it (robust_stats' documented cost).
+
+    Returns (group, prob, value), equal per group to F.percentile /
+    quantile_cont. EAGER: executes on call, returns a literal snapshot.
+    """
+    rows = exact_quantiles_grouped_rows(
+        spark, df, group_col, value_col, probs, n_buckets, discrete,
+        bounds_df=bounds_df, bounds_rows=bounds_rows,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType, True),
+            T.StructField(out_prob, T.DoubleType(), False),
+            T.StructField(out_value, T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, out_schema)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from candyspark.operators.text import snap_round
 from candyspark.plans import QuerySpec
@@ -202,7 +203,7 @@ def _grouped_median_mad(
     algebraically (|x − med| spans [0, max(hi−med, med−lo)]) with the same
     exact count, so MAD costs no second bounds scan of the fact. Returns
     one row per group: (group, med, mad, p{NN} for each extra prob)."""
-    from candyspark.operators.quantiles import exact_quantiles_grouped
+    from candyspark.operators.quantiles import exact_quantiles_grouped_rows
 
     probs = sorted({0.5, *extra_probs})
     aliases = [
@@ -212,7 +213,8 @@ def _grouped_median_mad(
     # other — fail loudly at plan time, not with AMBIGUOUS_REFERENCE later
     if len(set(aliases)) != len(aliases):
         raise ValueError(f"extra_probs too close: aliases collide: {aliases}")
-    bounds = (
+    spark.sparkContext.setJobDescription("grouped_median_mad: shared bounds")
+    bounds_rows = (
         # same filter as exact_quantiles_grouped's internal pass: a NaN
         # would inflate n and poison hi (NaN ranks above every double),
         # making the top rank unlocatable and med/mad silently NULL
@@ -223,34 +225,58 @@ def _grouped_median_mad(
             F.max(value_col).cast("double").alias("hi"),
             F.count(F.lit(1)).alias("n"),
         )
-        .localCheckpoint()
+        .withColumnRenamed(group_col, "grp")
+        .collect()
     )
-    qg = exact_quantiles_grouped(
-        spark, vals, group_col, value_col, probs, bounds_df=bounds
+    spark.sparkContext.setJobDescription(None)
+    # round-7: ONE bounds collect feeds both extractor calls (v2 spent a
+    # localCheckpoint write + two more collect round-trips on these same
+    # driver-sized bytes), and the pivot/MAD-bounds arithmetic runs in
+    # driver Python — |x − med| spans [0, max(hi−med, med−lo)] with the
+    # same exact count, the identical doubles v2's greatest() produced.
+    q_rows = exact_quantiles_grouped_rows(
+        spark, vals, group_col, value_col, probs, bounds_rows=bounds_rows
     )
-    pivots = [
-        F.max(F.when(F.col("p") == pr, F.col("value"))).alias(
-            "med" if pr == 0.5 else f"p{int(round(pr * 100)):02d}"
-        )
-        for pr in probs
-    ]
-    # qg is driver-resident since the round-6 extractor rewrite (a literal
-    # frame of |groups|·|probs| rows), so the pivot is a local plan — no
-    # checkpoint needed for its three consumers (devs, dev_bounds, return)
-    stats = qg.groupBy(group_col).agg(*pivots)
-    devs = vals.join(F.broadcast(stats.select(group_col, "med")), group_col).select(
+    by_grp: dict = {}
+    for g, p, v in q_rows:
+        by_grp.setdefault(g, {})[p] = v
+    med_lit = spark.createDataFrame(
+        [(g, float(ps[0.5])) for g, ps in sorted(by_grp.items())],
+        T.StructType(
+            [
+                vals.schema[group_col],
+                T.StructField("med", T.DoubleType(), True),
+            ]
+        ),
+    )
+    devs = vals.join(F.broadcast(med_lit), group_col).select(
         group_col, F.abs(F.col(value_col) - F.col("med")).alias("dev")
     )
-    dev_bounds = bounds.join(stats.select(group_col, "med"), group_col).select(
-        group_col,
-        F.lit(0.0).alias("lo"),
-        F.greatest(F.col("hi") - F.col("med"), F.col("med") - F.col("lo")).alias("hi"),
-        "n",
+    dev_bounds = [
+        {
+            "grp": r["grp"],
+            "lo": 0.0,
+            "hi": max(r["hi"] - by_grp[r["grp"]][0.5], by_grp[r["grp"]][0.5] - r["lo"]),
+            "n": r["n"],
+        }
+        for r in bounds_rows
+        if r["grp"] in by_grp
+    ]
+    mad_rows = exact_quantiles_grouped_rows(
+        spark, devs, group_col, "dev", [0.5], bounds_rows=dev_bounds
     )
-    mad = exact_quantiles_grouped(
-        spark, devs, group_col, "dev", [0.5], bounds_df=dev_bounds
-    ).select(group_col, F.col("value").alias("mad"))
-    return stats.join(mad, group_col)
+    for g, _, v in mad_rows:
+        by_grp[g]["mad"] = v
+    out_fields = [vals.schema[group_col]] + [
+        T.StructField(a, T.DoubleType(), True) for a in aliases + ["mad"]
+    ]
+    return spark.createDataFrame(
+        [
+            tuple([g] + [ps[pr] for pr in probs] + [ps["mad"]])
+            for g, ps in sorted(by_grp.items())
+        ],
+        T.StructType(out_fields),
+    )
 
 
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,19 +1526,27 @@ def q_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bands and expects TRUE: a hash match certifies both the exact
     band computation and the in-band landing of the sketch value.
     """
-    from candyspark.operators.quantiles import exact_quantiles_grouped
+    from candyspark.operators.quantiles import exact_quantiles_grouped_rows
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     band_probs = [0.24, 0.26, 0.49, 0.51, 0.74, 0.76]
-    bands = (
-        exact_quantiles_grouped(
-            spark, li, "l_returnflag", "l_extendedprice", band_probs
-        )
-        .groupBy("l_returnflag")
-        .pivot("p", band_probs)
-        .agg(F.first("value"))
+    # round-7: the extractor result is driver-resident — pivot it in Python
+    # into ONE literal band dim (the Spark pivot spent two exchanges and an
+    # AQE round on 6 literal rows); column names match the old pivot's
+    band_rows = exact_quantiles_grouped_rows(
+        spark, li, "l_returnflag", "l_extendedprice", band_probs
+    )
+    by_g: dict = {}
+    for g, p, v in band_rows:
+        by_g.setdefault(g, {})[p] = v
+    bands = spark.createDataFrame(
+        [tuple([g] + [ps[p] for p in band_probs]) for g, ps in sorted(by_g.items())],
+        T.StructType(
+            [li.schema["l_returnflag"]]
+            + [T.StructField(str(p), T.DoubleType(), True) for p in band_probs]
+        ),
     )
     approx = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
