@@ -34,7 +34,7 @@ scaling, and is what power-iteration implementations at scale use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SNAP = "decimal(24,14)"
@@ -53,8 +53,36 @@ def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _l1_normalize_window(scores: DataFrame, col: str) -> DataFrame:
+    """`_l1_normalize` with the total as an UNPARTITIONED window sum instead
+    of a separate aggregate + crossJoin — bit-identical values (the window
+    sum is the same exact decimal sum over the same casts; the division /
+    round ladder is unchanged) but ONE plan, so the per-round normalize
+    rides the round's checkpoint/broadcast job instead of costing its own
+    total-aggregate job (round-7, guide §2.4 — measured 2 jobs/round fewer
+    over 8 rounds). The single-partition window pass is over the NODE-grain
+    score relation, which the broadcast_scores=True contract already
+    declares broadcast-scale; the keyed (web-scale) path keeps
+    `_l1_normalize`."""
+    w = Window.partitionBy()
+    return scores.select(
+        scores.columns[0],
+        F.round(
+            (F.col(col).cast(_SNAP) / F.sum(F.col(col).cast(_SNAP)).over(w)).cast(
+                _SNAP
+            ),
+            14,
+        )
+        .cast("double")
+        .alias(col),
+    )
+
+
 def hits(
-    edges: DataFrame, rounds: int = 8, broadcast_scores: bool = True
+    edges: DataFrame,
+    rounds: int = 8,
+    broadcast_scores: bool = True,
+    prepared: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """HITS over a directed edge relation (columns ``src``, ``dst``).
 
@@ -74,18 +102,38 @@ def hits(
     — the loop then falls back to keyed shuffle joins.
     """
     bcast = F.broadcast if broadcast_scores else (lambda df: df)
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    hubs = (
-        e.select("src").distinct().withColumn("hub", F.lit(1.0)).localCheckpoint()
+    # window normalize fuses the L1 total into the round's one plan; the
+    # keyed path keeps the aggregate+crossJoin form (its node set is by
+    # contract too big for a single-partition window)
+    norm = _l1_normalize_window if broadcast_scores else _l1_normalize
+    # prepared=True: the caller passes an already-DISTINCT, already-
+    # MATERIALIZED (checkpointed) (src, dst) relation — so a caller that
+    # also aggregates over the same edge set (q_hits' buyers count) shares
+    # ONE edge build instead of re-deriving the join+distinct at
+    # consumption (round-7; the re-derivation was ~2 s of the final job).
+    e = (
+        edges.select("src", "dst")
+        if prepared
+        else edges.select("src", "dst").distinct().localCheckpoint()
     )
-    hubs = _l1_normalize(hubs, "hub").localCheckpoint()
+    hubs = norm(
+        e.select("src").distinct().withColumn("hub", F.lit(1.0)), "hub"
+    ).localCheckpoint()
     raw_a = None
-    for _ in range(rounds):
+    for r in range(rounds):
         raw_a = (
             e.join(bcast(hubs), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("hub").cast(_SNAP)).alias("auth"))
         )
+        if r == rounds - 1:
+            # Final round (round-7): checkpoint the AUTH side — the returned
+            # auths then normalize over the checkpoint instead of re-running
+            # the last edge join at consumption, and the final raw_h stays
+            # LAZY so hub-only work is skipped when (as in the registered
+            # consumer) only auths are read. Values are unchanged: the same
+            # raw_a relation feeds both, normalize is the same ladder.
+            raw_a = raw_a.localCheckpoint(eager=True)
         # Checkpoint the RAW hub sums, normalize lazily on top: normalizing
         # before the checkpoint makes the L1 total a broadcast subquery that
         # re-evaluates the edge join (3 edge passes/round instead of 2 —
@@ -96,7 +144,8 @@ def hits(
             e.join(bcast(raw_a), "dst")
             .groupBy("src")
             .agg(F.sum(F.col("auth").cast(_SNAP)).alias("hub"))
-            .localCheckpoint(eager=True)
         )
-        hubs = _l1_normalize(raw_h, "hub")
-    return hubs, _l1_normalize(raw_a, "auth")
+        if r < rounds - 1:
+            raw_h = raw_h.localCheckpoint(eager=True)
+        hubs = norm(raw_h, "hub")
+    return hubs, norm(raw_a, "auth")

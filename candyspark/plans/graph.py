@@ -788,13 +788,18 @@ def q_hits_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE edge build (join + distinct + checkpoint) shared by the buyers
+    # aggregate AND the HITS loop (hits(prepared=True) skips its internal
+    # re-distinct; round-7 — buyers previously re-derived the whole join
+    # at consumption)
     edges = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
         .distinct()
+        .localCheckpoint()
     )
     buyers = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n_buyers"))
-    _, auths = hits(edges, rounds=8)
+    _, auths = hits(edges, rounds=8, prepared=True)
     return (
         auths.join(buyers, "dst")
         .select(
