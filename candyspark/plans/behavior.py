@@ -76,11 +76,26 @@ def _basket_pair_counts(items: DataFrame) -> DataFrame:
             ),
         )
     )
+    # the < 2^31 bound is ENFORCED, not assumed (round-7 advice fix): a key
+    # past it would silently merge distinct pairs — raise instead; the
+    # fallback at that scale is a (u, v) struct key, same aggregate
     packed = (
         items.select("parts")
         .filter(m >= 2)
         .select(F.explode(pair_structs).alias("p"))
-        .select((F.shiftleft("p.u", 32) + F.col("p.v")).alias("uv"))
+        .select(
+            F.when(
+                F.col("p.v") < F.lit(2**31),  # u < v, so v bounds both
+                F.shiftleft("p.u", 32) + F.col("p.v"),
+            )
+            .otherwise(
+                F.raise_error(
+                    "basket pair pack overflow: part key >= 2^31 — switch "
+                    "the pair aggregate to a (u, v) struct key"
+                )
+            )
+            .alias("uv")
+        )
     )
     return (
         packed.groupBy("uv")

@@ -201,9 +201,14 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected thresholded co-purchase edges (u < v, ≥2 shared orders) —
-    the shared edge relation under triangle counting and BFS reachability.
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_orders: int = 2
+) -> DataFrame:
+    """Undirected thresholded co-purchase edges (u < v, ≥``min_orders``
+    shared orders; default 2) — the shared edge relation under triangle
+    counting and BFS reachability. ``min_orders=1`` (katz, rich_club) skips
+    the count aggregate: a plain distinct on the packed key is the same
+    relation cheaper.
 
     Shuffle discipline (rewritten round 5 after the sf30 decade probe):
     ONE groupBy(order).collect_set(part) performs dedup AND grouping in a
@@ -243,18 +248,35 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # pack (u, v) into one long: part keys are < 2^31 at any generated SF
+    # pack (u, v) into one long: part keys are < 2^31 at any generated SF.
+    # The bound is ENFORCED, not assumed (round-7 advice fix): a key past
+    # 2^31 would silently merge distinct pairs, so the pack raises instead —
+    # the fallback at that scale is a (u, v) struct key, same aggregate.
     packed = baskets.select(F.explode(pair_structs).alias("p")).select(
-        (F.shiftleft("p.u", 32) + F.col("p.v")).alias("uv")
-    )
-    return (
-        packed.groupBy("uv")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select(
-            F.shiftrightunsigned("uv", 32).cast("long").alias("u"),
-            F.col("uv").bitwiseAND(F.lit(4294967295)).cast("long").alias("v"),
+        F.when(
+            F.col("p.v") < F.lit(2**31),  # u < v, so v bounds both
+            F.shiftleft("p.u", 32) + F.col("p.v"),
         )
+        .otherwise(
+            F.raise_error(
+                "copurchase pair pack overflow: part key >= 2^31 — switch "
+                "the pair aggregate to a (u, v) struct key"
+            )
+        )
+        .alias("uv")
+    )
+    if min_orders <= 1:
+        counted = packed.distinct()
+    else:
+        counted = (
+            packed.groupBy("uv")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_orders)
+            .select("uv")
+        )
+    return counted.select(
+        F.shiftrightunsigned("uv", 32).cast("long").alias("u"),
+        F.col("uv").bitwiseAND(F.lit(4294967295)).cast("long").alias("v"),
     )
 
 
@@ -1448,33 +1470,50 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs-per-order), is checkpointed once, and each round is one keyed
     join + aggregate - the pagerank plan shape exactly.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").join(
-        li.select(
-            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
-        ),
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_partkey") < F.col("p2")),
+    # round-7: the edge set comes from the _copurchase_edges collect_set
+    # discipline at min_orders=1 (one map-side-combined shuffle + in-map
+    # pair generation + packed-key distinct) — identical distinct-pair
+    # relation to the previous lineitem self-join + distinct, minus the
+    # self-join's two extra fact shuffles and sorts (the round-5 measured
+    # 122 s → 45 s rewrite, applied to this family's last two holdouts).
+    und = _copurchase_edges(spark, sf_dir, min_orders=1).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
-    und = pairs.select(
-        F.col("l_partkey").alias("a"), F.col("p2").alias("b")
-    ).distinct()
     edges = (
         und.unionByName(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .localCheckpoint()  # every Katz round reuses the directed edge set
     )
-    nodes = edges.select(F.col("a").alias("v")).distinct()
+    # AQE coalesces the byte-small distinct output to 1-2 partitions, which
+    # would serialize all 6 rounds' join+aggregate on 1-2 cores (measured:
+    # rounds 2-6 doubled to ~1.8 s each). fan_out is conditional — a no-op
+    # once the edge relation naturally exceeds defaultParallelism — and the
+    # re-checkpoint pins the round-robin layout so the rounds reuse it
+    # instead of re-shuffling per round.
+    from candyspark.sources.readers import fan_out
+
+    fanned = fan_out(edges)
+    if fanned is not edges:
+        edges = fanned.localCheckpoint()
+    # node set checkpointed ONCE — the per-round zero-union below otherwise
+    # re-runs this distinct every round (round-7)
+    nodes = edges.select(F.col("a").alias("v")).distinct().localCheckpoint()
     one12 = 10**12
     x = nodes.select("v", F.lit(one12).cast("long").alias("x12"))
     for _ in range(_KATZ_ROUNDS):
+        # the score vector is node-grain (bounded, ≪ edges) — broadcast it
+        # explicitly like the pagerank/HITS loops do; a checkpointed round
+        # output is a fresh LogicalRDD whose default size estimate blocks
+        # the automatic broadcast, shuffling the edge relation every round
+        # (round-7: this was ~+0.6 s/round)
         contrib = (
-            edges.join(x, edges["b"] == x["v"])
+            edges.join(F.broadcast(x), edges["b"] == x["v"])
             .groupBy("a")
             .agg(F.sum("x12").cast("long").alias("nbr"))
         )
         x = (
-            nodes.join(contrib, nodes["v"] == contrib["a"], "left")
+            nodes.join(F.broadcast(contrib), nodes["v"] == contrib["a"], "left")
             .select(
                 "v",
                 (

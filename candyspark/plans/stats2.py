@@ -3100,18 +3100,23 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     club membership on BOTH endpoints (broadcast of the shrinking node
     set). Exact integer counts, one snapped density per k.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").join(
-        li.select(
-            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
-        ),
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_partkey") < F.col("p2")),
-    )
+    # round-7: same distinct-pair relation as before, built on the
+    # _copurchase_edges collect_set discipline (min_orders=1) instead of
+    # the lineitem self-join + distinct — one map-side-combined shuffle +
+    # in-map pair generation replaces the self-join's two fact shuffles
+    from candyspark.plans.graph import _copurchase_edges
+    from candyspark.sources.readers import fan_out
+
     edges = (
-        pairs.select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
-        .distinct()
+        _copurchase_edges(spark, sf_dir, min_orders=1)
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
         .localCheckpoint()  # consumers: degrees + per-club edge counts
     )
+    # see q_katz_centrality: AQE coalesces the small distinct output to 1-2
+    # partitions, serializing the downstream joins; conditional re-spread
+    fanned = fan_out(edges)
+    if fanned is not edges:
+        edges = fanned.localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
