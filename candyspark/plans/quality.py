@@ -5198,7 +5198,22 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap-in is `randomization_inference_bernoulli` (registered + oracled
     since round 6): hash-Bernoulli assignment, approximate margins, one
     map-side-combined groupBy — p-values agree within Monte-Carlo
-    tolerance (pinned in tests/test_round3_ops.py)."""
+    tolerance (pinned in tests/test_round3_ops.py).
+
+    Degenerate-case note (round-7 advice): with n1 = 0 (no urgent orders —
+    unreachable with generated data, where every priority stratum is
+    populated) no threshold bucket exists, per_b is empty, and the final
+    row carries b_total=0 / NULL p_value, where the oracle would say
+    b_total=200, p=1/201. Callers on foreign data should assert n1 ≥ 1.
+
+    Round-7 negative result (kept two fan passes): folding the threshold
+    bucket's (h, y) rows into pass 1 via a binomial-window-predicted
+    conditional collect_list was measured ×1.5 WORSE (job time 7.2→10.9 s
+    at sf0.1) — collect_list demotes the whole 30M-row aggregate from
+    whole-stage-codegen HashAggregate to ObjectHashAggregate, which costs
+    far more than the second fan pass it saves; an explicit post-md5
+    repartition for exchange reuse would shuffle the raw ~1.5 GB fan and
+    loses the map-side combine. The two-pass form stands."""
     b_draws = 200
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
