@@ -35,14 +35,44 @@ def assign_clusters(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Nearest centroid per vector (L2, ties → lowest cluster_id).
-    Centroids broadcast; output (id, vec, cluster_id)."""
-    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
-    scored = scored.withColumn("__d2", l2sq(F.col(vec_col), F.col("c_vec")))
-    w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cluster_id"))
+    Centroids broadcast; output (id, vec, cluster_id).
+
+    Round-7 form: the centroid table folds into ONE broadcast array row and
+    the argmin is a scan-stage `aggregate` + `least` over
+    struct(d2, cluster_id) — zero shuffle, zero row multiplication. The
+    previous form crossJoined k centroid rows per vector and ranked a
+    window partitioned by vector id, which shuffled k× the vector bytes and
+    sorted them per vector. Values identical on finite inputs: the same
+    l2sq doubles feed a lexicographic struct-min, which is exactly
+    (d2 asc, cluster_id asc) row_number=1 — ties fall to the lowest
+    cluster_id either way. (Contract: vectors are finite — a NaN distance
+    loses the struct-min where the window sorted it last; both orderings
+    only diverge when EVERY distance is NaN, impossible for finite data.)
+    """
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster_id", "c_vec"))).alias(
+            "__cents"
+        )
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(2**31 - 1).cast("int").alias("cid"),
+    )
+    best = F.aggregate(
+        F.col("__cents"),
+        init,
+        lambda acc, c: F.least(
+            acc,
+            F.struct(
+                l2sq(F.col(vec_col), c["c_vec"]).alias("d2"),
+                c["cluster_id"].alias("cid"),
+            ),
+        ),
+    )
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_col, vec_col, "cluster_id")
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, best["cid"].alias("cluster_id"))
     )
 
 

@@ -62,24 +62,31 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # round-7: TWO hops per checkpoint+convergence-check (A/B'd — the
+    # per-round fixed cost of checkpoint + count actions dominated these
+    # short-diameter graphs; the fixpoint is hop-batching-invariant, the
+    # check just happens every second hop, costing at most one extra
+    # already-converged round of lazy plan)
     for _ in range(max_iter):
-        # min neighbor label per node, one hop
-        nbr_min = (
-            und.join(labels, und["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
+        cur = labels.select(
+            "node", "component", F.col("component").alias("prev")
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
+        for _hop in range(2):
+            nbr_min = (
+                und.join(
+                    cur.select("node", "component"), und["b"] == F.col("node")
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            cur = cur.join(nbr_min, "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
-                F.col("component").alias("prev"),
+                "prev",
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cur.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("component") < F.col("prev")).count()
         labels = new_labels.drop("prev")
         if changed == 0:
